@@ -1,0 +1,221 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact dedup: hash-groupBy on normalized text (one shuffle on the hash)
+- n-gram Jaccard: inverted-index candidate join on 3-word shingles with a
+  hot-shingle cap (the standard guard against posting-list blowup at scale)
+- MinHash + LSH: k=8 signatures from md5 hash families, banded 2-per-band
+  into 4 LSH buckets, candidate pairs via bucket equi-join.
+
+The md5-derived hash family is deliberately engine-agnostic (identical hex
+in Spark and DuckDB) so the whole pipeline is oracle-checkable — and, at
+scale, independent of partitioning/row order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from exact_spark import io
+from exact_spark.operators.text import _SQL_TOKS, tokens_col
+from exact_spark.registry import register
+from exact_spark.session import tune_session
+
+
+@register(
+    "dedup_exact",
+    sql="""
+    WITH norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_hash
+        FROM documents
+    )
+    SELECT text_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM norm GROUP BY text_hash
+    """,
+    doc="Exact dedup: hash-groupBy on whitespace-normalized lowercase text; "
+    "canonical representative = min doc_id.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+        ).alias("text_hash"),
+    )
+    return norm.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# Shared shingle spec: distinct 3-word shingles per doc.
+_SQL_SHINGLES = f"""
+    tokens AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    shingled AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
+        FROM tokens WHERE len(toks) >= 3
+    )
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> distinct 3-gram shingle array."""
+    docs = io.load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col().alias("toks")).filter(F.size("toks") >= 3)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        ),
+    )
+    return t.select("doc_id", F.array_distinct(tri).alias("shingles"))
+
+
+_HOT_CAP = 50  # drop shingles appearing in more docs (posting-list guard)
+_MIN_COMMON = 2
+_JACCARD_MIN = 0.1
+
+
+@register(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH {_SQL_SHINGLES},
+    posting AS (
+        SELECT doc_id, unnest(shingles) AS sh FROM shingled
+    ),
+    doc_sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled),
+    filtered AS (
+        SELECT sh FROM posting GROUP BY sh HAVING count(*) <= {_HOT_CAP}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM posting a
+        JOIN posting b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        JOIN filtered f ON a.sh = f.sh
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {_MIN_COMMON}
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common,
+           p.n_common * 1.0 / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
+    FROM pairs p
+    JOIN doc_sizes sa ON p.doc_a = sa.doc_id
+    JOIN doc_sizes sb ON p.doc_b = sb.doc_id
+    WHERE p.n_common * 1.0 / (sa.n_sh + sb.n_sh - p.n_common) >= {_JACCARD_MIN!r}
+    """,
+    doc="Near-dup via 3-gram shingle Jaccard: inverted-index candidate join "
+    "with hot-shingle cap; exact Jaccard on distinct-shingle sets.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    sh = _shingled(spark, sf_dir).cache()
+    posting = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    doc_sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    filtered = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _HOT_CAP
+    ).select("sh")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    pairs = (
+        a.join(filtered.alias("f"), F.col("a.sh") == F.col("f.sh"))
+        .join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= _MIN_COMMON)
+    )
+    sa = doc_sizes.alias("sa")
+    sb = doc_sizes.alias("sb")
+    jacc = F.col("n_common") * 1.0 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jacc >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", "n_common", jacc.alias("jaccard"))
+    )
+
+
+_N_HASHES = 8
+_BAND_SIZE = 2  # -> 4 bands
+
+
+def _sql_minhash_cols() -> str:
+    return ",\n               ".join(
+        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(_N_HASHES)
+    )
+
+
+def _sql_band_selects() -> str:
+    bands = []
+    for b in range(_N_HASHES // _BAND_SIZE):
+        lo = b * _BAND_SIZE
+        expr = " || ".join(f"h{lo + j}" for j in range(_BAND_SIZE))
+        bands.append(
+            f"SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sigs"
+        )
+    return " UNION ALL ".join(bands)
+
+
+@register(
+    "dedup_minhash_lsh",
+    sql=f"""
+    WITH {_SQL_SHINGLES},
+    posting AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
+    sigs AS (
+        SELECT doc_id,
+               {_sql_minhash_cols()}
+        FROM posting GROUP BY doc_id
+    ),
+    bands AS ({_sql_band_selects()}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b FROM cand
+    """,
+    doc="MinHash+LSH near-dup: k=8 md5-family minhash signature, 4 bands of "
+    "2, candidate pairs from band-bucket equi-join (shuffle on bucket only).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    sh = _shingled(spark, sf_dir)
+    posting = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    sig_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    sigs = posting.groupBy("doc_id").agg(*sig_aggs)
+    band_parts = []
+    for b in range(_N_HASHES // _BAND_SIZE):
+        lo = b * _BAND_SIZE
+        bucket = F.md5(F.concat(*[F.col(f"h{lo + j}") for j in range(_BAND_SIZE)]))
+        band_parts.append(
+            sigs.select("doc_id", F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    bands = band_parts[0]
+    for p in band_parts[1:]:
+        bands = bands.unionByName(p)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )

@@ -1,0 +1,85 @@
+"""Data-prep operators (SURVEY.md §2.2: P7 imputation; §2.5: J1/J2 + S8
+flag writeback as set-oriented joins).
+
+The reference's flag writeback is a one-row-at-a-time UPDATE loop
+(Database/timescaledb_api.py:238-274) — the canonical N+1 anti-pattern. The
+Spark-native form is a single equi-join against the (small) predicted-id
+set, broadcast so the fact side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from exact_spark.functions import favg, sql_favg
+from exact_spark.operators.timeseries import CANON_SQL, canonical_events
+from exact_spark.registry import register
+
+
+@register(
+    "p7_impute_mean",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    holes AS (
+        SELECT id, label,
+               CASE WHEN id % 10 = 0 THEN NULL ELSE value END AS value_raw
+        FROM canon
+    ),
+    stats AS (SELECT {sql_favg('value_raw')} AS mean_value FROM holes)
+    SELECT h.id,
+           COALESCE(h.value_raw, s.mean_value) AS value_imputed,
+           CASE WHEN h.value_raw IS NULL THEN 1 ELSE 0 END AS was_missing
+    FROM holes h, stats s
+    """,
+    doc="P7: mean imputation (execute_calls.py:546-579) with train-fitted "
+    "statistics (we fix the reference's per-slice leakage — SURVEY §7.4); "
+    "synthetic missingness on id%10 for the oracle check.",
+)
+def p7_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    holes = df.select(
+        "id",
+        "label",
+        F.when(F.col("id") % 10 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value_raw"),
+    )
+    stats = holes.agg(favg(F.col("value_raw")).alias("mean_value"))
+    return holes.crossJoin(F.broadcast(stats)).select(
+        "id",
+        F.coalesce(F.col("value_raw"), F.col("mean_value")).alias("value_imputed"),
+        F.when(F.col("value_raw").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("was_missing"),
+    )
+
+
+@register(
+    "j1_flag_writeback",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    thr AS (SELECT quantile_cont(value, 0.95) AS t FROM canon),
+    preds AS (
+        SELECT c.id FROM canon c, thr WHERE c.value > thr.t
+    )
+    SELECT c.id,
+           CASE WHEN p.id IS NOT NULL THEN 1 ELSE 0 END AS is_anomaly,
+           c.label
+    FROM canon c LEFT JOIN preds p ON c.id = p.id
+    """,
+    doc="J1/J2/S8: attach predictions and write is_anomaly flags as one "
+    "set-oriented broadcast join (replaces timescaledb_api.py:238-274's "
+    "per-row UPDATE loop and execute_calls.py:653-709's positional align).",
+)
+def j1_flag_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    thr = df.agg(F.percentile(F.col("value"), F.lit(0.95)).alias("t"))
+    preds = (
+        df.crossJoin(F.broadcast(thr))
+        .filter(F.col("value") > F.col("t"))
+        .select(F.col("id").alias("pred_id"))
+    )
+    return df.join(F.broadcast(preds), df.id == F.col("pred_id"), "left").select(
+        "id",
+        F.when(F.col("pred_id").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_anomaly"),
+        "label",
+    )

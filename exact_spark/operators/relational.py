@@ -1,0 +1,164 @@
+"""Relational analytics over the star schema (joins + aggregations).
+
+The reference has no relational joins (SURVEY §2.5) — correlation is
+positional in pandas. These queries are the Spark-native expression of the
+implicit joins (J1-J5) plus the aggregate shapes (G1-G8), exercised on the
+TPC-H-ish testdata so join strategy / pushdown / partial aggregation are
+benchmarkable.
+
+Scale design:
+- dimension sides (region/nation/customer/supplier/part) are broadcast —
+  no shuffle of the fact table for dim joins
+- aggregates are expressed declaratively so Catalyst emits partial
+  (map-side) aggregation before the shuffle
+- float aggregates use fixed-point (see exact_spark.functions) so results
+  are reduction-order independent — also what makes them bit-stable across
+  cluster sizes and retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from exact_spark import io
+from exact_spark.functions import SCALE2, favg, fsum, sql_favg, sql_fsum
+from exact_spark.registry import register
+from exact_spark.session import tune_session
+
+
+@register(
+    "rel_pricing_summary",
+    sql=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {sql_fsum('l_quantity', SCALE2)} AS sum_qty,
+           {sql_fsum('l_extendedprice', SCALE2)} AS sum_base_price,
+           {sql_fsum('l_extendedprice * (1.0 - l_discount)', SCALE2)} AS sum_disc_price,
+           {sql_fsum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)', SCALE2)} AS sum_charge,
+           {sql_favg('l_quantity', SCALE2)} AS avg_qty,
+           {sql_favg('l_extendedprice', SCALE2)} AS avg_price,
+           {sql_favg('l_discount', 1000000)} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: scan + pushed filter + partial agg. "
+    "Exercises the G1-class multi-aggregate single-pass shape.",
+)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem")
+    li = li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        fsum(F.col("l_quantity"), SCALE2).alias("sum_qty"),
+        fsum(F.col("l_extendedprice"), SCALE2).alias("sum_base_price"),
+        fsum(disc_price, SCALE2).alias("sum_disc_price"),
+        fsum(charge, SCALE2).alias("sum_charge"),
+        favg(F.col("l_quantity"), SCALE2).alias("avg_qty"),
+        favg(F.col("l_extendedprice"), SCALE2).alias("avg_price"),
+        favg(F.col("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_TOP_N = 10
+
+
+@register(
+    "rel_top_customers",
+    sql=f"""
+    WITH rev AS (
+        SELECT o.o_custkey,
+               SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * {SCALE2}.0 + 0.5) AS BIGINT)) AS revenue_cents,
+               count(*) AS n_lineitems
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey
+    ),
+    ranked AS (
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               rev.revenue_cents / {SCALE2}.0 AS revenue,
+               rev.n_lineitems,
+               row_number() OVER (ORDER BY rev.revenue_cents DESC, c.c_custkey) AS rn
+        FROM rev
+        JOIN customer c ON rev.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT c_custkey, c_name, nation, revenue, n_lineitems FROM ranked WHERE rn <= {_TOP_N}
+    """,
+    doc="J1-shaped fact-fact join + dim broadcast + deterministic top-k "
+    "(fixed-point revenue makes the ranking reduction-order stable).",
+)
+def rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem")
+    orders = io.load(spark, sf_dir, "orders")
+    cust = io.load(spark, sf_dir, "customer")
+    nation = io.load(spark, sf_dir, "nation")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(float(SCALE2))
+        + F.lit(0.5)
+    ).cast("long")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(rev_cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+    joined = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("c_custkey"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_N)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            (F.col("revenue_cents") / F.lit(float(SCALE2))).alias("revenue"),
+            "n_lineitems",
+        )
+    )
+
+
+@register(
+    "rel_region_revenue",
+    sql=f"""
+    SELECT r.r_name AS region,
+           {sql_fsum('l.l_extendedprice * (1.0 - l.l_discount)', SCALE2)} AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="5-way star join rolled up to region. Dim tables broadcast; only the "
+    "lineitem->orders join shuffles (and AQE can pick broadcast there too).",
+)
+def rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem")
+    orders = io.load(spark, sf_dir, "orders")
+    cust = io.load(spark, sf_dir, "customer")
+    nation = io.load(spark, sf_dir, "nation")
+    region = io.load(spark, sf_dir, "region")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return df.groupBy(F.col("r_name").alias("region")).agg(
+        fsum(disc_price, SCALE2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )

@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline; the scale path (LSH /
+IVF bucketing) builds on the same fixed-point kernels. All vector math is
+per-element fixed-point (floor(x*1e9+0.5) -> BIGINT) so dot products and
+norms are exact integers — bit-identical across engines AND across
+partitionings/cluster sizes, which is what makes the result reproducible on
+a 1000-executor run.
+
+Plan shape: the query side is tiny and broadcast; candidates stream through
+a single scan — no shuffle until the final per-query top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from exact_spark import io
+from exact_spark.registry import register
+from exact_spark.session import tune_session
+
+_SCALE9 = 1_000_000_000
+_N_QUERIES = 10
+_TOP_K = 5
+
+
+def dot_fixed(a: Column, b: Column) -> Column:
+    """Exact fixed-point dot product of two float-array columns -> BIGINT."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            x.cast("double") * y.cast("double") * F.lit(float(_SCALE9)) + F.lit(0.5)
+        ).cast("long"),
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)))"
+)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return _SQL_DOT.format(a=a, b=b)
+
+
+_SQL_COS = (
+    "(CAST({dot} AS DOUBLE) / 1000000000.0) / "
+    "(sqrt(CAST({na} AS DOUBLE) / 1000000000.0) * sqrt(CAST({nb} AS DOUBLE) / 1000000000.0))"
+)
+
+
+def cosine_from_fixed(dot_fx: Column, na_fx: Column, nb_fx: Column) -> Column:
+    return (dot_fx.cast("double") / float(_SCALE9)) / (
+        F.sqrt(na_fx.cast("double") / float(_SCALE9))
+        * F.sqrt(nb_fx.cast("double") / float(_SCALE9))
+    )
+
+
+@register(
+    "sim_topk_cosine",
+    sql=f"""
+    WITH norms AS (
+        SELECT vec_id, embedding, label,
+               {_sql_dot('embedding', 'embedding')} AS norm_fx
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM norms WHERE vec_id < {_N_QUERIES}),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               {_SQL_COS.format(dot=_sql_dot('q.embedding', 'c.embedding'), na='q.norm_fx', nb='c.norm_fx')} AS cosine
+        FROM q JOIN norms c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, neighbor_label, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+    FROM ranked WHERE rank <= {_TOP_K}
+    """,
+    doc="Brute-force cosine top-k ANN baseline: broadcast query vectors, "
+    "single candidate scan, per-query top-k window; exact fixed-point "
+    "dot/norm kernels.",
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "embedding", "label", dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx")
+    )
+    q = norms.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm_fx").alias("q_norm_fx"),
+    )
+    pairs = F.broadcast(q).join(norms, F.col("vec_id") != F.col("query_id"))
+    cos = cosine_from_fixed(
+        dot_fixed(F.col("q_embedding"), F.col("embedding")),
+        F.col("q_norm_fx"),
+        F.col("norm_fx"),
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+@register(
+    "sim_knn_classify",
+    sql=f"""
+    WITH norms AS (
+        SELECT vec_id, embedding, label,
+               {_sql_dot('embedding', 'embedding')} AS norm_fx
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM norms WHERE vec_id < {_N_QUERIES}),
+    pairs AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label, c.label AS neighbor_label,
+               {_SQL_COS.format(dot=_sql_dot('q.embedding', 'c.embedding'), na='q.norm_fx', nb='c.norm_fx')} AS cosine,
+               c.vec_id AS neighbor_id
+        FROM q JOIN norms c ON c.vec_id <> q.vec_id
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT query_id, true_label, neighbor_label,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM pairs
+        ) WHERE rank <= {_TOP_K}
+    ),
+    votes AS (
+        SELECT query_id, true_label, neighbor_label AS predicted_label, count(*) AS n_votes
+        FROM topk GROUP BY query_id, true_label, neighbor_label
+    )
+    SELECT query_id, true_label, predicted_label, n_votes FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, predicted_label) AS vr
+        FROM votes
+    ) WHERE vr = 1
+    """,
+    doc="kNN majority-vote classification over the cosine top-k (similarity "
+    "search consumer path); deterministic tie-breaks.",
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "embedding", "label", dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx")
+    )
+    q = norms.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm_fx").alias("q_norm_fx"),
+    )
+    pairs = F.broadcast(q).join(norms, F.col("vec_id") != F.col("query_id"))
+    cos = cosine_from_fixed(
+        dot_fixed(F.col("q_embedding"), F.col("embedding")),
+        F.col("q_norm_fx"),
+        F.col("norm_fx"),
+    )
+    scored = pairs.select(
+        "query_id",
+        "true_label",
+        F.col("label").alias("neighbor_label"),
+        cos.alias("cosine"),
+        F.col("vec_id").alias("neighbor_id"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    topk = scored.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= _TOP_K)
+    votes = topk.groupBy("query_id", "true_label", F.col("neighbor_label").alias("predicted_label")).agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("predicted_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", "predicted_label", "n_votes")
+    )

@@ -1,0 +1,206 @@
+"""Text-analysis operators for training-data pipelines (project north star:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+All tokenization is a shared deterministic spec — lowercase, split on
+non-alphanumeric runs, drop empties — expressed identically in Spark
+(`split`/`filter`) and the DuckDB oracle (`regexp_split_to_array`/
+`list_filter`) so results hash-match.
+
+Everything is per-row array math (no UDFs, no shuffles except final
+groupBys) — at 100 TB these run as a single scan with whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from exact_spark import io
+from exact_spark.functions import fround, sql_fround
+from exact_spark.registry import register
+from exact_spark.session import tune_session
+
+# Shared token spec.
+_SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def tokens_col(text: Column = None) -> Column:
+    text = F.col("text") if text is None else text
+    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda x: x != "")
+
+
+@register(
+    "text_token_stats",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS avg_token_len
+    FROM t WHERE len(toks) > 0
+    """,
+    doc="Token counting: per-doc token count, distinct count, mean token "
+    "length — pure array ops, single scan.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col().alias("toks")).filter(F.size("toks") > 0)
+    tok_len_sum = F.aggregate(
+        F.transform(F.col("toks"), lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        (tok_len_sum * 1.0 / F.size("toks")).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+    FROM t
+    """,
+    doc="Document fingerprinting: md5 over the sorted distinct token set — "
+    "the canonical key for fingerprint dedup.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_col())))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+_SQL_STOP = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "text_quality_score",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, {_SQL_TOKS} AS toks FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, n_chars,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+               len(list_filter(toks, x -> x IN ({_SQL_STOP}))) * 1.0 / len(toks) AS stopword_ratio
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_tokens, {sql_fround('distinct_ratio', 10000)} AS distinct_ratio,
+           {sql_fround('stopword_ratio', 10000)} AS stopword_ratio,
+           {sql_fround('0.4 * LEAST(n_tokens / 100.0, 1.0) + 0.4 * distinct_ratio + 0.2 * LEAST(stopword_ratio * 5.0, 1.0)', 10000)} AS quality_score
+    FROM feats
+    """,
+    doc="Quality scoring: length/stopword/distinct ratios folded into a "
+    "deterministic composite score (training-data filtering heuristic).",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "n_chars", tokens_col().alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n_tokens = F.size("toks")
+    distinct_ratio = F.size(F.array_distinct("toks")) * 1.0 / n_tokens
+    stop_ratio = (
+        F.size(F.filter(F.col("toks"), lambda x: x.isin(*_STOPWORDS))) * 1.0 / n_tokens
+    )
+    feats = t.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+    )
+    score = (
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.4 * F.col("distinct_ratio")
+        + 0.2 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    )
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        fround(F.col("distinct_ratio"), 10_000).alias("distinct_ratio"),
+        fround(F.col("stopword_ratio"), 10_000).alias("stopword_ratio"),
+        fround(score, 10_000).alias("quality_score"),
+    )
+
+
+# n-gram-heuristic language ID: marker-token hit rates per language,
+# argmax with a fixed tie-break order, 'und' when nothing matches.
+_MARKERS = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "de", "et", "un", "les"),
+    "de": ("der", "die", "das", "und", "ein", "ist"),
+}
+
+
+def _sql_hits(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"len(list_filter(toks, x -> x IN ({lst})))"
+
+
+@register(
+    "text_langid",
+    sql=f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+    scores AS (
+        SELECT doc_id, lang,
+               {_sql_hits('en')} AS h_en, {_sql_hits('es')} AS h_es,
+               {_sql_hits('fr')} AS h_fr, {_sql_hits('de')} AS h_de
+        FROM t WHERE len(toks) > 0
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_de = 0 THEN 'und'
+                    WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+                    WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+                    WHEN h_fr >= h_de THEN 'fr'
+                    ELSE 'de' END AS predicted_lang
+        FROM scores
+    )
+    SELECT lang, predicted_lang, count(*) AS n_docs
+    FROM pred GROUP BY lang, predicted_lang
+    """,
+    doc="Language-ID heuristic: marker-token hits per language, argmax with "
+    "fixed tie-break; output is the (actual, predicted) confusion table.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens_col().alias("toks")).filter(F.size("toks") > 0)
+
+    def hits(lang: str) -> Column:
+        return F.size(F.filter(F.col("toks"), lambda x: x.isin(*_MARKERS[lang])))
+
+    scores = t.select(
+        "lang",
+        hits("en").alias("h_en"),
+        hits("es").alias("h_es"),
+        hits("fr").alias("h_fr"),
+        hits("de").alias("h_de"),
+    )
+    h = {k: F.col(f"h_{k}") for k in ("en", "es", "fr", "de")}
+    zero = (h["en"] == 0) & (h["es"] == 0) & (h["fr"] == 0) & (h["de"] == 0)
+    pred = (
+        F.when(zero, F.lit("und"))
+        .when((h["en"] >= h["es"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["de"]), F.lit("en"))
+        .when((h["es"] >= h["fr"]) & (h["es"] >= h["de"]), F.lit("es"))
+        .when(h["fr"] >= h["de"], F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    return (
+        scores.withColumn("predicted_lang", pred)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

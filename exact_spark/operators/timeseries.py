@@ -1,0 +1,217 @@
+"""Core time-series table operators (SURVEY.md §2.1-2.2).
+
+EXACT's data model is a canonical per-job time-series table
+``(id, timestamp, features..., label, is_anomaly, injected_anomaly)``
+(reference: Database/timescaledb_api.py:69-91). Here we canonicalize the
+driver's ``events`` table the same way the reference canonicalizes an
+ingested CSV (Backend/Simulator/BatchImport/batchimport.py:171-409):
+
+- deterministic dense ``id`` from the global time ordering (row_number,
+  tie-broken by the source key — batchimport.py:281 sorts then relies on
+  insertion order; we make the tie-break explicit so results are stable
+  under any partitioning)
+- ``timestamp`` as the time axis (exposed as fractional epoch seconds so the
+  oracle comparison is timezone-free)
+- label normalization (batchimport.py:253-274): here the analog is
+  ``event_type == 'error' -> 1 else 0``
+
+Scale note: the global row_number is a single-partition sort at 100 TB. The
+production ingest path (sources/ingest.py) synthesizes the same dense ids
+with a two-pass range-partitioned scheme; the window form here is the
+oracle-checkable specification of the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from exact_spark import io
+from exact_spark.functions import epoch_seconds, favg, fsum, sql_favg, sql_fsum
+from exact_spark.registry import register
+from exact_spark.session import tune_session
+
+# Canonicalization shared by many queries (Spark + oracle mirror).
+CANON_SQL = """
+    SELECT row_number() OVER (ORDER BY ts, event_id) AS id,
+           epoch(ts) AS ts_epoch,
+           user_id,
+           event_type,
+           value,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS label
+    FROM events
+"""
+
+
+def canonical_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> canonical EXACT job table (P1-P5, P11).
+
+    ``ts`` arrives as LONG nanoseconds (nanosAsLong read of the NANOS
+    parquet column). Conversion to epoch seconds goes through *integer*
+    division to micros first: the ns epoch (~1.7e18) exceeds double's 2^53
+    exact-integer range, so a float division by 1e9 would silently lose
+    precision; micros (~1.7e15) are exact, and micros/1e6 is bit-identical
+    to DuckDB's ``epoch(ts)``.
+    """
+    tune_session(spark)
+    ev = io.load(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return ev.select(
+        F.row_number().over(w).alias("id"),
+        (F.expr("ts DIV 1000") / F.lit(1e6)).alias("ts_epoch"),
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+
+
+@register(
+    "ts_canonicalize",
+    sql=f"SELECT id, ts_epoch, value, label FROM ({CANON_SQL})",
+    doc="P1-P5+P11: ingest canonicalization — dense id over time order, "
+    "epoch mapping, label normalization (batchimport.py:171-409).",
+)
+def ts_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return canonical_events(spark, sf_dir).select("id", "ts_epoch", "value", "label")
+
+
+# Jan 10 .. Jan 20 2024 UTC — within the events table's time range.
+_T0 = 1704844800.0  # 2024-01-10 00:00:00 UTC
+_T1 = 1705708800.0  # 2024-01-20 00:00:00 UTC
+
+
+@register(
+    "ts_time_range_scan",
+    sql=f"""
+    SELECT id, ts_epoch, value, label
+    FROM ({CANON_SQL})
+    WHERE ts_epoch >= {_T0!r} AND ts_epoch <= {_T1!r}
+    """,
+    doc="S7: time-range read (timescaledb_api.py:152-174) — filter pushes to "
+    "the parquet scan; at scale this is partition pruning on the time bucket.",
+)
+def ts_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    return df.filter((F.col("ts_epoch") >= _T0) & (F.col("ts_epoch") <= _T1)).select(
+        "id", "ts_epoch", "value", "label"
+    )
+
+
+@register(
+    "ts_train_test_split",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    n AS (SELECT count(*) AS n_total FROM canon),
+    tagged AS (
+        SELECT c.*,
+               CASE WHEN c.id <= CAST(FLOOR(0.85 * n.n_total) AS BIGINT)
+                    THEN 'train' ELSE 'test' END AS split
+        FROM canon c, n
+    )
+    SELECT split,
+           count(*) AS n_rows,
+           min(id) AS min_id,
+           max(id) AS max_id,
+           {sql_fsum('value')} AS sum_value
+    FROM tagged GROUP BY split
+    """,
+    doc="P9: positional 85/15 train/test split by time order "
+    "(execute_calls.py:333-346), re-expressed via the dense id.",
+)
+def ts_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    n_total = df.count()  # scalar driver-side aggregate; scale-safe
+    cut = int(0.85 * n_total)
+    tagged = df.withColumn(
+        "split", F.when(F.col("id") <= cut, F.lit("train")).otherwise(F.lit("test"))
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        fsum(F.col("value")).alias("sum_value"),
+    )
+
+
+_K_PER_CLASS = 50
+
+
+@register(
+    "ts_balanced_sample",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    ranked AS (
+        SELECT id, ts_epoch, value, label,
+               row_number() OVER (PARTITION BY label ORDER BY ts_epoch DESC, id DESC) AS rn
+        FROM canon
+    )
+    SELECT id, ts_epoch, value, label FROM ranked WHERE rn <= {_K_PER_CLASS}
+    """,
+    doc="P10: balanced temporal sample — most recent k rows per class "
+    "(execute_calls.py:145-331), via per-class row_number, no collect.",
+)
+def ts_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    w = Window.partitionBy("label").orderBy(F.col("ts_epoch").desc(), F.col("id").desc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _K_PER_CLASS)
+        .select("id", "ts_epoch", "value", "label")
+    )
+
+
+@register(
+    "ts_interarrival",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    diffs AS (
+        SELECT user_id,
+               ts_epoch - lag(ts_epoch) OVER (PARTITION BY user_id ORDER BY ts_epoch, id) AS dt
+        FROM canon
+    )
+    SELECT user_id,
+           count(dt) AS n_gaps,
+           {sql_favg('dt')} AS mean_dt_seconds
+    FROM diffs WHERE dt IS NOT NULL GROUP BY user_id
+    """,
+    doc="G4/W2: mean inter-arrival time via lag (simulator.py:185-203) — "
+    "drives stream replay pacing.",
+)
+def ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_epoch", "id")
+    diffs = df.withColumn("dt", F.col("ts_epoch") - F.lag("ts_epoch").over(w)).filter(
+        F.col("dt").isNotNull()
+    )
+    return diffs.groupBy("user_id").agg(
+        F.count("dt").alias("n_gaps"),
+        favg(F.col("dt")).alias("mean_dt_seconds"),
+    )
+
+
+@register(
+    "ts_column_stats",
+    sql=f"""
+    SELECT event_type,
+           count(*) AS n_rows,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           {sql_favg('value')} AS mean_value,
+           max(value) - min(value) AS data_range
+    FROM ({CANON_SQL})
+    GROUP BY event_type
+    """,
+    doc="G3/A10: per-group min/max/mean/range — the injector's stats pre-pass "
+    "(anomalyinjector.py:149-154, simulator.py:176-183).",
+)
+def ts_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        favg(F.col("value")).alias("mean_value"),
+        (F.max("value") - F.min("value")).alias("data_range"),
+    )

@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Designed for a multi-executor cluster reading ~100 TB:
+- AQE on (runtime coalescing, skew-join splitting, dynamic join strategy)
+- Arrow for any pandas-UDF exchange
+- UTC session timezone (all EXACT semantics are UTC; SURVEY §1.3)
+- broadcast threshold raised: dimension tables (region/nation/supplier/part,
+  prediction-id sides of flag writebacks) are tiny relative to fact tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
+    # default; read as LONG nanos and convert explicitly (see operators.timeseries)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "exact-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's tuned defaults."""
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = builder.master(master)
+    conf = dict(DEFAULT_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    else:
+        conf.setdefault("spark.sql.shuffle.partitions", "32")
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-created
+    session (the driver hands us one); safe and idempotent."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for k in ("spark.sql.adaptive.enabled", "spark.sql.legacy.parquet.nanosAsLong"):
+        try:
+            spark.conf.set(k, "true")
+        except Exception:  # pragma: no cover - conf may be static in some envs
+            pass
+    return spark
