@@ -1,0 +1,390 @@
+"""Detection models (SURVEY.md §2.7, M1-M6) — Spark-native.
+
+Every model implements the reference's ModelInterface contract
+(Backend/ML_models/model_interface.py:3-13): ``run(train_df)`` trains,
+``detect(df)`` returns per-row verdicts. Factory mirrors
+Backend/ML_models/get_model.py:7-41.
+
+Environment note: sklearn/TF/XGBoost are not available here, so the
+unsupervised models are implemented natively on numpy and scored with the
+broadcast-model pattern the SURVEY prescribes for M1-M3: train driver-side
+on a capped deterministic sample, broadcast the (small) model state, score
+distributedly via Arrow-batched ``mapInPandas`` — the same plumbing a
+Keras/sklearn model would use, with the model object swapped.
+
+- ``pca_autoencoder``  — M1/M3 shape: linear autoencoder (top-k principal
+  components), anomaly = reconstruction error > P95 of training errors
+  (threshold semantics of lstm.py:151-167)
+- ``isolation_forest`` — M2: native numpy isolation forest
+  (n_estimators=100, subsample 256), score = 2^(-E[h]/c(n)), threshold at
+  the (1-contamination) quantile of training scores
+- ``decision_tree`` / ``logistic_regression`` / ``linear_svc`` — M5/M6 on
+  pyspark.ml Pipelines (scaler + classifier), fully distributed
+- ``threshold`` — the P95 statistical detector (G5) as a degenerate model
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRAIN_SAMPLE_CAP = 250_000  # mirrors MAX_BG_SAMPLES (xai_runner.py:20)
+
+
+def _collect_train_matrix(train: DataFrame, feature_cols: list[str]) -> np.ndarray:
+    """Deterministic capped driver-side sample (ordered by id)."""
+    pdf = (
+        train.select("id", *feature_cols)
+        .orderBy("id")
+        .limit(TRAIN_SAMPLE_CAP)
+        .toPandas()
+    )
+    return pdf[feature_cols].to_numpy(dtype=np.float64)
+
+
+def _score_map_in_pandas(df: DataFrame, feature_cols: list[str], score_fn, thr: float,
+                         higher_is_anomaly: bool = True) -> DataFrame:
+    """Broadcast-model distributed scoring: Arrow batches in, (id, score,
+    predicted) out. ``score_fn`` is a picklable closure over the trained
+    model state."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("predicted", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            x = pdf[feature_cols].to_numpy(dtype=np.float64)
+            s = score_fn(x)
+            pred = (s > thr) if higher_is_anomaly else (s < thr)
+            yield pd.DataFrame(
+                {"id": pdf["id"].astype("int64"), "score": s, "predicted": pred.astype("int32")}
+            )
+
+    return df.select("id", *feature_cols).mapInPandas(batches, schema=schema)
+
+
+class DetectorModel:
+    """ModelInterface (model_interface.py:3-13)."""
+
+    sequence_length: int = 1  # drives P13 alignment for sequence models
+
+    def run(self, train: DataFrame, feature_cols: list[str], label_col: str = "label") -> None:
+        raise NotImplementedError
+
+    def detect(self, df: DataFrame, feature_cols: list[str]) -> DataFrame:
+        """Returns (id, score, predicted)."""
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+class ThresholdDetector(DetectorModel):
+    """Degenerate statistical model: anomaly = feature > P95 of training
+    values (the G5 threshold shape)."""
+
+    def __init__(self, percentile: float = 0.95):
+        self.percentile = percentile
+        self.thr: float | None = None
+
+    def run(self, train, feature_cols, label_col="label"):
+        c = feature_cols[0]
+        self.thr = float(
+            train.agg(F.percentile(F.col(c), F.lit(self.percentile)).alias("t")).collect()[0]["t"]
+        )
+
+    def detect(self, df, feature_cols):
+        c = feature_cols[0]
+        return df.select(
+            "id",
+            F.col(c).cast("double").alias("score"),
+            (F.col(c) > F.lit(self.thr)).cast("int").alias("predicted"),
+        )
+
+
+# ---------------------------------------------------------------------------
+class PCAReconstructionDetector(DetectorModel):
+    """M1/M3 shape: standardize -> project on top-k principal components ->
+    reconstruction MSE; threshold = P95 of training errors
+    (lstm.py:151-167's percentile-threshold semantics)."""
+
+    def __init__(self, n_components: int = 2, percentile: float = 95.0):
+        self.k = n_components
+        self.percentile = percentile
+        self.mean: np.ndarray | None = None
+        self.std: np.ndarray | None = None
+        self.components: np.ndarray | None = None
+        self.thr: float | None = None
+
+    def _errors(self, x: np.ndarray) -> np.ndarray:
+        z = (x - self.mean) / self.std
+        proj = z @ self.components.T @ self.components
+        return ((z - proj) ** 2).mean(axis=1)
+
+    def run(self, train, feature_cols, label_col="label"):
+        x = _collect_train_matrix(train, feature_cols)
+        self.mean = x.mean(axis=0)
+        self.std = x.std(axis=0)
+        self.std[self.std == 0] = 1.0
+        z = (x - self.mean) / self.std
+        # deterministic SVD (numpy LAPACK); top-k right singular vectors
+        _, _, vt = np.linalg.svd(z, full_matrices=False)
+        k = min(self.k, vt.shape[0])
+        self.components = vt[:k]
+        self.thr = float(np.percentile(self._errors(x), self.percentile))
+
+    def detect(self, df, feature_cols):
+        mean, std, comp = self.mean, self.std, self.components
+
+        def score(x: np.ndarray) -> np.ndarray:
+            z = (x - mean) / std
+            proj = z @ comp.T @ comp
+            return ((z - proj) ** 2).mean(axis=1)
+
+        return _score_map_in_pandas(df, feature_cols, score, self.thr)
+
+
+# ---------------------------------------------------------------------------
+@dataclass
+class _ITree:
+    """Array-encoded isolation tree for vectorized traversal.
+
+    ``lo``/``hi`` hold the split feature's observed range at each internal
+    node: a scored point outside that range falls in an empty region of the
+    subtree and is treated as immediately isolated (path = depth + 1).
+    Without this, scores saturate beyond the training range — a gross
+    outlier (100x spike) inherits the boundary leaf's path length and can
+    score *lower* than dense-extreme inliers.
+    """
+
+    feature: np.ndarray  # int32, -1 = leaf
+    threshold: np.ndarray
+    left: np.ndarray
+    right: np.ndarray
+    path_adj: np.ndarray  # leaf depth + c(leaf_size)
+    lo: np.ndarray
+    hi: np.ndarray
+
+
+def _c(n: float) -> float:
+    """Average unsuccessful-search path length in a BST."""
+    if n <= 1:
+        return 0.0
+    return 2.0 * (math.log(n - 1) + 0.5772156649) - 2.0 * (n - 1) / n
+
+
+def _build_itree(x: np.ndarray, rng: np.random.Generator, max_depth: int) -> _ITree:
+    feature, threshold, left, right, path_adj, los, his = [], [], [], [], [], [], []
+
+    def grow(idx: np.ndarray, depth: int) -> int:
+        node = len(feature)
+        feature.append(-1)
+        threshold.append(0.0)
+        left.append(-1)
+        right.append(-1)
+        path_adj.append(0.0)
+        los.append(0.0)
+        his.append(0.0)
+        sub = x[idx]
+        if depth >= max_depth or len(idx) <= 1 or np.all(sub == sub[0]):
+            path_adj[node] = depth + _c(float(len(idx)))
+            return node
+        f = int(rng.integers(0, x.shape[1]))
+        lo, hi = sub[:, f].min(), sub[:, f].max()
+        if lo == hi:
+            path_adj[node] = depth + _c(float(len(idx)))
+            return node
+        t = float(rng.uniform(lo, hi))
+        feature[node] = f
+        threshold[node] = t
+        los[node] = float(lo)
+        his[node] = float(hi)
+        left[node] = grow(idx[sub[:, f] < t], depth + 1)
+        right[node] = grow(idx[sub[:, f] >= t], depth + 1)
+        return node
+
+    grow(np.arange(len(x)), 0)
+    return _ITree(
+        np.asarray(feature, dtype=np.int32),
+        np.asarray(threshold),
+        np.asarray(left, dtype=np.int32),
+        np.asarray(right, dtype=np.int32),
+        np.asarray(path_adj),
+        np.asarray(los),
+        np.asarray(his),
+    )
+
+
+def _itree_paths(tree: _ITree, x: np.ndarray) -> np.ndarray:
+    """Vectorized traversal: advance every row one level per iteration.
+    Points outside a node's observed range terminate there (path depth+1)."""
+    node = np.zeros(len(x), dtype=np.int32)
+    depth = np.zeros(len(x))
+    out = np.full(len(x), np.nan)
+    active = tree.feature[node] >= 0
+    while active.any():
+        f = tree.feature[node[active]]
+        xa = x[active, f]
+        oob = (xa < tree.lo[node[active]]) | (xa > tree.hi[node[active]])
+        if oob.any():
+            act_idx = np.flatnonzero(active)
+            out[act_idx[oob]] = depth[act_idx[oob]] + 1.0
+        goes_left = xa < tree.threshold[node[active]]
+        node[active] = np.where(goes_left, tree.left[node[active]], tree.right[node[active]])
+        depth[active] += 1.0
+        active = (tree.feature[node] >= 0) & np.isnan(out)
+    leaf = np.isnan(out)
+    out[leaf] = tree.path_adj[node[leaf]]
+    return out
+
+
+class IsolationForestDetector(DetectorModel):
+    """M2: native isolation forest (isolation_forest.py:9-173 semantics:
+    n_estimators=100, subsample 256, anomaly score 2^(-E[h]/c(psi)));
+    threshold = (1-contamination) quantile of training scores."""
+
+    def __init__(self, n_estimators: int = 100, subsample: int = 256,
+                 contamination: float = 0.05, seed: int = 42):
+        self.n_estimators = n_estimators
+        self.subsample = subsample
+        self.contamination = contamination
+        self.seed = seed
+        self.trees: list[_ITree] = []
+        self.c_psi: float = 1.0
+        self.thr: float | None = None
+
+    def _scores(self, x: np.ndarray) -> np.ndarray:
+        paths = np.zeros(len(x))
+        for t in self.trees:
+            paths += _itree_paths(t, x)
+        return 2.0 ** (-(paths / len(self.trees)) / self.c_psi)
+
+    def run(self, train, feature_cols, label_col="label"):
+        x = _collect_train_matrix(train, feature_cols)
+        rng = np.random.default_rng(self.seed)
+        psi = min(self.subsample, len(x))
+        max_depth = int(math.ceil(math.log2(max(psi, 2))))
+        self.c_psi = _c(float(psi))
+        self.trees = []
+        for _ in range(self.n_estimators):
+            idx = rng.choice(len(x), size=psi, replace=False)
+            self.trees.append(_build_itree(x[idx], rng, max_depth))
+        self.thr = float(np.quantile(self._scores(x), 1.0 - self.contamination))
+
+    def detect(self, df, feature_cols):
+        # Ship trees as plain array tuples and keep the traversal nested so
+        # the closure pickles BY VALUE — executors must not need to import
+        # exact_spark (the driver may run from any cwd).
+        trees = [
+            (t.feature, t.threshold, t.left, t.right, t.path_adj, t.lo, t.hi)
+            for t in self.trees
+        ]
+        c_psi, n_est = self.c_psi, self.n_estimators
+
+        def score(x: np.ndarray) -> np.ndarray:
+            paths = np.zeros(len(x))
+            for feature, threshold, left, right, path_adj, lo, hi in trees:
+                node = np.zeros(len(x), dtype=np.int32)
+                depth = np.zeros(len(x))
+                out = np.full(len(x), np.nan)
+                active = feature[node] >= 0
+                while active.any():
+                    f = feature[node[active]]
+                    xa = x[active, f]
+                    oob = (xa < lo[node[active]]) | (xa > hi[node[active]])
+                    if oob.any():
+                        act_idx = np.flatnonzero(active)
+                        out[act_idx[oob]] = depth[act_idx[oob]] + 1.0
+                    goes_left = xa < threshold[node[active]]
+                    node[active] = np.where(
+                        goes_left, left[node[active]], right[node[active]]
+                    )
+                    depth[active] += 1.0
+                    active = (feature[node] >= 0) & np.isnan(out)
+                leaf = np.isnan(out)
+                out[leaf] = path_adj[node[leaf]]
+                paths += out
+            return 2.0 ** (-(paths / n_est) / c_psi)
+
+        return _score_map_in_pandas(df, feature_cols, score, self.thr)
+
+
+# ---------------------------------------------------------------------------
+class MLlibClassifierDetector(DetectorModel):
+    """M4-M6 supervised family on pyspark.ml Pipelines — fully distributed
+    train + score (decision_tree.py / SGDClassifier.py re-expressed)."""
+
+    def __init__(self, algo: str = "decision_tree", seed: int = 42):
+        self.algo = algo
+        self.seed = seed
+        self.model = None
+
+    def _classifier(self):
+        from pyspark.ml.classification import (
+            DecisionTreeClassifier,
+            LinearSVC,
+            LogisticRegression,
+        )
+
+        if self.algo == "decision_tree":
+            return DecisionTreeClassifier(
+                labelCol="label", featuresCol="features", maxDepth=5, seed=self.seed
+            )
+        if self.algo == "logistic_regression":
+            return LogisticRegression(labelCol="label", featuresCol="features", maxIter=50)
+        if self.algo == "linear_svc":
+            return LinearSVC(labelCol="label", featuresCol="features", maxIter=50)
+        raise KeyError(self.algo)
+
+    def run(self, train, feature_cols, label_col="label"):
+        from pyspark.ml import Pipeline
+        from pyspark.ml.feature import MinMaxScaler, VectorAssembler
+
+        pipe = Pipeline(
+            stages=[
+                VectorAssembler(inputCols=feature_cols, outputCol="raw_features"),
+                MinMaxScaler(inputCol="raw_features", outputCol="features"),
+                self._classifier(),
+            ]
+        )
+        self.model = pipe.fit(train)
+
+    def detect(self, df, feature_cols):
+        from pyspark.ml.functions import vector_to_array
+
+        scored = self.model.transform(df)
+        score = (
+            F.element_at(vector_to_array(F.col("probability")), 2).cast("double")
+            if "probability" in scored.columns
+            else F.col("prediction").cast("double")
+        )
+        return scored.select(
+            "id", score.alias("score"), F.col("prediction").cast("int").alias("predicted")
+        )
+
+
+# ---------------------------------------------------------------------------
+UNSUPERVISED = {"pca_autoencoder", "isolation_forest", "threshold"}  # execute_calls.py:36-40
+
+
+def get_model(name: str, **params) -> DetectorModel:
+    """Factory (get_model.py:7-41)."""
+    name = name.lower()
+    if name == "threshold":
+        return ThresholdDetector(**params)
+    if name == "pca_autoencoder":
+        return PCAReconstructionDetector(**params)
+    if name == "isolation_forest":
+        return IsolationForestDetector(**params)
+    if name in ("decision_tree", "logistic_regression", "linear_svc"):
+        return MLlibClassifierDetector(algo=name, **params)
+    raise KeyError(f"unknown model {name!r}")

@@ -24,14 +24,159 @@ intent (constant 0).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from exact_spark.functions import sql_favg, favg
 from exact_spark.operators.timeseries import CANON_SQL, canonical_events
 from exact_spark.registry import register
+
+PROTECTED_COLS = {"timestamp", "id", "label", "is_anomaly", "injected_anomaly"}
+
+
+@dataclass
+class AnomalySetting:
+    """Job-spec injection setting (DBAPI/type_classes.py:12-23)."""
+
+    anomaly_type: str  # spike | step | lowered | offline | custom
+    timestamp: float  # offset seconds from job start (batchimport.py:288-346)
+    duration: float  # seconds
+    magnitude: float = 1.0
+    percentage: float = 100.0
+    columns: list[str] | None = None
+    mean: float | None = None  # setting-level stat overrides (A10)
+    data_range: float | None = None
+
+
+def resolve_target_columns(df: DataFrame, setting: AnomalySetting) -> list[str]:
+    """A2 (anomalyinjector.py:112-128): explicit list filtered to existing
+    numeric columns, else all numeric minus protected."""
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType, T.LongType, T.IntegerType))
+        and f.name not in PROTECTED_COLS
+    }
+    if setting.columns:
+        return [c for c in setting.columns if c in numeric]
+    return sorted(numeric)
+
+
+def inject_anomalies(
+    df: DataFrame,
+    settings: list[AnomalySetting],
+    start_epoch: float,
+    seed: int = 42,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Generalized A1-A10 transform: applies each setting sequentially
+    (batchimport.py:147-169), flags affected rows (A9).
+
+    ``df`` must carry ``id`` and a timestamp column; selection randomness is
+    the partition-stable md5-rank scheme (module docstring). Scalar draws
+    come from one seeded generator, in setting order, like the reference's
+    per-injector ``default_rng(seed)``.
+    """
+    rng = np.random.default_rng(seed)
+    ts_epoch = (
+        F.col(ts_col).cast("double") if dict(df.dtypes)[ts_col].startswith("timestamp")
+        else F.col(ts_col)
+    )
+    out = df
+    for i, s in enumerate(settings):
+        t0 = start_epoch + s.timestamp
+        t1 = t0 + s.duration
+        in_span = (ts_epoch >= F.lit(t0)) & (ts_epoch < F.lit(t1))  # A1
+        cols = resolve_target_columns(df, s)
+        if not cols:
+            continue
+
+        # A3: percentage subsample, deterministic md5 rank within the span.
+        # Rank only span rows (small) and broadcast the selected-id set back
+        # — the window never touches the full table.
+        rk = F.md5(F.concat(F.lit(f"{seed}:{i}:"), F.col("id").cast("string")))
+        span_ids = out.filter(in_span).select("id").withColumn("rk_tmp", rk)
+        span_count = span_ids.count()
+        k = min(span_count, int(span_count * s.percentage / 100.0))
+        w = Window.orderBy("rk_tmp", "id")
+        selected_ids = (
+            span_ids.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(F.col("id").alias("__sel_id"))
+        )
+        ranked = out.join(
+            F.broadcast(selected_ids), out.id == F.col("__sel_id"), "left"
+        ).withColumn("sel_tmp", F.col("__sel_id").isNotNull())
+
+        # A10: per-column stats over selected rows (or setting overrides)
+        sel = F.col("sel_tmp")
+        stats_row = None
+        if s.anomaly_type in ("step", "lowered") and (s.mean is None or s.data_range is None):
+            aggs = []
+            for c in cols:
+                aggs += [
+                    favg(F.when(sel, F.col(c))).alias(f"mean_{c}"),
+                    (F.max(F.when(sel, F.col(c))) - F.min(F.when(sel, F.col(c)))).alias(
+                        f"range_{c}"
+                    ),
+                ]
+            stats_row = ranked.agg(*aggs).collect()[0]
+
+        # scalar seeded draws (one per call, like anomalyinjector)
+        if s.anomaly_type == "spike":
+            factor = float(rng.uniform(1.0, s.magnitude))
+        elif s.anomaly_type == "lowered":
+            factor = float(rng.uniform(0.3, 0.4))
+        else:
+            factor = None
+
+        updates = {}
+        for c in cols:
+            x = F.col(c)
+            if s.anomaly_type == "spike":  # A4
+                new = x * F.lit(factor)
+            elif s.anomaly_type == "step":  # A5
+                mean = s.mean if s.mean is not None else stats_row[f"mean_{c}"]
+                new = x + F.lit(float(mean or 0.0) * s.magnitude)
+            elif s.anomaly_type == "lowered":  # A6
+                drange = s.data_range if s.data_range is not None else stats_row[f"range_{c}"]
+                if drange is None or drange == 0:
+                    mean = s.mean if s.mean is not None else 0.0
+                    new = F.lit(float(mean) * factor)
+                else:
+                    low = F.greatest(x - F.lit(float(drange) * factor), F.lit(0.0))
+                    new = F.when(low == 0.0, x * F.lit(factor)).otherwise(low)
+            elif s.anomaly_type == "offline":  # A7 (evident intent)
+                new = F.lit(0.0)
+            elif s.anomaly_type == "custom":  # A8
+                new = x * F.lit(s.magnitude)
+            else:
+                raise KeyError(f"unknown anomaly_type {s.anomaly_type!r}")
+            updates[c] = F.when(sel, new).otherwise(x)
+
+        select_exprs = []
+        for name in ranked.columns:
+            if name in ("rk_tmp", "sel_tmp", "__sel_id"):
+                continue
+            if name in updates:
+                select_exprs.append(updates[name].alias(name))
+            elif name == "injected_anomaly":
+                select_exprs.append((F.col(name) | sel).alias(name))  # A9
+            elif name == "label":
+                select_exprs.append(F.when(sel, F.lit(1)).otherwise(F.col(name)).alias(name))
+            else:
+                select_exprs.append(F.col(name))
+        out = ranked.select(*select_exprs)
+
+    # batchimport.py:383-388: is_anomaly |= injected_anomaly
+    if "is_anomaly" in out.columns:
+        out = out.withColumn("is_anomaly", F.col("is_anomaly") | F.col("injected_anomaly"))
+    return out
 
 # --- seeded scalar draws (mirrors anomalyinjector.py:20-21) -----------------
 _rng = np.random.default_rng(42)

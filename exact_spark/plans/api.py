@@ -1,0 +1,96 @@
+"""Control-plane API (SURVEY.md §2.10) — the 14-method JSON surface of
+Backend/engine.py:160-404 re-expressed as a thin driver service over the
+Spark pipelines. Transport (socket/HTTP) is deliberately out of scope; these
+are the callable semantics.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+import shutil
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from exact_spark.plans.batch import BatchJob, run_batch
+from exact_spark.sources.catalog import JobCatalog
+from exact_spark.sources.ingest import get_file_columns
+
+JOB_NAME_RE = re.compile(r"^[a-z_][a-z0-9_]*$")  # Frontend/callbacks.py:1618
+
+MODELS = ("threshold", "pca_autoencoder", "isolation_forest", "decision_tree",
+          "logistic_regression", "linear_svc")
+INJECTION_METHODS = ("spike", "step", "lowered", "offline", "custom")
+
+
+class EngineAPI:
+    def __init__(self, spark: SparkSession, warehouse_dir: str, output_dir: str,
+                 datasets_dir: str | None = None):
+        self.spark = spark
+        self.catalog = JobCatalog(spark, warehouse_dir)
+        self.output_dir = pathlib.Path(output_dir)
+        self.datasets_dir = pathlib.Path(datasets_dir) if datasets_dir else None
+
+    # -- run-batch (engine.py:161-205) ---------------------------------------
+    def run_batch(self, job: BatchJob) -> dict:
+        if not JOB_NAME_RE.match(job.job_name):
+            raise ValueError(f"invalid job name {job.job_name!r}")
+        return run_batch(self.spark, self.catalog, job, str(self.output_dir))
+
+    # -- get-data (engine.py:257-316): split-oriented frame, epoch ts --------
+    def get_data(self, job_name: str, from_time=None, to_time=None,
+                 stream: bool = False) -> dict[str, Any]:
+        table = self.catalog.table_name(job_name, stream=stream)
+        df = self.catalog.read_data(table, from_time, to_time)
+        df = df.withColumn("timestamp", F.col("timestamp").cast("double"))
+        df = df.orderBy("timestamp")
+        cols = df.columns
+        data = [[r[c] for c in cols] for r in df.collect()]
+        return {"columns": cols, "data": data}  # orient='split' shape
+
+    # -- catalog/list methods -------------------------------------------------
+    def get_all_jobs(self) -> list[str]:
+        return self.catalog.list_all_tables()
+
+    def get_running(self) -> list[str]:
+        return []  # batch jobs are synchronous here; streams report via streaming.*
+
+    def get_columns(self, job_name: str, stream: bool = False) -> list[str]:
+        return self.catalog.get_columns(self.catalog.table_name(job_name, stream))
+
+    def get_models(self) -> list[str]:
+        return list(MODELS)
+
+    def get_injection_methods(self) -> list[str]:
+        return list(INJECTION_METHODS)
+
+    def get_xai_methods(self) -> list[str]:
+        return ["feature_deviation"]  # see exact_spark.ml.explain
+
+    def get_datasets(self) -> list[str]:
+        if not self.datasets_dir or not self.datasets_dir.exists():
+            return []
+        return sorted(p.name for p in self.datasets_dir.iterdir() if p.is_file())
+
+    def get_dataset_columns(self, filename: str) -> list[str]:
+        return get_file_columns(self.spark, str(self.datasets_dir / filename))
+
+    # -- import-dataset (execute_calls.py:1029-1044): rewrite with the time
+    #    column renamed 'timestamp' and moved first --------------------------
+    def import_dataset(self, src_path: str, timestamp_column: str) -> str:
+        df = self.spark.read.csv(src_path, header=True, inferSchema=True)
+        df = df.withColumnRenamed(timestamp_column, "timestamp")
+        rest = [c for c in df.columns if c != "timestamp"]
+        dest = self.datasets_dir / pathlib.Path(src_path).name
+        df.select("timestamp", *rest).toPandas().to_csv(dest, index=False)
+        return str(dest)
+
+    # -- cancel-job (engine.py:408-450): drop table + delete output dir ------
+    def cancel_job(self, job_name: str, stream: bool = False) -> bool:
+        dropped = self.catalog.drop_table(self.catalog.table_name(job_name, stream))
+        out = self.output_dir / job_name
+        if out.exists():
+            shutil.rmtree(out)
+        return dropped

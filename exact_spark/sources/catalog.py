@@ -1,0 +1,128 @@
+"""Job-table catalog (SURVEY.md §2.1: S4-S12).
+
+The reference stores one TimescaleDB hypertable per job with name prefixes
+``job_batch_`` / ``job_stream_`` driving discovery (engine.py:41-42,
+timescaledb_api.py:94-104). The Spark-native equivalent is a parquet table
+per job under a warehouse prefix, partitioned by UTC date of the time axis
+(the hypertable time-partitioning analog -> partition pruning for S7
+time-range reads).
+
+Flag writeback (S8) replaces the reference's one-row-at-a-time UPDATE loop
+(timescaledb_api.py:238-274) with a set-oriented join + atomic directory
+swap — the plain-parquet equivalent of a Delta MERGE.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from exact_spark.sources.ingest import FLAG_COLS
+
+BATCH_PREFIX = "job_batch_"
+STREAM_PREFIX = "job_stream_"
+
+
+class JobCatalog:
+    """Filesystem-backed job-table catalog (works the same on a local disk
+    and an object store)."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse = Path(warehouse_dir)
+        self.warehouse.mkdir(parents=True, exist_ok=True)
+
+    # -- naming (api.py:27) --------------------------------------------------
+    def table_name(self, job_name: str, stream: bool = False) -> str:
+        return (STREAM_PREFIX if stream else BATCH_PREFIX) + job_name
+
+    def _path(self, table_name: str) -> Path:
+        return self.warehouse / table_name
+
+    # -- S4: create ----------------------------------------------------------
+    def create_table(self, table_name: str, df: DataFrame) -> str | None:
+        """Create + populate; no-op if the table exists (timescaledb_api.py:25-122).
+
+        Partitioned by UTC date of ``timestamp`` — the hypertable analog.
+        """
+        if self.table_exists(table_name):
+            return None
+        out = df.withColumn("__date", F.to_date("timestamp"))
+        out.write.partitionBy("__date").parquet(str(self._path(table_name)))
+        return table_name
+
+    # -- S5/S6: append (Spark writes partitions in parallel natively) --------
+    def insert_data(self, table_name: str, df: DataFrame) -> None:
+        df.withColumn("__date", F.to_date("timestamp")).write.mode("append").partitionBy(
+            "__date"
+        ).parquet(str(self._path(table_name)))
+
+    # -- S7: time-range scan -------------------------------------------------
+    def read_data(
+        self, table_name: str, from_time=None, to_time=None
+    ) -> DataFrame:
+        """SELECT * WHERE timestamp >= f [AND <= t] (timescaledb_api.py:152-174).
+        The date-partition filter prunes directories before the scan."""
+        df = self.spark.read.parquet(str(self._path(table_name))).drop("__date")
+        if from_time is not None:
+            df = df.filter(F.col("timestamp") >= F.lit(from_time))
+        if to_time is not None:
+            df = df.filter(F.col("timestamp") <= F.lit(to_time))
+        return df
+
+    # -- S8: flag writeback (MERGE-equivalent) -------------------------------
+    def update_anomalies(self, table_name: str, anomaly_ids: DataFrame) -> int:
+        """Set is_anomaly=true for the given ids (column ``id``) — one
+        broadcast join + atomic swap instead of N single-row UPDATEs."""
+        path = self._path(table_name)
+        ids = anomaly_ids.select(F.col("id").alias("__match_id")).distinct()
+        df = self.spark.read.parquet(str(path))
+        updated = (
+            df.join(F.broadcast(ids), df.id == F.col("__match_id"), "left")
+            .withColumn(
+                "is_anomaly",
+                F.when(F.col("__match_id").isNotNull(), F.lit(True)).otherwise(
+                    F.col("is_anomaly")
+                ),
+            )
+            .drop("__match_id")
+        )
+        n = updated.filter(F.col("is_anomaly")).count()
+        tmp = path.with_name(path.name + "." + uuid.uuid4().hex[:8] + ".tmp")
+        updated.write.partitionBy("__date").parquet(str(tmp))
+        old = path.with_name(path.name + ".old")
+        path.rename(old)
+        tmp.rename(path)
+        shutil.rmtree(old)
+        return n
+
+    # -- S9: drop ------------------------------------------------------------
+    def drop_table(self, table_name: str) -> bool:
+        p = self._path(table_name)
+        if p.exists():
+            shutil.rmtree(p)
+            return True
+        return False
+
+    # -- S10: exists ---------------------------------------------------------
+    def table_exists(self, table_name: str) -> bool:
+        return self._path(table_name).exists()
+
+    # -- S11: columns minus flags (timescaledb_api.py:232-233) ---------------
+    def get_columns(self, table_name: str) -> list[str]:
+        df = self.spark.read.parquet(str(self._path(table_name)))
+        return [c for c in df.columns if c not in FLAG_COLS and c != "__date"]
+
+    # -- S12: catalog scan by prefix (timescaledb_api.py:276-295) ------------
+    def list_all_tables(self) -> list[str]:
+        return sorted(
+            p.name
+            for p in self.warehouse.iterdir()
+            if p.is_dir()
+            and (p.name.startswith(BATCH_PREFIX) or p.name.startswith(STREAM_PREFIX))
+            and not p.name.endswith(".tmp")
+        )

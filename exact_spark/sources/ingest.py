@@ -1,0 +1,167 @@
+"""File ingest + canonicalization (SURVEY.md §1.3, §2.1 S1-S6, §2.2 P1-P5).
+
+Mirrors the reference's BatchImporter.start_simulation canonicalization
+(Backend/Simulator/BatchImport/batchimport.py:171-409):
+
+1. drop ``Unnamed:*`` columns (batchimport.py:198)
+2. rename user time/label columns to canonical ``timestamp``/``label``
+   (batchimport.py:202-210)
+3. timestamp coercion (batchimport.py:214-244): numeric => Unix seconds
+   UTC; strings parsed; NaT/unparseable rows dropped
+4. label coercion (batchimport.py:253-274): 'true'/'false' (any case),
+   bool, 1/1.0, 0/0.0 -> {1,0}; anything else -> 0
+5. global time sort + dense ``id`` (batchimport.py:281; id contract from
+   Database/timescaledb_api.py:69)
+6. add ``injected_anomaly=false``, ``is_anomaly=false``
+   (batchimport.py:365-366)
+
+The reference materializes the whole file in pandas; here everything is a
+DataFrame transform. Dense-id synthesis is the one global-order operation:
+``with_dense_id`` does it scale-safely — range-repartition by the ordering
+key, per-partition local row_number (no global shuffle to one partition),
+plus a tiny driver-side prefix-sum of partition counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+FLAG_COLS = ("is_anomaly", "injected_anomaly")
+
+
+def read_file(spark: SparkSession, path: str) -> DataFrame:
+    """S1/S3: CSV or record-oriented JSON scan, header-inferred schema
+    (read_csv.py:7-15, read_json.py:7-15)."""
+    if path.endswith(".json"):
+        return spark.read.json(path)
+    return spark.read.csv(path, header=True, inferSchema=True)
+
+
+def get_file_columns(spark: SparkSession, path: str) -> list[str]:
+    """S2: header probe (read_csv.py:17-23)."""
+    return read_file(spark, path).schema.fieldNames()
+
+
+def _coerce_timestamp(df: DataFrame, col: str) -> DataFrame:
+    """P3 (batchimport.py:214-244): numeric -> epoch seconds; strings ->
+    parsed timestamps; unparseable -> null (dropped by caller)."""
+    dtype = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dtype in ("bigint", "int", "double", "float", "decimal"):
+        ts = F.timestamp_seconds(c.cast("double"))
+    elif dtype.startswith("timestamp"):
+        ts = c.cast("timestamp")
+    else:
+        # try_to_timestamp: unparseable strings -> null, like pd NaT
+        ts = F.coalesce(
+            F.try_to_timestamp(c),
+            F.timestamp_seconds(c.try_cast("double")),
+        )
+    return df.withColumn(col, ts)
+
+
+def _coerce_label(df: DataFrame, col: str) -> DataFrame:
+    """P4 (batchimport.py:253-274): truthy forms -> 1, falsy -> 0,
+    anything else -> 0."""
+    c = F.col(col).cast("string")
+    lowered = F.lower(F.trim(c))
+    as_num = c.try_cast("double")
+    lab = (
+        F.when(lowered == "true", 1)
+        .when(lowered == "false", 0)
+        .when(as_num == 1.0, 1)
+        .otherwise(0)
+    )
+    return df.withColumn(col, lab.cast("int"))
+
+
+def with_dense_id(
+    df: DataFrame, order_cols: list[str], id_col: str = "id", num_partitions: int | None = None
+) -> DataFrame:
+    """Dense 1-based id following the global ordering, without a
+    single-partition global sort.
+
+    Range-repartition on the ordering key, local row_number per partition,
+    then add driver-computed partition offsets (a prefix sum over the tiny
+    per-partition count list). Survives 100 TB: the only driver-side data
+    is one count per partition.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keyed = (
+        df.repartitionByRange(parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = {r["__pid"]: r["cnt"] for r in keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("__pid")
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        keyed.withColumn(id_col, (offset_expr + F.row_number().over(w)).cast("long"))
+        .drop("__pid")
+    )
+
+
+def canonicalize(
+    df: DataFrame,
+    time_col: str,
+    label_col: str | None = None,
+    positional: bool = False,
+) -> DataFrame:
+    """Full P1-P5 canonicalization to the EXACT job-table schema.
+
+    ``positional=True`` mirrors the stream path's first-column-time /
+    last-column-label convention (simulator.py:151-155).
+    """
+    # P1: Unnamed:* drop
+    df = df.drop(*[c for c in df.columns if c.startswith("Unnamed:")])
+
+    # P2: rename to canonical
+    if positional:
+        cols = df.columns
+        time_col, label_col = cols[0], cols[-1]
+    if time_col != "timestamp":
+        df = df.withColumnRenamed(time_col, "timestamp")
+    if label_col is not None and label_col != "label":
+        df = df.withColumnRenamed(label_col, "label")
+
+    # P3: timestamp coercion + NaT drop
+    df = _coerce_timestamp(df, "timestamp").na.drop(subset=["timestamp"])
+
+    # P4: label coercion
+    if label_col is not None:
+        df = _coerce_label(df, "label")
+    else:
+        df = df.withColumn("label", F.lit(0))
+
+    # P5 + id synthesis: global time order -> dense id
+    df = with_dense_id(df, ["timestamp"] + [c for c in ("label",) if c in df.columns])
+
+    # flags (batchimport.py:365-366)
+    df = df.withColumn("injected_anomaly", F.lit(False)).withColumn(
+        "is_anomaly", F.lit(False)
+    )
+    feature_cols = [
+        c for c in df.columns if c not in ("id", "timestamp", "label", *FLAG_COLS)
+    ]
+    return df.select("id", "timestamp", *feature_cols, "label", "injected_anomaly", "is_anomaly")
+
+
+def feature_columns(df: DataFrame) -> list[str]:
+    """P6 (execute_calls.py:531-544): all columns minus
+    {id, timestamp, label, flags} and any timestamp-typed column."""
+    excl = {"id", "timestamp", "label", *FLAG_COLS}
+    return [
+        f.name
+        for f in df.schema.fields
+        if f.name not in excl and not isinstance(f.dataType, (T.TimestampType, T.DateType))
+    ]

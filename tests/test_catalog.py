@@ -1,0 +1,60 @@
+"""Job-table catalog (S4-S12) tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from exact_spark.sources.catalog import JobCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return JobCatalog(spark, str(tmp_path / "warehouse"))
+
+
+def _series(spark, n=100):
+    return spark.range(1, n + 1).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60).alias("timestamp"),
+        (F.col("id") * 1.5).alias("v1"),
+        F.lit(0).alias("label"),
+        F.lit(False).alias("injected_anomaly"),
+        F.lit(False).alias("is_anomaly"),
+    )
+
+
+def test_create_read_exists_drop(spark, catalog):
+    df = _series(spark)
+    name = catalog.table_name("demo")
+    assert name == "job_batch_demo"
+    assert catalog.create_table(name, df) == name
+    assert catalog.create_table(name, df) is None  # no-op if exists (S4)
+    assert catalog.table_exists(name)
+    assert catalog.list_all_tables() == [name]
+    got = catalog.read_data(name)
+    assert got.count() == 100
+    # S7 range scan
+    lo = got.agg(F.min("timestamp")).collect()[0][0]
+    sub = catalog.read_data(name, from_time=lo, to_time=lo)
+    assert sub.count() == 1
+    # S11 hides flags
+    cols = catalog.get_columns(name)
+    assert "is_anomaly" not in cols and "injected_anomaly" not in cols
+    assert "v1" in cols
+    assert catalog.drop_table(name)
+    assert not catalog.table_exists(name)
+
+
+def test_update_anomalies_merge(spark, catalog):
+    df = _series(spark)
+    name = catalog.table_name("flags")
+    catalog.create_table(name, df)
+    ids = spark.createDataFrame([(5,), (10,), (10,)], ["id"])
+    n = catalog.update_anomalies(name, ids)
+    assert n == 2
+    flagged = catalog.read_data(name).filter(F.col("is_anomaly")).select("id")
+    assert sorted(r["id"] for r in flagged.collect()) == [5, 10]
+    # idempotent re-apply plus new id
+    n2 = catalog.update_anomalies(name, spark.createDataFrame([(10,), (20,)], ["id"]))
+    assert n2 == 3

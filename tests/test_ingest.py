@@ -1,0 +1,59 @@
+"""Ingest + canonicalization (S1-S3, P1-P5, P12) unit tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from exact_spark.durations import parse_duration
+from exact_spark.sources.ingest import canonicalize, feature_columns, read_file, with_dense_id
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("data") / "series.csv"
+    rows = ["time,v1,v2,anom,Unnamed: 4"]
+    # numeric epoch-seconds timestamps, mixed label forms, one bad timestamp
+    rows.append("1700000000,1.0,10.0,true,x")
+    rows.append("1700000060,2.0,20.0,false,x")
+    rows.append("1700000120,3.0,30.0,1,x")
+    rows.append("1700000030,4.0,40.0,0.0,x")
+    rows.append("notatime,5.0,50.0,yes,x")  # dropped (NaT) — 'yes' -> 0 anyway
+    p.write_text("\n".join(rows) + "\n")
+    return str(p)
+
+
+def test_canonicalize_csv(spark, csv_path):
+    df = canonicalize(read_file(spark, csv_path), time_col="time", label_col="anom")
+    rows = df.orderBy("id").collect()
+    assert [r["id"] for r in rows] == [1, 2, 3, 4]  # dense, time-ordered
+    assert "Unnamed: 4" not in df.columns  # P1
+    # P5: sorted by time — 1700000030 lands second
+    assert [r["v1"] for r in rows] == [1.0, 4.0, 2.0, 3.0]
+    # P4: true->1, 0.0->0, false->0, 1->1
+    assert [r["label"] for r in rows] == [1, 0, 0, 1]
+    # P3: numeric -> epoch seconds
+    assert rows[0]["timestamp"].year == 2023
+    # flags default false
+    assert all(r["is_anomaly"] is False and r["injected_anomaly"] is False for r in rows)
+    assert feature_columns(df) == ["v1", "v2"]
+
+
+def test_dense_id_matches_global_order(spark):
+    df = spark.range(1000).select(
+        (F := __import__("pyspark.sql.functions", fromlist=["F"])).col("id").alias("k"),
+        (F.col("id") * 37 % 1000).alias("ord"),
+    )
+    out = with_dense_id(df, ["ord"], id_col="did", num_partitions=7)
+    rows = out.orderBy("ord").collect()
+    assert [r["did"] for r in rows] == list(range(1, 1001))
+
+
+def test_parse_duration():
+    assert parse_duration("1h30m") == 5400.0
+    assert parse_duration("2days 5hours") == 2 * 86400 + 5 * 3600
+    assert parse_duration("10s") == 10.0
+    assert parse_duration(90) == 90.0
+    assert parse_duration("90") == 90.0
+    assert parse_duration("1w") == 604800.0
+    with pytest.raises(ValueError):
+        parse_duration("10 parsecs")

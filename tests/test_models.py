@@ -1,0 +1,75 @@
+"""Detector model tests (M1-M6 family, SURVEY §2.7)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from exact_spark.ml.models import get_model
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    """1000 rows, two features; ids 900-919 carry an obvious spike."""
+    df = spark.range(1, 1001).select(
+        F.col("id"),
+        (F.sin(F.col("id") / 10.0) + F.col("id") % 7 * 0.01).alias("v1"),
+        (F.cos(F.col("id") / 15.0)).alias("v2"),
+    )
+    spiky = F.when((F.col("id") >= 900) & (F.col("id") < 920), F.col("v1") + 10.0).otherwise(
+        F.col("v1")
+    )
+    df = df.withColumn("v1", spiky).withColumn(
+        "label", ((F.col("id") >= 900) & (F.col("id") < 920)).cast("int")
+    )
+    return df.cache()
+
+
+@pytest.mark.parametrize("name", ["threshold", "pca_autoencoder", "isolation_forest"])
+def test_unsupervised_detectors_flag_spike(spark, series, name):
+    model = get_model(name)
+    train = series.filter(F.col("id") <= 850)
+    model.run(train, ["v1", "v2"])
+    det = model.detect(series, ["v1", "v2"])
+    got = {r["id"] for r in det.filter(F.col("predicted") == 1).collect()}
+    spike_ids = set(range(900, 920))
+    # every spiked row flagged
+    assert spike_ids <= got, f"{name} missed {sorted(spike_ids - got)[:5]}"
+    # false-positive rate bounded
+    assert len(got - spike_ids) < 150, f"{name} flagged {len(got - spike_ids)} normals"
+
+
+@pytest.mark.parametrize("name", ["decision_tree", "logistic_regression", "linear_svc"])
+def test_supervised_detectors(spark, series, name):
+    model = get_model(name)
+    model.run(series.filter(F.col("id") <= 950), ["v1", "v2"])
+    det = model.detect(series, ["v1", "v2"])
+    got = {r["id"] for r in det.filter(F.col("predicted") == 1).collect()}
+    spike_ids = set(range(900, 920))
+    overlap = len(got & spike_ids) / len(spike_ids)
+    assert overlap >= 0.9, f"{name} recalled only {overlap:.0%}"
+
+
+def test_isolation_forest_deterministic(spark, series):
+    outs = []
+    for _ in range(2):
+        m = get_model("isolation_forest", seed=7)
+        m.run(series.filter(F.col("id") <= 850), ["v1", "v2"])
+        det = m.detect(series, ["v1", "v2"]).orderBy("id").collect()
+        outs.append([(r["id"], round(r["score"], 12)) for r in det])
+    assert outs[0] == outs[1]
+
+
+def test_pca_scores_distributed_match_driver(spark, series):
+    """The mapInPandas scoring path must equal a driver-side recompute."""
+    m = get_model("pca_autoencoder")
+    train = series.filter(F.col("id") <= 850)
+    m.run(train, ["v1", "v2"])
+    det = {r["id"]: r["score"] for r in m.detect(series, ["v1", "v2"]).collect()}
+    pdf = series.orderBy("id").toPandas()
+    x = pdf[["v1", "v2"]].to_numpy()
+    z = (x - m.mean) / m.std
+    errs = ((z - z @ m.components.T @ m.components) ** 2).mean(axis=1)
+    for i, rid in enumerate(pdf["id"]):
+        assert abs(det[rid] - errs[i]) < 1e-12
