@@ -1,0 +1,237 @@
+"""XAI operators (SURVEY.md §2.8) — Spark-native.
+
+The reference orchestrates SHAP/LIME/DiCE over flattened sliding windows
+(Backend/XAI_methods/xai_runner.py:310-881). Those libraries are not in
+this environment; the engine ships the same *operator surface* with a
+model-agnostic occlusion explainer (perturb one feature to its training
+mean, measure the model-score delta) — the same fan-out shape KernelSHAP
+would use: explained instances are independent, so they scatter across the
+cluster via mapInPandas with the (small) model broadcast, exactly the
+X1-X3 execution pattern (xai_runner fan-out, ShapExplainer.py batching).
+
+- select_instances  = W3 sampling strategies (utils.py:7-145)
+- occlusion_importances = X1-shape per-instance attribution
+- aggregate_importances = X6/G7 per-feature mean |score|
+  (xai_runner.py:838-868)
+- ndcg_at_k / ndcg_ground_truth = G6/X5 ranking-quality evaluation
+  (utils.py:284-342, xai_runner.py:101-195)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from exact_spark.operators.inject import AnomalySetting
+
+
+def select_instances(
+    df: DataFrame, strategy: str, n: int, seed: int = 42, label_col: str = "label"
+) -> DataFrame:
+    """W3 (utils.py:7-145): first_n / random / first_n_anomalies /
+    last_n_anomalies / random_anomalies / half_n_half, seeded rng
+    re-expressed as md5 order (partition-stable)."""
+    rk = F.md5(F.concat(F.lit(f"xai{seed}:"), F.col("id").cast("string")))
+    anom = df.filter(F.col(label_col) == 1)
+    norm = df.filter(F.col(label_col) == 0)
+    if strategy == "first_n":
+        return df.orderBy("id").limit(n)
+    if strategy == "random":
+        return df.withColumn("__rk", rk).orderBy("__rk", "id").limit(n).drop("__rk")
+    if strategy == "first_n_anomalies":
+        return anom.orderBy("id").limit(n)
+    if strategy == "last_n_anomalies":
+        return anom.orderBy(F.col("id").desc()).limit(n)
+    if strategy == "random_anomalies":
+        return anom.withColumn("__rk", rk).orderBy("__rk", "id").limit(n).drop("__rk")
+    if strategy == "half_n_half":
+        half = n // 2
+        return anom.orderBy(F.col("id").desc()).limit(half).unionByName(
+            norm.orderBy(F.col("id").desc()).limit(n - half)
+        )
+    raise KeyError(f"unknown strategy {strategy!r}")
+
+
+def occlusion_importances(
+    model, instances: DataFrame, feature_cols: list[str], train_means: dict[str, float]
+) -> DataFrame:
+    """Per-instance, per-feature attribution: |score(x) - score(x with
+    feature j set to its training mean)|.
+
+    Same distribution shape as X1-X3: instances fan out over the cluster,
+    the model state rides in the (by-value) closure. Output rows:
+    (id, feature, importance).
+    """
+    score_fn = _extract_score_fn(model, feature_cols)
+    means = np.array([train_means[c] for c in feature_cols])
+    cols = list(feature_cols)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("feature", T.StringType()),
+            T.StructField("importance", T.DoubleType()),
+        ]
+    )
+
+    def explain(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = pdf[cols].to_numpy(dtype=np.float64)
+            base = score_fn(x)
+            out_ids, out_feats, out_imps = [], [], []
+            for j, c in enumerate(cols):
+                pert = x.copy()
+                pert[:, j] = means[j]
+                delta = np.abs(base - score_fn(pert))
+                out_ids.extend(pdf["id"].astype("int64"))
+                out_feats.extend([c] * len(pdf))
+                out_imps.extend(delta)
+            yield pd.DataFrame({"id": out_ids, "feature": out_feats, "importance": out_imps})
+
+    return instances.select("id", *cols).mapInPandas(explain, schema=schema)
+
+
+def _extract_score_fn(model, feature_cols: list[str]):
+    """Pull a picklable ndarray->scores closure out of a DetectorModel."""
+    from exact_spark.ml.models import (
+        IsolationForestDetector,
+        PCAReconstructionDetector,
+        ThresholdDetector,
+    )
+
+    if isinstance(model, ThresholdDetector):
+        j = 0
+
+        def fn(x):
+            return x[:, j]
+
+        return fn
+    if isinstance(model, PCAReconstructionDetector):
+        mean, std, comp = model.mean, model.std, model.components
+
+        def fn(x):
+            z = (x - mean) / std
+            return ((z - z @ comp.T @ comp) ** 2).mean(axis=1)
+
+        return fn
+    if isinstance(model, IsolationForestDetector):
+        trees = [(t.feature, t.threshold, t.left, t.right, t.path_adj, t.lo, t.hi) for t in model.trees]
+        c_psi, n_est = model.c_psi, model.n_estimators
+
+        def fn(x):
+            paths = np.zeros(len(x))
+            for feature, threshold, left, right, path_adj, lo, hi in trees:
+                node = np.zeros(len(x), dtype=np.int32)
+                depth = np.zeros(len(x))
+                out = np.full(len(x), np.nan)
+                active = feature[node] >= 0
+                while active.any():
+                    f = feature[node[active]]
+                    xa = x[active, f]
+                    oob = (xa < lo[node[active]]) | (xa > hi[node[active]])
+                    if oob.any():
+                        ai = np.flatnonzero(active)
+                        out[ai[oob]] = depth[ai[oob]] + 1.0
+                    gl = xa < threshold[node[active]]
+                    node[active] = np.where(gl, left[node[active]], right[node[active]])
+                    depth[active] += 1.0
+                    active = (feature[node] >= 0) & np.isnan(out)
+                leaf = np.isnan(out)
+                out[leaf] = path_adj[node[leaf]]
+                paths += out
+            return 2.0 ** (-(paths / n_est) / c_psi)
+
+        return fn
+    raise TypeError(
+        f"no picklable score function for {type(model).__name__}; "
+        "MLlib models are explained via their own featureImportances"
+    )
+
+
+def aggregate_importances(imps: DataFrame) -> DataFrame:
+    """X6/G7 (xai_runner.py:838-868): per-feature mean score across
+    instances, descending."""
+    return (
+        imps.groupBy("feature")
+        .agg(F.avg("importance").alias("mean_abs_importance"))
+        .orderBy(F.col("mean_abs_importance").desc(), F.col("feature"))
+    )
+
+
+def ndcg_at_k(ranking: list[str], relevant: set[str], k: int) -> float:
+    """G6 (utils.py:284-342): DCG with rel_i/log2(i+2) over the top-k
+    ranked features vs. binary ground-truth relevance; 0.0 when no ground
+    truth (utils.py:309-310)."""
+    if not relevant:
+        return 0.0
+    dcg = sum(
+        (1.0 if f in relevant else 0.0) / math.log2(i + 2)
+        for i, f in enumerate(ranking[:k])
+    )
+    idcg = sum(1.0 / math.log2(i + 2) for i in range(min(k, len(relevant))))
+    return dcg / idcg if idcg else 0.0
+
+
+def ndcg_ground_truth(
+    instance_epochs: dict[int, float],
+    settings: list[AnomalySetting],
+    start_epoch: float,
+) -> dict[int, set[str]]:
+    """X5 (xai_runner.py:101-195): an explained instance matches a setting
+    when its timestamp falls in [start+offset, +duration); relevant
+    features are that setting's columns."""
+    out: dict[int, set[str]] = {}
+    for iid, ts in instance_epochs.items():
+        rel: set[str] = set()
+        for s in settings:
+            t0 = start_epoch + s.timestamp
+            if t0 <= ts < t0 + s.duration and s.columns:
+                rel |= set(s.columns)
+        out[iid] = rel
+    return out
+
+
+def run_explanations(
+    model,
+    df: DataFrame,
+    feature_cols: list[str],
+    settings: list[AnomalySetting],
+    start_epoch: float,
+    strategy: str = "random_anomalies",
+    n_instances: int = 20,
+    k_values: tuple[int, ...] = (3, 5, 10),
+    seed: int = 42,
+) -> dict:
+    """XAIRunner.run_explanations (xai_runner.py:310-881) condensed:
+    select instances (W3), per-instance attribution, X6 aggregation, G6
+    NDCG@k against the injection ground truth."""
+    import time
+
+    t0 = time.perf_counter()
+    train_means = df.agg(*[F.avg(c).alias(c) for c in feature_cols]).collect()[0].asDict()
+    instances = select_instances(df, strategy, n_instances, seed=seed)
+    imps = occlusion_importances(model, instances, feature_cols, train_means).cache()
+    agg = aggregate_importances(imps).collect()
+    ranking = [r["feature"] for r in agg]
+
+    inst_rows = instances.select("id", F.col("timestamp").cast("double").alias("ep")).collect()
+    truth = ndcg_ground_truth({r["id"]: r["ep"] for r in inst_rows}, settings, start_epoch)
+    relevant = set().union(*truth.values()) if truth else set()
+    ndcg = {f"ndcg_at_{k}": round(ndcg_at_k(ranking, relevant, k), 4) for k in k_values}
+    return {
+        "method": "occlusion",
+        "n_instances": len(inst_rows),
+        "aggregated_feature_importances": {
+            r["feature"]: r["mean_abs_importance"] for r in agg
+        },
+        **ndcg,
+        "execution_time_xai_occlusion_seconds": round(time.perf_counter() - t0, 3),
+    }

@@ -136,9 +136,11 @@ class PCAReconstructionDetector(DetectorModel):
         self.std = x.std(axis=0)
         self.std[self.std == 0] = 1.0
         z = (x - self.mean) / self.std
-        # deterministic SVD (numpy LAPACK); top-k right singular vectors
+        # deterministic SVD (numpy LAPACK); top-k right singular vectors.
+        # k is capped at n_features-1: with the full basis reconstruction is
+        # exact for ANY input and the error signal degenerates to FP noise.
         _, _, vt = np.linalg.svd(z, full_matrices=False)
-        k = min(self.k, vt.shape[0])
+        k = max(1, min(self.k, vt.shape[0] - 1, vt.shape[1] - 1)) if vt.shape[1] > 1 else 1
         self.components = vt[:k]
         self.thr = float(np.percentile(self._errors(x), self.percentile))
 

@@ -122,6 +122,77 @@ def g1_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NDCG_TERM_SCALE = 1_000_000_000_000  # fixed-point for the tiny dcg sums
+
+
+@register(
+    "g6_ndcg",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    ranked AS (
+        SELECT event_type,
+               row_number() OVER (ORDER BY SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) DESC, event_type) AS rnk,
+               CASE WHEN event_type IN ('error', 'purchase') THEN 1 ELSE 0 END AS rel
+        FROM canon GROUP BY event_type
+    ),
+    relranked AS (
+        SELECT rel, rnk,
+               CASE WHEN rel = 1 THEN row_number() OVER (PARTITION BY rel ORDER BY rnk) END AS relrank
+        FROM ranked
+    ),
+    sums AS (
+        SELECT
+            SUM(CASE WHEN rnk <= 3 THEN CAST(FLOOR(rel / log2(rnk + 1.0) * {_NDCG_TERM_SCALE}.0 + 0.5) AS BIGINT) ELSE 0 END) AS dcg3,
+            SUM(CASE WHEN rnk <= 5 THEN CAST(FLOOR(rel / log2(rnk + 1.0) * {_NDCG_TERM_SCALE}.0 + 0.5) AS BIGINT) ELSE 0 END) AS dcg5,
+            SUM(CASE WHEN relrank <= 3 THEN CAST(FLOOR(1.0 / log2(relrank + 1.0) * {_NDCG_TERM_SCALE}.0 + 0.5) AS BIGINT) ELSE 0 END) AS idcg3,
+            SUM(CASE WHEN relrank <= 5 THEN CAST(FLOOR(1.0 / log2(relrank + 1.0) * {_NDCG_TERM_SCALE}.0 + 0.5) AS BIGINT) ELSE 0 END) AS idcg5
+        FROM relranked
+    )
+    SELECT {sql_fround('(dcg3 * 1.0) / (idcg3 * 1.0)', 10000)} AS ndcg_at_3,
+           {sql_fround('(dcg5 * 1.0) / (idcg5 * 1.0)', 10000)} AS ndcg_at_5
+    FROM sums
+    """,
+    doc="G6: NDCG@k (utils.py:284-342) — rank event types by mean value, "
+    "relevance = {{error,purchase}}; DCG terms rel/log2(rank+1), fixed-point "
+    "summed for cross-engine exactness.",
+)
+def g6_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from exact_spark.functions import fixed
+
+    df = canonical_events(spark, sf_dir)
+    grouped = df.groupBy("event_type").agg(F.sum(fixed(F.col("value"))).alias("sum_fx"))
+    ranked = grouped.select(
+        "event_type",
+        F.row_number()
+        .over(Window.orderBy(F.col("sum_fx").desc(), F.col("event_type")))
+        .alias("rnk"),
+        F.when(F.col("event_type").isin("error", "purchase"), 1).otherwise(0).alias("rel"),
+    )
+    relranked = ranked.withColumn(
+        "relrank",
+        F.when(
+            F.col("rel") == 1,
+            F.row_number().over(Window.partitionBy("rel").orderBy("rnk")),
+        ),
+    )
+    sc = float(_NDCG_TERM_SCALE)
+
+    def term(expr):
+        return F.floor(expr * F.lit(sc) + F.lit(0.5)).cast("long")
+
+    sums = relranked.agg(
+        F.sum(F.when(F.col("rnk") <= 3, term(F.col("rel") / F.log2(F.col("rnk") + 1.0))).otherwise(F.lit(0))).alias("dcg3"),
+        F.sum(F.when(F.col("rnk") <= 5, term(F.col("rel") / F.log2(F.col("rnk") + 1.0))).otherwise(F.lit(0))).alias("dcg5"),
+        F.sum(F.when(F.col("relrank") <= 3, term(F.lit(1.0) / F.log2(F.col("relrank") + 1.0))).otherwise(F.lit(0))).alias("idcg3"),
+        F.sum(F.when(F.col("relrank") <= 5, term(F.lit(1.0) / F.log2(F.col("relrank") + 1.0))).otherwise(F.lit(0))).alias("idcg5"),
+    )
+    return sums.select(
+        fround((F.col("dcg3") * 1.0) / (F.col("idcg3") * 1.0), 10_000).alias("ndcg_at_3"),
+        fround((F.col("dcg5") * 1.0) / (F.col("idcg5") * 1.0), 10_000).alias("ndcg_at_5"),
+    )
+
+
 @register(
     "g8_class_counts",
     sql="""

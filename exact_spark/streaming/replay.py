@@ -1,0 +1,194 @@
+"""Streaming operators (SURVEY.md §2.9, T1-T5) on Structured Streaming.
+
+The reference's stream path is vestigially broken (SURVEY §3.3); this is
+the intended semantics rebuilt Spark-first:
+
+- T1 paced replay: the reference sleeps ``mean_interarrival / speedup``
+  between single-row inserts (simulator.py:185-217). Here the file is
+  staged as a parquet stream source and read with a bounded trigger; the
+  pacing contract (rows/sec = speedup / mean_interarrival) is exposed by
+  ``replay_rate`` and applied via ``maxFilesPerTrigger``-chunked staging or
+  a rate-source join.
+- T2 inline injection: the batch injectors as streaming-safe expressions.
+  Delta from batch: the exact-k percentage subsample needs a global rank,
+  which a stream cannot do — selection becomes a deterministic per-row
+  md5 percentage test (same expectation, per-row independent). Documented
+  intentional difference.
+- T3 detection: the reference re-reads and re-scores the WHOLE table every
+  second (execute_calls.py:941-970). Here ``foreachBatch`` scores only the
+  new micro-batch with the pre-trained broadcast model and appends —
+  strictly better, identical row-local semantics.
+- T4 status via StreamingQuery.status/lastProgress.
+- T5 (extension beyond the reference): watermarked tumbling-window
+  aggregation for late data.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from exact_spark.operators.inject import AnomalySetting, resolve_target_columns
+
+
+def mean_interarrival_seconds(df: DataFrame, ts_col: str = "timestamp") -> float:
+    """G4 (simulator.py:185-203): mean gap between consecutive rows."""
+    row = df.agg(
+        (
+            (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")))
+            / F.greatest(F.count(F.lit(1)) - 1, F.lit(1))
+        ).alias("dt")
+    ).collect()[0]
+    return float(row["dt"] or 0.0)
+
+
+def replay_rate(df: DataFrame, speedup: float, ts_col: str = "timestamp") -> float:
+    """Rows/second for the paced replay: speedup / mean_interarrival."""
+    dt = mean_interarrival_seconds(df, ts_col)
+    if dt <= 0:
+        return 1000.0
+    return speedup / dt
+
+
+def stage_stream_source(df: DataFrame, path: str, chunks: int) -> None:
+    """Stage a canonical table as `chunks` parquet files in time order; with
+    ``maxFilesPerTrigger=1`` each trigger replays one time-slice (T1)."""
+    df.repartitionByRange(chunks, "timestamp").write.mode("overwrite").parquet(path)
+
+
+def read_replay_stream(
+    spark: SparkSession, path: str, files_per_trigger: int = 1
+) -> DataFrame:
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_injection(
+    df: DataFrame,
+    settings: list[AnomalySetting],
+    start_epoch: float,
+    seed: int = 42,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """T2: A1-A10 as pure row-local streaming expressions.
+
+    Per-row deterministic percentage selection:
+    ``md5(seed:i:id) mod 100 < pct`` — independent of partitioning and
+    arrival order, so a replayed stream injects identically every run.
+    Stats-dependent methods (step/lowered) require setting-level ``mean`` /
+    ``data_range`` overrides in streaming (the reference's stream path
+    pre-computes them from the file: simulator.py:173-183).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    ts_epoch = F.col(ts_col).cast("double")
+    out = df
+    for i, s in enumerate(settings):
+        t0, t1 = start_epoch + s.timestamp, start_epoch + s.timestamp + s.duration
+        in_span = (ts_epoch >= F.lit(t0)) & (ts_epoch < F.lit(t1))
+        bucket = (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:{i}:"), F.col("id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 100
+        )
+        sel = in_span & (bucket < F.lit(int(s.percentage)))
+        cols = resolve_target_columns(df, s)
+
+        if s.anomaly_type == "spike":
+            factor = float(rng.uniform(1.0, s.magnitude))
+        elif s.anomaly_type == "lowered":
+            factor = float(rng.uniform(0.3, 0.4))
+        else:
+            factor = None
+
+        for c in cols:
+            x = F.col(c)
+            if s.anomaly_type == "spike":
+                new = x * F.lit(factor)
+            elif s.anomaly_type == "step":
+                new = x + F.lit(float(s.mean or 0.0) * s.magnitude)
+            elif s.anomaly_type == "lowered":
+                drange = float(s.data_range or 0.0)
+                if drange == 0.0:
+                    new = F.lit(float(s.mean or 0.0) * factor)
+                else:
+                    low = F.greatest(x - F.lit(drange * factor), F.lit(0.0))
+                    new = F.when(low == 0.0, x * F.lit(factor)).otherwise(low)
+            elif s.anomaly_type == "offline":
+                new = F.lit(0.0)
+            elif s.anomaly_type == "custom":
+                new = x * F.lit(s.magnitude)
+            else:
+                raise KeyError(f"unknown anomaly_type {s.anomaly_type!r}")
+            out = out.withColumn(c, F.when(sel, new).otherwise(x))
+        out = out.withColumn(
+            "injected_anomaly", F.col("injected_anomaly") | sel
+        ).withColumn("label", F.when(sel, F.lit(1)).otherwise(F.col("label")))
+    return out.withColumn("is_anomaly", F.col("is_anomaly") | F.col("injected_anomaly"))
+
+
+def score_stream(
+    stream_df: DataFrame,
+    model,
+    feature_cols: list[str],
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """T3: foreachBatch scoring with the pre-trained broadcast model; the
+    sink receives (scored_batch, batch_id) — append/MERGE into the
+    job_stream_ table lives there."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        det = model.detect(batch_df, feature_cols)
+        scored = batch_df.join(det.select("id", "score", "predicted"), "id")
+        sink(scored, batch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """T5 extension: watermarked tumbling-window aggregate for late data."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("is_anomaly").cast("int")).alias("n_anomalies"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "n_anomalies",
+        )
+    )
+
+
+def await_stream(query, timeout_s: float = 60.0) -> dict:
+    """T4: wait for completion (availableNow) and return final status."""
+    deadline = time.time() + timeout_s
+    while query.isActive and time.time() < deadline:
+        time.sleep(0.2)
+    return {"isActive": query.isActive, "lastProgress": query.lastProgress}
