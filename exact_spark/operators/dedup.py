@@ -149,35 +149,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 8
 _BAND_SIZE = 2  # -> 4 bands
 
-
-def _sql_minhash_cols() -> str:
-    return ",\n               ".join(
-        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(_N_HASHES)
-    )
-
-
-def _sql_band_selects() -> str:
-    bands = []
-    for b in range(_N_HASHES // _BAND_SIZE):
-        lo = b * _BAND_SIZE
-        expr = " || ".join(f"h{lo + j}" for j in range(_BAND_SIZE))
-        bands.append(
-            f"SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sigs"
-        )
-    return " UNION ALL ".join(bands)
+# One md5 per shingle; its 32 hex chars split into 8 independent 4-hex
+# (16-bit) hash values — an 8x cheaper hash family than 8 separate md5
+# calls, with no posting-list explode: minhashes are array_min over a
+# per-doc array, so signature computation is a pure scan (no shuffle until
+# the band-bucket join).
 
 
 @register(
     "dedup_minhash_lsh",
     sql=f"""
     WITH {_SQL_SHINGLES},
-    posting AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
+    hashed AS (
+        SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM shingled
+    ),
     sigs AS (
         SELECT doc_id,
-               {_sql_minhash_cols()}
-        FROM posting GROUP BY doc_id
+               {", ".join(f"list_min(list_transform(hs, h -> substr(h, {i * 4 + 1}, 4))) AS h{i}" for i in range(_N_HASHES))}
+        FROM hashed
     ),
-    bands AS ({_sql_band_selects()}),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, h{b * _BAND_SIZE} || h{b * _BAND_SIZE + 1} AS bucket FROM sigs" for b in range(_N_HASHES // _BAND_SIZE))}
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -185,25 +178,37 @@ def _sql_band_selects() -> str:
     )
     SELECT doc_a, doc_b FROM cand
     """,
-    doc="MinHash+LSH near-dup: k=8 md5-family minhash signature, 4 bands of "
-    "2, candidate pairs from band-bucket equi-join (shuffle on bucket only).",
+    doc="MinHash+LSH near-dup: 8 16-bit minhashes from one md5 per shingle "
+    "(array ops, zero-shuffle signatures), 4 bands of 2, candidate pairs "
+    "from the band-bucket equi-join (the only shuffle).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     sh = _shingled(spark, sf_dir)
-    posting = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    sig_aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
-        for i in range(_N_HASHES)
-    ]
-    sigs = posting.groupBy("doc_id").agg(*sig_aggs)
-    band_parts = []
-    for b in range(_N_HASHES // _BAND_SIZE):
-        lo = b * _BAND_SIZE
-        bucket = F.md5(F.concat(*[F.col(f"h{lo + j}") for j in range(_BAND_SIZE)]))
-        band_parts.append(
-            sigs.select("doc_id", F.lit(b).alias("band"), bucket.alias("bucket"))
+    hashed = sh.select("doc_id", F.transform("shingles", lambda s: F.md5(s)).alias("hs"))
+
+    def sub_at(i: int):
+        # NB: must be a ONE-arg lambda — a second lambda arg would receive
+        # the array element index from transform(), not the closure value
+        return lambda h: F.substring(h, i * 4 + 1, 4)
+
+    sigs = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("hs"), sub_at(i))).alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ],
+    )
+    band_parts = [
+        sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat(F.col(f"h{b * _BAND_SIZE}"), F.col(f"h{b * _BAND_SIZE + 1}")).alias(
+                "bucket"
+            ),
         )
+        for b in range(_N_HASHES // _BAND_SIZE)
+    ]
     bands = band_parts[0]
     for p in band_parts[1:]:
         bands = bands.unionByName(p)
@@ -219,3 +224,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+_SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    sql=f"""
+    WITH tokens AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    tok_counts AS (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM tokens)
+        GROUP BY doc_id, tok
+    ),
+    votes AS (
+        SELECT doc_id,
+               {", ".join(f"SUM(cnt * CASE WHEN substr(md5(tok), {p + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{p}" for p in range(_SIMHASH_BITS))}
+        FROM tok_counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {" || ".join(f"CASE WHEN v{p} >= 0 THEN '1' ELSE '0' END" for p in range(_SIMHASH_BITS))} AS simhash
+    FROM votes
+    """,
+    doc="SimHash fingerprint: 16-bit signature from token-frequency-weighted "
+    "md5 bit votes — near-dup docs differ in few bits (Hamming ball probe "
+    "is the scale path for candidate generation).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col().alias("toks"))
+    counts = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    high = [str(c) for c in "89abcdef"]
+    votes = counts.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("cnt")
+                * F.when(F.substring(F.md5("tok"), p + 1, 1).isin(high), 1).otherwise(-1)
+            ).alias(f"v{p}")
+            for p in range(_SIMHASH_BITS)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"v{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(_SIMHASH_BITS)
+    ]
+    return votes.select("doc_id", F.concat(*bits).alias("simhash"))

@@ -53,6 +53,63 @@ def p7_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_P13_L = 3  # window length for the alignment demo
+
+
+@register(
+    "p13_alignment",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    win AS (
+        SELECT id,
+               count(*) OVER w AS w_n,
+               SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) OVER w AS w_sum_fx
+        FROM canon
+        WINDOW w AS (ORDER BY id ROWS BETWEEN {_P13_L - 1} PRECEDING AND CURRENT ROW)
+    ),
+    thr AS (SELECT {sql_favg('value')} AS m FROM canon),
+    winres AS (
+        SELECT w.id, CASE WHEN w.w_sum_fx / {_P13_L}000000.0 > t.m THEN 1 ELSE 0 END AS flag
+        FROM win w, thr t WHERE w.w_n = {_P13_L}
+    )
+    SELECT c.id, COALESCE(r.flag, 0) AS aligned_flag
+    FROM canon c LEFT JOIN winres r ON c.id = r.id
+    """,
+    doc="P13: detection-result alignment (execute_calls.py:653-690) — a "
+    "window model emits one result per full window; instead of positional "
+    "padding, results key on the window-end id and left-join back with "
+    "coalesce(flag, false) for the first L-1 rows.",
+)
+def p13_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from exact_spark.functions import fixed
+
+    df = canonical_events(spark, sf_dir)
+    w = Window.orderBy("id").rowsBetween(-(_P13_L - 1), Window.currentRow)
+    win = df.select(
+        "id",
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        F.sum(fixed(F.col("value"))).over(w).alias("w_sum_fx"),
+    )
+    thr = df.agg(favg(F.col("value")).alias("m"))
+    winres = (
+        win.filter(F.col("w_n") == _P13_L)
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "id",
+            F.when(
+                F.col("w_sum_fx") / F.lit(float(_P13_L * 1_000_000)) > F.col("m"), 1
+            )
+            .otherwise(0)
+            .alias("flag"),
+        )
+    )
+    return df.select("id").join(winres.withColumnRenamed("id", "wid"),
+                                F.col("id") == F.col("wid"), "left").select(
+        "id", F.coalesce(F.col("flag"), F.lit(0)).alias("aligned_flag")
+    )
+
+
 @register(
     "j1_flag_writeback",
     sql=f"""

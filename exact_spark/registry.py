@@ -60,6 +60,7 @@ def _load_all() -> None:
         dedup,
         inject,
         metrics,
+        multimodal,
         prep,
         relational,
         similarity,
