@@ -67,7 +67,7 @@ _SQL_SHINGLES = f"""
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id -> distinct 3-gram shingle array."""
-    docs = io.load(spark, sf_dir, "documents")
+    docs = io.load(spark, sf_dir, "documents", spread=True)
     t = docs.select("doc_id", tokens_col().alias("toks")).filter(F.size("toks") >= 3)
     tri = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 2),
@@ -179,8 +179,10 @@ _BAND_SIZE = 2  # -> 4 bands
     SELECT doc_a, doc_b FROM cand
     """,
     doc="MinHash+LSH near-dup: 8 16-bit minhashes from one md5 per shingle "
-    "(array ops, zero-shuffle signatures), 4 bands of 2, candidate pairs "
-    "from the band-bucket equi-join (the only shuffle).",
+    "(array ops, zero-shuffle signatures), 4 bands of 2. Candidate pairs "
+    "come from ONE shuffle keyed (band, bucket): collect the bucket's doc "
+    "list and expand in-place — no bands self-join, so the document scan "
+    "runs exactly once (the join form re-ran it per side per band).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
@@ -199,29 +201,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_N_HASHES)
         ],
     )
-    band_parts = [
-        sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat(F.col(f"h{b * _BAND_SIZE}"), F.col(f"h{b * _BAND_SIZE + 1}")).alias(
-                "bucket"
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    F.col(f"h{b * _BAND_SIZE}"), F.col(f"h{b * _BAND_SIZE + 1}")
+                ).alias("bucket"),
+            )
+            for b in range(_N_HASHES // _BAND_SIZE)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    # At 100 TB, add a bucket-size cap here (drop degenerate buckets) the
+    # same way dedup_ngram_jaccard caps hot shingles.
+    grouped = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
             ),
         )
-        for b in range(_N_HASHES // _BAND_SIZE)
-    ]
-    bands = band_parts[0]
-    for p in band_parts[1:]:
-        bands = bands.unionByName(p)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

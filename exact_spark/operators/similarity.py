@@ -206,6 +206,128 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_CELLS = 16  # IVF coarse quantizer size (deterministic seed centroids)
+_N_PROBE = 4  # cells probed per query
+
+
+@register(
+    "sim_topk_ivf",
+    sql=f"""
+    WITH norms AS (
+        SELECT vec_id, embedding, label,
+               {_sql_dot('embedding', 'embedding')} AS norm_fx
+        FROM embeddings
+    ),
+    cent AS (SELECT * FROM norms WHERE vec_id < {_N_CELLS}),
+    assign_scored AS (
+        SELECT v.vec_id, v.embedding, v.label, v.norm_fx, c.vec_id AS cell,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_SQL_COS.format(dot=_sql_dot('v.embedding', 'c.embedding'), na='v.norm_fx', nb='c.norm_fx')} DESC,
+                            c.vec_id
+               ) AS cr
+        FROM norms v, cent c
+    ),
+    assigned AS (SELECT vec_id, embedding, label, norm_fx, cell FROM assign_scored WHERE cr = 1),
+    q AS (SELECT * FROM norms WHERE vec_id < {_N_QUERIES}),
+    probes AS (
+        SELECT query_id, q_embedding, q_norm_fx, cell FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS q_embedding,
+                   q.norm_fx AS q_norm_fx, c.vec_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_SQL_COS.format(dot=_sql_dot('q.embedding', 'c.embedding'), na='q.norm_fx', nb='c.norm_fx')} DESC,
+                                c.vec_id
+                   ) AS pr
+            FROM q, cent c
+        ) WHERE pr <= {_N_PROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, a.label AS neighbor_label,
+               {_SQL_COS.format(dot=_sql_dot('p.q_embedding', 'a.embedding'), na='p.q_norm_fx', nb='a.norm_fx')} AS cosine
+        FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM cand
+    ) WHERE rank <= {_TOP_K}
+    """,
+    doc="IVF-bucketed ANN top-k (the 100 TB scale path next to the "
+    "brute-force baseline): 16 deterministic seed centroids, cell "
+    "assignment in one scan against the broadcast centroid table, queries "
+    "probe their 4 nearest cells, exact cosine only inside probed cells. "
+    "At scale the assigned table is written bucketed by cell so a probe "
+    "touches ~nprobe/ncells of the data; centroids come from MLlib KMeans "
+    "instead of seed rows.",
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "embedding", "label",
+        dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
+    )
+    cent = norms.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_embedding"),
+        F.col("norm_fx").alias("c_norm_fx"),
+    )
+
+    # cell assignment: broadcast the tiny centroid table, argmax cosine
+    a_cos = cosine_from_fixed(
+        dot_fixed(F.col("embedding"), F.col("c_embedding")),
+        F.col("norm_fx"),
+        F.col("c_norm_fx"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(a_cos.desc(), F.col("cell"))
+    assigned = (
+        norms.crossJoin(F.broadcast(cent))
+        .withColumn("cr", F.row_number().over(wa))
+        .filter(F.col("cr") == 1)
+        .select("vec_id", "embedding", "label", "norm_fx", "cell")
+    )
+
+    # query probes: nprobe nearest cells per query vector
+    q = norms.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm_fx").alias("q_norm_fx"),
+    )
+    p_cos = cosine_from_fixed(
+        dot_fixed(F.col("q_embedding"), F.col("c_embedding")),
+        F.col("q_norm_fx"),
+        F.col("c_norm_fx"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(p_cos.desc(), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= _N_PROBE)
+        .select("query_id", "q_embedding", "q_norm_fx", "cell")
+    )
+
+    cand_cos = cosine_from_fixed(
+        dot_fixed(F.col("q_embedding"), F.col("embedding")),
+        F.col("q_norm_fx"),
+        F.col("norm_fx"),
+    )
+    cand = (
+        assigned.join(
+            F.broadcast(probes),
+            (assigned["cell"] == probes["cell"])
+            & (assigned["vec_id"] != probes["query_id"]),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            cand_cos.alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= _TOP_K)
+
+
 @register(
     "sim_knn_classify",
     sql=f"""
