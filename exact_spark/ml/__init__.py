@@ -1,10 +1,12 @@
 """Detection models (SURVEY.md §2.7) — Spark-native.
 
-Round-1 scope: the deterministic MLlib decision-tree pipeline (M5) as the
-end-to-end e2e detector, registered as a rows-only query (model training is
-not SQL-expressible, so no DuckDB oracle; the driver records a rows-only
-check). Broadcast-model pandas-UDF scoring (M1-M3) and SparkXGB (M4) follow
-in later rounds.
+Registered e2e detectors (rows-only driver checks — model training is not
+SQL-expressible): the MLlib decision-tree pipeline (M5), logistic
+regression (M6 analog), and the broadcast-model ``mapInPandas`` detectors
+(M1-M3 shape: PCA-reconstruction autoencoder, native isolation forest) —
+train driver-side on a capped deterministic sample, broadcast the small
+model state, score distributedly. The XAI occlusion pipeline (X1-X6 shape
++ G6 NDCG) is registered the same way.
 """
 
 from __future__ import annotations
@@ -14,6 +16,54 @@ from pyspark.sql import functions as F
 
 from exact_spark.operators.timeseries import canonical_events
 from exact_spark.registry import register
+
+
+def _event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical events + derived hour-of-day feature (P6 selection)."""
+    return canonical_events(spark, sf_dir).withColumn(
+        "hour", ((F.col("ts_epoch") / 3600) % 24).cast("double")
+    )
+
+
+def _confusion(scored: DataFrame) -> DataFrame:
+    """G1 counts over (label, predicted) — the e2e result shape."""
+    tp = F.sum(F.when((F.col("predicted") == 1) & (F.col("label") == 1), 1).otherwise(0))
+    tn = F.sum(F.when((F.col("predicted") == 0) & (F.col("label") == 0), 1).otherwise(0))
+    fp = F.sum(F.when((F.col("predicted") == 1) & (F.col("label") == 0), 1).otherwise(0))
+    fn = F.sum(F.when((F.col("predicted") == 0) & (F.col("label") == 1), 1).otherwise(0))
+    return scored.agg(
+        tp.cast("long").alias("tp"),
+        tn.cast("long").alias("tn"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def _detector_e2e(spark: SparkSession, sf_dir: str, model_name: str) -> DataFrame:
+    """§7.2 slice with a DetectorModel: 85% positional train split (P9),
+    train, distributed detect on all rows, P13-align by id join, G1."""
+    from exact_spark.ml.models import get_model
+
+    # cache: the canonical frame (global row_number sort) feeds count,
+    # train, detect, and the label join — 4 actions, 1 materialization
+    df = _event_features(spark, sf_dir).cache()
+    cut = int(0.85 * df.count())
+    feats = ["value", "hour"]
+    par = spark.sparkContext.defaultParallelism
+    model = get_model(model_name)
+    # MLlib's iterative optimizers launch one job per iteration; on local
+    # data a handful of train partitions keeps real parallelism without
+    # paying 32-task scheduling per iteration
+    model.run(df.filter(F.col("id") <= cut).repartition(min(par, 8)), feats)
+    # the canonical frame sits in one partition (global row_number sort);
+    # fan scoring out so the broadcast-model UDF uses every core
+    to_score = df.repartition(par)
+    det = model.detect(to_score, feats).select("id", "predicted")
+    scored = df.select("id", "label").join(det, "id", "left").select(
+        "label", F.coalesce(F.col("predicted"), F.lit(0)).alias("predicted")
+    )
+    return _confusion(scored)
 
 
 @register(
@@ -28,9 +78,7 @@ def ml_decision_tree_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import MinMaxScaler, VectorAssembler
     from pyspark.ml import Pipeline
 
-    df = canonical_events(spark, sf_dir).withColumn(
-        "hour", ((F.col("ts_epoch") / 3600) % 24).cast("double")
-    )
+    df = _event_features(spark, sf_dir)
     n_total = df.count()
     cut = int(0.85 * n_total)
     train = df.filter(F.col("id") <= cut)
@@ -46,16 +94,93 @@ def ml_decision_tree_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = pipe.fit(train)
     scored = model.transform(df).select(
-        "id", "label", F.col("prediction").cast("int").alias("predicted")
+        "label", F.col("prediction").cast("int").alias("predicted")
     )
-    tp = F.sum(F.when((F.col("predicted") == 1) & (F.col("label") == 1), 1).otherwise(0))
-    tn = F.sum(F.when((F.col("predicted") == 0) & (F.col("label") == 0), 1).otherwise(0))
-    fp = F.sum(F.when((F.col("predicted") == 1) & (F.col("label") == 0), 1).otherwise(0))
-    fn = F.sum(F.when((F.col("predicted") == 0) & (F.col("label") == 1), 1).otherwise(0))
-    return scored.agg(
-        tp.cast("long").alias("tp"),
-        tn.cast("long").alias("tn"),
-        fp.cast("long").alias("fp"),
-        fn.cast("long").alias("fn"),
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    return _confusion(scored)
+
+
+@register(
+    "ml_logistic_regression_e2e",
+    sql=None,  # model training is not SQL-expressible -> rows-only check
+    doc="M6 analog: MinMax-scale -> LogisticRegression on the 85% split -> "
+    "detect on all rows -> confusion metrics (SGDClassifier.py:14-620 "
+    "re-expressed on pyspark.ml; fully distributed train AND score).",
+)
+def ml_logistic_regression_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _detector_e2e(spark, sf_dir, "logistic_regression")
+
+
+@register(
+    "ml_isolation_forest_e2e",
+    sql=None,
+    doc="M2: native isolation forest (isolation_forest.py:9-173 semantics), "
+    "trained driver-side on a capped ordered sample, scored distributedly "
+    "via broadcast-model Arrow mapInPandas; threshold at the "
+    "(1-contamination) quantile of training scores.",
+)
+def ml_isolation_forest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _detector_e2e(spark, sf_dir, "isolation_forest")
+
+
+@register(
+    "ml_pca_reconstruction_e2e",
+    sql=None,
+    doc="M1/M3 shape: linear autoencoder (top-k principal components), "
+    "anomaly = reconstruction error > P95 of training errors "
+    "(lstm.py:151-167 threshold semantics); broadcast-model distributed "
+    "scoring.",
+)
+def ml_pca_reconstruction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _detector_e2e(spark, sf_dir, "pca_autoencoder")
+
+
+@register(
+    "xai_occlusion_ndcg",
+    sql=None,
+    doc="X1-X6 + G6 e2e: inject a known anomaly span into the canonical "
+    "events series (A1-A9), train the threshold detector, occlusion "
+    "feature attribution over W3-selected instances (per-instance fan-out, "
+    "X6 aggregation), NDCG@k vs the injected-column ground truth "
+    "(xai_runner.py:310-881 condensed).",
+)
+def xai_occlusion_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exact_spark.ml.explain import run_explanations
+    from exact_spark.ml.models import get_model
+    from exact_spark.operators.inject import AnomalySetting, inject_anomalies
+
+    df = _event_features(spark, sf_dir).select(
+        "id",
+        F.timestamp_seconds(F.col("ts_epoch")).alias("timestamp"),
+        "value",
+        "hour",
+        "label",
+        F.lit(False).alias("injected_anomaly"),
+        F.lit(False).alias("is_anomaly"),
+    )
+    start = df.agg(F.min(F.col("timestamp").cast("double"))).collect()[0][0]
+    settings = [
+        AnomalySetting(
+            "custom", 3600.0, 7200.0, magnitude=25.0, percentage=100.0,
+            columns=["value"],
+        )
+    ]
+    injected = inject_anomalies(df, settings, start).cache()
+    feats = ["value", "hour"]
+    model = get_model("threshold")
+    model.run(injected.filter(F.col("label") == 0), feats)
+    summary = run_explanations(
+        model, injected, feats, settings, start, n_instances=10
+    )
+    row = {
+        "method": summary["method"],
+        "n_instances": int(summary["n_instances"]),
+        "n_features_ranked": len(summary["aggregated_feature_importances"]),
+        "ndcg_at_3": float(summary["ndcg_at_3"]),
+        "ndcg_at_5": float(summary["ndcg_at_5"]),
+        "ndcg_at_10": float(summary["ndcg_at_10"]),
+    }
+    return spark.createDataFrame(
+        [row],
+        schema="method string, n_instances long, n_features_ranked long, "
+        "ndcg_at_3 double, ndcg_at_5 double, ndcg_at_10 double",
     )

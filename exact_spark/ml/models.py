@@ -280,19 +280,37 @@ class IsolationForestDetector(DetectorModel):
         for _ in range(self.n_estimators):
             idx = rng.choice(len(x), size=psi, replace=False)
             self.trees.append(_build_itree(x[idx], rng, max_depth))
-        self.thr = float(np.quantile(self._scores(x), 1.0 - self.contamination))
+        # Threshold = (1-contamination) quantile of TRAINING scores,
+        # computed distributed (exact percentile over the scored frame):
+        # the driver builds trees from a capped sample but never scores the
+        # full training set — at 100 TB it can't. Fan out first: the input
+        # often arrives as one cached partition.
+        sc = train.sparkSession.sparkContext
+        spread = train.repartition(sc.defaultParallelism)
+        scored = _score_map_in_pandas(
+            spread, feature_cols, self._score_closure(sc), float("inf")
+        )
+        self.thr = float(
+            scored.agg(
+                F.percentile(F.col("score"), F.lit(1.0 - self.contamination))
+            ).collect()[0][0]
+        )
 
-    def detect(self, df, feature_cols):
+    def _score_closure(self, sc=None):
         # Ship trees as plain array tuples and keep the traversal nested so
         # the closure pickles BY VALUE — executors must not need to import
-        # exact_spark (the driver may run from any cwd).
-        trees = [
+        # exact_spark (the driver may run from any cwd). With a SparkContext
+        # the (~MB) tree state goes out as a broadcast — shipped once per
+        # executor instead of re-pickled into every task.
+        tree_state = [
             (t.feature, t.threshold, t.left, t.right, t.path_adj, t.lo, t.hi)
             for t in self.trees
         ]
+        bc = sc.broadcast(tree_state) if sc is not None else None
         c_psi, n_est = self.c_psi, self.n_estimators
 
         def score(x: np.ndarray) -> np.ndarray:
+            trees = bc.value if bc is not None else tree_state
             paths = np.zeros(len(x))
             for feature, threshold, left, right, path_adj, lo, hi in trees:
                 node = np.zeros(len(x), dtype=np.int32)
@@ -317,7 +335,13 @@ class IsolationForestDetector(DetectorModel):
                 paths += out
             return 2.0 ** (-(paths / n_est) / c_psi)
 
-        return _score_map_in_pandas(df, feature_cols, score, self.thr)
+        return score
+
+    def detect(self, df, feature_cols):
+        sc = df.sparkSession.sparkContext
+        return _score_map_in_pandas(
+            df, feature_cols, self._score_closure(sc), self.thr
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -342,9 +366,9 @@ class MLlibClassifierDetector(DetectorModel):
                 labelCol="label", featuresCol="features", maxDepth=5, seed=self.seed
             )
         if self.algo == "logistic_regression":
-            return LogisticRegression(labelCol="label", featuresCol="features", maxIter=50)
+            return LogisticRegression(labelCol="label", featuresCol="features", maxIter=10, tol=1e-4)
         if self.algo == "linear_svc":
-            return LinearSVC(labelCol="label", featuresCol="features", maxIter=50)
+            return LinearSVC(labelCol="label", featuresCol="features", maxIter=10, tol=1e-4)
         raise KeyError(self.algo)
 
     def run(self, train, feature_cols, label_col="label"):
