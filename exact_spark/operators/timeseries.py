@@ -89,12 +89,28 @@ _T1 = 1705708800.0  # 2024-01-20 00:00:00 UTC
     FROM ({CANON_SQL})
     WHERE ts_epoch >= {_T0!r} AND ts_epoch <= {_T1!r}
     """,
-    doc="S7: time-range read (timescaledb_api.py:152-174) — filter pushes to "
-    "the parquet scan; at scale this is partition pruning on the time bucket.",
+    doc="S7: time-range read (timescaledb_api.py:152-174). The dense id is "
+    "assigned over the FULL time order, so the lower bound cannot prune — "
+    "but nothing after the upper bound can affect earlier row numbers, so "
+    "a coarse raw-ts bound is pushed into the parquet scan (PushedFilters; "
+    "partition pruning on the time bucket at scale). Persisted job tables "
+    "(sources/ingest.py) store ids, where BOTH bounds prune.",
 )
 def ts_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = canonical_events(spark, sf_dir)
-    return df.filter((F.col("ts_epoch") >= _T0) & (F.col("ts_epoch") <= _T1)).select(
+    tune_session(spark)
+    # pushable coarse bound on the raw ns column (+999 ns: ts DIV 1000
+    # truncates, so epoch == _T1 admits ts up to _T1*1e9 + 999)
+    ev = io.load(spark, sf_dir, "events").filter(
+        F.col("ts") <= int(_T1 * 1_000_000_000) + 999
+    )
+    w = Window.orderBy("ts", "event_id")
+    canon = ev.select(
+        F.row_number().over(w).alias("id"),
+        (F.expr("ts DIV 1000") / F.lit(1e6)).alias("ts_epoch"),
+        "value",
+        F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    return canon.filter((F.col("ts_epoch") >= _T0) & (F.col("ts_epoch") <= _T1)).select(
         "id", "ts_epoch", "value", "label"
     )
 
