@@ -69,4 +69,5 @@ def _load_all() -> None:
         windows,
     )
     from exact_spark import ml as _ml  # noqa: F401
+    from exact_spark import streaming as _streaming  # noqa: F401
     _LOADED = True

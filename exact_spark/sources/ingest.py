@@ -84,30 +84,54 @@ def with_dense_id(
     """Dense 1-based id following the global ordering, without a
     single-partition global sort.
 
-    Range-repartition on the ordering key, local row_number per partition,
-    then add driver-computed partition offsets (a prefix sum over the tiny
-    per-partition count list). Survives 100 TB: the only driver-side data
-    is one count per partition.
+    Two jobs, both DETERMINISTIC BY VALUE so they cannot disagree:
+
+    1. bucket boundaries = approx-quantile cut points of the primary order
+       key, collected once and baked into the plan as literals. (A plain
+       ``repartitionByRange`` re-SAMPLES boundaries on every action — the
+       count job and the assignment job would see different partitions,
+       which silently duplicates/drops ids.)
+    2. per-bucket counts -> driver prefix sum (one tiny row per bucket);
+       id = bucket offset + row_number within the bucket.
+
+    The in-bucket order appends a whole-row hash tie-break so the order is
+    total: rows with equal keys are either distinguishable (hash differs)
+    or fully identical (any assignment yields the same table). Survives
+    100 TB: driver state is `num_partitions` doubles + counts.
     """
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    keyed = (
-        df.repartitionByRange(parts, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    counts = {r["__pid"]: r["cnt"] for r in keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    primary = order_cols[0]
+    primary_d = F.col(primary).cast("double")
+
+    # total tie-break: whole-row hash (deterministic, partition-independent)
+    tie = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]))
+    work = df.withColumn("__pd", primary_d).withColumn("__tie", tie)
+
+    qs = [i / parts for i in range(1, parts)]
+    bounds = sorted(set(work.stat.approxQuantile("__pd", qs, 0.001))) if qs else []
+    if bounds:
+        bucket = sum(
+            ((F.col("__pd") > F.lit(b)).cast("int") for b in bounds), F.lit(0)
+        )
+    else:
+        bucket = F.lit(0)
+    keyed = work.withColumn("__bkt", bucket)
+
+    counts = {
+        r["__bkt"]: r["cnt"]
+        for r in keyed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
     offset_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("__pid")
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("__bkt")
     )
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    w = Window.partitionBy("__bkt").orderBy(*order_cols, "__tie")
     return (
         keyed.withColumn(id_col, (offset_expr + F.row_number().over(w)).cast("long"))
-        .drop("__pid")
+        .drop("__pd", "__tie", "__bkt")
     )
 
 
