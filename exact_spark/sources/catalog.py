@@ -51,7 +51,10 @@ class JobCatalog:
         """
         if self.table_exists(table_name):
             return None
-        out = df.withColumn("__date", F.to_date("timestamp"))
+        # cluster by the partition column first: otherwise every task
+        # writes a sliver into every date directory (n_tasks x n_dates
+        # small files — the classic partitioned-write mistake at scale)
+        out = df.withColumn("__date", F.to_date("timestamp")).repartition("__date")
         out.write.partitionBy("__date").parquet(str(self._path(table_name)))
         return table_name
 
@@ -126,3 +129,78 @@ class JobCatalog:
             and (p.name.startswith(BATCH_PREFIX) or p.name.startswith(STREAM_PREFIX))
             and not p.name.endswith(".tmp")
         )
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible catalog lifecycle demo (rows-only: filesystem side effects
+# are not SQL-expressible for the DuckDB oracle).
+from exact_spark.registry import register  # noqa: E402
+
+
+@register(
+    "catalog_lifecycle",
+    sql=None,
+    doc="S4-S12 + J2/S8 e2e: create a job_batch_ table from the canonical "
+    "events series (date-partitioned parquet = hypertable analog), "
+    "time-range read with partition pruning (S7), set-oriented flag "
+    "writeback join replacing the reference's per-row UPDATE loop "
+    "(timescaledb_api.py:238-274), catalog listing + column probe with "
+    "flag columns hidden (timescaledb_api.py:216-235), drop.",
+)
+def catalog_lifecycle(spark: SparkSession, sf_dir: str):
+    import pathlib
+    import tempfile
+
+    from exact_spark.operators.timeseries import canonical_events
+
+    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_catalog_"))
+    try:
+        cat = JobCatalog(spark, str(work))
+        table = cat.table_name("lifecycle_demo")  # S4 naming contract
+        df = canonical_events(spark, sf_dir).select(
+            "id",
+            F.timestamp_seconds(F.col("ts_epoch")).alias("timestamp"),
+            "value",
+            "label",
+            F.lit(False).alias("injected_anomaly"),
+            F.lit(False).alias("is_anomaly"),
+        )
+        cat.create_table(table, df)  # S4+S5
+
+        listed = cat.list_all_tables()  # S12
+        cols = cat.get_columns(table)  # S11 (flags hidden)
+
+        # S8/J2: flag the P95 outliers via one set-oriented writeback.
+        # Everything derived from the pre-update file listing must be
+        # evaluated BEFORE update_anomalies swaps the table directory.
+        stored = cat.read_data(table)
+        t0 = stored.agg(F.min("timestamp")).collect()[0][0]
+        thr = stored.agg(F.percentile(F.col("value"), F.lit(0.95)).alias("t"))
+        ids = (
+            stored.crossJoin(F.broadcast(thr))
+            .filter(F.col("value") > F.col("t"))
+            .select("id")
+        )
+        n_updated = cat.update_anomalies(table, ids)
+
+        # S7: time-range read back over the partition-pruned table
+        ranged = cat.read_data(table, from_time=t0)
+        n_flagged = ranged.filter(F.col("is_anomaly")).count()
+
+        row = {
+            "table_name": table,
+            "n_tables_listed": len(listed),
+            "n_visible_columns": len(cols),
+            "flags_hidden": all(c not in cols for c in FLAG_COLS),
+            "n_updated": int(n_updated),
+            "n_flagged_readback": int(n_flagged),
+            "dropped": cat.drop_table(table),  # S9
+        }
+        return spark.createDataFrame(
+            [row],
+            schema="table_name string, n_tables_listed long, "
+            "n_visible_columns long, flags_hidden boolean, n_updated long, "
+            "n_flagged_readback long, dropped boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
