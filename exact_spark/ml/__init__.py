@@ -134,6 +134,58 @@ def ml_pca_reconstruction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _detector_e2e(spark, sf_dir, "pca_autoencoder")
 
 
+_SEQ_L = 5  # sequence length (reference default time_steps=10, lstm.py:101)
+
+
+@register(
+    "ml_sequence_window_e2e",
+    sql=None,
+    doc="M1 shape + W1 + P13 in one distributed pipeline: per-series "
+    "(user_id) trailing length-5 windows built JVM-side "
+    "(collect_list over a partitioned window — the sequence tensor of "
+    "utils.py:147-282 without driver materialization), flattened to "
+    "L*F feature columns, PCA-reconstruction autoencoder with P95 "
+    "training-error threshold (lstm.py:151-167), distributed scoring, "
+    "window-end-id left join alignment (execute_calls.py:653-690).",
+)
+def ml_sequence_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from exact_spark.ml.models import get_model
+
+    df = _event_features(spark, sf_dir).cache()
+    n = df.count()
+    cut = int(0.85 * n)
+    par = spark.sparkContext.defaultParallelism
+
+    # W1: trailing windows per series — hash-partitioned by user_id, no
+    # global sort, full windows only
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("id")
+        .rowsBetween(-(_SEQ_L - 1), Window.currentRow)
+    )
+    win = df.select(
+        "id",
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        F.flatten(F.collect_list(F.array("value", "hour")).over(w)).alias("x"),
+    ).filter(F.col("w_n") == _SEQ_L)
+    flat = win.select(
+        "id", *[F.col("x")[i].alias(f"x{i}") for i in range(_SEQ_L * 2)]
+    )
+    cols = [f"x{i}" for i in range(_SEQ_L * 2)]
+
+    model = get_model("pca_autoencoder")
+    model.run(flat.filter(F.col("id") <= cut).repartition(min(par, 8)), cols)
+    det = model.detect(flat.repartition(par), cols).select("id", "predicted")
+
+    # P13: one result per window END id; align back to every row
+    scored = df.select("id", "label").join(det, "id", "left").select(
+        "label", F.coalesce(F.col("predicted"), F.lit(0)).alias("predicted")
+    )
+    return _confusion(scored)
+
+
 @register(
     "xai_occlusion_ndcg",
     sql=None,
