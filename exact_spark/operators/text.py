@@ -29,31 +29,64 @@ def tokens_col(text: Column = None) -> Column:
     return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda x: x != "")
 
 
+# BPE-ish pre-tokenizer: alnum runs + single non-space punctuation marks;
+# each alnum run contributes ceil(len/4) subword pieces (the ~4-chars-per-
+# BPE-token heuristic), punctuation one piece each. Integer arithmetic so
+# both engines agree exactly.
+_BPE_PATTERN = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
 @register(
     "text_token_stats",
     sql=f"""
-    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks,
+               regexp_extract_all(lower(text), '{_BPE_PATTERN}') AS pieces
+        FROM documents
+    )
     SELECT doc_id,
            len(toks) AS n_tokens,
            len(list_distinct(toks)) AS n_distinct,
-           list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS avg_token_len
+           list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS avg_token_len,
+           CAST(COALESCE(list_sum(list_transform(pieces,
+                x -> CASE WHEN regexp_matches(x, '^[a-z0-9]')
+                          THEN (length(x) + 3) // 4 ELSE 1 END)), 0) AS BIGINT) AS n_bpe_est
     FROM t WHERE len(toks) > 0
     """,
-    doc="Token counting: per-doc token count, distinct count, mean token "
-    "length — pure array ops, single scan.",
+    doc="Token counting: whitespace-token count, distinct count, mean token "
+    "length, plus a BPE-ish subword estimate (alnum/punct pre-tokenizer, "
+    "ceil(len/4) pieces per alnum run) — pure array ops, single scan.",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = io.load(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens_col().alias("toks")).filter(F.size("toks") > 0)
+    t = docs.select(
+        "doc_id",
+        tokens_col().alias("toks"),
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), F.lit(0)).alias(
+            "pieces"
+        ),
+    ).filter(F.size("toks") > 0)
     tok_len_sum = F.aggregate(
         F.transform(F.col("toks"), lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    is_alnum = lambda x: x.rlike("^[a-z0-9]")  # noqa: E731
+    bpe_sum = F.aggregate(
+        F.transform(
+            F.col("pieces"),
+            lambda x: F.when(
+                is_alnum(x), F.floor((F.length(x) + 3) / 4).cast("long")
+            ).otherwise(F.lit(1).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
     return t.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
         (tok_len_sum * 1.0 / F.size("toks")).alias("avg_token_len"),
+        bpe_sum.cast("long").alias("n_bpe_est"),
     )
 
 

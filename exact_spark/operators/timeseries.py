@@ -237,6 +237,49 @@ def ts_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_asof_join",
+    sql="""
+    WITH tagged AS (
+        SELECT event_id, user_id, event_type, ts,
+               max(CASE WHEN event_type = 'error' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS le_ts
+        FROM events
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS purchase_epoch,
+           CAST(epoch_us(le_ts) AS DOUBLE) / 1000000.0 AS last_error_epoch,
+           CAST(epoch_us(ts) - epoch_us(le_ts) AS DOUBLE) / 1000000.0 AS gap_seconds
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+    doc="As-of join (operator Spark lacks natively, SURVEY §7.3): for every "
+    "purchase, the most recent error of the same user at-or-before it. "
+    "Expressed as ONE pass with a per-user RANGE-frame running max — no "
+    "join, no broadcast, the only shuffle is the user_id window partition; "
+    "ties at equal timestamps match the inclusive as-of contract exactly.",
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = io.load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    le = F.max(F.when(F.col("event_type") == "error", F.col("ts"))).over(w)
+    tagged = ev.select("event_id", "user_id", "event_type", "ts", le.alias("le_ts"))
+    us = lambda c: F.expr(f"{c} DIV 1000")  # noqa: E731 — exact ns->us
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (us("ts").cast("double") / F.lit(1e6)).alias("purchase_epoch"),
+        (us("le_ts").cast("double") / F.lit(1e6)).alias("last_error_epoch"),
+        ((us("ts") - us("le_ts")).cast("double") / F.lit(1e6)).alias("gap_seconds"),
+    )
+
+
+@register(
     "ts_column_stats",
     sql=f"""
     SELECT event_type,
