@@ -111,6 +111,18 @@ def ml_logistic_regression_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ml_gbt_e2e",
+    sql=None,
+    doc="M4 analog: distributed gradient-boosted trees "
+    "(pyspark.ml GBTClassifier; XGBoost.py:11-699 contract — boosted "
+    "ensemble on the 85% split, scale_pos_weight imbalance handling via "
+    "class weights) -> detect on all rows -> confusion metrics.",
+)
+def ml_gbt_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _detector_e2e(spark, sf_dir, "gbt")
+
+
+@register(
     "ml_isolation_forest_e2e",
     sql=None,
     doc="M2: native isolation forest (isolation_forest.py:9-173 semantics), "
@@ -132,6 +144,29 @@ def ml_isolation_forest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml_pca_reconstruction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _detector_e2e(spark, sf_dir, "pca_autoencoder")
+
+
+@register(
+    "ml_cv_stratified",
+    sql=None,
+    doc="Stratified k-fold CV (custom splitter — no MLlib equivalent; "
+    "StratifiedKFold contract of XGBoost.py:327-470): md5-rank round-robin "
+    "fold deal within each class, per-fold decision-tree train/eval with "
+    "G1/G2 metrics. One row per fold.",
+)
+def ml_cv_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exact_spark.ml.cv import cross_validate
+    from exact_spark.ml.models import get_model
+
+    df = _event_features(spark, sf_dir).cache()
+    rows = cross_validate(
+        df, lambda: get_model("decision_tree"), ["value", "hour"], k=3
+    )
+    return spark.createDataFrame(
+        rows,
+        schema="fold int, tp long, tn long, fp long, fn long, "
+        "accuracy double, precision double, recall double, f1 double",
+    )
 
 
 _SEQ_L = 5  # sequence length (reference default time_steps=10, lstm.py:101)

@@ -357,6 +357,7 @@ class MLlibClassifierDetector(DetectorModel):
     def _classifier(self):
         from pyspark.ml.classification import (
             DecisionTreeClassifier,
+            GBTClassifier,
             LinearSVC,
             LogisticRegression,
         )
@@ -364,6 +365,14 @@ class MLlibClassifierDetector(DetectorModel):
         if self.algo == "decision_tree":
             return DecisionTreeClassifier(
                 labelCol="label", featuresCol="features", maxDepth=5, seed=self.seed
+            )
+        if self.algo == "gbt":
+            # M4 analog: distributed gradient-boosted trees (XGBoost is not
+            # in this environment; GBTClassifier carries the same
+            # boosted-ensemble contract incl. class imbalance via weightCol)
+            return GBTClassifier(
+                labelCol="label", featuresCol="features", maxDepth=4,
+                maxIter=10, seed=self.seed,
             )
         if self.algo == "logistic_regression":
             return LogisticRegression(labelCol="label", featuresCol="features", maxIter=10, tol=1e-4)
@@ -411,6 +420,6 @@ def get_model(name: str, **params) -> DetectorModel:
         return PCAReconstructionDetector(**params)
     if name == "isolation_forest":
         return IsolationForestDetector(**params)
-    if name in ("decision_tree", "logistic_regression", "linear_svc"):
+    if name in ("decision_tree", "logistic_regression", "linear_svc", "gbt"):
         return MLlibClassifierDetector(algo=name, **params)
     raise KeyError(f"unknown model {name!r}")

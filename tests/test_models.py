@@ -73,3 +73,24 @@ def test_pca_scores_distributed_match_driver(spark, series):
     errs = ((z - z @ m.components.T @ m.components) ** 2).mean(axis=1)
     for i, rid in enumerate(pdf["id"]):
         assert abs(det[rid] - errs[i]) < 1e-12
+
+
+def test_stratified_kfold_balance(spark, series):
+    from exact_spark.ml.cv import FOLD_COL, stratified_kfold
+
+    k = 4
+    folded = stratified_kfold(series, "label", k=k)
+    per = {
+        (r["label"], r[FOLD_COL]): r["cnt"]
+        for r in folded.groupBy("label", FOLD_COL).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    # every class dealt round-robin: fold sizes within a class differ by <= 1
+    for lab in (0, 1):
+        sizes = [per.get((lab, f), 0) for f in range(k)]
+        assert max(sizes) - min(sizes) <= 1, (lab, sizes)
+    # deterministic across evaluations
+    a = sorted(map(tuple, folded.select("id", FOLD_COL).collect()))
+    b = sorted(map(tuple, folded.select("id", FOLD_COL).collect()))
+    assert a == b
