@@ -45,21 +45,17 @@ def _detector_e2e(spark: SparkSession, sf_dir: str, model_name: str) -> DataFram
     train, distributed detect on all rows, P13-align by id join, G1."""
     from exact_spark.ml.models import get_model
 
-    # cache: the canonical frame (global row_number sort) feeds count,
-    # train, detect, and the label join — 4 actions, 1 materialization
-    df = _event_features(spark, sf_dir).cache()
+    # repartition BEFORE caching: the canonical frame exits its global
+    # row_number sort in one partition; cached as-is, every downstream
+    # job (count, train, detect, join) would run single-task. One shuffle
+    # here makes all four parallel.
+    par = spark.sparkContext.defaultParallelism
+    df = _event_features(spark, sf_dir).repartition(min(par, 8)).cache()
     cut = int(0.85 * df.count())
     feats = ["value", "hour"]
-    par = spark.sparkContext.defaultParallelism
     model = get_model(model_name)
-    # MLlib's iterative optimizers launch one job per iteration; on local
-    # data a handful of train partitions keeps real parallelism without
-    # paying 32-task scheduling per iteration
-    model.run(df.filter(F.col("id") <= cut).repartition(min(par, 8)), feats)
-    # the canonical frame sits in one partition (global row_number sort);
-    # fan scoring out so the broadcast-model UDF uses every core
-    to_score = df.repartition(par)
-    det = model.detect(to_score, feats).select("id", "predicted")
+    model.run(df.filter(F.col("id") <= cut), feats)
+    det = model.detect(df, feats).select("id", "predicted")
     scored = df.select("id", "label").join(det, "id", "left").select(
         "label", F.coalesce(F.col("predicted"), F.lit(0)).alias("predicted")
     )

@@ -43,7 +43,10 @@ def cross_validate(
     """Per-fold train/eval (the reference's StratifiedKFold CV loop,
     XGBoost.py:431-470 shape): fit on k-1 folds, score the held-out fold,
     G1/G2 metrics per fold."""
-    folded = stratified_kfold(df, label_col, k, seed).cache()
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # repartition before caching: the fold window leaves few partitions;
+    # every per-fold fit/eval job should run parallel from the cache
+    folded = stratified_kfold(df, label_col, k, seed).repartition(min(par, 8)).cache()
     out = []
     for fold in range(k):
         train = folded.filter(F.col(FOLD_COL) != fold)
