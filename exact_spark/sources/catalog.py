@@ -94,14 +94,15 @@ class JobCatalog:
             )
             .drop("__match_id")
         )
-        n = updated.filter(F.col("is_anomaly")).count()
         tmp = path.with_name(path.name + "." + uuid.uuid4().hex[:8] + ".tmp")
         updated.write.partitionBy("__date").parquet(str(tmp))
         old = path.with_name(path.name + ".old")
         path.rename(old)
         tmp.rename(path)
         shutil.rmtree(old)
-        return n
+        # count from the written table — evaluating `updated` twice would
+        # re-run the whole join
+        return self.spark.read.parquet(str(path)).filter(F.col("is_anomaly")).count()
 
     # -- S9: drop ------------------------------------------------------------
     def drop_table(self, table_name: str) -> bool:
