@@ -162,3 +162,34 @@ def rel_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         fsum(disc_price, SCALE2).alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+@register(
+    "rel_distinct_two_phase",
+    sql=f"""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           {sql_fsum('l_extendedprice * (1.0 - l_discount)', SCALE2)} AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Skew-safe distinct aggregation: l_returnflag has 3 values, so a "
+    "naive groupBy lands the whole fact table on 3 reducers. Phase 1 "
+    "groups by (flag, suppkey) — the high-cardinality second key is the "
+    "salt, spreading the shuffle evenly; phase 2 re-aggregates the tiny "
+    "intermediate. Same two-phase shape MinHash/exact-dedup use; the "
+    "pattern generalizes to explicit `pmod(hash, k)` salts when no "
+    "natural spreading key exists.",
+)
+def rel_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    from exact_spark.functions import fixed
+
+    phase1 = li.groupBy("l_returnflag", "l_suppkey").agg(
+        F.sum(fixed(rev, SCALE2)).alias("rev_fx")
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        (F.sum("rev_fx") / F.lit(float(SCALE2))).alias("revenue"),
+    )
