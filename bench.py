@@ -35,12 +35,18 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     total = 0.0
     for name in sorted(REGISTRY):
         fn = REGISTRY[name].fn
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # materialize the full result
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()  # materialize the full result
+        except Exception as exc:  # one broken query must not lose the suite
+            failures[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
@@ -51,17 +57,16 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "suite_total_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
     spark.stop()
 
 
