@@ -238,7 +238,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 32
+
+# Shared SimHash signature CTE (votes -> 16-char '0'/'1' signature).
+_SQL_SIMHASH = """
+    tokens AS (SELECT doc_id, {toks} AS toks FROM documents),
+    tok_counts AS (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM tokens)
+        GROUP BY doc_id, tok
+    ),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM tok_counts GROUP BY doc_id
+    ),
+    sims AS (
+        SELECT doc_id, {bits} AS simhash
+        FROM votes
+    )
+""".format(
+    toks=_SQL_TOKS,
+    votes=", ".join(
+        f"SUM(cnt * CASE WHEN substr(md5(tok), {p + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{p}"
+        for p in range(_SIMHASH_BITS)
+    ),
+    bits=" || ".join(
+        f"CASE WHEN v{p} >= 0 THEN '1' ELSE '0' END" for p in range(_SIMHASH_BITS)
+    ),
+)
 
 
 @register(
@@ -259,13 +287,13 @@ _SIMHASH_BITS = 16
            {" || ".join(f"CASE WHEN v{p} >= 0 THEN '1' ELSE '0' END" for p in range(_SIMHASH_BITS))} AS simhash
     FROM votes
     """,
-    doc="SimHash fingerprint: 16-bit signature from token-frequency-weighted "
+    doc="SimHash fingerprint: 32-bit signature from token-frequency-weighted "
     "md5 bit votes — near-dup docs differ in few bits (Hamming ball probe "
     "is the scale path for candidate generation).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    docs = io.load(spark, sf_dir, "documents")
+    docs = io.load(spark, sf_dir, "documents", spread=True)
     toks = docs.select("doc_id", tokens_col().alias("toks"))
     counts = (
         toks.select("doc_id", F.explode("toks").alias("tok"))
@@ -273,11 +301,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     high = [str(c) for c in "89abcdef"]
-    votes = counts.groupBy("doc_id").agg(
+    # hash once per token: 32 agg expressions referencing md5(tok) directly
+    # would recompute the digest 32x per row
+    hashed = counts.withColumn("h", F.md5("tok"))
+    votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.col("cnt")
-                * F.when(F.substring(F.md5("tok"), p + 1, 1).isin(high), 1).otherwise(-1)
+                * F.when(F.substring(F.col("h"), p + 1, 1).isin(high), 1).otherwise(-1)
             ).alias(f"v{p}")
             for p in range(_SIMHASH_BITS)
         ]
@@ -287,3 +318,119 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in range(_SIMHASH_BITS)
     ]
     return votes.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+_SIMHASH_MAX_HD = 2
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> 32-char '0'/'1' SimHash signature (shared by both ops)."""
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", tokens_col().alias("toks"))
+    counts = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    high = [str(c) for c in "89abcdef"]
+    # hash once per token: 32 agg expressions referencing md5(tok) directly
+    # would recompute the digest 32x per row
+    hashed = counts.withColumn("h", F.md5("tok"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("cnt")
+                * F.when(F.substring(F.col("h"), p + 1, 1).isin(high), 1).otherwise(-1)
+            ).alias(f"v{p}")
+            for p in range(_SIMHASH_BITS)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"v{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(_SIMHASH_BITS)
+    ]
+    return votes.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+def _sql_flip(p: int) -> str:
+    return (
+        f"substr(simhash, 1, {p - 1}) || "
+        f"(CASE WHEN substr(simhash, {p}, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr(simhash, {p + 1})"
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    sql=f"""
+    WITH {_SQL_SIMHASH},
+    probes AS (
+        SELECT doc_id, simhash AS probe FROM sims
+        {' '.join(f"UNION ALL SELECT doc_id, {_sql_flip(p)} AS probe FROM sims" for p in range(1, _SIMHASH_BITS + 1))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM probes a JOIN probes b ON a.probe = b.probe AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT c.doc_a, c.doc_b,
+               {' + '.join(f"CASE WHEN substr(sa.simhash, {p}, 1) <> substr(sb.simhash, {p}, 1) THEN 1 ELSE 0 END" for p in range(1, _SIMHASH_BITS + 1))} AS hamming
+        FROM cand c
+        JOIN sims sa ON sa.doc_id = c.doc_a
+        JOIN sims sb ON sb.doc_id = c.doc_b
+    ) WHERE hamming <= {_SIMHASH_MAX_HD}
+    """,
+    doc="SimHash near-dup candidate pairs via the Hamming-ball probe table: "
+    "each doc emits its signature plus all 32 one-bit flips; a probe "
+    "equi-join finds every pair within Hamming distance 2 (a XOR b = "
+    "e_i XOR e_j) without any all-pairs comparison — the shuffle is keyed "
+    "on the probe value. Exact Hamming recheck prunes hash collisions.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    sims = _simhash_df(spark, sf_dir)
+
+    def flip(p: int) -> Column:
+        flipped = F.when(F.substring("simhash", p, 1) == "1", F.lit("0")).otherwise(
+            F.lit("1")
+        )
+        return F.concat(
+            F.substring("simhash", 1, p - 1),
+            flipped,
+            F.expr(f"substring(simhash, {p + 1})"),
+        )
+
+    probes = sims.select(
+        "doc_id",
+        F.explode(
+            F.array(F.col("simhash"), *[flip(p) for p in range(1, _SIMHASH_BITS + 1)])
+        ).alias("probe"),
+    )
+    a, b = probes.alias("a"), probes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.probe") == F.col("b.probe"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sims.alias("sa"), sims.alias("sb")
+    hamming = sum(
+        (
+            F.when(
+                F.substring(F.col("sa.simhash"), p, 1)
+                != F.substring(F.col("sb.simhash"), p, 1),
+                1,
+            ).otherwise(0)
+            for p in range(1, _SIMHASH_BITS + 1)
+        ),
+        F.lit(0),
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HD)
+    )
