@@ -51,6 +51,10 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        # isolate queries: cached frames from one query otherwise survive
+        # into the next, making timings order-dependent and prone to
+        # mid-suite eviction churn
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
