@@ -193,3 +193,37 @@ def rel_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_suppliers"),
         (F.sum("rev_fx") / F.lit(float(SCALE2))).alias("revenue"),
     )
+
+
+@register(
+    "rel_order_priority_smj",
+    sql="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_line_items,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '2024-03-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '2024-09-01 00:00:00'
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Fact-fact join on the shuffle path: orders JOIN lineitem with a "
+    "merge-join hint — at 100 TB neither side broadcasts, so this is the "
+    "sort-merge shape the real plan takes, with the orderdate filter "
+    "pushed to the orders scan before the shuffle. Scale path: bucket "
+    "both tables by orderkey at write time and the shuffle disappears "
+    "entirely (co-located join).",
+)
+def rel_order_priority_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    orders = io.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2024-03-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2024-09-01 00:00:00").cast("timestamp"))
+    )
+    li = io.load(spark, sf_dir, "lineitem")
+    joined = orders.hint("merge").join(
+        li, li["l_orderkey"] == orders["o_orderkey"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_line_items"),
+        fsum(F.col("l_extendedprice"), SCALE2).alias("total_price"),
+    )

@@ -189,3 +189,58 @@ def feature_columns(df: DataFrame) -> list[str]:
         for f in df.schema.fields
         if f.name not in excl and not isinstance(f.dataType, (T.TimestampType, T.DateType))
     ]
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible ingest demo (rows-only: reads a file staged at run time,
+# which the DuckDB oracle views cannot see).
+from exact_spark.registry import register  # noqa: E402
+
+
+@register(
+    "ingest_json_e2e",
+    sql=None,
+    doc="S3 + P1-P5 e2e: stage the canonical events sample as "
+    "record-oriented JSON (read_json.py:7-15 input shape), ingest with "
+    "header-inferred schema, canonicalize (timestamp coercion, label "
+    "normalization, dense id), return shape/stat invariants.",
+)
+def ingest_json_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pathlib
+    import shutil
+    import tempfile
+
+    from exact_spark.operators.timeseries import canonical_events
+
+    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_ingest_"))
+    try:
+        sample = (
+            canonical_events(spark, sf_dir)
+            .filter(F.col("id") <= 5_000)
+            .select(
+                F.col("ts_epoch").alias("when"),
+                F.col("value").alias("v"),
+                F.col("label").alias("flag"),
+            )
+        )
+        json_dir = work / "input"
+        sample.coalesce(1).write.mode("overwrite").json(str(json_dir))
+        json_file = next(str(p) for p in json_dir.glob("*.json"))
+
+        canon = canonicalize(read_file(spark, json_file), time_col="when", label_col="flag")
+        agg = canon.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("id").cast("long").alias("min_id"),
+            F.max("id").cast("long").alias("max_id"),
+            F.countDistinct("id").cast("long").alias("n_distinct_ids"),
+            F.sum("label").cast("long").alias("n_labeled"),
+        ).collect()[0]
+        row = dict(agg.asDict())
+        row["feature_cols"] = ",".join(feature_columns(canon))
+        return spark.createDataFrame(
+            [row],
+            schema="n_rows long, min_id long, max_id long, "
+            "n_distinct_ids long, n_labeled long, feature_cols string",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
