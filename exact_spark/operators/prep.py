@@ -140,3 +140,53 @@ def j1_flag_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("pred_id").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_anomaly"),
         "label",
     )
+
+
+@register(
+    "p7_impute_mode",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    holes AS (
+        SELECT id,
+               CASE WHEN id % 10 = 0 THEN NULL ELSE event_type END AS cat_raw
+        FROM canon
+    ),
+    freq AS (
+        SELECT cat_raw AS v, count(*) AS n FROM holes
+        WHERE cat_raw IS NOT NULL GROUP BY cat_raw
+    ),
+    mode AS (
+        SELECT v AS mode_value FROM freq
+        ORDER BY n DESC, v LIMIT 1
+    )
+    SELECT h.id,
+           COALESCE(h.cat_raw, m.mode_value) AS cat_imputed,
+           CASE WHEN h.cat_raw IS NULL THEN 1 ELSE 0 END AS was_missing
+    FROM holes h, mode m
+    """,
+    doc="P7 categorical branch (execute_calls.py:565-575): non-numeric "
+    "columns impute with the mode — groupBy count + deterministic "
+    "tie-break, broadcast back over the fact side; synthetic missingness "
+    "on id%10 for the oracle check.",
+)
+def p7_impute_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    holes = df.select(
+        "id",
+        F.when(F.col("id") % 10 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("cat_raw"),
+    )
+    mode = (
+        holes.filter(F.col("cat_raw").isNotNull())
+        .groupBy("cat_raw")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("cat_raw"))
+        .limit(1)
+        .select(F.col("cat_raw").alias("mode_value"))
+    )
+    return holes.crossJoin(F.broadcast(mode)).select(
+        "id",
+        F.coalesce(F.col("cat_raw"), F.col("mode_value")).alias("cat_imputed"),
+        F.when(F.col("cat_raw").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("was_missing"),
+    )
