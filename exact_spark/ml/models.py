@@ -368,11 +368,11 @@ class MLlibClassifierDetector(DetectorModel):
             )
         if self.algo == "gbt":
             # M4 analog: distributed gradient-boosted trees (XGBoost is not
-            # in this environment; GBTClassifier carries the same
-            # boosted-ensemble contract incl. class imbalance via weightCol)
+            # in this environment); scale_pos_weight (XGBoost.py:538-544)
+            # becomes a per-row weight column set in run()
             return GBTClassifier(
                 labelCol="label", featuresCol="features", maxDepth=4,
-                maxIter=10, seed=self.seed,
+                maxIter=10, seed=self.seed, weightCol="__w",
             )
         if self.algo == "logistic_regression":
             return LogisticRegression(labelCol="label", featuresCol="features", maxIter=10, tol=1e-4)
@@ -384,6 +384,16 @@ class MLlibClassifierDetector(DetectorModel):
         from pyspark.ml import Pipeline
         from pyspark.ml.feature import MinMaxScaler, VectorAssembler
 
+        if self.algo == "gbt":
+            # G8 scale_pos_weight: positives weighted n_neg/n_pos
+            # (XGBoost.py:327-337); computed on the training frame
+            counts = train.groupBy(label_col).count().collect()
+            by = {r[label_col]: r["count"] for r in counts}
+            spw = by.get(0, 1) / max(by.get(1, 1), 1)
+            train = train.withColumn(
+                "__w",
+                F.when(F.col(label_col) == 1, F.lit(float(spw))).otherwise(F.lit(1.0)),
+            )
         pipe = Pipeline(
             stages=[
                 VectorAssembler(inputCols=feature_cols, outputCol="raw_features"),
