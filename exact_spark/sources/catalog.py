@@ -69,13 +69,24 @@ class JobCatalog:
         self, table_name: str, from_time=None, to_time=None
     ) -> DataFrame:
         """SELECT * WHERE timestamp >= f [AND <= t] (timescaledb_api.py:152-174).
-        The date-partition filter prunes directories before the scan."""
-        df = self.spark.read.parquet(str(self._path(table_name))).drop("__date")
+
+        Time bounds are applied to BOTH the ``__date`` partition column
+        (directory pruning — only the matching date partitions are listed
+        and scanned; the hypertable chunk-exclusion analog) and the exact
+        ``timestamp`` column within the surviving partitions.
+        """
+        df = self.spark.read.parquet(str(self._path(table_name)))
         if from_time is not None:
-            df = df.filter(F.col("timestamp") >= F.lit(from_time))
+            df = df.filter(
+                (F.col("__date") >= F.to_date(F.lit(from_time)))
+                & (F.col("timestamp") >= F.lit(from_time))
+            )
         if to_time is not None:
-            df = df.filter(F.col("timestamp") <= F.lit(to_time))
-        return df
+            df = df.filter(
+                (F.col("__date") <= F.to_date(F.lit(to_time)))
+                & (F.col("timestamp") <= F.lit(to_time))
+            )
+        return df.drop("__date")
 
     # -- S8: flag writeback (MERGE-equivalent) -------------------------------
     def update_anomalies(self, table_name: str, anomaly_ids: DataFrame) -> int:
