@@ -220,3 +220,37 @@ def g8_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_neg").cast("long").alias("n_neg"),
         fround(F.col("n_neg") * 1.0 / F.col("n_pos")).alias("scale_pos_weight"),
     )
+
+
+@register(
+    "sketch_approx_stats",
+    sql=None,  # sketch internals are engine-specific -> rows-only check
+    doc="The 100 TB scale path for G3/G5-class statistics: one-pass "
+    "sketches (approx_percentile for the threshold quantiles, HLL "
+    "approx_count_distinct for user cardinality) side by side with the "
+    "exact answers, reporting absolute/relative error — at full scale the "
+    "exact columns are dropped and only the sketch pass runs.",
+)
+def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = io.load(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").alias("ap"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("exact_p95"),
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("ap")[0].alias("approx_p50"),
+        F.col("ap")[1].alias("approx_p95"),
+        "exact_p95",
+        (F.abs(F.col("ap")[1] - F.col("exact_p95"))).alias("p95_abs_err"),
+        F.col("approx_users").cast("long").alias("approx_users"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+        ).alias("users_rel_err"),
+    )
