@@ -117,7 +117,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_PLANES = 8  # sign-projection bits -> 256 buckets
+_BAND_PLANES = 6  # hyperplane bits per band -> 64 buckets per band
 _NEARDUP_MIN_COS = 0.25  # testdata embeddings are near-orthogonal (max ~0.48)
 
 
@@ -133,46 +133,67 @@ def _sql_proj_bit(j: int) -> str:
     )
 
 
+def _plane_signs(j: int, max_dim: int = 256) -> list[float]:
+    """The hyperplane sign matrix is CONSTANT — md5('{j}:{i}') does not
+    depend on the row, so it is computed once here (hashlib md5 is the
+    same digest the oracle's SQL md5 produces) and shipped as literals
+    instead of 12 x dim digests per row."""
+    import hashlib
+
+    return [
+        1.0
+        if hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0] in "89abcdef"
+        else -1.0
+        for i in range(1, max_dim + 1)
+    ]
+
+
 @register(
     "sim_neardup_lsh",
     sql=f"""
     WITH sigs AS (
         SELECT vec_id, embedding,
-               {" || ".join(_sql_proj_bit(j) for j in range(_N_PLANES))} AS bucket,
+               {" || ".join(_sql_proj_bit(j) for j in range(_BAND_PLANES))} AS bucket0,
+               {" || ".join(_sql_proj_bit(j) for j in range(_BAND_PLANES, 2 * _BAND_PLANES))} AS bucket1,
                {_sql_dot('embedding', 'embedding')} AS norm_fx
         FROM embeddings
     ),
+    bands AS (
+        SELECT vec_id, 0 AS band, bucket0 AS bucket FROM sigs
+        UNION ALL
+        SELECT vec_id, 1 AS band, bucket1 AS bucket FROM sigs
+    ),
     cand AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {_SQL_COS.format(dot=_sql_dot('a.embedding', 'b.embedding'), na='a.norm_fx', nb='b.norm_fx')} AS cosine
-        FROM sigs a JOIN sigs b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
-    SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= {_NEARDUP_MIN_COS!r}
+    SELECT c.vec_a, c.vec_b,
+           {_SQL_COS.format(dot=_sql_dot('sa.embedding', 'sb.embedding'), na='sa.norm_fx', nb='sb.norm_fx')} AS cosine
+    FROM cand c
+    JOIN sigs sa ON sa.vec_id = c.vec_a
+    JOIN sigs sb ON sb.vec_id = c.vec_b
+    WHERE {_SQL_COS.format(dot=_sql_dot('sa.embedding', 'sb.embedding'), na='sa.norm_fx', nb='sb.norm_fx')} >= {_NEARDUP_MIN_COS!r}
     """,
-    doc="Embedding near-dup via sign-projection LSH: 8 deterministic "
-    "md5-derived hyperplane bits -> 256 buckets; exact cosine only within "
-    "buckets (the shuffle is keyed on the bucket, never all-pairs). Scale "
-    "path: multiple bands + tighter cosine floor.",
+    doc="Embedding near-dup via multi-band sign-projection LSH: 2 bands of "
+    "6 deterministic md5-derived hyperplane bits (OR across bands raises "
+    "recall, the standard banding trade-off); candidates dedupe BEFORE the "
+    "exact cosine so each surviving pair is scored once. The shuffles are "
+    "keyed on (band, bucket) and the candidate ids — never all-pairs.",
 )
 def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    emb = io.load(spark, sf_dir, "embeddings")
-    high = [str(c) for c in "89abcdef"]
+    # 12 interpreted higher-order projections per row: fan the single-file
+    # scan out or the whole signature pass runs in one task
+    emb = io.load(spark, sf_dir, "embeddings", spread=True)
 
     def proj_bit(j: int) -> Column:
-        prods = F.transform(
-            F.sequence(F.lit(1), F.size("embedding")),
-            lambda i: F.floor(
-                F.element_at(F.col("embedding"), i).cast("double")
-                * F.when(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{j}:"), i.cast("string"))), 1, 1
-                    ).isin(high),
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                * F.lit(float(_SCALE9))
-                + F.lit(0.5)
+        signs = F.array(*[F.lit(x) for x in _plane_signs(j)])
+        prods = F.zip_with(
+            F.col("embedding"),
+            F.slice(signs, 1, F.size("embedding")),
+            lambda x, sg: F.floor(
+                x.cast("double") * sg * F.lit(float(_SCALE9)) + F.lit(0.5)
             ).cast("long"),
         )
         s = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
@@ -181,27 +202,50 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = emb.select(
         "vec_id",
         "embedding",
-        F.concat(*[proj_bit(j) for j in range(_N_PLANES)]).alias("bucket"),
+        F.concat(*[proj_bit(j) for j in range(_BAND_PLANES)]).alias("bucket0"),
+        F.concat(
+            *[proj_bit(j) for j in range(_BAND_PLANES, 2 * _BAND_PLANES)]
+        ).alias("bucket1"),
         dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
-    )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    cos = cosine_from_fixed(
-        dot_fixed(F.col("a.embedding"), F.col("b.embedding")),
-        F.col("a.norm_fx"),
-        F.col("b.norm_fx"),
-    )
-    return (
+    ).cache()  # the signature table feeds both band sides and both cosine
+    # sides; at scale this is the materialized signature table
+    bands = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("bucket0").alias("bucket")),
+                F.struct(F.lit(1).alias("band"), F.col("bucket1").alias("bucket")),
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("vec_id").alias("sa_id"), F.col("embedding").alias("sa_emb"),
+        F.col("norm_fx").alias("sa_norm"),
+    )
+    sb = sigs.select(
+        F.col("vec_id").alias("sb_id"), F.col("embedding").alias("sb_emb"),
+        F.col("norm_fx").alias("sb_norm"),
+    )
+    cos = cosine_from_fixed(
+        dot_fixed(F.col("sa_emb"), F.col("sb_emb")),
+        F.col("sa_norm"),
+        F.col("sb_norm"),
+    )
+    return (
+        cand.join(sa, F.col("vec_a") == F.col("sa_id"))
+        .join(sb, F.col("vec_b") == F.col("sb_id"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= _NEARDUP_MIN_COS)
     )
 
