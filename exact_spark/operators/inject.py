@@ -146,8 +146,12 @@ def inject_anomalies(
             elif s.anomaly_type == "lowered":  # A6
                 drange = s.data_range if s.data_range is not None else stats_row[f"range_{c}"]
                 if drange is None or drange == 0:
+                    # lowered.py:9-22 zero-range fallback: max(x - mean*factor, 0)
+                    # with zeros replaced by x*factor — same shape as the
+                    # range branch, substituting mean for range.
                     mean = s.mean if s.mean is not None else 0.0
-                    new = F.lit(float(mean) * factor)
+                    low = F.greatest(x - F.lit(float(mean) * factor), F.lit(0.0))
+                    new = F.when(low == 0.0, x * F.lit(factor)).otherwise(low)
                 else:
                     low = F.greatest(x - F.lit(float(drange) * factor), F.lit(0.0))
                     new = F.when(low == 0.0, x * F.lit(factor)).otherwise(low)

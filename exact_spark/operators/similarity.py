@@ -186,9 +186,13 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 12 interpreted higher-order projections per row: fan the single-file
     # scan out or the whole signature pass runs in one task
     emb = io.load(spark, sf_dir, "embeddings", spread=True)
+    # The sign literals must cover the full embedding width or F.slice +
+    # zip_with null-pads and every bucket bit collapses to '0'; probe the
+    # actual dim once (one-row driver action) instead of a fixed 256 cap.
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
 
     def proj_bit(j: int) -> Column:
-        signs = F.array(*[F.lit(x) for x in _plane_signs(j)])
+        signs = F.array(*[F.lit(x) for x in _plane_signs(j, max_dim=dim)])
         prods = F.zip_with(
             F.col("embedding"),
             F.slice(signs, 1, F.size("embedding")),

@@ -159,8 +159,8 @@ _GAP_S = 1800.0
     ),
     sessions AS (
         SELECT user_id, id, ts_epoch,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_epoch, id
-                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_epoch, id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         FROM flagged
     )
     SELECT user_id, session_seq,

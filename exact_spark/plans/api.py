@@ -21,7 +21,7 @@ from exact_spark.sources.ingest import get_file_columns
 JOB_NAME_RE = re.compile(r"^[a-z_][a-z0-9_]*$")  # Frontend/callbacks.py:1618
 
 MODELS = ("threshold", "pca_autoencoder", "isolation_forest", "decision_tree",
-          "logistic_regression", "linear_svc")
+          "logistic_regression", "linear_svc", "gbt")
 INJECTION_METHODS = ("spike", "step", "lowered", "offline", "custom")
 
 
@@ -67,7 +67,9 @@ class EngineAPI:
         return list(INJECTION_METHODS)
 
     def get_xai_methods(self) -> list[str]:
-        return ["feature_deviation"]  # see exact_spark.ml.explain
+        # names match the `method` column the explainers report
+        # (exact_spark/ml/explain.py)
+        return ["occlusion", "permutation"]
 
     def get_datasets(self) -> list[str]:
         if not self.datasets_dir or not self.datasets_dir.exists():

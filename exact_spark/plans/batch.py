@@ -135,17 +135,25 @@ def run_batch(
     model.run(train, feats)  # unsupervised models read features only
     t_train = time.perf_counter() - t0
 
-    # 5. detect + writeback ---------------------------------------------------
+    # 5. detect ---------------------------------------------------------------
     t0 = time.perf_counter()
     det_all = model.detect(df_all, feats).cache()
     pred_ids = det_all.filter(F.col("predicted") == 1).select("id")
-    n_flagged = catalog.update_anomalies(table, pred_ids)
-    t_detect = time.perf_counter() - t0
 
-    # 6. evaluate -------------------------------------------------------------
+    # 6. evaluate BEFORE the writeback: update_anomalies swaps the table
+    # directory the cached frames' lineage points at, so any lost cache block
+    # would recompute from a deleted path. Forcing the aggregates here fully
+    # materializes everything we still need.
     joined = det_all.join(df_all.select("id", "label"), "id")
     metrics_all = evaluate_classification(joined)
     metrics_test = evaluate_classification(joined.filter(F.col("id") > cut))
+    # what the DETECTOR flagged — not the table's total is_anomaly count,
+    # which also includes injected ground-truth rows
+    n_flagged = metrics_all["tp"] + metrics_all["fp"]
+
+    # 7. S8 flag writeback (MERGE-style partition-scoped rewrite) -------------
+    catalog.update_anomalies(table, pred_ids)
+    t_detect = time.perf_counter() - t0
 
     summary = {
         "job_name": job.job_name,

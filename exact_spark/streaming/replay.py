@@ -116,11 +116,12 @@ def streaming_injection(
                 new = x + F.lit(float(s.mean or 0.0) * s.magnitude)
             elif s.anomaly_type == "lowered":
                 drange = float(s.data_range or 0.0)
-                if drange == 0.0:
-                    new = F.lit(float(s.mean or 0.0) * factor)
-                else:
-                    low = F.greatest(x - F.lit(drange * factor), F.lit(0.0))
-                    new = F.when(low == 0.0, x * F.lit(factor)).otherwise(low)
+                # lowered.py:9-22: max(x - spread*factor, 0) with zeros
+                # replaced by x*factor; zero-range falls back to the mean as
+                # the spread (same contract as inject_anomalies).
+                spread = drange if drange != 0.0 else float(s.mean or 0.0)
+                low = F.greatest(x - F.lit(spread * factor), F.lit(0.0))
+                new = F.when(low == 0.0, x * F.lit(factor)).otherwise(low)
             elif s.anomaly_type == "offline":
                 new = F.lit(0.0)
             elif s.anomaly_type == "custom":

@@ -51,6 +51,18 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str) -> list[str]:
         return errs
     for c in sp.columns:
         a, b = sp[c], oc[c]
+        # Driver-strict: the driver hashes TYPED values, so an integer column
+        # on one side vs a float column on the other (the DuckDB HUGEINT →
+        # pandas float64 drift) is a hard failure even when values agree.
+        int_a, int_b = pd.api.types.is_integer_dtype(a), pd.api.types.is_integer_dtype(b)
+        flt_a, flt_b = pd.api.types.is_float_dtype(a), pd.api.types.is_float_dtype(b)
+        if (int_a and flt_b) or (flt_a and int_b):
+            errs.append(
+                f"{name}.{c}: dtype drift spark={a.dtype} oracle={b.dtype} — "
+                "driver's typed hash would fail (cast the oracle SQL, e.g. "
+                "HUGEINT sums: CAST(SUM(..) AS BIGINT))"
+            )
+            continue
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             aa, bb = a.astype("float64"), b.astype("float64")
             neq = ~(
