@@ -88,15 +88,41 @@ class JobCatalog:
             )
         return df.drop("__date")
 
-    # -- S8: flag writeback (MERGE-equivalent) -------------------------------
+    # -- S8: flag writeback (MERGE-equivalent, partition-scoped) -------------
     def update_anomalies(self, table_name: str, anomaly_ids: DataFrame) -> int:
-        """Set is_anomaly=true for the given ids (column ``id``) — one
-        broadcast join + atomic swap instead of N single-row UPDATEs."""
+        """Set is_anomaly=true for the given ids (column ``id``) and return
+        how many rows were newly flipped.
+
+        MERGE-style partition-scoped rewrite: a column-pruned (id, __date)
+        scan locates the date partitions that actually contain matching ids,
+        only those partitions are re-joined and rewritten, and each rewritten
+        date directory is swapped in with an atomic rename. Partitions with
+        no matching id are never read in full and never rewritten — at scale
+        a 0.1% flag update touches ~0.1% of the table, not 100% (the Delta/
+        Iceberg MERGE equivalent on plain parquet).
+        """
         path = self._path(table_name)
         ids = anomaly_ids.select(F.col("id").alias("__match_id")).distinct()
         df = self.spark.read.parquet(str(path))
+
+        # 1. which date partitions hold ids to flip (and how many rows are
+        #    actually newly flipped)? One column-pruned broadcast-join scan.
+        hits = (
+            df.select("id", "is_anomaly", "__date")
+            .join(F.broadcast(ids), df.id == F.col("__match_id"))
+            .groupBy("__date")
+            .agg(F.sum(F.when(~F.col("is_anomaly"), 1).otherwise(0)).alias("n_new"))
+            .collect()
+        )
+        hit_dates = [r["__date"] for r in hits]
+        n_new = int(sum(r["n_new"] for r in hits))
+        if not hit_dates:
+            return 0
+
+        # 2. rewrite ONLY the affected partitions
+        affected = df.filter(F.col("__date").isin(hit_dates))
         updated = (
-            df.join(F.broadcast(ids), df.id == F.col("__match_id"), "left")
+            affected.join(F.broadcast(ids), affected.id == F.col("__match_id"), "left")
             .withColumn(
                 "is_anomaly",
                 F.when(F.col("__match_id").isNotNull(), F.lit(True)).otherwise(
@@ -106,14 +132,18 @@ class JobCatalog:
             .drop("__match_id")
         )
         tmp = path.with_name(path.name + "." + uuid.uuid4().hex[:8] + ".tmp")
-        updated.write.partitionBy("__date").parquet(str(tmp))
-        old = path.with_name(path.name + ".old")
-        path.rename(old)
-        tmp.rename(path)
-        shutil.rmtree(old)
-        # count from the written table — evaluating `updated` twice would
-        # re-run the whole join
-        return self.spark.read.parquet(str(path)).filter(F.col("is_anomaly")).count()
+        updated.repartition("__date").write.partitionBy("__date").parquet(str(tmp))
+
+        # 3. per-partition atomic directory swap
+        for d in hit_dates:
+            part = f"__date={d}"
+            src, dst = tmp / part, path / part
+            old = path / (part + ".old")
+            dst.rename(old)
+            src.rename(dst)
+            shutil.rmtree(old)
+        shutil.rmtree(tmp)
+        return n_new
 
     # -- S9: drop ------------------------------------------------------------
     def drop_table(self, table_name: str) -> bool:

@@ -52,9 +52,60 @@ def test_update_anomalies_merge(spark, catalog):
     catalog.create_table(name, df)
     ids = spark.createDataFrame([(5,), (10,), (10,)], ["id"])
     n = catalog.update_anomalies(name, ids)
-    assert n == 2
+    assert n == 2  # newly flipped rows
     flagged = catalog.read_data(name).filter(F.col("is_anomaly")).select("id")
     assert sorted(r["id"] for r in flagged.collect()) == [5, 10]
-    # idempotent re-apply plus new id
+    # re-apply is idempotent: 10 is already flagged, only 20 flips
     n2 = catalog.update_anomalies(name, spark.createDataFrame([(10,), (20,)], ["id"]))
-    assert n2 == 3
+    assert n2 == 1
+    flagged = catalog.read_data(name).filter(F.col("is_anomaly")).select("id")
+    assert sorted(r["id"] for r in flagged.collect()) == [5, 10, 20]
+
+
+def _partition_bytes(table_path):
+    """{partition dir name: {file name: bytes}} for every __date=* dir."""
+    out = {}
+    for part in table_path.iterdir():
+        if part.is_dir() and part.name.startswith("__date="):
+            out[part.name] = {
+                f.name: f.read_bytes() for f in part.iterdir() if f.is_file()
+            }
+    return out
+
+
+def test_update_anomalies_partition_scoped(spark, catalog):
+    """S8 at scale: only date partitions containing flagged ids are
+    rewritten — every other partition's files stay byte-identical."""
+    # hourly rows -> ~5 distinct UTC dates
+    df = spark.range(1, 101).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 3600).alias("timestamp"),
+        (F.col("id") * 1.5).alias("v1"),
+        F.lit(0).alias("label"),
+        F.lit(False).alias("injected_anomaly"),
+        F.lit(False).alias("is_anomaly"),
+    )
+    name = catalog.table_name("scoped")
+    catalog.create_table(name, df)
+    path = catalog._path(name)
+    before = _partition_bytes(path)
+    assert len(before) >= 4
+
+    # ids 10 and 11 are adjacent hours well inside one UTC date
+    targets = sorted(
+        str(r["__date"])
+        for r in spark.read.parquet(str(path)).filter(F.col("id").isin([10, 11]))
+        .select("__date").distinct().collect()
+    )
+    assert len(targets) == 1
+    n = catalog.update_anomalies(name, spark.createDataFrame([(10,), (11,)], ["id"]))
+    assert n == 2
+    after = _partition_bytes(path)
+    assert set(after) == set(before)
+    for part in before:
+        if part == f"__date={targets[0]}":
+            assert before[part] != after[part]
+        else:
+            assert before[part] == after[part], f"{part} was rewritten"
+    flagged = catalog.read_data(name).filter(F.col("is_anomaly")).select("id")
+    assert sorted(r["id"] for r in flagged.collect()) == [10, 11]
