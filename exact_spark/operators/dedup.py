@@ -149,6 +149,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 8
 _BAND_SIZE = 2  # -> 4 bands
 
+# Degenerate-bucket guard for every LSH variant: a bucket holding B docs
+# expands to B^2/2 candidate pairs inside ONE task, so a single hot bucket
+# (boilerplate text, empty docs) is simultaneously a skew key and a
+# quadratic blowup. Buckets above the cap are dropped — their members are
+# byte-identical or near-identical en masse, which exact dedup already
+# catches with a linear hash-groupBy; LSH only needs to find the sparse
+# near-dup tail. The cap is mirrored in the DuckDB oracle SQL so capped
+# semantics stay oracle-checkable.
+_LSH_BUCKET_CAP = 200
+
 # One md5 per shingle; its 32 hex chars split into 8 independent 4-hex
 # (16-bit) hash values — an 8x cheaper hash family than 8 separate md5
 # calls, with no posting-list explode: minhashes are array_min over a
@@ -171,9 +181,15 @@ _BAND_SIZE = 2  # -> 4 bands
     bands AS (
         {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, h{b * _BAND_SIZE} || h{b * _BAND_SIZE + 1} AS bucket FROM sigs" for b in range(_N_HASHES // _BAND_SIZE))}
     ),
+    ok AS (
+        SELECT band, bucket FROM bands
+        GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM bands a
+        JOIN ok o ON a.band = o.band AND a.bucket = o.bucket
+        JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b FROM cand
@@ -182,7 +198,9 @@ _BAND_SIZE = 2  # -> 4 bands
     "(array ops, zero-shuffle signatures), 4 bands of 2. Candidate pairs "
     "come from ONE shuffle keyed (band, bucket): collect the bucket's doc "
     "list and expand in-place — no bands self-join, so the document scan "
-    "runs exactly once (the join form re-ran it per side per band).",
+    "runs exactly once (the join form re-ran it per side per band). "
+    "Buckets above the degenerate-bucket cap are dropped (see "
+    "_LSH_BUCKET_CAP); exact dedup owns mass-identical content.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
@@ -215,12 +233,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    # At 100 TB, add a bucket-size cap here (drop degenerate buckets) the
-    # same way dedup_ngram_jaccard caps hot shingles.
     grouped = (
         bands.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _LSH_BUCKET_CAP))
     )
     pair_arr = F.flatten(
         F.transform(
@@ -368,9 +384,15 @@ def _sql_flip(p: int) -> str:
         SELECT doc_id, simhash AS probe FROM sims
         {' '.join(f"UNION ALL SELECT doc_id, {_sql_flip(p)} AS probe FROM sims" for p in range(1, _SIMHASH_BITS + 1))}
     ),
+    ok AS (
+        SELECT probe FROM probes
+        GROUP BY probe HAVING count(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM probes a JOIN probes b ON a.probe = b.probe AND a.doc_id < b.doc_id
+        FROM probes a
+        JOIN ok o ON a.probe = o.probe
+        JOIN probes b ON a.probe = b.probe AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, hamming FROM (
         SELECT c.doc_a, c.doc_b,
@@ -381,10 +403,12 @@ def _sql_flip(p: int) -> str:
     ) WHERE hamming <= {_SIMHASH_MAX_HD}
     """,
     doc="SimHash near-dup candidate pairs via the Hamming-ball probe table: "
-    "each doc emits its signature plus all 32 one-bit flips; a probe "
-    "equi-join finds every pair within Hamming distance 2 (a XOR b = "
-    "e_i XOR e_j) without any all-pairs comparison — the shuffle is keyed "
-    "on the probe value. Exact Hamming recheck prunes hash collisions.",
+    "each doc emits its signature plus all 32 one-bit flips; grouping by "
+    "probe value finds every pair within Hamming distance 2 (a XOR b = "
+    "e_i XOR e_j) without any all-pairs comparison — ONE shuffle keyed on "
+    "the probe value, bucket doc-lists expanded in place. Probe buckets "
+    "above _LSH_BUCKET_CAP are dropped (degenerate-bucket guard). Exact "
+    "Hamming recheck prunes hash collisions.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
@@ -406,14 +430,26 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("simhash"), *[flip(p) for p in range(1, _SIMHASH_BITS + 1)])
         ).alias("probe"),
     )
-    a, b = probes.alias("a"), probes.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.probe") == F.col("b.probe"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # one shuffle keyed on probe (a self-join would shuffle the probe table
+    # twice and recompute the signature aggregation per side); capped
+    # bucket lists expand to pairs in place
+    grouped = (
+        probes.groupBy("probe")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _LSH_BUCKET_CAP))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cand = (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sa, sb = sims.alias("sa"), sims.alias("sb")
