@@ -41,10 +41,13 @@ def run_stream(
     src_dir = str(work / "source")
     ckpt_dir = str(work / "checkpoint")
 
-    # ingest + canonicalize (batch side), stage as replay source (T1)
+    # ingest + canonicalize (batch side), stage as replay source (T1).
+    # cache: four consumers (start-epoch agg, staging write, replay-rate
+    # agg, model fit) would otherwise each re-run the file read +
+    # canonicalization lineage
     canon = canonicalize(
         read_file(spark, job.filepath), time_col=job.time_col, label_col=job.label_col
-    )
+    ).cache()
     start_epoch = canon.agg(F.min(F.col("timestamp").cast("double"))).collect()[0][0]
     stage_stream_source(canon, src_dir, chunks=chunks)
     rate = replay_rate(canon, speedup)
@@ -53,6 +56,7 @@ def run_stream(
     feats = feature_columns(canon)
     model = get_model(job.model, **job.model_params)
     model.run(canon, feats)
+    canon.unpersist()
 
     # replay -> inline injection -> foreachBatch scoring -> append table
     stream = read_replay_stream(spark, src_dir, files_per_trigger=1)

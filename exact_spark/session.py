@@ -56,11 +56,26 @@ def get_spark(
 
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally-created
-    session (the driver hands us one); safe and idempotent."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    for k in ("spark.sql.adaptive.enabled", "spark.sql.legacy.parquet.nanosAsLong"):
+    session (the driver hands us one); safe and idempotent.
+
+    Every key in DEFAULT_CONF is runtime-settable (none are static
+    SparkContext confs). The one addition is sizing
+    ``spark.sql.shuffle.partitions`` to the session's actual parallelism:
+    an untuned session defaults to 200, which turns every small shuffle
+    into 200 near-empty tasks locally, while on a big cluster the
+    defaultParallelism-based value scales up with the executor count (AQE
+    coalescing then trims per-query).
+    """
+    for k, v in DEFAULT_CONF.items():
+        if k == "spark.ui.enabled":  # static conf; only settable at build
+            continue
         try:
-            spark.conf.set(k, "true")
+            spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static in some envs
             pass
+    try:
+        par = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(par, 8)))
+    except Exception:  # pragma: no cover
+        pass
     return spark

@@ -102,7 +102,10 @@ class JobCatalog:
         Iceberg MERGE equivalent on plain parquet).
         """
         path = self._path(table_name)
-        ids = anomaly_ids.select(F.col("id").alias("__match_id")).distinct()
+        # cache: the id set participates in two jobs (locating scan +
+        # rewrite join); without it the caller's lineage — often a scoring
+        # pipeline — would re-execute per job
+        ids = anomaly_ids.select(F.col("id").alias("__match_id")).distinct().cache()
         df = self.spark.read.parquet(str(path))
 
         # 1. which date partitions hold ids to flip (and how many rows are
@@ -117,6 +120,7 @@ class JobCatalog:
         hit_dates = [r["__date"] for r in hits]
         n_new = int(sum(r["n_new"] for r in hits))
         if not hit_dates:
+            ids.unpersist()
             return 0
 
         # 2. rewrite ONLY the affected partitions
@@ -143,6 +147,7 @@ class JobCatalog:
             src.rename(dst)
             shutil.rmtree(old)
         shutil.rmtree(tmp)
+        ids.unpersist()
         return n_new
 
     # -- S9: drop ------------------------------------------------------------
@@ -199,7 +204,12 @@ def catalog_lifecycle(spark: SparkSession, sf_dir: str):
     try:
         cat = JobCatalog(spark, str(work))
         table = cat.table_name("lifecycle_demo")  # S4 naming contract
-        df = canonical_events(spark, sf_dir).select(
+        canon = canonical_events(spark, sf_dir)
+        # bound the DEMO table to the first 10 days of the series — the
+        # lifecycle surface (create/list/read/update/drop) is what's under
+        # test, not write volume
+        t_lo = canon.agg(F.min("ts_epoch")).collect()[0][0]
+        df = canon.filter(F.col("ts_epoch") < t_lo + 10 * 86400.0).select(
             "id",
             F.timestamp_seconds(F.col("ts_epoch")).alias("timestamp"),
             "value",
@@ -212,14 +222,22 @@ def catalog_lifecycle(spark: SparkSession, sf_dir: str):
         listed = cat.list_all_tables()  # S12
         cols = cat.get_columns(table)  # S11 (flags hidden)
 
-        # S8/J2: flag the P95 outliers via one set-oriented writeback.
-        # Everything derived from the pre-update file listing must be
-        # evaluated BEFORE update_anomalies swaps the table directory.
+        # S8/J2: flag the P95 outliers of the FIRST THREE DAYS via one
+        # set-oriented writeback — a time-localized flag set, so the
+        # partition-scoped MERGE rewrites only the touched date partitions
+        # (the realistic shape: a detector flags a recent window, not
+        # uniformly across all of history). Everything derived from the
+        # pre-update file listing must be evaluated BEFORE update_anomalies
+        # swaps the rewritten directories.
         stored = cat.read_data(table)
         t0 = stored.agg(F.min("timestamp")).collect()[0][0]
-        thr = stored.agg(F.percentile(F.col("value"), F.lit(0.95)).alias("t"))
+        import datetime as _dt
+
+        t_hi = t0 + _dt.timedelta(days=3)
+        recent = stored.filter(F.col("timestamp") < F.lit(t_hi))
+        thr = recent.agg(F.percentile(F.col("value"), F.lit(0.95)).alias("t"))
         ids = (
-            stored.crossJoin(F.broadcast(thr))
+            recent.crossJoin(F.broadcast(thr))
             .filter(F.col("value") > F.col("t"))
             .select("id")
         )
