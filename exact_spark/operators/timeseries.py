@@ -29,8 +29,11 @@ oracle-checkable row_number specification the materialized ids must equal.
 from __future__ import annotations
 
 import hashlib
+import os
 import pathlib
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,27 +88,80 @@ def _canonical_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Below this source size, daily partitions are tiny files whose per-file
+# open/list/schedule overhead dominates the scan; coarsen to month dirs.
+# At real scale (a day of events is GBs) the decision is always "day".
+_DAY_PARTITION_MIN_BYTES = 64 * 1024 * 1024
+
+
+def _source_fingerprint(sf_dir: str) -> tuple[str, int]:
+    """(content key, total bytes) of the events source: file names + sizes
+    + mtimes. A regenerated source dir therefore gets a fresh canonical
+    table instead of silently serving a stale one."""
+    src = pathlib.Path(sf_dir).resolve() / "events.parquet"
+    files = sorted(src.rglob("*")) if src.is_dir() else [src]
+    parts, total = [], 0
+    for p in files:
+        if p.is_file():
+            st = p.stat()
+            parts.append(f"{p.name}:{st.st_size}:{st.st_mtime_ns}")
+            total += st.st_size
+    key = str(src) + "|" + "|".join(parts)
+    return hashlib.md5(key.encode()).hexdigest()[:12], total
+
+
+def canonical_granularity(path: str) -> str:
+    """Partition granularity ('day' | 'month') of a materialized canonical
+    table, recorded at write time in the ``_GRANULARITY`` marker."""
+    marker = pathlib.Path(path) / "_GRANULARITY"
+    return marker.read_text().strip() if marker.exists() else "day"
+
+
 def canonical_table_path(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the canonical job table for ``sf_dir`` once (date-
+    """Materialize the canonical job table for ``sf_dir`` once (time-
     partitioned parquet under the system temp dir) and return its path.
 
     Pay the canonicalization exactly once per source dir — afterwards every
     query gets a parallel multi-file scan with partition pruning on
     ``__date`` and stored ids, instead of re-running the ingest transform.
+
+    - Cache key = content fingerprint (names/sizes/mtimes of the events
+      source), so regenerated testdata can't serve a stale table.
+    - Partition granularity adapts to the data: daily dirs when a day of
+      data is a real file (the 100 TB case), month dirs below
+      ``_DAY_PARTITION_MIN_BYTES`` so a small source doesn't shatter into
+      dozens of KB-sized files (partition pruning still works — bounds are
+      truncated to the granularity at read time).
+    - The write goes to a uniquely-named staging dir and is published with
+      one atomic rename: concurrent sessions can't observe a half-written
+      table, and the loser of a race just discards its staging copy.
     """
-    key = str(pathlib.Path(sf_dir).resolve())
-    base = pathlib.Path(tempfile.gettempdir()) / (
-        "exact_spark_canon_" + hashlib.md5(key.encode()).hexdigest()[:12]
+    fp, total_bytes = _source_fingerprint(sf_dir)
+    base = pathlib.Path(tempfile.gettempdir()) / ("exact_spark_canon_" + fp)
+    if (base / "_SUCCESS").exists():
+        return str(base)
+
+    granularity = "day" if total_bytes >= _DAY_PARTITION_MIN_BYTES else "month"
+    part = (
+        F.to_date(F.timestamp_seconds("ts_epoch"))
+        if granularity == "day"
+        else F.trunc(F.to_date(F.timestamp_seconds("ts_epoch")), "month")
     )
-    if not (base / "_SUCCESS").exists():
-        df = _canonical_compute(spark, sf_dir)
-        (
-            df.withColumn("__date", F.to_date(F.timestamp_seconds("ts_epoch")))
-            .repartition("__date")
-            .write.mode("overwrite")
-            .partitionBy("__date")
-            .parquet(str(base))
-        )
+    staging = base.with_name(base.name + "." + uuid.uuid4().hex[:8] + ".tmp")
+    df = _canonical_compute(spark, sf_dir)
+    (
+        df.withColumn("__date", part)
+        .repartition("__date")
+        .write.mode("overwrite")
+        .partitionBy("__date")
+        .parquet(str(staging))
+    )
+    (staging / "_GRANULARITY").write_text(granularity)
+    if (base / "_SUCCESS").exists():  # concurrent writer won the race
+        shutil.rmtree(staging, ignore_errors=True)
+    else:
+        shutil.rmtree(base, ignore_errors=True)  # stale partial, if any
+        os.rename(staging, base)
     return str(base)
 
 
@@ -115,6 +171,35 @@ def canonical_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     path = canonical_table_path(spark, sf_dir)
     return spark.read.parquet(path).select(*_CANON_COLS)
+
+
+@register(
+    "canon_materialize",
+    sql=f"""
+    SELECT count(*) AS n_rows,
+           min(id) AS min_id,
+           max(id) AS max_id,
+           CAST(SUM(label) AS BIGINT) AS n_anomalies,
+           {sql_fsum('value')} AS sum_value
+    FROM ({CANON_SQL})
+    """,
+    doc="Explicit one-time canonical-table materialization (the ingest step "
+    "every ts_* query rides on — batchimport.py:171-409 paid once, like the "
+    "reference pays hypertable ingest once per job). Registered as its own "
+    "query so per-query bench/correctness timings attribute the build cost "
+    "here, not to whichever query happens to touch the table first; the "
+    "returned invariants (row count, dense-id bounds, label and value "
+    "totals) oracle-check the materialized ids against CANON_SQL.",
+)
+def canon_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.sum("label").cast("long").alias("n_anomalies"),
+        fsum(F.col("value")).alias("sum_value"),
+    )
 
 
 @register(
@@ -147,9 +232,15 @@ _T1 = 1705708800.0  # 2024-01-20 00:00:00 UTC
 )
 def ts_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    df = spark.read.parquet(canonical_table_path(spark, sf_dir))
+    path = canonical_table_path(spark, sf_dir)
+    df = spark.read.parquet(path)
+    lo = F.to_date(F.timestamp_seconds(F.lit(_T0)))
+    if canonical_granularity(path) == "month":
+        # month dirs: a dir dated the 1st holds the whole month, so the
+        # lower bound must include the month containing T0
+        lo = F.trunc(lo, "month")
     pruned = df.filter(
-        (F.col("__date") >= F.to_date(F.timestamp_seconds(F.lit(_T0))))
+        (F.col("__date") >= lo)
         & (F.col("__date") <= F.to_date(F.timestamp_seconds(F.lit(_T1))))
         & (F.col("ts_epoch") >= _T0)
         & (F.col("ts_epoch") <= _T1)
