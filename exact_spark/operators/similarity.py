@@ -186,10 +186,11 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 12 interpreted higher-order projections per row: fan the single-file
     # scan out or the whole signature pass runs in one task
     emb = io.load(spark, sf_dir, "embeddings", spread=True)
-    # The sign literals must cover the full embedding width or F.slice +
-    # zip_with null-pads and every bucket bit collapses to '0'; probe the
-    # actual dim once (one-row driver action) instead of a fixed 256 cap.
-    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    # The sign literals must cover the WIDEST embedding or F.slice +
+    # zip_with null-pads the wider rows and their bucket bits collapse to
+    # '0'; probe max(size) in one scalar aggregate (first() would both
+    # crash on an empty table and under-probe heterogeneous widths).
+    dim = emb.agg(F.max(F.size("embedding")).alias("d")).collect()[0]["d"] or 1
 
     def proj_bit(j: int) -> Column:
         signs = F.array(*[F.lit(x) for x in _plane_signs(j, max_dim=dim)])

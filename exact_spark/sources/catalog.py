@@ -102,6 +102,14 @@ class JobCatalog:
         Iceberg MERGE equivalent on plain parquet).
         """
         path = self._path(table_name)
+        # recover from a previous crashed run before Spark lists the table:
+        # a stray swap leftover ('.…​.old' backup dir or sibling '.tmp'
+        # staging dir) must not survive into partition discovery or a rename
+        # collision below
+        for leftover in list(path.glob(".*.old")) + list(
+            path.parent.glob(path.name + ".*.tmp")
+        ):
+            shutil.rmtree(leftover, ignore_errors=True)
         # cache: the id set participates in two jobs (locating scan +
         # rewrite join); without it the caller's lineage — often a scoring
         # pipeline — would re-execute per job
@@ -138,11 +146,15 @@ class JobCatalog:
         tmp = path.with_name(path.name + "." + uuid.uuid4().hex[:8] + ".tmp")
         updated.repartition("__date").write.partitionBy("__date").parquet(str(tmp))
 
-        # 3. per-partition atomic directory swap
+        # 3. per-partition atomic directory swap. The backup name starts
+        # with '.' so Spark's file listing ignores it if a crash strands it
+        # mid-loop, and any pre-existing leftover is removed first so the
+        # rename can't collide.
         for d in hit_dates:
             part = f"__date={d}"
             src, dst = tmp / part, path / part
-            old = path / (part + ".old")
+            old = path / ("." + part + ".old")
+            shutil.rmtree(old, ignore_errors=True)
             dst.rename(old)
             src.rename(dst)
             shutil.rmtree(old)

@@ -62,6 +62,31 @@ def test_update_anomalies_merge(spark, catalog):
     assert sorted(r["id"] for r in flagged.collect()) == [5, 10, 20]
 
 
+def test_update_anomalies_recovers_from_crash_leftovers(spark, catalog):
+    """A crashed previous run can strand a '.…​.old' backup dir inside the
+    table and a sibling '.tmp' staging dir; the next update must clean both
+    up and still apply correctly (neither a rename collision nor Spark
+    partition-discovery breakage)."""
+    df = _series(spark)
+    name = catalog.table_name("crashy")
+    catalog.create_table(name, df)
+    path = catalog._path(name)
+    part = next(p.name for p in path.iterdir() if p.name.startswith("__date="))
+    stray_old = path / ("." + part + ".old")
+    stray_old.mkdir()
+    (stray_old / "stale.parquet").write_bytes(b"junk")
+    stray_tmp = path.with_name(path.name + ".deadbeef.tmp")
+    stray_tmp.mkdir()
+    (stray_tmp / "stale").write_bytes(b"junk")
+
+    n = catalog.update_anomalies(name, spark.createDataFrame([(7,)], ["id"]))
+    assert n == 1
+    assert not stray_old.exists() and not stray_tmp.exists()
+    assert not list(path.glob(".*.old"))
+    flagged = catalog.read_data(name).filter(F.col("is_anomaly")).select("id")
+    assert [r["id"] for r in flagged.collect()] == [7]
+
+
 def _partition_bytes(table_path):
     """{partition dir name: {file name: bytes}} for every __date=* dir."""
     out = {}
