@@ -62,14 +62,10 @@ def _detector_e2e(spark: SparkSession, sf_dir: str, model_name: str) -> DataFram
     return _confusion(scored)
 
 
-@register(
-    "ml_decision_tree_e2e",
-    sql=None,  # model training is not SQL-expressible -> rows-only check
-    doc="M5 + §7.2 minimum slice: MinMax-scale -> DecisionTreeClassifier "
-    "(seed fixed) on the 85% split -> detect on all rows -> confusion "
-    "metrics (decision_tree.py:13-871 re-expressed on pyspark.ml).",
-)
-def ml_decision_tree_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _decision_tree_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 + M7 explicit pipeline: MinMax-scale -> DecisionTreeClassifier
+    (seed fixed) on the 85% split -> detect on all rows -> confusion
+    metrics (decision_tree.py:13-871 re-expressed on pyspark.ml)."""
     from pyspark.ml.classification import DecisionTreeClassifier
     from pyspark.ml.feature import MinMaxScaler, VectorAssembler
     from pyspark.ml import Pipeline
@@ -96,50 +92,47 @@ def ml_decision_tree_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ml_logistic_regression_e2e",
+    "ml_supervised_e2e",
     sql=None,  # model training is not SQL-expressible -> rows-only check
-    doc="M6 analog: MinMax-scale -> LogisticRegression on the 85% split -> "
-    "detect on all rows -> confusion metrics (SGDClassifier.py:14-620 "
-    "re-expressed on pyspark.ml; fully distributed train AND score).",
+    doc="M4/M5/M6/M7 + §7.2 slice, one row per model: decision_tree "
+    "(explicit MinMaxScaler pipeline, decision_tree.py:13-871), "
+    "logistic_regression (M6 analog, SGDClassifier.py:14-620 on "
+    "pyspark.ml), gbt (M4 analog — distributed boosted ensemble, "
+    "XGBoost.py:11-699 contract with scale_pos_weight class weights). "
+    "Each: 85% positional train split -> fully distributed train AND "
+    "score on all rows -> confusion metrics.",
 )
-def ml_logistic_regression_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _detector_e2e(spark, sf_dir, "logistic_regression")
+def ml_supervised_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _decision_tree_pipeline(spark, sf_dir).select(
+        F.lit("decision_tree").alias("model"), "*"
+    )
+    for name in ("logistic_regression", "gbt"):
+        out = out.unionByName(
+            _detector_e2e(spark, sf_dir, name).select(F.lit(name).alias("model"), "*")
+        )
+    return out
 
 
 @register(
-    "ml_gbt_e2e",
-    sql=None,
-    doc="M4 analog: distributed gradient-boosted trees "
-    "(pyspark.ml GBTClassifier; XGBoost.py:11-699 contract — boosted "
-    "ensemble on the 85% split, scale_pos_weight imbalance handling via "
-    "class weights) -> detect on all rows -> confusion metrics.",
+    "ml_unsupervised_e2e",
+    sql=None,  # model training is not SQL-expressible -> rows-only check
+    doc="M1-M3 shape, one row per model: isolation_forest (native forest, "
+    "isolation_forest.py:9-173 semantics — trained driver-side on a capped "
+    "ordered sample, scored distributedly via broadcast-model Arrow "
+    "mapInPandas, threshold at the (1-contamination) training-score "
+    "quantile) and pca_autoencoder (linear AE via top-k principal "
+    "components, anomaly = reconstruction error > P95 of training errors, "
+    "lstm.py:151-167 threshold semantics).",
 )
-def ml_gbt_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _detector_e2e(spark, sf_dir, "gbt")
-
-
-@register(
-    "ml_isolation_forest_e2e",
-    sql=None,
-    doc="M2: native isolation forest (isolation_forest.py:9-173 semantics), "
-    "trained driver-side on a capped ordered sample, scored distributedly "
-    "via broadcast-model Arrow mapInPandas; threshold at the "
-    "(1-contamination) quantile of training scores.",
-)
-def ml_isolation_forest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _detector_e2e(spark, sf_dir, "isolation_forest")
-
-
-@register(
-    "ml_pca_reconstruction_e2e",
-    sql=None,
-    doc="M1/M3 shape: linear autoencoder (top-k principal components), "
-    "anomaly = reconstruction error > P95 of training errors "
-    "(lstm.py:151-167 threshold semantics); broadcast-model distributed "
-    "scoring.",
-)
-def ml_pca_reconstruction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _detector_e2e(spark, sf_dir, "pca_autoencoder")
+def ml_unsupervised_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _detector_e2e(spark, sf_dir, "isolation_forest").select(
+        F.lit("isolation_forest").alias("model"), "*"
+    )
+    return out.unionByName(
+        _detector_e2e(spark, sf_dir, "pca_autoencoder").select(
+            F.lit("pca_autoencoder").alias("model"), "*"
+        )
+    )
 
 
 @register(
@@ -154,7 +147,10 @@ def ml_cv_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact_spark.ml.cv import cross_validate
     from exact_spark.ml.models import get_model
 
-    df = _event_features(spark, sf_dir).cache()
+    # bound the splitter DEMO: the contract under test is the stratified
+    # deal + per-fold train/eval loop, not fit volume — 8k rows exercise it
+    # identically at any sf while keeping the 3x MLlib fit cost flat
+    df = _event_features(spark, sf_dir).filter(F.col("id") <= 8_000).cache()
     rows = cross_validate(
         df, lambda: get_model("decision_tree"), ["value", "hour"], k=3
     )

@@ -235,96 +235,76 @@ def _span_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _with_flags(df: DataFrame, value_out: Column) -> DataFrame:
-    """A9: flag propagation on selected rows."""
+# The five injection methods' value transforms, keyed by method name.
+# SQL side mirrors InjectionMethods/{spike,step,lowered,offline,custom}.py.
+_METHOD_SQL = {
+    "spike": f"value * {SPIKE_FACTOR!r}",
+    "step": f"value + stats.mean_sel * {STEP_MAGNITUDE!r}",
+    "lowered": f"""CASE WHEN GREATEST(value - stats.rng_sel * {LOWERED_FACTOR!r}, 0.0) = 0.0
+                 THEN value * {LOWERED_FACTOR!r}
+                 ELSE GREATEST(value - stats.rng_sel * {LOWERED_FACTOR!r}, 0.0) END""",
+    "offline": "0.0",
+    "custom": f"value * {CUSTOM_MAGNITUDE!r}",
+}
+
+_METHODS_UNION = "\nUNION ALL\n".join(
+    f"""SELECT '{m}' AS method, id,
+           CASE WHEN selected = 1 THEN {expr} ELSE value END AS value_out,
+           CASE WHEN selected = 1 THEN 1 ELSE 0 END AS injected_anomaly,
+           CASE WHEN selected = 1 THEN 1 ELSE label END AS label
+    FROM sel, stats"""
+    for m, expr in _METHOD_SQL.items()
+)
+
+
+@register(
+    "inject_methods",
+    sql=f"""
+    {_SPAN_SQL}
+    , stats AS (SELECT {sql_favg('value')} AS mean_sel,
+                       max(value) - min(value) AS rng_sel
+                FROM sel WHERE selected = 1)
+    {_METHODS_UNION}
+    """,
+    doc="A4-A8 in one scan: spike (x * U(1,magnitude), seeded scalar, "
+    "spike.py:7-9), step (x + mean*magnitude, step.py:7-9 with the stats "
+    "pre-pass anomalyinjector.py:149-154), lowered (max(x - range*U(.3,.4), "
+    "0), zeros -> x*factor, lowered.py:9-22), offline (constant 0 — the "
+    "evident intent; the reference raises TypeError as shipped, "
+    "offline.py:1-4), custom (x * magnitude, custom.py:6-9). Shared span "
+    "A1 + 60% subsample A3 + flag propagation A9 + selected-row stats A10; "
+    "one row per (method, id) via an exploded struct array — the span is "
+    "scanned once for all five methods, not five times.",
+)
+def inject_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _span_selected(spark, sf_dir)
+    stats = df.filter(F.col("selected") == 1).agg(
+        favg(F.col("value")).alias("mean_sel"),
+        (F.max("value") - F.min("value")).alias("rng_sel"),
+    )
+    df = df.crossJoin(F.broadcast(stats))
+    x = F.col("value")
+    low = F.greatest(x - F.col("rng_sel") * F.lit(LOWERED_FACTOR), F.lit(0.0))
+    branches = {
+        "spike": x * F.lit(SPIKE_FACTOR),
+        "step": x + F.col("mean_sel") * F.lit(STEP_MAGNITUDE),
+        "lowered": F.when(low == 0.0, x * F.lit(LOWERED_FACTOR)).otherwise(low),
+        "offline": F.lit(0.0),
+        "custom": x * F.lit(CUSTOM_MAGNITUDE),
+    }
     sel = F.col("selected") == 1
-    return df.select(
+    mv = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(m).alias("method"), v.cast("double").alias("v"))
+                for m, v in branches.items()
+            ]
+        )
+    ).alias("mv")
+    return df.select("id", "value", "label", "selected", mv).select(
         "id",
-        F.when(sel, value_out).otherwise(F.col("value")).alias("value_out"),
+        F.col("mv.method").alias("method"),
+        F.when(sel, F.col("mv.v")).otherwise(x).alias("value_out"),
         F.when(sel, F.lit(1)).otherwise(F.lit(0)).alias("injected_anomaly"),
         F.when(sel, F.lit(1)).otherwise(F.col("label")).alias("label"),
     )
-
-
-def _sql_inject(value_out_expr: str, extra_ctes: str = "") -> str:
-    return f"""
-    {_SPAN_SQL}
-    {extra_ctes}
-    SELECT id,
-           CASE WHEN selected = 1 THEN {value_out_expr} ELSE value END AS value_out,
-           CASE WHEN selected = 1 THEN 1 ELSE 0 END AS injected_anomaly,
-           CASE WHEN selected = 1 THEN 1 ELSE label END AS label
-    FROM sel
-    """
-
-
-@register(
-    "inject_spike",
-    sql=_sql_inject(f"value * {SPIKE_FACTOR!r}"),
-    doc="A4 spike: x * U(1, magnitude), one seeded scalar per injection call "
-    "(spike.py:7-9); span A1 + 60% subsample A3 + flags A9.",
-)
-def inject_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _span_selected(spark, sf_dir)
-    return _with_flags(df, F.col("value") * F.lit(SPIKE_FACTOR))
-
-
-@register(
-    "inject_step",
-    sql=_sql_inject(
-        f"value + stats.mean_sel * {STEP_MAGNITUDE!r}",
-        extra_ctes=f", stats AS (SELECT {sql_favg('value')} AS mean_sel FROM sel WHERE selected = 1)",
-    ).replace("FROM sel\n", "FROM sel, stats\n"),
-    doc="A5 step: x + mean * magnitude, mean over the selected rows "
-    "(step.py:7-9, stats pre-pass anomalyinjector.py:149-154).",
-)
-def inject_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _span_selected(spark, sf_dir)
-    stats = df.filter(F.col("selected") == 1).agg(favg(F.col("value")).alias("mean_sel"))
-    df = df.crossJoin(F.broadcast(stats))
-    return _with_flags(df, F.col("value") + F.col("mean_sel") * F.lit(STEP_MAGNITUDE))
-
-
-@register(
-    "inject_lowered",
-    sql=_sql_inject(
-        f"""CASE WHEN GREATEST(value - stats.rng_sel * {LOWERED_FACTOR!r}, 0.0) = 0.0
-                 THEN value * {LOWERED_FACTOR!r}
-                 ELSE GREATEST(value - stats.rng_sel * {LOWERED_FACTOR!r}, 0.0) END""",
-        extra_ctes=", stats AS (SELECT max(value) - min(value) AS rng_sel FROM sel WHERE selected = 1)",
-    ).replace("FROM sel\n", "FROM sel, stats\n"),
-    doc="A6 lowered: max(x - range*U(0.3,0.4), 0); zeros replaced by "
-    "x*factor (lowered.py:9-22); range over selected rows (A10).",
-)
-def inject_lowered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _span_selected(spark, sf_dir)
-    stats = df.filter(F.col("selected") == 1).agg(
-        (F.max("value") - F.min("value")).alias("rng_sel")
-    )
-    df = df.crossJoin(F.broadcast(stats))
-    lowered = F.greatest(
-        F.col("value") - F.col("rng_sel") * F.lit(LOWERED_FACTOR), F.lit(0.0)
-    )
-    out = F.when(lowered == 0.0, F.col("value") * F.lit(LOWERED_FACTOR)).otherwise(lowered)
-    return _with_flags(df, out)
-
-
-@register(
-    "inject_offline",
-    sql=_sql_inject("0.0"),
-    doc="A7 offline: constant 0 — the evident intent; the reference method "
-    "raises TypeError as shipped (offline.py:1-4 vs anomalyinjector.py:206-209).",
-)
-def inject_offline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _span_selected(spark, sf_dir)
-    return _with_flags(df, F.lit(0.0))
-
-
-@register(
-    "inject_custom",
-    sql=_sql_inject(f"value * {CUSTOM_MAGNITUDE!r}"),
-    doc="A8 custom: x * magnitude (custom.py:6-9).",
-)
-def inject_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _span_selected(spark, sf_dir)
-    return _with_flags(df, F.col("value") * F.lit(CUSTOM_MAGNITUDE))

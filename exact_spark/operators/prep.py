@@ -18,38 +18,68 @@ from exact_spark.registry import register
 
 
 @register(
-    "p7_impute_mean",
+    "p7_impute",
     sql=f"""
     WITH canon AS ({CANON_SQL}),
     holes AS (
-        SELECT id, label,
-               CASE WHEN id % 10 = 0 THEN NULL ELSE value END AS value_raw
+        SELECT id,
+               CASE WHEN id % 10 = 0 THEN NULL ELSE value END AS value_raw,
+               CASE WHEN id % 10 = 0 THEN NULL ELSE event_type END AS cat_raw
         FROM canon
     ),
-    stats AS (SELECT {sql_favg('value_raw')} AS mean_value FROM holes)
+    stats AS (SELECT {sql_favg('value_raw')} AS mean_value FROM holes),
+    freq AS (
+        SELECT cat_raw AS v, count(*) AS n FROM holes
+        WHERE cat_raw IS NOT NULL GROUP BY cat_raw
+    ),
+    mode AS (
+        SELECT v AS mode_value FROM freq
+        ORDER BY n DESC, v LIMIT 1
+    )
     SELECT h.id,
            COALESCE(h.value_raw, s.mean_value) AS value_imputed,
+           COALESCE(h.cat_raw, m.mode_value) AS cat_imputed,
            CASE WHEN h.value_raw IS NULL THEN 1 ELSE 0 END AS was_missing
-    FROM holes h, stats s
+    FROM holes h, stats s, mode m
     """,
-    doc="P7: mean imputation (execute_calls.py:546-579) with train-fitted "
-    "statistics (we fix the reference's per-slice leakage — SURVEY §7.4); "
+    doc="P7 both branches (execute_calls.py:546-579): numeric columns "
+    "impute with the train-fitted mean (we fix the reference's per-slice "
+    "leakage — SURVEY §7.4), non-numeric columns with the mode "
+    "(execute_calls.py:565-575; groupBy count + deterministic tie-break). "
+    "Both fitted statistics broadcast over the fact side in one pass; "
     "synthetic missingness on id%10 for the oracle check.",
 )
-def p7_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p7_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = canonical_events(spark, sf_dir)
     holes = df.select(
         "id",
-        "label",
         F.when(F.col("id") % 10 == 0, F.lit(None).cast("double"))
         .otherwise(F.col("value"))
         .alias("value_raw"),
+        F.when(F.col("id") % 10 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("cat_raw"),
     )
     stats = holes.agg(favg(F.col("value_raw")).alias("mean_value"))
-    return holes.crossJoin(F.broadcast(stats)).select(
-        "id",
-        F.coalesce(F.col("value_raw"), F.col("mean_value")).alias("value_imputed"),
-        F.when(F.col("value_raw").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("was_missing"),
+    mode = (
+        holes.filter(F.col("cat_raw").isNotNull())
+        .groupBy("cat_raw")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("cat_raw"))
+        .limit(1)
+        .select(F.col("cat_raw").alias("mode_value"))
+    )
+    return (
+        holes.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(mode))
+        .select(
+            "id",
+            F.coalesce(F.col("value_raw"), F.col("mean_value")).alias("value_imputed"),
+            F.coalesce(F.col("cat_raw"), F.col("mode_value")).alias("cat_imputed"),
+            F.when(F.col("value_raw").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("was_missing"),
+        )
     )
 
 
@@ -142,51 +172,3 @@ def j1_flag_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "p7_impute_mode",
-    sql=f"""
-    WITH canon AS ({CANON_SQL}),
-    holes AS (
-        SELECT id,
-               CASE WHEN id % 10 = 0 THEN NULL ELSE event_type END AS cat_raw
-        FROM canon
-    ),
-    freq AS (
-        SELECT cat_raw AS v, count(*) AS n FROM holes
-        WHERE cat_raw IS NOT NULL GROUP BY cat_raw
-    ),
-    mode AS (
-        SELECT v AS mode_value FROM freq
-        ORDER BY n DESC, v LIMIT 1
-    )
-    SELECT h.id,
-           COALESCE(h.cat_raw, m.mode_value) AS cat_imputed,
-           CASE WHEN h.cat_raw IS NULL THEN 1 ELSE 0 END AS was_missing
-    FROM holes h, mode m
-    """,
-    doc="P7 categorical branch (execute_calls.py:565-575): non-numeric "
-    "columns impute with the mode — groupBy count + deterministic "
-    "tie-break, broadcast back over the fact side; synthetic missingness "
-    "on id%10 for the oracle check.",
-)
-def p7_impute_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = canonical_events(spark, sf_dir)
-    holes = df.select(
-        "id",
-        F.when(F.col("id") % 10 == 0, F.lit(None).cast("string"))
-        .otherwise(F.col("event_type"))
-        .alias("cat_raw"),
-    )
-    mode = (
-        holes.filter(F.col("cat_raw").isNotNull())
-        .groupBy("cat_raw")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("cat_raw"))
-        .limit(1)
-        .select(F.col("cat_raw").alias("mode_value"))
-    )
-    return holes.crossJoin(F.broadcast(mode)).select(
-        "id",
-        F.coalesce(F.col("cat_raw"), F.col("mode_value")).alias("cat_imputed"),
-        F.when(F.col("cat_raw").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("was_missing"),
-    )

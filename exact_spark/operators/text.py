@@ -36,28 +36,48 @@ def tokens_col(text: Column = None) -> Column:
 _BPE_PATTERN = "[a-z0-9]+|[^a-z0-9\\s]"
 
 
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+_SQL_STOP = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
 @register(
-    "text_token_stats",
+    "text_profile",
     sql=f"""
     WITH t AS (
         SELECT doc_id, {_SQL_TOKS} AS toks,
                regexp_extract_all(lower(text), '{_BPE_PATTERN}') AS pieces
         FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, toks, pieces,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+               len(list_filter(toks, x -> x IN ({_SQL_STOP}))) * 1.0 / len(toks) AS stopword_ratio
+        FROM t WHERE len(toks) > 0
     )
     SELECT doc_id,
-           len(toks) AS n_tokens,
-           len(list_distinct(toks)) AS n_distinct,
-           list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS avg_token_len,
+           n_tokens,
+           n_distinct,
+           list_sum(list_transform(toks, x -> length(x))) * 1.0 / n_tokens AS avg_token_len,
            CAST(COALESCE(list_sum(list_transform(pieces,
                 x -> CASE WHEN regexp_matches(x, '^[a-z0-9]')
-                          THEN (length(x) + 3) // 4 ELSE 1 END)), 0) AS BIGINT) AS n_bpe_est
-    FROM t WHERE len(toks) > 0
+                          THEN (length(x) + 3) // 4 ELSE 1 END)), 0) AS BIGINT) AS n_bpe_est,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+           {sql_fround('distinct_ratio', 10000)} AS distinct_ratio,
+           {sql_fround('stopword_ratio', 10000)} AS stopword_ratio,
+           {sql_fround('0.4 * LEAST(n_tokens / 100.0, 1.0) + 0.4 * distinct_ratio + 0.2 * LEAST(stopword_ratio * 5.0, 1.0)', 10000)} AS quality_score
+    FROM feats
     """,
-    doc="Token counting: whitespace-token count, distinct count, mean token "
-    "length, plus a BPE-ish subword estimate (alnum/punct pre-tokenizer, "
-    "ceil(len/4) pieces per alnum run) — pure array ops, single scan.",
+    doc="Per-document text profile in ONE scan: token counting (whitespace-"
+    "token count, distinct count, mean token length, BPE-ish subword "
+    "estimate — alnum/punct pre-tokenizer, ceil(len/4) pieces per alnum "
+    "run), md5 fingerprint over the sorted distinct token set (the "
+    "canonical key for fingerprint dedup), and quality scoring "
+    "(length/stopword/distinct ratios folded into a deterministic "
+    "composite) — pure array ops, whole-stage codegen, no shuffle.",
 )
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = io.load(spark, sf_dir, "documents")
     t = docs.select(
@@ -67,6 +87,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pieces"
         ),
     ).filter(F.size("toks") > 0)
+    n_tokens = F.size("toks")
     tok_len_sum = F.aggregate(
         F.transform(F.col("toks"), lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
     )
@@ -81,69 +102,6 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return t.select(
-        "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
-        (tok_len_sum * 1.0 / F.size("toks")).alias("avg_token_len"),
-        bpe_sum.cast("long").alias("n_bpe_est"),
-    )
-
-
-@register(
-    "text_fingerprint",
-    sql=f"""
-    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
-    SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
-    FROM t
-    """,
-    doc="Document fingerprinting: md5 over the sorted distinct token set — "
-    "the canonical key for fingerprint dedup.",
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune_session(spark)
-    docs = io.load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_col())))).alias(
-            "fingerprint"
-        ),
-    )
-
-
-_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
-_SQL_STOP = ", ".join(f"'{w}'" for w in _STOPWORDS)
-
-
-@register(
-    "text_quality_score",
-    sql=f"""
-    WITH t AS (
-        SELECT doc_id, n_chars, {_SQL_TOKS} AS toks FROM documents
-    ),
-    feats AS (
-        SELECT doc_id, n_chars,
-               len(toks) AS n_tokens,
-               len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
-               len(list_filter(toks, x -> x IN ({_SQL_STOP}))) * 1.0 / len(toks) AS stopword_ratio
-        FROM t WHERE len(toks) > 0
-    )
-    SELECT doc_id, n_tokens, {sql_fround('distinct_ratio', 10000)} AS distinct_ratio,
-           {sql_fround('stopword_ratio', 10000)} AS stopword_ratio,
-           {sql_fround('0.4 * LEAST(n_tokens / 100.0, 1.0) + 0.4 * distinct_ratio + 0.2 * LEAST(stopword_ratio * 5.0, 1.0)', 10000)} AS quality_score
-    FROM feats
-    """,
-    doc="Quality scoring: length/stopword/distinct ratios folded into a "
-    "deterministic composite score (training-data filtering heuristic).",
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune_session(spark)
-    docs = io.load(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "n_chars", tokens_col().alias("toks")).filter(
-        F.size("toks") > 0
-    )
-    n_tokens = F.size("toks")
     distinct_ratio = F.size(F.array_distinct("toks")) * 1.0 / n_tokens
     stop_ratio = (
         F.size(F.filter(F.col("toks"), lambda x: x.isin(*_STOPWORDS))) * 1.0 / n_tokens
@@ -151,6 +109,12 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = t.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        (tok_len_sum * 1.0 / n_tokens).alias("avg_token_len"),
+        bpe_sum.cast("long").alias("n_bpe_est"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("toks"))))).alias(
+            "fingerprint"
+        ),
         distinct_ratio.alias("distinct_ratio"),
         stop_ratio.alias("stopword_ratio"),
     )
@@ -162,6 +126,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id",
         "n_tokens",
+        "n_distinct",
+        "avg_token_len",
+        "n_bpe_est",
+        "fingerprint",
         fround(F.col("distinct_ratio"), 10_000).alias("distinct_ratio"),
         fround(F.col("stopword_ratio"), 10_000).alias("stopword_ratio"),
         fround(score, 10_000).alias("quality_score"),

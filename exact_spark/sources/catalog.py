@@ -217,11 +217,11 @@ def catalog_lifecycle(spark: SparkSession, sf_dir: str):
         cat = JobCatalog(spark, str(work))
         table = cat.table_name("lifecycle_demo")  # S4 naming contract
         canon = canonical_events(spark, sf_dir)
-        # bound the DEMO table to the first 10 days of the series — the
+        # bound the DEMO table to the first 4 days of the series — the
         # lifecycle surface (create/list/read/update/drop) is what's under
         # test, not write volume
         t_lo = canon.agg(F.min("ts_epoch")).collect()[0][0]
-        df = canon.filter(F.col("ts_epoch") < t_lo + 10 * 86400.0).select(
+        df = canon.filter(F.col("ts_epoch") < t_lo + 4 * 86400.0).select(
             "id",
             F.timestamp_seconds(F.col("ts_epoch")).alias("timestamp"),
             "value",
@@ -234,7 +234,7 @@ def catalog_lifecycle(spark: SparkSession, sf_dir: str):
         listed = cat.list_all_tables()  # S12
         cols = cat.get_columns(table)  # S11 (flags hidden)
 
-        # S8/J2: flag the P95 outliers of the FIRST THREE DAYS via one
+        # S8/J2: flag the P95 outliers of the FIRST DAY via one
         # set-oriented writeback — a time-localized flag set, so the
         # partition-scoped MERGE rewrites only the touched date partitions
         # (the realistic shape: a detector flags a recent window, not
@@ -242,10 +242,11 @@ def catalog_lifecycle(spark: SparkSession, sf_dir: str):
         # pre-update file listing must be evaluated BEFORE update_anomalies
         # swaps the rewritten directories.
         stored = cat.read_data(table)
-        t0 = stored.agg(F.min("timestamp")).collect()[0][0]
         import datetime as _dt
 
-        t_hi = t0 + _dt.timedelta(days=3)
+        # series start is already known from the bounding scan above
+        t0 = _dt.datetime.fromtimestamp(t_lo, _dt.timezone.utc).replace(tzinfo=None)
+        t_hi = t0 + _dt.timedelta(days=1)
         recent = stored.filter(F.col("timestamp") < F.lit(t_hi))
         thr = recent.agg(F.percentile(F.col("value"), F.lit(0.95)).alias("t"))
         ids = (

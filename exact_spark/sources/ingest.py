@@ -216,7 +216,7 @@ def ingest_json_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         sample = (
             canonical_events(spark, sf_dir)
-            .filter(F.col("id") <= 5_000)
+            .filter(F.col("id") <= 2_000)
             .select(
                 F.col("ts_epoch").alias("when"),
                 F.col("value").alias("v"),

@@ -39,10 +39,10 @@ def stream_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # stage the canonical series as the job's input file (the stream
         # path ingests files, simulator.py:133-219); bounded to the first
-        # 8k ids — a demo replay, deterministic under the dense-id order
+        # 4k ids — a demo replay, deterministic under the dense-id order
         canon = (
             canonical_events(spark, sf_dir)
-            .filter(F.col("id") <= 8_000)
+            .filter(F.col("id") <= 4_000)
             .select(
                 F.col("ts_epoch").alias("t"), F.col("value").alias("v"),
                 F.col("label").alias("lab"),
@@ -69,7 +69,7 @@ def stream_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         catalog = JobCatalog(spark, str(work / "warehouse"))
         result = run_stream(
-            spark, catalog, job, str(work / "work"), chunks=3, timeout_s=120.0
+            spark, catalog, job, str(work / "work"), chunks=2, timeout_s=120.0
         )
         m = result["metrics_all"]
         row = {
