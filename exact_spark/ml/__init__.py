@@ -214,16 +214,19 @@ def ml_sequence_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "xai_occlusion_ndcg",
+    "xai_methods_ndcg",
     sql=None,
-    doc="X1-X6 + G6 e2e: inject a known anomaly span into the canonical "
-    "events series (A1-A9), train the threshold detector, occlusion "
-    "feature attribution over W3-selected instances (per-instance fan-out, "
-    "X6 aggregation), NDCG@k vs the injected-column ground truth "
-    "(xai_runner.py:310-881 condensed).",
+    doc="X1-X6 + G6 e2e, one row per implemented explainer (the reference "
+    "runs multiple XAI methods per job and compares NDCG, "
+    "xai_runner.py:310-881 / xai_factory.py:18-108): inject a known "
+    "anomaly span into the canonical events series (A1-A9), train the "
+    "threshold detector, occlusion AND permutation feature attribution "
+    "over one W3-selected instance set (per-instance fan-out, X6 "
+    "aggregation), NDCG@k vs the injected-column ground truth, per-method "
+    "timing (execute_calls.py:897-900).",
 )
-def xai_occlusion_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from exact_spark.ml.explain import run_explanations
+def xai_methods_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exact_spark.ml.explain import METHODS, run_explanations
     from exact_spark.ml.models import get_model
     from exact_spark.operators.inject import AnomalySetting, inject_anomalies
 
@@ -247,19 +250,28 @@ def xai_occlusion_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = ["value", "hour"]
     model = get_model("threshold")
     model.run(injected.filter(F.col("label") == 0), feats)
+    # first_n_anomalies: the injected span sits in the series' first hours,
+    # so the earliest label-1 rows are dominated by injected ground truth —
+    # random_anomalies would mostly sample ORGANIC anomalies (no injection
+    # truth attached) and the NDCG signal would collapse to 0
     summary = run_explanations(
-        model, injected, feats, settings, start, n_instances=10
+        model, injected, feats, settings, start,
+        strategy="first_n_anomalies", n_instances=10,
     )
-    row = {
-        "method": summary["method"],
-        "n_instances": int(summary["n_instances"]),
-        "n_features_ranked": len(summary["aggregated_feature_importances"]),
-        "ndcg_at_3": float(summary["ndcg_at_3"]),
-        "ndcg_at_5": float(summary["ndcg_at_5"]),
-        "ndcg_at_10": float(summary["ndcg_at_10"]),
-    }
+    rows = [
+        {
+            "method": m,
+            "n_instances": int(summary["n_instances"]),
+            "n_features_ranked": len(r["aggregated_feature_importances"]),
+            "ndcg_at_3": float(r["ndcg_at_3"]),
+            "ndcg_at_5": float(r["ndcg_at_5"]),
+            "ndcg_at_10": float(r["ndcg_at_10"]),
+        }
+        for m in METHODS
+        for r in [summary["per_method"][m]]
+    ]
     return spark.createDataFrame(
-        [row],
+        rows,
         schema="method string, n_instances long, n_features_ranked long, "
         "ndcg_at_3 double, ndcg_at_5 double, ndcg_at_10 double",
     )

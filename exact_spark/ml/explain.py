@@ -2,24 +2,39 @@
 
 The reference orchestrates SHAP/LIME/DiCE over flattened sliding windows
 (Backend/XAI_methods/xai_runner.py:310-881). Those libraries are not in
-this environment; the engine ships the same *operator surface* with a
-model-agnostic occlusion explainer (perturb one feature to its training
-mean, measure the model-score delta) — the same fan-out shape KernelSHAP
-would use: explained instances are independent, so they scatter across the
-cluster via mapInPandas with the (small) model broadcast, exactly the
-X1-X3 execution pattern (xai_runner fan-out, ShapExplainer.py batching).
+this environment; the engine ships the same *operator surface* with TWO
+model-agnostic explainers run through one pipeline (the reference's
+multi-method loop, xai_runner.py:310-881 / xai_factory.py:18-108):
+
+- ``occlusion``: perturb one feature to its training mean, measure the
+  model-score delta — the fan-out shape KernelSHAP would use.
+- ``permutation``: permutation feature importance — break one feature's
+  association with the rest by permuting it ACROSS the explained set
+  (cyclic shift in id order: a seeded derangement that is deterministic
+  under any partitioning), measure the score delta.
+
+Explained instances are independent, so they scatter across the cluster
+via mapInPandas with the (small) model broadcast, exactly the X1-X3
+execution pattern (xai_runner fan-out, ShapExplainer.py batching).
 
 - select_instances  = W3 sampling strategies (utils.py:7-145)
-- occlusion_importances = X1-shape per-instance attribution
+- occlusion_importances / permutation_importances = X1-X3-shape
+  per-instance attribution
 - aggregate_importances = X6/G7 per-feature mean |score|
   (xai_runner.py:838-868)
 - ndcg_at_k / ndcg_ground_truth = G6/X5 ranking-quality evaluation
   (utils.py:284-342, xai_runner.py:101-195)
+- model_proba_fn = the M8 model-wrapper contract
+  (ML_models/model_wrapper.py:147-242): (N, 2) clipped+renormalized
+  probabilities, sigmoid pseudo-proba around the threshold
+  (lstm.py:331-388), NaN rows -> neutral 0.5.
 """
 
 from __future__ import annotations
 
+import json
 import math
+import pathlib
 from typing import Iterator
 
 import numpy as np
@@ -29,6 +44,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from exact_spark.operators.inject import AnomalySetting
+
+#: The implemented explainer set — the single source of truth the
+#: control plane advertises (engine.py:339-341 enumerates only the
+#: explainers that exist).
+METHODS = ("occlusion", "permutation")
 
 
 def select_instances(
@@ -97,6 +117,104 @@ def occlusion_importances(
             yield pd.DataFrame({"id": out_ids, "feature": out_feats, "importance": out_imps})
 
     return instances.select("id", *cols).mapInPandas(explain, schema=schema)
+
+
+def permutation_importances(
+    model, instances: DataFrame, feature_cols: list[str]
+) -> DataFrame:
+    """X2/X3-shape per-instance attribution via permutation feature
+    importance: |score(x) - score(x with feature j permuted across the
+    explained set)|.
+
+    The permutation is a cyclic shift by one in id order — a seeded
+    derangement that is identical under any partitioning (every other
+    random draw in this engine is id-keyed for the same reason). The
+    explained set is small by construction (W3 ``limit n``), so it is
+    coalesced into one Arrow batch; with a single instance the shift is
+    the identity and importances are correctly zero.
+    """
+    score_fn = _extract_score_fn(model, feature_cols)
+    cols = list(feature_cols)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("feature", T.StringType()),
+            T.StructField("importance", T.DoubleType()),
+        ]
+    )
+
+    def explain(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values("id", ignore_index=True)
+            x = pdf[cols].to_numpy(dtype=np.float64)
+            base = score_fn(x)
+            out_ids, out_feats, out_imps = [], [], []
+            for j, c in enumerate(cols):
+                pert = x.copy()
+                pert[:, j] = np.roll(x[:, j], 1)
+                delta = np.abs(base - score_fn(pert))
+                out_ids.extend(pdf["id"].astype("int64"))
+                out_feats.extend([c] * len(pdf))
+                out_imps.extend(delta)
+            yield pd.DataFrame({"id": out_ids, "feature": out_feats, "importance": out_imps})
+
+    return instances.select("id", *cols).coalesce(1).mapInPandas(explain, schema=schema)
+
+
+_IMPORTANCE_FNS = {
+    "occlusion": lambda model, inst, cols, means: occlusion_importances(
+        model, inst, cols, means
+    ),
+    "permutation": lambda model, inst, cols, means: permutation_importances(
+        model, inst, cols
+    ),
+}
+
+
+def model_proba_fn(model, feature_cols: list[str], scale_factor: float = 4.0):
+    """M8: the reference's XAI model-wrapper ``predict_proba`` contract
+    (ML_models/model_wrapper.py:147-242) as a picklable ndarray->(N, 2)
+    closure.
+
+    - P(anomaly) = sigmoid((score - threshold) / max(threshold/scale, 1e-9))
+      — the sigmoid-around-threshold pseudo-probability of lstm.py:331-388
+      (``proba_scale_factor`` default 4.0).
+    - Rows with NaN/Inf scores get neutral (0.5, 0.5)
+      (model_wrapper.py:180-186).
+    - Output is clipped to [0, 1] and row-renormalized
+      (model_wrapper.py:227-231); empty input -> shape (0, 2).
+    - Models without an extractable score function (MLlib JVM models)
+      return neutral probabilities, mirroring model_wrapper.py:167-170's
+      no-predict_proba fallback.
+    """
+    thr = getattr(model, "thr", None)
+    try:
+        score_fn = _extract_score_fn(model, feature_cols)
+    except TypeError:
+        score_fn = None
+
+    def proba(x: np.ndarray) -> np.ndarray:
+        n = x.shape[0] if x.ndim > 0 else 0
+        if n == 0:
+            return np.empty((0, 2), dtype=np.float64)
+        if score_fn is None or thr is None or not np.isfinite(thr):
+            return np.full((n, 2), 0.5)
+        scores = np.asarray(score_fn(x), dtype=np.float64)
+        scale = max(thr / scale_factor, 1e-9)
+        z = np.clip((scores - thr) / scale, -500, 500)
+        p1 = 1.0 / (1.0 + np.exp(-z))
+        out = np.vstack([1.0 - p1, p1]).T
+        bad = ~np.isfinite(out).all(axis=1)
+        out[bad] = 0.5
+        np.clip(out, 0.0, 1.0, out=out)
+        sums = out.sum(axis=1, keepdims=True)
+        sums[sums < 1e-9] = 1.0
+        return out / sums
+
+    return proba
 
 
 def _extract_score_fn(model, feature_cols: list[str]):
@@ -209,29 +327,61 @@ def run_explanations(
     n_instances: int = 20,
     k_values: tuple[int, ...] = (3, 5, 10),
     seed: int = 42,
+    methods: tuple[str, ...] = METHODS,
+    output_dir: str | None = None,
+    job_name: str = "xai",
 ) -> dict:
-    """XAIRunner.run_explanations (xai_runner.py:310-881) condensed:
-    select instances (W3), per-instance attribution, X6 aggregation, G6
-    NDCG@k against the injection ground truth."""
+    """XAIRunner.run_explanations (xai_runner.py:310-881) condensed: select
+    instances once (W3), then PER METHOD — the reference's multi-explainer
+    loop — per-instance attribution, X6 aggregation, G6 NDCG@k against the
+    injection ground truth, per-method timing (execute_calls.py:897-900).
+
+    When ``output_dir`` is given, writes the frontend-contract sidecar
+    ``<output_dir>/<job_name>/aggregated_feature_importances.json``
+    ({method: {feature: mean |importance|}}, xai_runner.py:858-868).
+    """
     import time
 
-    t0 = time.perf_counter()
     train_means = df.agg(*[F.avg(c).alias(c) for c in feature_cols]).collect()[0].asDict()
-    instances = select_instances(df, strategy, n_instances, seed=seed)
-    imps = occlusion_importances(model, instances, feature_cols, train_means).cache()
-    agg = aggregate_importances(imps).collect()
-    ranking = [r["feature"] for r in agg]
-
+    instances = select_instances(df, strategy, n_instances, seed=seed).cache()
     inst_rows = instances.select("id", F.col("timestamp").cast("double").alias("ep")).collect()
     truth = ndcg_ground_truth({r["id"]: r["ep"] for r in inst_rows}, settings, start_epoch)
     relevant = set().union(*truth.values()) if truth else set()
-    ndcg = {f"ndcg_at_{k}": round(ndcg_at_k(ranking, relevant, k), 4) for k in k_values}
-    return {
-        "method": "occlusion",
+
+    per_method: dict[str, dict] = {}
+    for m in methods:
+        if m not in _IMPORTANCE_FNS:
+            raise KeyError(f"unknown XAI method {m!r}; implemented: {METHODS}")
+        t0 = time.perf_counter()
+        imps = _IMPORTANCE_FNS[m](model, instances, feature_cols, train_means)
+        agg = aggregate_importances(imps).collect()
+        ranking = [r["feature"] for r in agg]
+        per_method[m] = {
+            "aggregated_feature_importances": {
+                r["feature"]: r["mean_abs_importance"] for r in agg
+            },
+            **{
+                f"ndcg_at_{k}": round(ndcg_at_k(ranking, relevant, k), 4)
+                for k in k_values
+            },
+            f"execution_time_xai_{m}_seconds": round(time.perf_counter() - t0, 3),
+        }
+    instances.unpersist()
+
+    summary = {
+        "methods": list(methods),
         "n_instances": len(inst_rows),
-        "aggregated_feature_importances": {
-            r["feature"]: r["mean_abs_importance"] for r in agg
-        },
-        **ndcg,
-        "execution_time_xai_occlusion_seconds": round(time.perf_counter() - t0, 3),
+        "per_method": per_method,
     }
+    if output_dir is not None:
+        out = pathlib.Path(output_dir) / job_name
+        out.mkdir(parents=True, exist_ok=True)
+        sidecar = out / "aggregated_feature_importances.json"
+        sidecar.write_text(
+            json.dumps(
+                {m: r["aggregated_feature_importances"] for m, r in per_method.items()},
+                indent=4,
+            )
+        )
+        summary["aggregated_feature_importances_path"] = str(sidecar)
+    return summary

@@ -67,9 +67,12 @@ class EngineAPI:
         return list(INJECTION_METHODS)
 
     def get_xai_methods(self) -> list[str]:
-        # names match the `method` column the explainers report
-        # (exact_spark/ml/explain.py)
-        return ["occlusion", "permutation"]
+        # single source of truth: the implemented explainer set — the list
+        # can't drift from reality (engine.py:339-341 enumerates only the
+        # explainers that exist)
+        from exact_spark.ml.explain import METHODS
+
+        return list(METHODS)
 
     def get_datasets(self) -> list[str]:
         if not self.datasets_dir or not self.datasets_dir.exists():

@@ -8,10 +8,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from exact_spark.ml.explain import (
+    METHODS,
     aggregate_importances,
+    model_proba_fn,
     ndcg_at_k,
     ndcg_ground_truth,
     occlusion_importances,
+    permutation_importances,
     run_explanations,
     select_instances,
 )
@@ -64,7 +67,7 @@ def test_w3_selection_strategies(spark, injected_series):
     assert a == b
 
 
-def test_occlusion_explains_injected_column(spark, injected_series):
+def test_both_methods_explain_injected_column(spark, injected_series, tmp_path):
     df, settings, start = injected_series
     model = get_model("pca_autoencoder")
     train = df.filter(F.col("id") <= 390)
@@ -72,14 +75,75 @@ def test_occlusion_explains_injected_column(spark, injected_series):
 
     result = run_explanations(
         model, df, ["v1", "v2"], settings, start, strategy="random_anomalies",
-        n_instances=15,
+        n_instances=15, output_dir=str(tmp_path), job_name="xai_demo",
     )
-    agg = result["aggregated_feature_importances"]
-    # the spiked column must dominate the attribution
-    assert agg["v1"] > 10 * agg["v2"]
-    # ground truth = {v1}; top-ranked = v1 => perfect NDCG
-    assert result["ndcg_at_3"] == 1.0
-    assert result["execution_time_xai_occlusion_seconds"] >= 0
+    assert result["methods"] == list(METHODS)
+    for m in METHODS:
+        r = result["per_method"][m]
+        agg = r["aggregated_feature_importances"]
+        # the spiked column must dominate the attribution for BOTH methods
+        assert agg["v1"] > 10 * agg["v2"], m
+        # ground truth = {v1}; top-ranked = v1 => perfect NDCG
+        assert r["ndcg_at_3"] == 1.0, m
+        assert r[f"execution_time_xai_{m}_seconds"] >= 0
+    # X7 in-contract slice: the sidecar the frontend reads
+    # (xai_runner.py:858-868) exists and matches the returned dicts
+    import json as _json
+
+    sidecar = tmp_path / "xai_demo" / "aggregated_feature_importances.json"
+    assert sidecar.exists()
+    assert result["aggregated_feature_importances_path"] == str(sidecar)
+    on_disk = _json.loads(sidecar.read_text())
+    assert on_disk == {
+        m: result["per_method"][m]["aggregated_feature_importances"]
+        for m in METHODS
+    }
+
+
+def test_permutation_deterministic_under_repartition(spark, injected_series):
+    df, settings, start = injected_series
+    model = get_model("pca_autoencoder")
+    model.run(df.filter(F.col("id") <= 390), ["v1", "v2"])
+    inst = select_instances(df, "random_anomalies", 12)
+
+    def agg_of(instances):
+        imps = permutation_importances(model, instances, ["v1", "v2"])
+        return {
+            r["feature"]: round(r["mean_abs_importance"], 9)
+            for r in aggregate_importances(imps).collect()
+        }
+
+    assert agg_of(inst) == agg_of(inst.repartition(7))
+
+
+def test_model_proba_contract(spark, injected_series):
+    """M8 (model_wrapper.py:147-242 + lstm.py:331-388): (N,2) shape, rows
+    sum to 1, monotone in raw score, P(anomaly)=0.5 at the threshold,
+    NaN rows -> neutral, empty input -> (0,2)."""
+    import numpy as np
+
+    df, _, _ = injected_series
+    model = get_model("threshold")
+    model.run(df.filter(F.col("id") <= 390), ["v1", "v2"])
+    proba = model_proba_fn(model, ["v1", "v2"])
+
+    x = np.array([[model.thr - 5.0, 0.0], [model.thr, 0.0], [model.thr + 5.0, 0.0]])
+    p = proba(x)
+    assert p.shape == (3, 2)
+    assert np.allclose(p.sum(axis=1), 1.0)
+    assert p[0, 1] < p[1, 1] < p[2, 1]  # monotone in score
+    assert p[1, 1] == pytest.approx(0.5)  # sigmoid centered at threshold
+    assert (p >= 0).all() and (p <= 1).all()
+
+    p_nan = proba(np.array([[np.nan, 0.0]]))
+    assert p_nan[0, 0] == 0.5 and p_nan[0, 1] == 0.5
+    assert proba(np.empty((0, 2))).shape == (0, 2)
+
+    # MLlib models have no picklable score fn -> neutral fallback
+    # (model_wrapper.py:167-170)
+    mllib = get_model("decision_tree")
+    neutral = model_proba_fn(mllib, ["v1", "v2"])(x)
+    assert (neutral == 0.5).all()
 
 
 def test_ground_truth_interval_matching(injected_series):
