@@ -161,6 +161,68 @@ def ml_cv_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ml_param_search",
+    sql=None,  # model training is not SQL-expressible -> rows-only check
+    doc="M4/M5 hyperparameter search (RandomizedSearchCV analog, "
+    "XGBoost.py:83-92,376-441 / decision_tree.py:353-441): seeded md5-"
+    "ranked sample of the cartesian grid, each candidate trained on folds "
+    "!= 0 of the md5-stratified deal and F1-scored on held-out fold 0 "
+    "(TrainValidationSplit semantics on the stratified splitter), best "
+    "combo flagged selected (the model_params.update(best_params_) refit "
+    "mapping). One row per candidate; deterministic under any "
+    "partitioning.",
+)
+def ml_param_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exact_spark.ml.search import param_search
+
+    df = _event_features(spark, sf_dir).filter(F.col("id") <= 5_000).cache()
+    _best, results = param_search(
+        df, "decision_tree", ["value", "hour"], n_iter=3, k=2
+    )
+    return spark.createDataFrame(
+        results,
+        schema="params string, f1 double, precision double, recall double, "
+        "selected boolean",
+    )
+
+
+@register(
+    "ml_isotonic_calibration",
+    sql=None,  # model training is not SQL-expressible -> rows-only check
+    doc="M6 probability calibration (SGDClassifier.py:426-453's "
+    "CalibratedClassifierCV(isotonic) on the hinge path): LinearSVC "
+    "margins fitted on stratified folds != 0, MLlib IsotonicRegression "
+    "(margin -> P(anomaly)) fitted on held-out fold 0, fully distributed "
+    "scoring. Output: 10-quantile calibration curve (mean margin, mean "
+    "calibrated probability, empirical positive rate per bucket) — "
+    "monotonicity and [0,1] bounds are property-tested.",
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from exact_spark.ml.calibrate import CalibratedMarginDetector
+
+    df = _event_features(spark, sf_dir).filter(F.col("id") <= 5_000).cache()
+    model = CalibratedMarginDetector(k=2)
+    model.run(df, ["value", "hour"])
+    proba = model.predict_proba_df(df, ["value", "hour"]).join(
+        df.select("id", "label"), "id"
+    )
+    decile = F.ntile(10).over(Window.orderBy("margin", "id"))
+    return (
+        proba.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("margin"), 6).alias("mean_margin"),
+            F.round(F.avg("proba"), 6).alias("mean_proba"),
+            F.round(F.avg(F.col("label").cast("double")), 6).alias("pos_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
 _SEQ_L = 5  # sequence length (reference default time_steps=10, lstm.py:101)
 
 

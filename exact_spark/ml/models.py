@@ -349,9 +349,13 @@ class MLlibClassifierDetector(DetectorModel):
     """M4-M6 supervised family on pyspark.ml Pipelines — fully distributed
     train + score (decision_tree.py / SGDClassifier.py re-expressed)."""
 
-    def __init__(self, algo: str = "decision_tree", seed: int = 42):
+    def __init__(self, algo: str = "decision_tree", seed: int = 42,
+                 params: dict | None = None):
         self.algo = algo
         self.seed = seed
+        #: classifier-param overrides (the hyperparameter-search refit path,
+        #: XGBoost.py:397-398's `model_params.update(best_params_)`)
+        self.params = dict(params or {})
         self.model = None
 
     def _classifier(self):
@@ -363,21 +367,27 @@ class MLlibClassifierDetector(DetectorModel):
         )
 
         if self.algo == "decision_tree":
-            return DecisionTreeClassifier(
-                labelCol="label", featuresCol="features", maxDepth=5, seed=self.seed
-            )
+            kw = dict(labelCol="label", featuresCol="features", maxDepth=5, seed=self.seed)
+            kw.update(self.params)
+            return DecisionTreeClassifier(**kw)
         if self.algo == "gbt":
             # M4 analog: distributed gradient-boosted trees (XGBoost is not
             # in this environment); scale_pos_weight (XGBoost.py:538-544)
             # becomes a per-row weight column set in run()
-            return GBTClassifier(
+            kw = dict(
                 labelCol="label", featuresCol="features", maxDepth=4,
                 maxIter=10, seed=self.seed, weightCol="__w",
             )
+            kw.update(self.params)
+            return GBTClassifier(**kw)
         if self.algo == "logistic_regression":
-            return LogisticRegression(labelCol="label", featuresCol="features", maxIter=10, tol=1e-4)
+            kw = dict(labelCol="label", featuresCol="features", maxIter=10, tol=1e-4)
+            kw.update(self.params)
+            return LogisticRegression(**kw)
         if self.algo == "linear_svc":
-            return LinearSVC(labelCol="label", featuresCol="features", maxIter=10, tol=1e-4)
+            kw = dict(labelCol="label", featuresCol="features", maxIter=10, tol=1e-4)
+            kw.update(self.params)
+            return LinearSVC(**kw)
         raise KeyError(self.algo)
 
     def run(self, train, feature_cols, label_col="label"):
@@ -432,4 +442,9 @@ def get_model(name: str, **params) -> DetectorModel:
         return IsolationForestDetector(**params)
     if name in ("decision_tree", "logistic_regression", "linear_svc", "gbt"):
         return MLlibClassifierDetector(algo=name, **params)
+    if name == "calibrated_svc":
+        # M6 + isotonic probability calibration (SGDClassifier.py:426-453)
+        from exact_spark.ml.calibrate import CalibratedMarginDetector
+
+        return CalibratedMarginDetector(**params)
     raise KeyError(f"unknown model {name!r}")
