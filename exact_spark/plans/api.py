@@ -40,15 +40,33 @@ class EngineAPI:
         return run_batch(self.spark, self.catalog, job, str(self.output_dir))
 
     # -- get-data (engine.py:257-316): split-oriented frame, epoch ts --------
+    #: rows returned per call unless the caller overrides — the unbounded
+    #: driver collect is replaced by offset/limit pagination
+    GET_DATA_ROW_CAP = 100_000
+
     def get_data(self, job_name: str, from_time=None, to_time=None,
-                 stream: bool = False) -> dict[str, Any]:
+                 stream: bool = False, limit: int | None = None,
+                 offset: int = 0) -> dict[str, Any]:
+        """The reference's get-data payload (engine.py:279-316): pandas
+        ``orient='split'`` keys — ``columns`` / ``index`` / ``data`` — with
+        the timestamp column as epoch floats (map_to_timestamp +
+        astype(float)). Bounded: at most ``limit`` rows (default
+        GET_DATA_ROW_CAP) from ``offset`` in (timestamp, id) order, so a
+        100 TB table can be paged without materializing on the driver."""
         table = self.catalog.table_name(job_name, stream=stream)
         df = self.catalog.read_data(table, from_time, to_time)
         df = df.withColumn("timestamp", F.col("timestamp").cast("double"))
-        df = df.orderBy("timestamp")
-        cols = df.columns
-        data = [[r[c] for c in cols] for r in df.collect()]
-        return {"columns": cols, "data": data}  # orient='split' shape
+        order = ["timestamp"] + (["id"] if "id" in df.columns else [])
+        df = df.orderBy(*order)
+        if offset:
+            df = df.offset(offset)
+        n = limit if limit is not None else self.GET_DATA_ROW_CAP
+        pdf = df.limit(n).toPandas()
+        return {
+            "columns": list(pdf.columns),
+            "index": list(range(offset, offset + len(pdf))),
+            "data": pdf.values.tolist(),
+        }
 
     # -- catalog/list methods -------------------------------------------------
     def get_all_jobs(self) -> list[str]:
@@ -85,11 +103,28 @@ class EngineAPI:
     # -- import-dataset (execute_calls.py:1029-1044): rewrite with the time
     #    column renamed 'timestamp' and moved first --------------------------
     def import_dataset(self, src_path: str, timestamp_column: str) -> str:
+        import tempfile
+
         df = self.spark.read.csv(src_path, header=True, inferSchema=True)
         df = df.withColumnRenamed(timestamp_column, "timestamp")
         rest = [c for c in df.columns if c != "timestamp"]
         dest = self.datasets_dir / pathlib.Path(src_path).name
-        df.select("timestamp", *rest).toPandas().to_csv(dest, index=False)
+        # executor-side rewrite + single-file publish: no driver
+        # materialization of the dataset
+        tmp = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_import_"))
+        try:
+            (
+                df.select("timestamp", *rest)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .option("header", True)
+                .csv(str(tmp / "out"))
+            )
+            part = next((tmp / "out").glob("part-*.csv"))
+            self.datasets_dir.mkdir(parents=True, exist_ok=True)
+            shutil.move(str(part), dest)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         return str(dest)
 
     # -- cancel-job (engine.py:408-450): drop table + delete output dir ------
@@ -99,3 +134,61 @@ class EngineAPI:
         if out.exists():
             shutil.rmtree(out)
         return dropped
+
+
+from exact_spark.operators.timeseries import CANON_SQL  # noqa: E402
+from exact_spark.registry import register  # noqa: E402
+
+
+@register(
+    "api_get_data",
+    sql=f"""
+    WITH canon AS ({CANON_SQL})
+    SELECT id, ts_epoch AS ts, value, CAST(label AS INTEGER) AS label
+    FROM canon WHERE id <= 2000
+    ORDER BY ts, id LIMIT 500 OFFSET 100
+    """,
+    doc="get-data wire payload e2e (engine.py:279-316): stage a bounded "
+    "job table, page it through EngineAPI.get_data (split-orient "
+    "columns/index/data, epoch-float timestamps, offset/limit replacing "
+    "the reference's unbounded read) and round-trip the payload rows back "
+    "into a frame the oracle checks against the canonical series with the "
+    "same ORDER/LIMIT/OFFSET.",
+)
+def api_get_data(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from exact_spark.operators.timeseries import canonical_events
+
+    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_api_"))
+    try:
+        api = EngineAPI(spark, str(work / "wh"), str(work / "out"))
+        demo = (
+            canonical_events(spark, sf_dir)
+            .filter(F.col("id") <= 2000)
+            .select(
+                "id",
+                F.timestamp_seconds(F.col("ts_epoch")).alias("timestamp"),
+                "value",
+                F.col("label").cast("int").alias("label"),
+                F.lit(False).alias("injected_anomaly"),
+                F.lit(False).alias("is_anomaly"),
+            )
+        )
+        api.catalog.create_table(api.catalog.table_name("wire_demo"), demo)
+        payload = api.get_data("wire_demo", limit=500, offset=100)
+        ci = {c: i for i, c in enumerate(payload["columns"])}
+        rows = [
+            {
+                "id": int(r[ci["id"]]),
+                "ts": float(r[ci["timestamp"]]),
+                "value": float(r[ci["value"]]),
+                "label": int(r[ci["label"]]),
+            }
+            for r in payload["data"]
+        ]
+        return spark.createDataFrame(
+            rows, schema="id long, ts double, value double, label int"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

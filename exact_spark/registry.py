@@ -70,6 +70,7 @@ def _load_all() -> None:
     )
     from exact_spark import ml as _ml  # noqa: F401
     from exact_spark import streaming as _streaming  # noqa: F401
+    from exact_spark.plans import api as _api  # noqa: F401
     from exact_spark.sources import catalog as _catalog  # noqa: F401
     from exact_spark.sources import ingest as _ingest  # noqa: F401
     _LOADED = True

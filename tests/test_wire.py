@@ -1,0 +1,157 @@
+"""Wire-protocol tests: the reference client's exact socket semantics
+(Backend/api/api.py:160-199) against EngineServer."""
+
+from __future__ import annotations
+
+import io
+import json
+import socket
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from exact_spark.plans.api import EngineAPI
+from exact_spark.plans.wire import EngineServer
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    (tmp_path / "datasets").mkdir()
+    api = EngineAPI(
+        spark, str(tmp_path / "wh"), str(tmp_path / "out"),
+        datasets_dir=str(tmp_path / "datasets"),
+    )
+    # a small job table: 50 rows, one per minute
+    df = spark.range(1, 51).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60).alias("timestamp"),
+        (F.col("id") * 1.5).alias("v1"),
+        F.lit(0).alias("label"),
+        F.lit(False).alias("injected_anomaly"),
+        F.lit(False).alias("is_anomaly"),
+    )
+    api.catalog.create_table(api.catalog.table_name("wiredemo"), df)
+    srv = EngineServer(api)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _request(srv, payload: dict, response: bool = True, second_message: bytes | None = None):
+    """The reference client's __send_data (api.py:160-199): one JSON dict
+    per connection; get-data reads until EOF."""
+    sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    sock.connect((srv.host, srv.port))
+    sock.sendall(json.dumps(payload).encode("utf-8"))
+    if second_message is not None:
+        time.sleep(0.3)
+        sock.sendall(second_message)
+        sock.close()
+        return None
+    if not response:
+        sock.close()
+        return None
+    chunks = []
+    sock.settimeout(10)
+    while True:
+        b = sock.recv(1024 * 100)
+        if not b:
+            break
+        chunks.append(b)
+    sock.close()
+    return json.loads(b"".join(chunks).decode("utf-8"))
+
+
+def test_get_data_split_payload(server):
+    got = _request(server, {
+        "METHOD": "get-data",
+        "job_name": "job_batch_wiredemo",
+        "from_timestamp": "2000-01-01T00:00:00",
+        "to_timestamp": None,
+    })
+    # envelope: {"data": <orient='split' JSON string>} (engine.py:301-303)
+    inner = got["data"]
+    assert isinstance(inner, str)
+    pdf = pd.read_json(io.StringIO(inner), orient="split")
+    assert len(pdf) == 50
+    assert "timestamp" in pdf.columns and "v1" in pdf.columns
+    # epoch-float timestamps (engine.py:296-298)
+    raw = json.loads(inner)
+    assert set(raw) == {"columns", "index", "data"}
+    ts_i = raw["columns"].index("timestamp")
+    assert isinstance(raw["data"][0][ts_i], float)
+    assert raw["data"][0][ts_i] == 1700000000 + 60
+
+
+def test_get_data_pagination_and_empty(server):
+    page = _request(server, {
+        "METHOD": "get-data",
+        "job_name": "job_batch_wiredemo",
+        "from_timestamp": "2000-01-01T00:00:00",
+        "to_timestamp": None,
+        "limit": 10, "offset": 20,
+    })
+    raw = json.loads(page["data"])
+    id_i = raw["columns"].index("id")
+    assert [r[id_i] for r in raw["data"]] == list(range(21, 31))
+    assert raw["index"] == list(range(20, 30))
+    # a window with no rows -> {"data": null} (engine.py:306-308)
+    empty = _request(server, {
+        "METHOD": "get-data",
+        "job_name": "job_batch_wiredemo",
+        "from_timestamp": "2090-01-01T00:00:00",
+        "to_timestamp": None,
+    })
+    assert empty["data"] is None
+    # invalid timestamp -> error envelope (engine.py:317-321)
+    bad = _request(server, {
+        "METHOD": "get-data",
+        "job_name": "job_batch_wiredemo",
+        "from_timestamp": "not-a-timestamp",
+        "to_timestamp": None,
+    })
+    assert bad["data"] is None and "error" in bad
+
+
+def test_listing_methods(server):
+    assert _request(server, {"METHOD": "get-models"})["models"] == list(
+        server.api.get_models()
+    )
+    assert _request(server, {"METHOD": "get-xai-methods"})["methods"] == [
+        "occlusion", "permutation",
+    ]
+    assert "spike" in _request(server, {"METHOD": "get-injection-methods"})[
+        "injection_methods"
+    ]
+    jobs = _request(server, {"METHOD": "get-all-jobs"})["jobs"]
+    assert jobs == ["job_batch_wiredemo"]
+    cols = _request(server, {"METHOD": "get-columns", "name": "wiredemo"})["columns"]
+    assert "v1" in cols and "is_anomaly" not in cols
+    unknown = _request(server, {"METHOD": "no-such-method"})
+    assert unknown == {"error": "method-error-response"}
+
+
+def test_import_dataset_two_message(server, tmp_path):
+    csv = "t,val\n2024-01-01T00:00:00,1.5\n2024-01-01T00:01:00,2.5\n"
+    _request(server, {
+        "METHOD": "import-dataset", "name": "up.csv", "timestamp_column": "t",
+    }, second_message=csv.encode("utf-8"))
+    dest = tmp_path / "datasets" / "up.csv"
+    deadline = time.time() + 30
+    while not dest.exists() and time.time() < deadline:
+        time.sleep(0.2)
+    assert dest.exists()
+    out = pd.read_csv(dest)
+    # time column renamed 'timestamp' and moved first
+    # (execute_calls.py:1029-1044)
+    assert list(out.columns)[0] == "timestamp"
+    assert len(out) == 2
+    # existing file: buffer drained, contents untouched (engine.py:366-371)
+    before = dest.read_bytes()
+    _request(server, {
+        "METHOD": "import-dataset", "name": "up.csv", "timestamp_column": "t",
+    }, second_message=b"t,val\nGARBAGE,9\n")
+    time.sleep(1.0)
+    assert dest.read_bytes() == before
