@@ -29,8 +29,15 @@ class CalibratedMarginDetector(DetectorModel):
     (SGDClassifier.py:426-453's CalibratedClassifierCV(isotonic) shape)."""
 
     def __init__(self, base_algo: str = "linear_svc", k: int = 3, seed: int = 42,
-                 threshold: float = 0.5):
-        self.base = MLlibClassifierDetector(algo=base_algo, seed=seed)
+                 threshold: float = 0.5, base_params: dict | None = None):
+        # isotonic calibration needs the margin ORDERING, not a fully
+        # converged separator — half the default OWLQN iterations halves
+        # the dominant fit cost with no effect on the monotone mapping's
+        # contract (callers can override via base_params)
+        self.base = MLlibClassifierDetector(
+            algo=base_algo, seed=seed,
+            params={"maxIter": 5, "tol": 1e-3, **(base_params or {})},
+        )
         self.k = k
         self.seed = seed
         self.threshold = threshold
@@ -50,7 +57,17 @@ class CalibratedMarginDetector(DetectorModel):
     def run(self, train: DataFrame, feature_cols: list[str], label_col: str = "label") -> None:
         from pyspark.ml.regression import IsotonicRegression
 
-        folded = stratified_kfold(train, label_col, self.k, self.seed).cache()
+        # repartition small before caching: the fold window exits with one
+        # shuffle-partition-count frame of tiny tasks, and LinearSVC runs
+        # ~an iteration of distributed jobs over it — per-job scheduling of
+        # 32 near-empty tasks dominates the actual math locally. A handful
+        # of partitions keeps every fit job dense (same fix as cv.py).
+        par = train.sparkSession.sparkContext.defaultParallelism
+        folded = (
+            stratified_kfold(train, label_col, self.k, self.seed)
+            .repartition(min(par, 4))
+            .cache()
+        )
         fit_part = folded.filter(F.col(FOLD_COL) != 0)
         calib_part = folded.filter(F.col(FOLD_COL) == 0)
 

@@ -101,12 +101,18 @@ def inject_anomalies(
         # — the window never touches the full table.
         rk = F.md5(F.concat(F.lit(f"{seed}:{i}:"), F.col("id").cast("string")))
         span_ids = out.filter(in_span).select("id").withColumn("rk_tmp", rk)
-        span_count = span_ids.count()
-        k = min(span_count, int(span_count * s.percentage / 100.0))
         w = Window.orderBy("rk_tmp", "id")
+        w_cnt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        # k = floor(span_count * pct/100) computed INSIDE the rank job (a
+        # full-frame count window over the already-small span frame) — no
+        # separate driver-side count action per setting
         selected_ids = (
             span_ids.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
+            .withColumn("__cnt", F.count(F.lit(1)).over(w_cnt))
+            .filter(
+                F.col("rn")
+                <= F.floor(F.col("__cnt") * F.lit(float(s.percentage)) / 100.0)
+            )
             .select(F.col("id").alias("__sel_id"))
         )
         ranked = out.join(
