@@ -40,18 +40,12 @@ def _confusion(scored: DataFrame) -> DataFrame:
     )
 
 
-def _detector_e2e(spark: SparkSession, sf_dir: str, model_name: str) -> DataFrame:
-    """§7.2 slice with a DetectorModel: 85% positional train split (P9),
-    train, distributed detect on all rows, P13-align by id join, G1."""
+def _detector_e2e_on(df: DataFrame, cut: int, model_name: str) -> DataFrame:
+    """§7.2 slice with a DetectorModel over a pre-cached feature frame:
+    85% positional train split (P9), train, distributed detect on all
+    rows, P13-align by id join, G1."""
     from exact_spark.ml.models import get_model
 
-    # repartition BEFORE caching: the canonical frame exits its global
-    # row_number sort in one partition; cached as-is, every downstream
-    # job (count, train, detect, join) would run single-task. One shuffle
-    # here makes all four parallel.
-    par = spark.sparkContext.defaultParallelism
-    df = _event_features(spark, sf_dir).repartition(min(par, 8)).cache()
-    cut = int(0.85 * df.count())
     feats = ["value", "hour"]
     model = get_model(model_name)
     model.run(df.filter(F.col("id") <= cut), feats)
@@ -62,7 +56,27 @@ def _detector_e2e(spark: SparkSession, sf_dir: str, model_name: str) -> DataFram
     return _confusion(scored)
 
 
-def _decision_tree_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cached_features(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """One cached, well-partitioned feature frame shared by every model
+    branch of an e2e query (cache it once, not once per model).
+
+    Repartition BEFORE caching: the canonical frame exits its global
+    row_number sort in one partition; cached as-is, every downstream job
+    (count, train, detect, join) would run single-task. One shuffle here
+    makes them all parallel.
+    """
+    par = spark.sparkContext.defaultParallelism
+    df = _event_features(spark, sf_dir).repartition(min(par, 8)).cache()
+    cut = int(0.85 * df.count())
+    return df, cut
+
+
+def _detector_e2e(spark: SparkSession, sf_dir: str, model_name: str) -> DataFrame:
+    df, cut = _cached_features(spark, sf_dir)
+    return _detector_e2e_on(df, cut, model_name)
+
+
+def _decision_tree_pipeline(df: DataFrame, cut: int) -> DataFrame:
     """M5 + M7 explicit pipeline: MinMax-scale -> DecisionTreeClassifier
     (seed fixed) on the 85% split -> detect on all rows -> confusion
     metrics (decision_tree.py:13-871 re-expressed on pyspark.ml)."""
@@ -70,9 +84,6 @@ def _decision_tree_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import MinMaxScaler, VectorAssembler
     from pyspark.ml import Pipeline
 
-    df = _event_features(spark, sf_dir)
-    n_total = df.count()
-    cut = int(0.85 * n_total)
     train = df.filter(F.col("id") <= cut)
 
     pipe = Pipeline(
@@ -103,14 +114,31 @@ def _decision_tree_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "score on all rows -> confusion metrics.",
 )
 def ml_supervised_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _decision_tree_pipeline(spark, sf_dir).select(
-        F.lit("decision_tree").alias("model"), "*"
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Fit/score the three models CONCURRENTLY: Spark job submission is
+    # thread-safe and the scheduler interleaves their (individually
+    # under-parallel, iteration-bound) jobs, so wall-clock approaches
+    # max(branch) instead of sum — the same trick CrossValidator's
+    # `parallelism` uses. Each branch collects its single confusion row
+    # inside its thread to force evaluation there.
+    df, cut = _cached_features(spark, sf_dir)
+
+    def branch(name: str) -> dict:
+        if name == "decision_tree":
+            row = _decision_tree_pipeline(df, cut).collect()[0]
+        else:
+            row = _detector_e2e_on(df, cut, name).collect()[0]
+        return {"model": name, **row.asDict()}
+
+    names = ["decision_tree", "logistic_regression", "gbt"]
+    with ThreadPoolExecutor(len(names)) as ex:
+        rows = list(ex.map(branch, names))
+    df.unpersist()
+    return spark.createDataFrame(
+        rows,
+        schema="model string, tp long, tn long, fp long, fn long, n_rows long",
     )
-    for name in ("logistic_regression", "gbt"):
-        out = out.unionByName(
-            _detector_e2e(spark, sf_dir, name).select(F.lit(name).alias("model"), "*")
-        )
-    return out
 
 
 @register(
@@ -125,13 +153,23 @@ def ml_supervised_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lstm.py:151-167 threshold semantics).",
 )
 def ml_unsupervised_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _detector_e2e(spark, sf_dir, "isolation_forest").select(
-        F.lit("isolation_forest").alias("model"), "*"
-    )
-    return out.unionByName(
-        _detector_e2e(spark, sf_dir, "pca_autoencoder").select(
-            F.lit("pca_autoencoder").alias("model"), "*"
-        )
+    from concurrent.futures import ThreadPoolExecutor
+
+    # concurrent branches over one shared cached frame — see
+    # ml_supervised_e2e
+    df, cut = _cached_features(spark, sf_dir)
+
+    def branch(name: str) -> dict:
+        row = _detector_e2e_on(df, cut, name).collect()[0]
+        return {"model": name, **row.asDict()}
+
+    names = ["isolation_forest", "pca_autoencoder"]
+    with ThreadPoolExecutor(len(names)) as ex:
+        rows = list(ex.map(branch, names))
+    df.unpersist()
+    return spark.createDataFrame(
+        rows,
+        schema="model string, tp long, tn long, fp long, fn long, n_rows long",
     )
 
 

@@ -220,9 +220,14 @@ _SPAN_SQL = f"""
 
 
 def _span_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 span filter + A3 deterministic percentage subsample."""
-    df = canonical_events(spark, sf_dir)
-    span = df.filter((F.col("ts_epoch") >= SPAN_T0) & (F.col("ts_epoch") < SPAN_T1)).select(
+    """A1 span filter + A3 deterministic percentage subsample.
+
+    The span read is partition-pruned (``canonical_events_range``): an
+    injection span covers days, so at scale only those date dirs are
+    listed — not the whole canonical table."""
+    from exact_spark.operators.timeseries import canonical_events_range
+
+    span = canonical_events_range(spark, sf_dir, SPAN_T0, SPAN_T1).select(
         "id",
         "ts_epoch",
         "value",

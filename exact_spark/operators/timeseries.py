@@ -173,6 +173,30 @@ def canonical_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select(*_CANON_COLS)
 
 
+def canonical_events_range(
+    spark: SparkSession, sf_dir: str, t0: float, t1: float
+) -> DataFrame:
+    """Canonical events restricted to ``t0 <= ts_epoch < t1`` WITH
+    partition pruning: the ``__date`` bounds (truncated to the table's
+    recorded granularity) keep directories outside the span from even
+    being listed — at 100 TB a 2-day span touches 2 date dirs, not the
+    table. The exact epoch bounds then push into the surviving scans."""
+    tune_session(spark)
+    path = canonical_table_path(spark, sf_dir)
+    df = spark.read.parquet(path)
+    lo = F.to_date(F.timestamp_seconds(F.lit(float(t0))))
+    if canonical_granularity(path) == "month":
+        # month dirs: a dir dated the 1st holds the whole month, so the
+        # lower bound must include the month containing t0
+        lo = F.trunc(lo, "month")
+    return df.filter(
+        (F.col("__date") >= lo)
+        & (F.col("__date") <= F.to_date(F.timestamp_seconds(F.lit(float(t1)))))
+        & (F.col("ts_epoch") >= float(t0))
+        & (F.col("ts_epoch") < float(t1))
+    ).select(*_CANON_COLS)
+
+
 @register(
     "canon_materialize",
     sql=f"""
