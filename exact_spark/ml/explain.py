@@ -221,9 +221,21 @@ def _extract_score_fn(model, feature_cols: list[str]):
     """Pull a picklable ndarray->scores closure out of a DetectorModel."""
     from exact_spark.ml.models import (
         IsolationForestDetector,
+        MLPAutoencoderDetector,
         PCAReconstructionDetector,
         ThresholdDetector,
     )
+
+    if isinstance(model, MLPAutoencoderDetector):
+        lo, rng_ = model.lo, model.rng_
+        w1, b1, w2, b2 = model.w1, model.b1, model.w2, model.b2
+
+        def fn(x):
+            xs = (x - lo) / rng_
+            h = np.tanh(xs @ w1 + b1)
+            return ((xs - (h @ w2 + b2)) ** 2).mean(axis=1)
+
+        return fn
 
     if isinstance(model, ThresholdDetector):
         j = 0

@@ -156,6 +156,100 @@ class PCAReconstructionDetector(DetectorModel):
 
 
 # ---------------------------------------------------------------------------
+class MLPAutoencoderDetector(DetectorModel):
+    """M1: a true nonlinear autoencoder, the LSTM-AE contract with the
+    Keras dependency removed (lstm.py:16-388 — arch 89-115, threshold
+    151-167): MinMax-scale -> tanh encoder / linear decoder trained with
+    Adam on reconstruction MSE -> threshold = P95 of reconstruction error
+    over the LAST 20% of training windows -> detect = err > thr. Training
+    is driver-side on the deterministic capped ordered sample (the
+    reference also trains in one process); scoring is distributed via
+    broadcast-weights Arrow ``mapInPandas``. All randomness from one
+    seeded generator -> identical weights under any partitioning."""
+
+    def __init__(self, hidden: int = 8, epochs: int = 30, batch: int = 256,
+                 lr: float = 1e-2, percentile: float = 95.0,
+                 threshold_tail: float = 0.2, seed: int = 42):
+        self.hidden = hidden
+        self.epochs = epochs
+        self.batch = batch
+        self.lr = lr
+        self.percentile = percentile
+        self.threshold_tail = threshold_tail  # lstm.py:151-167's last-20% slice
+        self.seed = seed
+        self.lo: np.ndarray | None = None
+        self.rng_: np.ndarray | None = None
+        self.w1 = self.b1 = self.w2 = self.b2 = None
+        self.thr: float | None = None
+
+    def _scale(self, x: np.ndarray) -> np.ndarray:
+        return (x - self.lo) / self.rng_
+
+    def _errors(self, xs: np.ndarray) -> np.ndarray:
+        h = np.tanh(xs @ self.w1 + self.b1)
+        rec = h @ self.w2 + self.b2
+        return ((xs - rec) ** 2).mean(axis=1)
+
+    def run(self, train, feature_cols, label_col="label"):
+        x = _collect_train_matrix(train, feature_cols)
+        # M7 MinMax scaling fitted on train (lstm.py's scaler stage)
+        self.lo = x.min(axis=0)
+        self.rng_ = x.max(axis=0) - self.lo
+        self.rng_[self.rng_ == 0] = 1.0
+        xs = self._scale(x)
+
+        n, d = xs.shape
+        h = min(self.hidden, max(1, d))
+        rng = np.random.default_rng(self.seed)
+        w1 = rng.normal(0, 1.0 / np.sqrt(d), (d, h))
+        b1 = np.zeros(h)
+        w2 = rng.normal(0, 1.0 / np.sqrt(h), (h, d))
+        b2 = np.zeros(d)
+        # Adam (lstm.py:107's optimizer), reconstruction MSE objective
+        ms = [np.zeros_like(p) for p in (w1, b1, w2, b2)]
+        vs = [np.zeros_like(p) for p in (w1, b1, w2, b2)]
+        beta1, beta2, eps, t = 0.9, 0.999, 1e-8, 0
+        for _epoch in range(self.epochs):
+            order = rng.permutation(n)
+            for s0 in range(0, n, self.batch):
+                xb = xs[order[s0:s0 + self.batch]]
+                m = len(xb)
+                hid = np.tanh(xb @ w1 + b1)
+                rec = hid @ w2 + b2
+                err = rec - xb  # d(MSE)/d(rec) ~ 2*err/m (constant folded into lr)
+                g_w2 = hid.T @ err / m
+                g_b2 = err.mean(axis=0)
+                d_hid = (err @ w2.T) * (1 - hid**2)
+                g_w1 = xb.T @ d_hid / m
+                g_b1 = d_hid.mean(axis=0)
+                t += 1
+                params = [w1, b1, w2, b2]
+                grads = [g_w1, g_b1, g_w2, g_b2]
+                for i, (p, g) in enumerate(zip(params, grads)):
+                    ms[i] = beta1 * ms[i] + (1 - beta1) * g
+                    vs[i] = beta2 * vs[i] + (1 - beta2) * g * g
+                    mhat = ms[i] / (1 - beta1**t)
+                    vhat = vs[i] / (1 - beta2**t)
+                    p -= self.lr * mhat / (np.sqrt(vhat) + eps)
+        self.w1, self.b1, self.w2, self.b2 = w1, b1, w2, b2
+        # threshold = P95 of reconstruction error over the LAST fraction of
+        # the (time-ordered) training windows (lstm.py:151-167)
+        tail = xs[int(n * (1 - self.threshold_tail)):] if n > 1 else xs
+        self.thr = float(np.percentile(self._errors(tail), self.percentile))
+
+    def detect(self, df, feature_cols):
+        lo, rng_, w1, b1, w2, b2 = self.lo, self.rng_, self.w1, self.b1, self.w2, self.b2
+
+        def score(x: np.ndarray) -> np.ndarray:
+            xs = (x - lo) / rng_
+            h = np.tanh(xs @ w1 + b1)
+            rec = h @ w2 + b2
+            return ((xs - rec) ** 2).mean(axis=1)
+
+        return _score_map_in_pandas(df, feature_cols, score, self.thr)
+
+
+# ---------------------------------------------------------------------------
 @dataclass
 class _ITree:
     """Array-encoded isolation tree for vectorized traversal.
@@ -428,7 +522,7 @@ class MLlibClassifierDetector(DetectorModel):
 
 
 # ---------------------------------------------------------------------------
-UNSUPERVISED = {"pca_autoencoder", "isolation_forest", "threshold"}  # execute_calls.py:36-40
+UNSUPERVISED = {"pca_autoencoder", "mlp_autoencoder", "isolation_forest", "threshold"}  # execute_calls.py:36-40
 
 
 def get_model(name: str, **params) -> DetectorModel:
@@ -438,6 +532,8 @@ def get_model(name: str, **params) -> DetectorModel:
         return ThresholdDetector(**params)
     if name == "pca_autoencoder":
         return PCAReconstructionDetector(**params)
+    if name == "mlp_autoencoder":
+        return MLPAutoencoderDetector(**params)
     if name == "isolation_forest":
         return IsolationForestDetector(**params)
     if name in ("decision_tree", "logistic_regression", "linear_svc", "gbt"):

@@ -26,7 +26,7 @@ def series(spark):
     return df.cache()
 
 
-@pytest.mark.parametrize("name", ["threshold", "pca_autoencoder", "isolation_forest"])
+@pytest.mark.parametrize("name", ["threshold", "pca_autoencoder", "mlp_autoencoder", "isolation_forest"])
 def test_unsupervised_detectors_flag_spike(spark, series, name):
     model = get_model(name)
     train = series.filter(F.col("id") <= 850)
@@ -94,3 +94,30 @@ def test_stratified_kfold_balance(spark, series):
     a = sorted(map(tuple, folded.select("id", FOLD_COL).collect()))
     b = sorted(map(tuple, folded.select("id", FOLD_COL).collect()))
     assert a == b
+
+
+def test_mlp_autoencoder_deterministic_and_proba(spark, series):
+    """M1: seeded weights => identical scores under any partitioning, and
+    the sigmoid pseudo-proba contract holds around the trained threshold."""
+    from exact_spark.ml.explain import model_proba_fn
+
+    train = series.filter(F.col("id") <= 850)
+
+    def fit_scores(df):
+        m = get_model("mlp_autoencoder", epochs=10)
+        m.run(df, ["v1", "v2"])
+        return m, {r["id"]: round(r["score"], 12) for r in m.detect(series, ["v1", "v2"]).collect()}
+
+    m1, s1 = fit_scores(train)
+    m2, s2 = fit_scores(train.repartition(17))
+    assert s1 == s2
+    assert m1.thr == m2.thr
+
+    proba = model_proba_fn(m1, ["v1", "v2"])
+    # normal rows score under threshold -> P(anomaly) < 0.5; spiked above
+    import numpy as np
+    normal = np.array([[0.0, 1.0]])
+    spiked = np.array([[10.0, 1.0]])
+    p = proba(np.vstack([normal, spiked]))
+    assert p.shape == (2, 2)
+    assert p[0, 1] < 0.5 < p[1, 1]
