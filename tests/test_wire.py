@@ -155,3 +155,43 @@ def test_import_dataset_two_message(server, tmp_path):
     }, second_message=b"t,val\nGARBAGE,9\n")
     time.sleep(1.0)
     assert dest.read_bytes() == before
+
+
+def test_run_batch_over_the_wire(server, tmp_path):
+    """Fire-and-forget run-batch (engine.py:161-205): the job runs on a
+    daemon thread, appears in get-all-jobs when its table lands, and its
+    run summary reaches the logfile sink."""
+    # stage a dataset the job can ingest
+    csv = "ts,v\n" + "\n".join(
+        f"{1700000000 + i * 60},{10.0 + (i % 9) * 0.5}" for i in range(200)
+    )
+    (tmp_path / "datasets" / "wirejob.csv").write_text(csv)
+
+    _request(server, {
+        "METHOD": "run-batch",
+        "model": "threshold",
+        "dataset": "wirejob.csv",
+        "name": "job_batch_wirejob",   # client pre-prefixes (api.py:28)
+        "debug": False,
+        "time_column": "ts",
+        "label_column": None,
+    }, response=False)
+
+    logfile = tmp_path / "out" / "wirejob" / "logfile"
+    deadline = time.time() + 90
+    while not logfile.exists() and time.time() < deadline:
+        time.sleep(0.5)
+    assert logfile.exists(), "run summary never written"
+    summary = json.loads(logfile.read_text())
+    assert summary["rows"] == 200
+    assert summary["model"] == "threshold"
+    assert "job_batch_wirejob" in _request(server, {"METHOD": "get-all-jobs"})["jobs"]
+    # cancel-job drops the table + output dir (engine.py:408-450)
+    _request(server, {"METHOD": "cancel-job", "job_name": "job_batch_wirejob"},
+             response=False)
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if "job_batch_wirejob" not in _request(server, {"METHOD": "get-all-jobs"})["jobs"]:
+            break
+        time.sleep(0.5)
+    assert "job_batch_wirejob" not in _request(server, {"METHOD": "get-all-jobs"})["jobs"]
