@@ -193,3 +193,104 @@ def await_stream(query, timeout_s: float = 60.0) -> dict:
     while query.isActive and time.time() < deadline:
         time.sleep(0.2)
     return {"isActive": query.isActive, "lastProgress": query.lastProgress}
+
+
+def stateful_session_counts(
+    stream_df: DataFrame,
+    gap_seconds: float = 1800.0,
+    watermark: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "timestamp",
+):
+    """Custom stateful streaming operator (extension beyond T5): per-key
+    gap-based sessionization with ``applyInPandasWithState`` — the pattern
+    for operators Structured Streaming's built-ins can't express (a
+    session is final only once no admissible event can extend it, so state
+    must carry across micro-batches).
+
+    Event-time correct under out-of-order arrival: state per key is the
+    sorted buffer of not-yet-final event times. A session [start..end] is
+    emitted exactly when the watermark passes ``end + gap`` — any event
+    that could still extend or merge it would have ``ts <= end + gap <=
+    wm`` and be dropped as late, so finality is proven by the watermark
+    alone, not by arrival order. Event-time timeouts re-invoke the fold
+    when the watermark crosses the earliest pending ``end + gap`` (the
+    no-data batch after a bounded replay included), so tail sessions
+    flush without any new event for the key. Finalized events leave the
+    buffer, so state is bounded by the watermark horizon per key; the
+    state store is hash-partitioned by key across executors — no global
+    state, no driver involvement.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("session_start", T.DoubleType()),
+            T.StructField("session_end", T.DoubleType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("buf", T.ArrayType(T.DoubleType()))]
+    )
+
+    def _sessions(buf: list) -> list:
+        """Split a sorted time buffer into gap-separated runs."""
+        runs, cur = [], [buf[0]]
+        for t in buf[1:]:
+            if t - cur[-1] > gap_seconds:
+                runs.append(cur)
+                cur = [t]
+            else:
+                cur.append(t)
+        runs.append(cur)
+        return runs
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (buf,) = state.get if state.exists else ([],)
+        buf = sorted(
+            list(buf)
+            + [
+                ts.timestamp()
+                for pdf in pdfs
+                for ts in pd.to_datetime(pdf[ts_col])
+            ]
+        )
+        closed, keep = [], []
+        if buf:
+            wm = state.getCurrentWatermarkMs() / 1000.0
+            for run in _sessions(buf):
+                if run[-1] + gap_seconds <= wm:  # provably final
+                    closed.append((str(key[0]), run[0], run[-1], len(run)))
+                else:
+                    keep.append(run)
+        if keep:
+            state.update(([t for run in keep for t in run],))
+            # wake up when the watermark can finalize the earliest pending
+            # session (guaranteed > current wm by the branch above)
+            state.setTimeoutTimestamp(
+                int((min(run[-1] for run in keep) + gap_seconds) * 1000)
+            )
+        elif state.exists:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["key", "session_start", "session_end", "n_events"]
+            )
+
+    return (
+        stream_df.withColumn("__key", F.col(key_col).cast("string"))
+        .withWatermark(ts_col, watermark)
+        .groupBy("__key")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

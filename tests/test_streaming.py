@@ -15,6 +15,7 @@ from exact_spark.sources.catalog import JobCatalog
 from exact_spark.streaming.replay import (
     mean_interarrival_seconds,
     replay_rate,
+    stateful_session_counts,
     windowed_counts,
 )
 
@@ -86,3 +87,48 @@ def test_interarrival_and_windowed_counts(spark, csv_path, tmp_path):
     # data starts mid-hour, so edge windows are partial; interior ones are full
     assert len(rows) == 11
     assert all(r["n_events"] == 60 for r in rows[1:-1])
+
+
+def test_stateful_session_counts(spark, tmp_path):
+    """Custom stateful operator: per-key gap sessionization via
+    applyInPandasWithState — state carries open sessions across
+    micro-batches; closed sessions emit exactly once."""
+    # two users: u1 has two sessions separated by a 2h gap, u2 one session
+    rows = []
+    for i in range(10):                      # u1 session 1: 10 events, 1min apart
+        rows.append(("u1", 1700000000 + i * 60))
+    for i in range(5):                       # u1 session 2: 2h later
+        rows.append(("u1", 1700000000 + 7200 + 600 + i * 60))
+    for i in range(7):                       # u2 single session
+        rows.append(("u2", 1700000000 + i * 120))
+    df = spark.createDataFrame(rows, ["user_id", "epoch"]).select(
+        "user_id", F.timestamp_seconds("epoch").alias("timestamp")
+    )
+    # stage as TWO files so the state must survive across micro-batches
+    src = str(tmp_path / "sessrc")
+    df.repartitionByRange(2, "timestamp").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = stateful_session_counts(stream, gap_seconds=1800.0)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive, "bounded stateful query must terminate"
+    got = {
+        (r["key"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    # u1's first session and u2's only session are watermark-final
+    # (end + gap <= final wm); u1's tail session is NOT provable yet and
+    # must stay in state — emitting it would be wrong
+    assert got == {("u1", 10), ("u2", 7)}
