@@ -227,3 +227,33 @@ def rel_order_priority_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_line_items"),
         fsum(F.col("l_extendedprice"), SCALE2).alias("total_price"),
     )
+
+
+# -- bucketed co-located joins (the big-big join scale strategy) -------------
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed table.
+
+    Bucketing is the pre-shuffle strategy for REPEATED big-big joins: both
+    sides hash-clustered into the same ``n_buckets`` on the join key at
+    write time means every subsequent equi-join on that key is co-located
+    — the SortMergeJoin reads matching buckets pairwise with NO Exchange
+    on either side (and no Sort either, when ``sort_cols`` covers the
+    key). At 100 TB this turns the dominant recurring shuffle of a fact-
+    fact join into a one-time write-side cost. (Broadcast remains the
+    strategy for dim tables — see the rel_* queries; bucketing is for the
+    fact-fact case where neither side fits in memory.)
+    """
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
