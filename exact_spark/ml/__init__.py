@@ -213,8 +213,31 @@ def ml_cv_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml_param_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact_spark.ml.search import param_search
+    from exact_spark.operators.inject import AnomalySetting, inject_anomalies
 
-    df = _event_features(spark, sf_dir).filter(F.col("id") <= 5_000).cache()
+    # search over a LEARNABLE target: inject a known anomaly span (the
+    # organic labels are not separable by these two features, which would
+    # make every candidate's F1 ~0 and the selection meaningless)
+    base = (
+        _event_features(spark, sf_dir)
+        .filter(F.col("id") <= 5_000)
+        .select(
+            "id",
+            F.timestamp_seconds(F.col("ts_epoch")).alias("timestamp"),
+            "value",
+            "hour",
+            F.lit(0).alias("label"),
+            F.lit(False).alias("injected_anomaly"),
+        )
+    )
+    start = base.agg(F.min(F.col("timestamp").cast("double"))).collect()[0][0]
+    settings = [
+        AnomalySetting(
+            "custom", 3600.0, 4 * 86400.0, magnitude=25.0, percentage=100.0,
+            columns=["value"],
+        )
+    ]
+    df = inject_anomalies(base, settings, start).cache()
     _best, results = param_search(
         df, "decision_tree", ["value", "hour"], n_iter=3, k=2
     )
