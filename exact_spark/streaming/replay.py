@@ -195,6 +195,22 @@ def await_stream(query, timeout_s: float = 60.0) -> dict:
     return {"isActive": query.isActive, "lastProgress": query.lastProgress}
 
 
+def split_sessions(buf: list, gap_seconds: float) -> list:
+    """Split a sorted time buffer into gap-separated runs — the pure
+    sessionization kernel shared by the stateful operator (and property-
+    tested on its own: runs partition the input, intra-run gaps <= gap,
+    inter-run gaps > gap)."""
+    runs, cur = [], [buf[0]]
+    for t in buf[1:]:
+        if t - cur[-1] > gap_seconds:
+            runs.append(cur)
+            cur = [t]
+        else:
+            cur.append(t)
+    runs.append(cur)
+    return runs
+
+
 def stateful_session_counts(
     stream_df: DataFrame,
     gap_seconds: float = 1800.0,
@@ -237,16 +253,7 @@ def stateful_session_counts(
     )
 
     def _sessions(buf: list) -> list:
-        """Split a sorted time buffer into gap-separated runs."""
-        runs, cur = [], [buf[0]]
-        for t in buf[1:]:
-            if t - cur[-1] > gap_seconds:
-                runs.append(cur)
-                cur = [t]
-            else:
-                cur.append(t)
-        runs.append(cur)
-        return runs
+        return split_sessions(buf, gap_seconds)
 
     def fold(key, pdfs, state: GroupState):
         import pandas as pd

@@ -132,3 +132,28 @@ def test_stateful_session_counts(spark, tmp_path):
     # (end + gap <= final wm); u1's tail session is NOT provable yet and
     # must stay in state — emitting it would be wrong
     assert got == {("u1", 10), ("u2", 7)}
+
+
+def test_split_sessions_properties():
+    """Hypothesis: for any sorted buffer and positive gap, the runs
+    partition the input in order, intra-run gaps are <= gap, and
+    consecutive runs are separated by > gap."""
+    from hypothesis import given, settings, strategies as st
+
+    from exact_spark.streaming.replay import split_sessions
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.floats(min_value=0, max_value=1e6, allow_nan=False), min_size=1, max_size=60),
+        st.floats(min_value=1e-3, max_value=1e5, allow_nan=False),
+    )
+    def check(times, gap):
+        buf = sorted(times)
+        runs = split_sessions(buf, gap)
+        assert [t for run in runs for t in run] == buf  # ordered partition
+        for run in runs:
+            assert all(b - a <= gap for a, b in zip(run, run[1:]))
+        for r1, r2 in zip(runs, runs[1:]):
+            assert r2[0] - r1[-1] > gap
+
+    check()
