@@ -253,33 +253,9 @@ def _extract_score_fn(model, feature_cols: list[str]):
 
         return fn
     if isinstance(model, IsolationForestDetector):
-        trees = [(t.feature, t.threshold, t.left, t.right, t.path_adj, t.lo, t.hi) for t in model.trees]
-        c_psi, n_est = model.c_psi, model.n_estimators
-
-        def fn(x):
-            paths = np.zeros(len(x))
-            for feature, threshold, left, right, path_adj, lo, hi in trees:
-                node = np.zeros(len(x), dtype=np.int32)
-                depth = np.zeros(len(x))
-                out = np.full(len(x), np.nan)
-                active = feature[node] >= 0
-                while active.any():
-                    f = feature[node[active]]
-                    xa = x[active, f]
-                    oob = (xa < lo[node[active]]) | (xa > hi[node[active]])
-                    if oob.any():
-                        ai = np.flatnonzero(active)
-                        out[ai[oob]] = depth[ai[oob]] + 1.0
-                    gl = xa < threshold[node[active]]
-                    node[active] = np.where(gl, left[node[active]], right[node[active]])
-                    depth[active] += 1.0
-                    active = (feature[node] >= 0) & np.isnan(out)
-                leaf = np.isnan(out)
-                out[leaf] = path_adj[node[leaf]]
-                paths += out
-            return 2.0 ** (-(paths / n_est) / c_psi)
-
-        return fn
+        # the detector's own by-value scoring closure (vectorized over
+        # trees x rows) is already picklable without exact_spark imports
+        return model._score_closure(None)
     raise TypeError(
         f"no picklable score function for {type(model).__name__}; "
         "MLlib models are explained via their own featureImportances"

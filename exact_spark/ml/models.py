@@ -359,10 +359,32 @@ class IsolationForestDetector(DetectorModel):
         self.thr: float | None = None
 
     def _scores(self, x: np.ndarray) -> np.ndarray:
-        paths = np.zeros(len(x))
-        for t in self.trees:
-            paths += _itree_paths(t, x)
-        return 2.0 ** (-(paths / len(self.trees)) / self.c_psi)
+        return self._score_closure()(x)
+
+    @staticmethod
+    def _stack_trees(trees: list[_ITree]) -> tuple:
+        """Pad per-tree node arrays into (n_trees, max_nodes) matrices so
+        the scoring traversal vectorizes across ALL trees at once instead
+        of looping them — the per-row Python cost drops from O(trees)
+        array ops to O(max_depth)."""
+        t_n, m = len(trees), max(len(t.feature) for t in trees)
+        feat = np.full((t_n, m), -1, dtype=np.int32)
+        thr = np.zeros((t_n, m))
+        left = np.zeros((t_n, m), dtype=np.int32)
+        right = np.zeros((t_n, m), dtype=np.int32)
+        adj = np.zeros((t_n, m))
+        lo = np.zeros((t_n, m))
+        hi = np.zeros((t_n, m))
+        for i, t in enumerate(trees):
+            k = len(t.feature)
+            feat[i, :k] = t.feature
+            thr[i, :k] = t.threshold
+            left[i, :k] = t.left
+            right[i, :k] = t.right
+            adj[i, :k] = t.path_adj
+            lo[i, :k] = t.lo
+            hi[i, :k] = t.hi
+        return feat, thr, left, right, adj, lo, hi
 
     def run(self, train, feature_cols, label_col="label"):
         x = _collect_train_matrix(train, feature_cols)
@@ -374,6 +396,7 @@ class IsolationForestDetector(DetectorModel):
         for _ in range(self.n_estimators):
             idx = rng.choice(len(x), size=psi, replace=False)
             self.trees.append(_build_itree(x[idx], rng, max_depth))
+        self._stack = self._stack_trees(self.trees)
         # Threshold = (1-contamination) quantile of TRAINING scores,
         # computed distributed (exact percentile over the scored frame):
         # the driver builds trees from a capped sample but never scores the
@@ -391,42 +414,49 @@ class IsolationForestDetector(DetectorModel):
         )
 
     def _score_closure(self, sc=None):
-        # Ship trees as plain array tuples and keep the traversal nested so
-        # the closure pickles BY VALUE — executors must not need to import
+        # Ship the padded tree stack and keep the traversal nested so the
+        # closure pickles BY VALUE — executors must not need to import
         # exact_spark (the driver may run from any cwd). With a SparkContext
         # the (~MB) tree state goes out as a broadcast — shipped once per
-        # executor instead of re-pickled into every task.
-        tree_state = [
-            (t.feature, t.threshold, t.left, t.right, t.path_adj, t.lo, t.hi)
-            for t in self.trees
-        ]
-        bc = sc.broadcast(tree_state) if sc is not None else None
+        # executor instead of re-pickled into every task. The traversal is
+        # vectorized over (trees x rows) in bounded row tiles: every loop
+        # iteration advances ALL trees' cursors one level, so the Python
+        # overhead is O(max_depth) array ops per tile, not O(trees).
+        stack = self._stack
+        bc = sc.broadcast(stack) if sc is not None else None
         c_psi, n_est = self.c_psi, self.n_estimators
+        tile = 4096  # (trees x tile) working set ~ a few MB per array
 
         def score(x: np.ndarray) -> np.ndarray:
-            trees = bc.value if bc is not None else tree_state
-            paths = np.zeros(len(x))
-            for feature, threshold, left, right, path_adj, lo, hi in trees:
-                node = np.zeros(len(x), dtype=np.int32)
-                depth = np.zeros(len(x))
-                out = np.full(len(x), np.nan)
-                active = feature[node] >= 0
+            feat, thr, left, right, adj, lo, hi = (
+                bc.value if bc is not None else stack
+            )
+            t_n = feat.shape[0]
+            ti = np.arange(t_n)[:, None]
+            n = len(x)
+            paths = np.empty(n)
+            for s0 in range(0, n, tile):
+                xt = x[s0:s0 + tile]
+                m = len(xt)
+                rows = np.arange(m)[None, :]
+                node = np.zeros((t_n, m), dtype=np.int32)
+                depth = np.zeros((t_n, m))
+                out = np.full((t_n, m), np.nan)
+                active = feat[ti, node] >= 0
                 while active.any():
-                    f = feature[node[active]]
-                    xa = x[active, f]
-                    oob = (xa < lo[node[active]]) | (xa > hi[node[active]])
-                    if oob.any():
-                        act_idx = np.flatnonzero(active)
-                        out[act_idx[oob]] = depth[act_idx[oob]] + 1.0
-                    goes_left = xa < threshold[node[active]]
-                    node[active] = np.where(
-                        goes_left, left[node[active]], right[node[active]]
-                    )
-                    depth[active] += 1.0
-                    active = (feature[node] >= 0) & np.isnan(out)
+                    f = feat[ti, node]
+                    xa = xt[rows, np.clip(f, 0, xt.shape[1] - 1)]
+                    cur_lo, cur_hi = lo[ti, node], hi[ti, node]
+                    oob = active & np.isnan(out) & ((xa < cur_lo) | (xa > cur_hi))
+                    out[oob] = depth[oob] + 1.0
+                    goes_left = xa < thr[ti, node]
+                    nxt = np.where(goes_left, left[ti, node], right[ti, node])
+                    node = np.where(active, nxt, node)
+                    depth += active
+                    active = (feat[ti, node] >= 0) & np.isnan(out)
                 leaf = np.isnan(out)
-                out[leaf] = path_adj[node[leaf]]
-                paths += out
+                out[leaf] = adj[ti, node][leaf]
+                paths[s0:s0 + m] = out.sum(axis=0)
             return 2.0 ** (-(paths / n_est) / c_psi)
 
         return score

@@ -121,3 +121,20 @@ def test_mlp_autoencoder_deterministic_and_proba(spark, series):
     p = proba(np.vstack([normal, spiked]))
     assert p.shape == (2, 2)
     assert p[0, 1] < 0.5 < p[1, 1]
+
+
+def test_forest_vectorized_scoring_matches_reference_traversal(spark, series):
+    """The (trees x rows) vectorized scorer must be bit-identical to the
+    straightforward per-tree traversal (_itree_paths)."""
+    from exact_spark.ml.models import _itree_paths
+
+    model = get_model("isolation_forest", n_estimators=25)
+    model.run(series.filter(F.col("id") <= 850), ["v1", "v2"])
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 5, size=(503, 2))  # odd size -> exercises tile tail
+    new = model._score_closure()(x)
+    paths = np.zeros(len(x))
+    for t in model.trees:
+        paths += _itree_paths(t, x)
+    old = 2.0 ** (-(paths / model.n_estimators) / model.c_psi)
+    assert np.array_equal(new, old)
