@@ -257,3 +257,32 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)
+
+
+def salted_join(
+    fact: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join for the case AQE can't fix and broadcast
+    can't reach: a hot fact key overwhelming one reducer, with a right
+    side too large to broadcast.
+
+    The fact side gets a deterministic content-hash salt in [0, n_salt);
+    the right side is replicated n_salt ways (explode of a literal range)
+    and the join runs on (key, salt) — the hot key's rows spread over
+    n_salt reducers instead of one. Cost: the right side shuffles n_salt
+    copies, so use it for moderate right sides; the salt is content-keyed
+    (not random), so results are deterministic under any partitioning.
+    Prefer, in order: broadcast (dim tables), AQE skew-join (enabled in
+    tune_session), bucketing (write_bucketed), then salting.
+    """
+    salt_f = F.pmod(F.hash(F.struct(*[F.col(c) for c in fact.columns])), F.lit(n_salt))
+    salted_fact = fact.withColumn("__salt", salt_f)
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    out = salted_fact.join(salted_right, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

@@ -69,3 +69,40 @@ def test_unbucketed_join_shuffles_both_sides(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert plan.count("Exchange") >= 2  # both sides shuffle without bucketing
+
+
+def test_salted_join_parity_and_spread(spark):
+    """salted_join must return exactly the plain join's rows (multiset)
+    while spreading the hot key over multiple (key, salt) groups."""
+    from exact_spark.operators.relational import salted_join
+
+    # 90% of fact rows share one hot key
+    fact = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    right = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.concat(F.lit("r"), F.col("id")).alias("label")
+    )
+
+    plain = fact.join(right, "k").groupBy("k", "label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    salted = salted_join(fact, right, "k").groupBy("k", "label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    p = {(r["k"], r["label"], r["n"], float(r["s"])) for r in plain.collect()}
+    s = {(r["k"], r["label"], r["n"], float(r["s"])) for r in salted.collect()}
+    assert p == s
+
+    # the hot key's rows occupy many distinct salt groups -> many reducers
+    from pyspark.sql.functions import pmod, hash as f_hash, struct
+
+    n_groups = (
+        fact.withColumn("__salt", pmod(f_hash(struct("k", "v")), F.lit(8)))
+        .filter(F.col("k") == 7)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_groups >= 6  # 1800 hot rows spread over ~8 salts
