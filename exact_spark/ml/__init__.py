@@ -148,9 +148,11 @@ def ml_supervised_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     "isolation_forest.py:9-173 semantics — trained driver-side on a capped "
     "ordered sample, scored distributedly via broadcast-model Arrow "
     "mapInPandas, threshold at the (1-contamination) training-score "
-    "quantile) and pca_autoencoder (linear AE via top-k principal "
+    "quantile), pca_autoencoder (linear AE via top-k principal "
     "components, anomaly = reconstruction error > P95 of training errors, "
-    "lstm.py:151-167 threshold semantics).",
+    "lstm.py:151-167 threshold semantics), and ae_ocsvm (svm.py:16-250's "
+    "AE + OneClassSVM shape — SVDD-style hypersphere on the nonlinear "
+    "latent space, (1-nu)-quantile boundary).",
 )
 def ml_unsupervised_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
@@ -163,7 +165,7 @@ def ml_unsupervised_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = _detector_e2e_on(df, cut, name).collect()[0]
         return {"model": name, **row.asDict()}
 
-    names = ["isolation_forest", "pca_autoencoder"]
+    names = ["isolation_forest", "pca_autoencoder", "ae_ocsvm"]
     with ThreadPoolExecutor(len(names)) as ex:
         rows = list(ex.map(branch, names))
     df.unpersist()

@@ -220,11 +220,15 @@ def model_proba_fn(model, feature_cols: list[str], scale_factor: float = 4.0):
 def _extract_score_fn(model, feature_cols: list[str]):
     """Pull a picklable ndarray->scores closure out of a DetectorModel."""
     from exact_spark.ml.models import (
+        EncoderOneClassDetector,
         IsolationForestDetector,
         MLPAutoencoderDetector,
         PCAReconstructionDetector,
         ThresholdDetector,
     )
+
+    if isinstance(model, EncoderOneClassDetector):
+        return model._score_fn()
 
     if isinstance(model, MLPAutoencoderDetector):
         lo, rng_ = model.lo, model.rng_

@@ -250,6 +250,50 @@ class MLPAutoencoderDetector(DetectorModel):
 
 
 # ---------------------------------------------------------------------------
+class EncoderOneClassDetector(DetectorModel):
+    """M3: AE + one-class boundary (svm.py:16-250's StandardScaler ->
+    Dense autoencoder -> OneClassSVM-on-encoded shape, libraries removed):
+    the nonlinear MLP autoencoder learns the latent space, and the
+    one-class boundary is an SVDD-style hypersphere in it — score =
+    squared distance of the encoding from the training-center, threshold
+    at the (1 - nu) quantile of training distances, so ~nu of the
+    training data falls outside the boundary (OneClassSVM's ``nu``
+    contract). Training is driver-side on the capped ordered sample;
+    scoring is a broadcast-weights distributed pass."""
+
+    def __init__(self, encoding_dim: int = 2, nu: float = 0.1,
+                 epochs: int = 30, seed: int = 42):
+        self.ae = MLPAutoencoderDetector(hidden=encoding_dim, epochs=epochs, seed=seed)
+        self.nu = nu
+        self.center: np.ndarray | None = None
+        self.thr: float | None = None
+
+    def _encode(self, xs: np.ndarray) -> np.ndarray:
+        return np.tanh(xs @ self.ae.w1 + self.ae.b1)
+
+    def run(self, train, feature_cols, label_col="label"):
+        self.ae.run(train, feature_cols)  # fits scaler + encoder/decoder
+        x = _collect_train_matrix(train, feature_cols)
+        h = self._encode(self.ae._scale(x))
+        self.center = h.mean(axis=0)
+        d = ((h - self.center) ** 2).sum(axis=1)
+        self.thr = float(np.quantile(d, 1.0 - self.nu))
+
+    def _score_fn(self):
+        lo, rng_, w1, b1 = self.ae.lo, self.ae.rng_, self.ae.w1, self.ae.b1
+        c = self.center
+
+        def score(x: np.ndarray) -> np.ndarray:
+            h = np.tanh(((x - lo) / rng_) @ w1 + b1)
+            return ((h - c) ** 2).sum(axis=1)
+
+        return score
+
+    def detect(self, df, feature_cols):
+        return _score_map_in_pandas(df, feature_cols, self._score_fn(), self.thr)
+
+
+# ---------------------------------------------------------------------------
 @dataclass
 class _ITree:
     """Array-encoded isolation tree for vectorized traversal.
@@ -552,7 +596,8 @@ class MLlibClassifierDetector(DetectorModel):
 
 
 # ---------------------------------------------------------------------------
-UNSUPERVISED = {"pca_autoencoder", "mlp_autoencoder", "isolation_forest", "threshold"}  # execute_calls.py:36-40
+UNSUPERVISED = {"pca_autoencoder", "mlp_autoencoder", "ae_ocsvm",
+                "isolation_forest", "threshold"}  # execute_calls.py:36-40
 
 
 def get_model(name: str, **params) -> DetectorModel:
@@ -564,6 +609,8 @@ def get_model(name: str, **params) -> DetectorModel:
         return PCAReconstructionDetector(**params)
     if name == "mlp_autoencoder":
         return MLPAutoencoderDetector(**params)
+    if name == "ae_ocsvm":
+        return EncoderOneClassDetector(**params)
     if name == "isolation_forest":
         return IsolationForestDetector(**params)
     if name in ("decision_tree", "logistic_regression", "linear_svc", "gbt"):

@@ -26,7 +26,7 @@ def series(spark):
     return df.cache()
 
 
-@pytest.mark.parametrize("name", ["threshold", "pca_autoencoder", "mlp_autoencoder", "isolation_forest"])
+@pytest.mark.parametrize("name", ["threshold", "pca_autoencoder", "mlp_autoencoder", "ae_ocsvm", "isolation_forest"])
 def test_unsupervised_detectors_flag_spike(spark, series, name):
     model = get_model(name)
     train = series.filter(F.col("id") <= 850)
@@ -138,3 +138,15 @@ def test_forest_vectorized_scoring_matches_reference_traversal(spark, series):
         paths += _itree_paths(t, x)
     old = 2.0 ** (-(paths / model.n_estimators) / model.c_psi)
     assert np.array_equal(new, old)
+
+
+def test_ae_ocsvm_nu_contract(spark, series):
+    """OneClassSVM's nu semantics: ~nu of the TRAINING sample falls
+    outside the learned boundary."""
+    train = series.filter(F.col("id") <= 850)
+    model = get_model("ae_ocsvm", nu=0.1, epochs=10)
+    model.run(train, ["v1", "v2"])
+    det = model.detect(train, ["v1", "v2"])
+    frac = det.filter(F.col("predicted") == 1).count() / det.count()
+    # quantile boundary on the capped ordered sample -> close to nu
+    assert 0.05 <= frac <= 0.15
