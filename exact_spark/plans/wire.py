@@ -195,6 +195,12 @@ class EngineServer:
                 target=run_stream,
                 args=(self.api.spark, self.api.catalog, job,
                       str(self.api.output_dir / f"stream_{job.job_name}")),
+                kwargs={
+                    # engine.py:211's speedup knob; chunks is ours (bounds
+                    # the micro-batch count of a finite replay)
+                    "speedup": float(data.get("speedup", 1000.0)),
+                    "chunks": int(data.get("chunks", 20)),
+                },
                 daemon=True,
             )
             t.start()

@@ -195,3 +195,42 @@ def test_run_batch_over_the_wire(server, tmp_path):
             break
         time.sleep(0.5)
     assert "job_batch_wirejob" not in _request(server, {"METHOD": "get-all-jobs"})["jobs"]
+
+
+def test_run_stream_over_the_wire(server, tmp_path):
+    """run-stream dispatch (engine.py:207-255): fire-and-forget, the
+    job_stream_ table lands with scored+flagged rows."""
+    csv = "ts,v\n" + "\n".join(
+        f"{1700000000 + i * 60},{10.0 + (i % 9) * 0.5}" for i in range(150)
+    )
+    (tmp_path / "datasets" / "wirestream.csv").write_text(csv)
+
+    _request(server, {
+        "METHOD": "run-stream",
+        "model": "threshold",
+        "dataset": "wirestream.csv",
+        "name": "job_stream_wirestream",
+        "speedup": 1000,
+        "chunks": 2,
+        "debug": False,
+        "time_column": "ts",
+        "label_column": None,
+    }, response=False)
+
+    deadline = time.time() + 120
+    table = None
+    while time.time() < deadline:
+        jobs = _request(server, {"METHOD": "get-all-jobs"})["jobs"]
+        if "job_stream_wirestream" in jobs:
+            table = "job_stream_wirestream"
+            break
+        time.sleep(0.5)
+    assert table, "stream table never appeared"
+    # wait until the replay finished appending all rows
+    while time.time() < deadline:
+        if server.api.catalog.read_data(table).count() == 150:
+            break
+        time.sleep(0.5)
+    stored = server.api.catalog.read_data(table)
+    assert stored.count() == 150
+    assert "is_anomaly" in stored.columns
