@@ -13,7 +13,7 @@ scale, independent of partitioning/row order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from exact_spark import io
@@ -166,10 +166,10 @@ _LSH_BUCKET_CAP = 200
 # the band-bucket join).
 
 
-@register(
-    "dedup_minhash_lsh",
-    sql=f"""
-    WITH {_SQL_SHINGLES},
+# The full shingle -> signature -> band -> capped-bucket -> candidate-pair
+# CTE chain, shared by dedup_minhash_lsh and dedup_components' oracle SQL.
+_SQL_LSH_CAND = f"""
+    {_SQL_SHINGLES},
     hashed AS (
         SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM shingled
     ),
@@ -192,6 +192,13 @@ _LSH_BUCKET_CAP = 200
         JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     )
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    sql=f"""
+    WITH {_SQL_LSH_CAND}
     SELECT doc_a, doc_b FROM cand
     """,
     doc="MinHash+LSH near-dup: 8 16-bit minhashes from one md5 per shingle "
@@ -470,3 +477,133 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _SIMHASH_MAX_HD)
     )
+
+
+# Connected components: min-label propagation + pointer jumping (path
+# halving), so convergence is O(log diameter) iterations — the cap covers
+# diameters up to ~2^20, a backstop, not a working limit. Dedup graphs
+# (LSH candidate cliques + exact-dup stars) are shallow anyway.
+_CC_MAX_ITERS = 20
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) undirected edges -> (doc_id, component_id) where
+    component_id = min doc_id reachable.
+
+    Scale shape: per iteration two join shuffles keyed on node id (one
+    edge-propagation, one pointer jump through the label forest — every
+    label IS a node id, so the jump is a self-join of the label table) plus
+    a map-side-combined min aggregation; `localCheckpoint` truncates
+    lineage so plan size stays constant across iterations (on a cluster,
+    swap for `checkpoint` against a durable dir). Convergence is detected
+    by the sum of labels: labels only ever decrease, so the sum is
+    strictly monotone until fixpoint — one scalar agg per iteration, no
+    change-count join.
+    """
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    prev = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(_CC_MAX_ITERS):
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("src", "id")
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+        )
+        # pointer jump: comp <- comp(comp). comp values are node ids, so the
+        # parent's label is found by re-joining the label table on id=comp.
+        parent = stepped.select(F.col("id").alias("comp"), F.col("comp").alias("jump"))
+        labels = (
+            stepped.join(parent, "comp", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("jump", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("comp")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    sym.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component_id"))
+
+
+@register(
+    "dedup_components",
+    sql=f"""
+    WITH RECURSIVE {_SQL_LSH_CAND},
+    norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS text_hash
+        FROM documents
+    ),
+    exact_edges AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT min(doc_id) OVER (PARTITION BY text_hash) AS doc_a, doc_id AS doc_b
+            FROM norm
+        ) WHERE doc_b > doc_a
+    ),
+    edges AS (
+        SELECT doc_a, doc_b FROM cand
+        UNION
+        SELECT doc_a, doc_b FROM exact_edges
+    ),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM edges
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM edges
+    ),
+    reach AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src WHERE s.dst <> r.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    ),
+    sizes AS (SELECT component_id, count(*) AS n_members FROM comp GROUP BY component_id)
+    SELECT c.doc_id, c.component_id, s.n_members
+    FROM comp c JOIN sizes s USING (component_id)
+    """,
+    doc="Duplicate-group clustering: the last step of a real dedup pipeline "
+    "— pairwise candidates (MinHash-LSH near-dups UNION exact-dup stars) "
+    "become whole duplicate groups via distributed connected components "
+    "(min-label propagation; see connected_components for the per-"
+    "iteration shuffle shape). component_id = min doc_id of the group, so "
+    "`keep WHERE doc_id = component_id` is the canonical-survivor filter. "
+    "Oracle computes the same fixpoint via a recursive-CTE transitive "
+    "closure.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    lsh = dedup_minhash_lsh(spark, sf_dir)
+    docs = io.load(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+        ).alias("text_hash"),
+    )
+    w = Window.partitionBy("text_hash")
+    exact_edges = norm.select(
+        F.min("doc_id").over(w).alias("doc_a"), F.col("doc_id").alias("doc_b")
+    ).filter(F.col("doc_b") > F.col("doc_a"))
+    edges = lsh.select("doc_a", "doc_b").union(exact_edges).distinct()
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return comp.join(sizes, "component_id").select("doc_id", "component_id", "n_members")

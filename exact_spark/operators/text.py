@@ -39,24 +39,54 @@ _BPE_PATTERN = "[a-z0-9]+|[^a-z0-9\\s]"
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 _SQL_STOP = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
+# n-gram-heuristic language ID: marker-token hit rates per language,
+# argmax with a fixed tie-break order, 'und' when nothing matches.
+_MARKERS = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "de", "et", "un", "les"),
+    "de": ("der", "die", "das", "und", "ein", "ist"),
+}
+
+
+def _sql_hits(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"len(list_filter(toks, x -> x IN ({lst})))"
+
+
+# PII spec, shared verbatim between Spark (Java regex) and DuckDB (RE2) —
+# only constructs both engines implement identically (char classes, bounded
+# repeats, \b); no lookarounds, no backrefs. Redaction is global-replace in
+# both (Spark regexp_replace is global; DuckDB needs the 'g' flag).
+_EMAIL_PAT = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_IPV4_PAT = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
 
 @register(
     "text_profile",
     sql=f"""
     WITH t AS (
-        SELECT doc_id, {_SQL_TOKS} AS toks,
+        SELECT doc_id, lang, lower(text) AS lo, {_SQL_TOKS} AS toks,
                regexp_extract_all(lower(text), '{_BPE_PATTERN}') AS pieces
         FROM documents
     ),
     feats AS (
-        SELECT doc_id, toks, pieces,
+        SELECT doc_id, lang, lo, toks, pieces,
                len(toks) AS n_tokens,
                len(list_distinct(toks)) AS n_distinct,
                len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
-               len(list_filter(toks, x -> x IN ({_SQL_STOP}))) * 1.0 / len(toks) AS stopword_ratio
+               len(list_filter(toks, x -> x IN ({_SQL_STOP}))) * 1.0 / len(toks) AS stopword_ratio,
+               {_sql_hits('en')} AS h_en, {_sql_hits('es')} AS h_es,
+               {_sql_hits('fr')} AS h_fr, {_sql_hits('de')} AS h_de
         FROM t WHERE len(toks) > 0
     )
     SELECT doc_id,
+           lang,
+           CASE WHEN h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_de = 0 THEN 'und'
+                WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+                WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+                WHEN h_fr >= h_de THEN 'fr'
+                ELSE 'de' END AS predicted_lang,
            n_tokens,
            n_distinct,
            list_sum(list_transform(toks, x -> length(x))) * 1.0 / n_tokens AS avg_token_len,
@@ -64,6 +94,10 @@ _SQL_STOP = ", ".join(f"'{w}'" for w in _STOPWORDS)
                 x -> CASE WHEN regexp_matches(x, '^[a-z0-9]')
                           THEN (length(x) + 3) // 4 ELSE 1 END)), 0) AS BIGINT) AS n_bpe_est,
            md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+           CAST(len(regexp_extract_all(lo, '{_EMAIL_PAT}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(lo, '{_IPV4_PAT}')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(regexp_replace(lo, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                              '{_IPV4_PAT}', '<IP>', 'g')) AS redacted_fingerprint,
            {sql_fround('distinct_ratio', 10000)} AS distinct_ratio,
            {sql_fround('stopword_ratio', 10000)} AS stopword_ratio,
            {sql_fround('0.4 * LEAST(n_tokens / 100.0, 1.0) + 0.4 * distinct_ratio + 0.2 * LEAST(stopword_ratio * 5.0, 1.0)', 10000)} AS quality_score
@@ -73,15 +107,21 @@ _SQL_STOP = ", ".join(f"'{w}'" for w in _STOPWORDS)
     "token count, distinct count, mean token length, BPE-ish subword "
     "estimate — alnum/punct pre-tokenizer, ceil(len/4) pieces per alnum "
     "run), md5 fingerprint over the sorted distinct token set (the "
-    "canonical key for fingerprint dedup), and quality scoring "
+    "canonical key for fingerprint dedup), quality scoring "
     "(length/stopword/distinct ratios folded into a deterministic "
-    "composite) — pure array ops, whole-stage codegen, no shuffle.",
+    "composite), marker-token language ID (argmax with fixed tie-break, "
+    "'und' when nothing matches), and PII handling (email/IPv4 match "
+    "counts + md5 fingerprint of the globally-redacted text — the "
+    "verify-without-storing pattern for redaction pipelines) — pure "
+    "array/regex ops, whole-stage codegen, no shuffle.",
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = io.load(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
+        "lang",
+        F.lower(F.col("text")).alias("lo"),
         tokens_col().alias("toks"),
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), F.lit(0)).alias(
             "pieces"
@@ -106,8 +146,16 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = (
         F.size(F.filter(F.col("toks"), lambda x: x.isin(*_STOPWORDS))) * 1.0 / n_tokens
     )
+
+    def hits(lang: str) -> Column:
+        return F.size(F.filter(F.col("toks"), lambda x: x.isin(*_MARKERS[lang])))
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("lo"), _EMAIL_PAT, "<EMAIL>"), _IPV4_PAT, "<IP>"
+    )
     feats = t.select(
         "doc_id",
+        "lang",
         n_tokens.cast("long").alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
         (tok_len_sum * 1.0 / n_tokens).alias("avg_token_len"),
@@ -115,77 +163,15 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("toks"))))).alias(
             "fingerprint"
         ),
+        F.size(F.regexp_extract_all(F.col("lo"), F.lit(_EMAIL_PAT), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("lo"), F.lit(_IPV4_PAT), F.lit(0)))
+        .cast("long")
+        .alias("n_ipv4"),
+        F.md5(redacted).alias("redacted_fingerprint"),
         distinct_ratio.alias("distinct_ratio"),
         stop_ratio.alias("stopword_ratio"),
-    )
-    score = (
-        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
-        + 0.4 * F.col("distinct_ratio")
-        + 0.2 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
-    )
-    return feats.select(
-        "doc_id",
-        "n_tokens",
-        "n_distinct",
-        "avg_token_len",
-        "n_bpe_est",
-        "fingerprint",
-        fround(F.col("distinct_ratio"), 10_000).alias("distinct_ratio"),
-        fround(F.col("stopword_ratio"), 10_000).alias("stopword_ratio"),
-        fround(score, 10_000).alias("quality_score"),
-    )
-
-
-# n-gram-heuristic language ID: marker-token hit rates per language,
-# argmax with a fixed tie-break order, 'und' when nothing matches.
-_MARKERS = {
-    "en": ("the", "a", "of", "and", "to", "is", "in"),
-    "es": ("el", "la", "de", "que", "y", "los"),
-    "fr": ("le", "la", "de", "et", "un", "les"),
-    "de": ("der", "die", "das", "und", "ein", "ist"),
-}
-
-
-def _sql_hits(lang: str) -> str:
-    lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
-    return f"len(list_filter(toks, x -> x IN ({lst})))"
-
-
-@register(
-    "text_langid",
-    sql=f"""
-    WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
-    scores AS (
-        SELECT doc_id, lang,
-               {_sql_hits('en')} AS h_en, {_sql_hits('es')} AS h_es,
-               {_sql_hits('fr')} AS h_fr, {_sql_hits('de')} AS h_de
-        FROM t WHERE len(toks) > 0
-    ),
-    pred AS (
-        SELECT lang,
-               CASE WHEN h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_de = 0 THEN 'und'
-                    WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
-                    WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
-                    WHEN h_fr >= h_de THEN 'fr'
-                    ELSE 'de' END AS predicted_lang
-        FROM scores
-    )
-    SELECT lang, predicted_lang, count(*) AS n_docs
-    FROM pred GROUP BY lang, predicted_lang
-    """,
-    doc="Language-ID heuristic: marker-token hits per language, argmax with "
-    "fixed tie-break; output is the (actual, predicted) confusion table.",
-)
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune_session(spark)
-    docs = io.load(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "lang", tokens_col().alias("toks")).filter(F.size("toks") > 0)
-
-    def hits(lang: str) -> Column:
-        return F.size(F.filter(F.col("toks"), lambda x: x.isin(*_MARKERS[lang])))
-
-    scores = t.select(
-        "lang",
         hits("en").alias("h_en"),
         hits("es").alias("h_es"),
         hits("fr").alias("h_fr"),
@@ -200,8 +186,24 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(h["fr"] >= h["de"], F.lit("fr"))
         .otherwise(F.lit("de"))
     )
-    return (
-        scores.withColumn("predicted_lang", pred)
-        .groupBy("lang", "predicted_lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.4 * F.col("distinct_ratio")
+        + 0.2 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    )
+    return feats.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        "n_tokens",
+        "n_distinct",
+        "avg_token_len",
+        "n_bpe_est",
+        "fingerprint",
+        "n_emails",
+        "n_ipv4",
+        "redacted_fingerprint",
+        fround(F.col("distinct_ratio"), 10_000).alias("distinct_ratio"),
+        fround(F.col("stopword_ratio"), 10_000).alias("stopword_ratio"),
+        fround(score, 10_000).alias("quality_score"),
     )
