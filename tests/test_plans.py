@@ -1,0 +1,88 @@
+"""Physical-plan audits: the scale invariants that make queries survive a
+100x scale-up, asserted against `explain()` output so they can't silently
+regress.
+
+- dimension joins stay broadcast (no shuffle of the small side)
+- parquet scans prune columns (a 3-column projection must not read the
+  whole documents table) and push predicates
+- no CartesianProduct and no row-at-a-time Python UDF (BatchEvalPython)
+  anywhere in the declarative query set — Python appears only as
+  Arrow-batched stages (ArrowEvalPython / mapInPandas) where models score.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io as _io
+
+import pytest
+
+from exact_spark.registry import REGISTRY, _load_all
+
+_load_all()
+
+# Queries whose construction is fully lazy (no driver-side collect or
+# iterative fixpoint during plan building) — safe to explain without
+# running the job.
+_LAZY = [
+    "rel_pricing_summary",
+    "rel_region_revenue",
+    "rel_top_customers",
+    "rel_distinct_two_phase",
+    "rel_order_priority_smj",
+    "text_profile",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_cosine",
+    "multimodal_binary_meta",
+]
+
+
+def plan_of(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", _LAZY)
+def test_no_cartesian_no_python_row_udf(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    # BatchEvalPython = row-at-a-time Python UDF; the engine bans it.
+    assert "BatchEvalPython" not in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    # customer/nation/region ride the task broadcast; only the two fact
+    # tables (lineitem, orders) may shuffle.
+    plan = plan_of(spark, sf_dir, "rel_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    plan = plan_of(spark, sf_dir, "rel_top_customers")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_documents_scan_prunes_columns(spark, sf_dir):
+    # text_profile touches doc_id/lang/text only; n_chars and source must
+    # not reach the parquet reader.
+    plan = plan_of(spark, sf_dir, "text_profile")
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, plan
+    for ln in scan_lines:
+        assert "n_chars" not in ln
+        assert "source" not in ln
+
+
+def test_pricing_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "rel_pricing_summary")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), plan
+
+
+def test_codegen_covers_text_pipeline(spark, sf_dir):
+    # the single-scan profile should run inside whole-stage codegen
+    # (simple mode marks codegen stages with a "*(n)" prefix)
+    plan = plan_of(spark, sf_dir, "text_profile", mode="simple")
+    assert "*(" in plan
