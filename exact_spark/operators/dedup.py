@@ -500,15 +500,23 @@ def connected_components(edges: DataFrame) -> DataFrame:
     strictly monotone until fixpoint — one scalar agg per iteration, no
     change-count join.
     """
+    # Materialize the candidate edge list ONCE before mirroring: the union
+    # below references `edges` twice, and without this the full upstream
+    # DAG (LSH signatures, bucket join, ...) would execute once per branch.
+    # The edge list is orders of magnitude smaller than the corpus (capped
+    # buckets bound it), so this is the cheap thing to pin.
+    edges = edges.localCheckpoint()
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .cache()
     )
+    # init fuses the first propagation: the node-dedup shuffle (a groupBy
+    # instead of distinct — same exchange) also computes min(id, min nbr)
     labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(F.col("src").alias("id"), F.least("src", "m").alias("comp"))
         .localCheckpoint()
     )
     prev = labels.agg(F.sum("comp")).first()[0]
