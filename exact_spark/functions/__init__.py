@@ -57,6 +57,44 @@ def epoch_seconds(ts: Column) -> Column:
     return ts.cast("double")
 
 
+def epoch_micros(df, col: str) -> Column:
+    """LONG epoch microseconds from any timestamp storage the source data
+    has shipped with:
+
+    - ``bigint``: parquet TIMESTAMP(NANOS) read via
+      ``spark.sql.legacy.parquet.nanosAsLong`` — integer-divide to micros
+      (the ns epoch exceeds double's 2^53 exact range; micros are exact).
+    - ``timestamp`` (LTZ): ``unix_micros`` directly.
+    - ``timestamp_ntz``: parquet micros without UTC adjustment — Spark 4
+      infers NTZ (``spark.sql.parquet.inferTimestampNTZ.enabled``). The
+      data is naive-UTC and the session timezone is pinned UTC
+      (session.tune_session), so the NTZ->LTZ cast is exact and matches
+      DuckDB's ``epoch_us(ts)`` of the same file.
+    """
+    dtype = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dtype in ("bigint", "long", "int"):
+        return F.expr(f"{col} DIV 1000")
+    if dtype == "timestamp_ntz":
+        c = c.cast("timestamp")
+    return F.unix_micros(c)
+
+
+def epoch_seconds_any(df, col: str) -> Column:
+    """DOUBLE fractional epoch seconds from any supported timestamp dtype
+    (see ``epoch_micros``); numeric columns pass through as-is (already
+    epoch seconds)."""
+    dtype = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dtype in ("bigint", "long"):
+        return F.expr(f"{col} DIV 1000") / F.lit(1e6)
+    if dtype == "timestamp_ntz":
+        c = c.cast("timestamp")
+    if dtype.startswith("timestamp"):
+        return c.cast("double")
+    return c.cast("double")
+
+
 # --- SQL-side mirrors (DuckDB oracle) ---------------------------------------
 
 def sql_fixed(expr: str, scale: int = SCALE6) -> str:

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from exact_spark.functions import sql_favg, favg
+from exact_spark.functions import epoch_seconds_any, favg, sql_favg
 from exact_spark.operators.timeseries import CANON_SQL, canonical_events
 from exact_spark.registry import register
 
@@ -83,10 +83,7 @@ def inject_anomalies(
     per-injector ``default_rng(seed)``.
     """
     rng = np.random.default_rng(seed)
-    ts_epoch = (
-        F.col(ts_col).cast("double") if dict(df.dtypes)[ts_col].startswith("timestamp")
-        else F.col(ts_col)
-    )
+    ts_epoch = epoch_seconds_any(df, ts_col)
     out = df
     for i, s in enumerate(settings):
         t0 = start_epoch + s.timestamp

@@ -42,7 +42,7 @@ from exact_spark.session import tune_session
            {sql_favg('l_discount', 1000000)} AS avg_disc,
            count(*) AS count_order
     FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1-shaped pricing summary: scan + pushed filter + partial agg. "
@@ -51,7 +51,7 @@ from exact_spark.session import tune_session
 def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = io.load(spark, sf_dir, "lineitem")
-    li = li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+    li = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -202,8 +202,8 @@ def rel_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_line_items,
            CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE o.o_orderdate >= TIMESTAMP '2024-03-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '2024-09-01 00:00:00'
+    WHERE o.o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-09-01 00:00:00'
     GROUP BY o.o_orderpriority
     """,
     doc="Fact-fact join on the shuffle path: orders JOIN lineitem with a "
@@ -216,8 +216,8 @@ def rel_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rel_order_priority_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     orders = io.load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("2024-03-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-09-01 00:00:00").cast("timestamp"))
     )
     li = io.load(spark, sf_dir, "lineitem")
     joined = orders.hint("merge").join(

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from exact_spark import io
-from exact_spark.functions import epoch_seconds, favg, fsum, sql_favg, sql_fsum
+from exact_spark.functions import epoch_micros, epoch_seconds, favg, fsum, sql_favg, sql_fsum
 from exact_spark.registry import register
 from exact_spark.session import tune_session
 
@@ -61,26 +61,27 @@ _CANON_COLS = ("id", "ts_epoch", "user_id", "event_type", "value", "label")
 def _canonical_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> canonical frame via the scale-safe dense-id path.
 
-    ``ts`` arrives as LONG nanoseconds (nanosAsLong read of the NANOS
-    parquet column). Conversion to epoch seconds goes through *integer*
-    division to micros first: the ns epoch (~1.7e18) exceeds double's 2^53
-    exact-integer range, so a float division by 1e9 would silently lose
-    precision; micros (~1.7e15) are exact, and micros/1e6 is bit-identical
-    to DuckDB's ``epoch(ts)``.
+    ``ts`` storage has varied across testdata generations (TIMESTAMP(NANOS)
+    read as LONG ns, TIMESTAMP micros, TIMESTAMP_NTZ micros), so conversion
+    is dtype-driven (``functions.epoch_micros``) and always lands on exact
+    integer micros first: micros (~1.7e15) sit inside double's 2^53
+    exact-integer range, and micros/1e6 is bit-identical to DuckDB's
+    ``epoch(ts)``.
 
-    ``with_dense_id`` buckets on double(ts); int64 -> double is monotonic,
-    so bucket order preserves the (ts, event_id) global order and the ids
-    equal the CANON_SQL row_number specification.
+    ``with_dense_id`` orders on the micros integer; ts -> micros is
+    monotonic, so bucket order preserves the (ts, event_id) global order
+    and the ids equal the CANON_SQL row_number specification.
     """
     from exact_spark.sources.ingest import with_dense_id
 
     ev = io.load(spark, sf_dir, "events").select(
         "ts", "event_id", "user_id", "event_type", "value"
     )
-    canon = with_dense_id(ev, ["ts", "event_id"])
+    ev = ev.withColumn("__ts_us", epoch_micros(ev, "ts"))
+    canon = with_dense_id(ev, ["__ts_us", "event_id"])
     return canon.select(
         "id",
-        (F.expr("ts DIV 1000") / F.lit(1e6)).alias("ts_epoch"),
+        (F.col("__ts_us") / F.lit(1e6)).alias("ts_epoch"),
         "user_id",
         "event_type",
         "value",
@@ -419,20 +420,20 @@ def ts_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     ev = io.load(spark, sf_dir, "events")
+    ev = ev.withColumn("__us", epoch_micros(ev, "ts"))
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("__us")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    le = F.max(F.when(F.col("event_type") == "error", F.col("ts"))).over(w)
-    tagged = ev.select("event_id", "user_id", "event_type", "ts", le.alias("le_ts"))
-    us = lambda c: F.expr(f"{c} DIV 1000")  # noqa: E731 — exact ns->us
+    le = F.max(F.when(F.col("event_type") == "error", F.col("__us"))).over(w)
+    tagged = ev.select("event_id", "user_id", "event_type", "__us", le.alias("__le_us"))
     return tagged.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
-        (us("ts").cast("double") / F.lit(1e6)).alias("purchase_epoch"),
-        (us("le_ts").cast("double") / F.lit(1e6)).alias("last_error_epoch"),
-        ((us("ts") - us("le_ts")).cast("double") / F.lit(1e6)).alias("gap_seconds"),
+        (F.col("__us").cast("double") / F.lit(1e6)).alias("purchase_epoch"),
+        (F.col("__le_us").cast("double") / F.lit(1e6)).alias("last_error_epoch"),
+        ((F.col("__us") - F.col("__le_us")).cast("double") / F.lit(1e6)).alias("gap_seconds"),
     )
 
 

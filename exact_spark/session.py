@@ -23,8 +23,10 @@ DEFAULT_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
-    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
-    # default; read as LONG nanos and convert explicitly (see operators.timeseries)
+    # events.parquet timestamp storage has varied across testdata
+    # generations: TIMESTAMP(NANOS) needs the legacy long-ns read (Spark
+    # rejects NANOS otherwise); micros arrive as TIMESTAMP_NTZ. Both are
+    # handled dtype-driven in functions.epoch_micros.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
 }

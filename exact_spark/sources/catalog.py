@@ -172,7 +172,21 @@ class JobCatalog:
 
     # -- S10: exists ---------------------------------------------------------
     def table_exists(self, table_name: str) -> bool:
-        return self._path(table_name).exists()
+        """True only once the table has a COMMITTED write.
+
+        A bare directory check races with Spark's output committer: the
+        table dir (and ``_temporary``) exist for the whole duration of the
+        first write, and a concurrent reader that trusts the dir would hit
+        UNABLE_TO_INFER_SCHEMA. ``_SUCCESS`` is the commit marker; the
+        parquet-file fallback covers tables written with the marker
+        disabled.
+        """
+        p = self._path(table_name)
+        if not p.exists():
+            return False
+        if (p / "_SUCCESS").exists():
+            return True
+        return next(p.rglob("*.parquet"), None) is not None
 
     # -- S11: columns minus flags (timescaledb_api.py:232-233) ---------------
     def get_columns(self, table_name: str) -> list[str]:
@@ -187,6 +201,7 @@ class JobCatalog:
             if p.is_dir()
             and (p.name.startswith(BATCH_PREFIX) or p.name.startswith(STREAM_PREFIX))
             and not p.name.endswith(".tmp")
+            and self.table_exists(p.name)  # committed writes only (see S10)
         )
 
 

@@ -101,7 +101,10 @@ def with_dense_id(
     """
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     primary = order_cols[0]
-    primary_d = F.col(primary).cast("double")
+    pc = F.col(primary)
+    if dict(df.dtypes)[primary] == "timestamp_ntz":
+        pc = pc.cast("timestamp")  # NTZ has no direct double cast
+    primary_d = pc.cast("double")
 
     # total tie-break: whole-row hash (deterministic, partition-independent)
     tie = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]))

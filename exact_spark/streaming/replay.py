@@ -31,16 +31,15 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from exact_spark.functions import epoch_seconds_any
 from exact_spark.operators.inject import AnomalySetting, resolve_target_columns
 
 
 def mean_interarrival_seconds(df: DataFrame, ts_col: str = "timestamp") -> float:
     """G4 (simulator.py:185-203): mean gap between consecutive rows."""
+    ep = epoch_seconds_any(df, ts_col)
     row = df.agg(
-        (
-            (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")))
-            / F.greatest(F.count(F.lit(1)) - 1, F.lit(1))
-        ).alias("dt")
+        ((F.max(ep) - F.min(ep)) / F.greatest(F.count(F.lit(1)) - 1, F.lit(1))).alias("dt")
     ).collect()[0]
     return float(row["dt"] or 0.0)
 
@@ -89,7 +88,7 @@ def streaming_injection(
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    ts_epoch = F.col(ts_col).cast("double")
+    ts_epoch = epoch_seconds_any(df, ts_col)
     out = df
     for i, s in enumerate(settings):
         t0, t1 = start_epoch + s.timestamp, start_epoch + s.timestamp + s.duration
