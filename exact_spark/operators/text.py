@@ -116,6 +116,10 @@ _IPV4_PAT = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
     "array/regex ops, whole-stage codegen, no shuffle.",
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text_profile_frame(spark, sf_dir)
+
+
+def _text_profile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = io.load(spark, sf_dir, "documents")
     t = docs.select(
@@ -206,4 +210,137 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("distinct_ratio"), 10_000).alias("distinct_ratio"),
         fround(F.col("stopword_ratio"), 10_000).alias("stopword_ratio"),
         fround(score, 10_000).alias("quality_score"),
+    )
+
+
+# --- keep/drop filter pipeline (the decision layer a training-data curation
+# run actually executes over the profile features) --------------------------
+
+_MIN_TOKENS = 25
+_MIN_QUALITY = 0.45  # compared on the 1e-4-rounded score in BOTH engines
+
+
+@register(
+    "text_filter_pipeline",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    f AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               len(toks) = 0 AS is_empty,
+               CASE WHEN len(toks) = 0 THEN NULL
+                    ELSE md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+               END AS fp,
+               CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                 {sql_fround(
+                     "0.4 * LEAST(len(toks) / 100.0, 1.0)"
+                     " + 0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))"
+                     " + 0.2 * LEAST(len(list_filter(toks, x -> x IN (" + _SQL_STOP + ")))"
+                     " * 1.0 / len(toks) * 5.0, 1.0)", 10000)}
+               END AS quality_score,
+               CASE WHEN len(toks) = 0 THEN TRUE
+                    WHEN {_sql_hits('en')} = 0 AND {_sql_hits('es')} = 0
+                     AND {_sql_hits('fr')} = 0 AND {_sql_hits('de')} = 0 THEN TRUE
+                    ELSE FALSE END AS lang_unknown
+        FROM t
+    ),
+    d AS (
+        SELECT *,
+               min(doc_id) OVER (PARTITION BY fp) AS fp_min,
+               count(*) OVER (PARTITION BY fp) AS fp_cnt
+        FROM f
+    )
+    SELECT doc_id, n_tokens, quality_score,
+           CASE WHEN NOT is_empty AND fp_cnt > 1 AND doc_id > fp_min
+                THEN fp_min ELSE NULL END AS dup_of,
+           concat_ws(',',
+               CASE WHEN is_empty THEN 'empty' END,
+               CASE WHEN NOT is_empty AND n_tokens < {_MIN_TOKENS} THEN 'short' END,
+               CASE WHEN NOT is_empty AND quality_score < {_MIN_QUALITY} THEN 'low_quality' END,
+               CASE WHEN NOT is_empty AND lang_unknown THEN 'lang_unknown' END,
+               CASE WHEN NOT is_empty AND fp_cnt > 1 AND doc_id > fp_min THEN 'duplicate' END
+           ) AS reasons,
+           (NOT is_empty AND n_tokens >= {_MIN_TOKENS}
+            AND quality_score >= {_MIN_QUALITY} AND NOT lang_unknown
+            AND NOT (fp_cnt > 1 AND doc_id > fp_min)) AS keep
+    FROM d
+    """,
+    doc="Training-data curation decision layer over `documents`: one scan "
+    "computes tokens, rounded quality score, language-ID hit counts and the "
+    "sorted-distinct-token fingerprint; ONE shuffle (window keyed on the "
+    "fingerprint — near-unique key, so evenly distributed at 100 TB) "
+    "resolves exact-duplicate groups to their minimum doc_id; every row "
+    "gets keep/drop plus ordered reason codes "
+    "(empty|short|low_quality|lang_unknown|duplicate) and a dup_of pointer "
+    "— the auditable form a curation run needs (drop WITH provenance, not "
+    "a silent filter). Thresholds are engine constants mirrored verbatim "
+    "in the oracle.",
+)
+def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col().alias("toks"))
+    n_tokens = F.size("toks")
+    is_empty = n_tokens == 0
+    score = (
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.4 * (F.size(F.array_distinct("toks")) * 1.0 / n_tokens)
+        + 0.2
+        * F.least(
+            F.size(F.filter(F.col("toks"), lambda x: x.isin(*_STOPWORDS)))
+            * 1.0
+            / n_tokens
+            * 5.0,
+            F.lit(1.0),
+        )
+    )
+    no_hits = F.lit(True)
+    for lang in _MARKERS:
+        no_hits = no_hits & (
+            F.size(F.filter(F.col("toks"), lambda x: x.isin(*_MARKERS[lang]))) == 0
+        )
+    f = t.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        is_empty.alias("is_empty"),
+        F.when(
+            is_empty, F.lit(None).cast("string")
+        ).otherwise(
+            F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("toks")))))
+        ).alias("fp"),
+        F.when(is_empty, F.lit(0.0)).otherwise(fround(score, 10_000)).alias(
+            "quality_score"
+        ),
+        F.when(is_empty, F.lit(True)).otherwise(no_hits).alias("lang_unknown"),
+    )
+    w = Window.partitionBy("fp")
+    d = f.withColumn("fp_min", F.min("doc_id").over(w)).withColumn(
+        "fp_cnt", F.count(F.lit(1)).over(w)
+    )
+    is_dup = (~F.col("is_empty")) & (F.col("fp_cnt") > 1) & (
+        F.col("doc_id") > F.col("fp_min")
+    )
+    ne = ~F.col("is_empty")
+    short = ne & (F.col("n_tokens") < _MIN_TOKENS)
+    lowq = ne & (F.col("quality_score") < _MIN_QUALITY)
+    unk = ne & F.col("lang_unknown")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "quality_score",
+        F.when(is_dup, F.col("fp_min")).otherwise(F.lit(None).cast("long")).alias(
+            "dup_of"
+        ),
+        F.concat_ws(
+            ",",
+            F.when(F.col("is_empty"), F.lit("empty")),
+            F.when(short, F.lit("short")),
+            F.when(lowq, F.lit("low_quality")),
+            F.when(unk, F.lit("lang_unknown")),
+            F.when(is_dup, F.lit("duplicate")),
+        ).alias("reasons"),
+        (ne & ~short & ~lowq & ~unk & ~is_dup).alias("keep"),
     )
