@@ -186,6 +186,31 @@ def windowed_counts(
     )
 
 
+def deduplicated_stream(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    watermark: str = "30 minutes",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Streaming exact dedup for the training-data ingest path (extension
+    beyond T5): keep the FIRST arrival per key, drop any duplicate that
+    arrives within the watermark delay of it.
+
+    ``dropDuplicatesWithinWatermark`` holds per-key state only until the
+    watermark passes ``first_seen_event_time + delay`` — state is bounded
+    by the keys of one watermark horizon, not by all history, which is the
+    only viable contract for continuous ingest (a plain
+    ``dropDuplicates`` on a stream keys state on ALL keys ever seen and
+    grows without bound). The flip side is documented semantics, not a
+    bug: a duplicate arriving farther apart than the horizon re-emits;
+    global exact dedup is the batch ``dedup_exact`` path over the landed
+    table. Key state is hash-partitioned by key across executors.
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def await_stream(query, timeout_s: float = 60.0) -> dict:
     """T4: wait for completion (availableNow) and return final status."""
     deadline = time.time() + timeout_s

@@ -157,3 +157,72 @@ def test_split_sessions_properties():
             assert r2[0] - r1[-1] > gap
 
     check()
+
+
+def test_deduplicated_stream_watermark_semantics(spark, tmp_path):
+    """Streaming exact dedup: first arrival wins within the watermark
+    horizon; state is evicted past it (a far-later duplicate re-emits —
+    the bounded-state contract, proven here so it can't silently change)."""
+    import time as _time
+
+    from exact_spark.streaming.replay import deduplicated_stream
+
+    src = tmp_path / "dedupsrc"
+    src.mkdir()
+
+    def stage(name, rows):
+        df = spark.createDataFrame(rows, ["id", "epoch", "v"]).select(
+            "id", F.timestamp_seconds("epoch").alias("timestamp"), "v"
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / "stage" / name))
+        import shutil as _sh
+
+        part = next((tmp_path / "stage" / name).glob("*.parquet"))
+        _sh.copy(part, src / f"{name}.parquet")
+        _time.sleep(0.05)  # file-stream order is (modTime, path)
+
+    t0 = 1700000000
+    # batch 1: ids 1..20, one per minute (span 19 min)
+    stage("f1", [(i, t0 + i * 60, float(i)) for i in range(1, 21)])
+    # batch 2: dups of 5,6,7 (in-horizon -> dropped) + fresh 21..30 far
+    # ahead, pushing the watermark past id 1's state expiry
+    stage(
+        "f2",
+        [(i, t0 + i * 60 + 10, 99.0) for i in (5, 6, 7)]
+        + [(i, t0 + 3000 + i * 60, float(i)) for i in range(21, 31)],
+    )
+    # batch 3: a fresh key — state eviction runs at END of a batch, so this
+    # batch is what actually clears id 1's expired state
+    stage("f3", [(40, t0 + 4860, 40.0)])
+    # batch 4: duplicate of id 1 AFTER its state horizon -> re-emits
+    stage("f4", [(1, t0 + 4900, 111.0)])
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = deduplicated_stream(stream, ["id"], watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    out = spark.sql("SELECT * FROM dedup_stream").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r["v"])
+    # in-horizon duplicates collapsed to first arrival
+    assert by_id[5] == [5.0] and by_id[6] == [6.0] and by_id[7] == [7.0]
+    # fresh keys all present exactly once
+    assert all(by_id[i] == [float(i)] for i in range(21, 31))
+    # past-horizon duplicate re-emitted (bounded state, documented)
+    assert sorted(by_id[1]) == [1.0, 111.0]
+    assert by_id[40] == [40.0]
+    assert len(out) == 20 + 10 + 1 + 1
