@@ -74,6 +74,11 @@ def run_stream(
     query = score_stream(injected, model, feats, sink, ckpt_dir, available_now=True)
     status = await_stream(query, timeout_s=timeout_s)
 
+    # each micro-batch appended its own file set; bin-pack before handing
+    # the table to readers (the maintenance pass a streaming table needs
+    # continuously at scale, run once here since the replay is bounded)
+    compaction = catalog.compact_table(table)
+
     stored = catalog.read_data(table)
     det = stored.select(
         "id", F.col("label").cast("int").alias("label"),
@@ -86,5 +91,6 @@ def run_stream(
         "rows": stored.count(),
         "replay_rows_per_second": rate,
         "stream_status": status,
+        "compaction": compaction,
         "metrics_all": metrics,
     }

@@ -145,13 +145,17 @@ class JobCatalog:
         )
         tmp = path.with_name(path.name + "." + uuid.uuid4().hex[:8] + ".tmp")
         updated.repartition("__date").write.partitionBy("__date").parquet(str(tmp))
+        self._swap_partitions(path, tmp, [f"__date={d}" for d in hit_dates])
+        ids.unpersist()
+        return n_new
 
-        # 3. per-partition atomic directory swap. The backup name starts
-        # with '.' so Spark's file listing ignores it if a crash strands it
-        # mid-loop, and any pre-existing leftover is removed first so the
-        # rename can't collide.
-        for d in hit_dates:
-            part = f"__date={d}"
+    @staticmethod
+    def _swap_partitions(path: Path, tmp: Path, parts: list[str]) -> None:
+        """Per-partition atomic directory swap from a staged rewrite. The
+        backup name starts with '.' so Spark's file listing ignores it if a
+        crash strands it mid-loop, and any pre-existing leftover is removed
+        first so the rename can't collide."""
+        for part in parts:
             src, dst = tmp / part, path / part
             old = path / ("." + part + ".old")
             shutil.rmtree(old, ignore_errors=True)
@@ -159,8 +163,64 @@ class JobCatalog:
             src.rename(dst)
             shutil.rmtree(old)
         shutil.rmtree(tmp)
-        ids.unpersist()
-        return n_new
+
+    # -- maintenance: small-file compaction (extension) ----------------------
+    def compact_table(
+        self,
+        table_name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+    ) -> dict:
+        """Bin-pack each date partition's files toward ``target_file_bytes``.
+
+        Streaming appends (one file set per micro-batch) and fine-grained
+        writebacks accrete small files; at scale the per-file open/footer
+        cost comes to dominate scans long before data volume does. This
+        rewrites ONLY partitions whose file count exceeds the bin-packed
+        target (``ceil(bytes / target)``), coalescing each to that count,
+        and swaps the rewritten directories in atomically — readers never
+        see a partial partition, and untouched partitions are never read
+        or rewritten (same MERGE-style scoping as ``update_anomalies``).
+
+        Returns ``{partitions_compacted, files_before, files_after}``.
+        """
+        import math
+
+        path = self._path(table_name)
+        plan: dict[str, int] = {}
+        files_before = files_after = 0
+        for part_dir in sorted(path.glob("__date=*")):
+            files = list(part_dir.glob("*.parquet"))
+            files_before += len(files)
+            target = max(1, math.ceil(sum(f.stat().st_size for f in files) / target_file_bytes))
+            if len(files) > target and len(files) >= min_files:
+                plan[part_dir.name] = target
+                files_after += target
+            else:
+                files_after += len(files)
+        if not plan:
+            return {"partitions_compacted": 0, "files_before": files_before,
+                    "files_after": files_before}
+
+        tmp = path.with_name(path.name + "." + uuid.uuid4().hex[:8] + ".tmp")
+        dates = [p.split("=", 1)[1] for p in plan]
+        df = self.spark.read.parquet(str(path)).filter(F.col("__date").isin(dates))
+        # one output file per (date, bucket): repartition on a composite key
+        # so every partition's rows land in exactly `target` writer tasks —
+        # a plain coalesce would serialize the whole rewrite into one task
+        buckets = {d: n for d, n in zip(dates, plan.values())}
+        bucket_n = F.create_map(
+            *[x for d, n in buckets.items() for x in (F.lit(d), F.lit(n))]
+        )[F.col("__date").cast("string")]
+        df = (
+            df.withColumn("__bucket", (F.crc32(F.col("id").cast("string")) % bucket_n))
+            .repartition("__date", "__bucket")
+            .drop("__bucket")
+        )
+        df.write.partitionBy("__date").parquet(str(tmp))
+        self._swap_partitions(path, tmp, list(plan))
+        return {"partitions_compacted": len(plan), "files_before": files_before,
+                "files_after": files_after}
 
     # -- S9: drop ------------------------------------------------------------
     def drop_table(self, table_name: str) -> bool:

@@ -134,3 +134,65 @@ def test_update_anomalies_partition_scoped(spark, catalog):
             assert before[part] == after[part], f"{part} was rewritten"
     flagged = catalog.read_data(name).filter(F.col("is_anomaly")).select("id")
     assert sorted(r["id"] for r in flagged.collect()) == [10, 11]
+
+
+def test_compact_table(spark, catalog):
+    """Maintenance compaction: streaming-style appends accrete small files;
+    compact bin-packs each date partition, touched partitions shrink to the
+    packed count, untouched ones stay byte-identical, data unchanged."""
+    name = catalog.table_name("compactme")
+    # day 1: 8 separate appends -> >=8 small files in one date partition
+    base = 1700006400  # 2023-11-15 00:00 UTC
+    for k in range(8):
+        df = spark.range(k * 10 + 1, k * 10 + 11).select(
+            F.col("id"),
+            F.timestamp_seconds(F.lit(base) + F.col("id") * 60).alias("timestamp"),
+            (F.col("id") * 1.5).alias("v1"),
+            F.lit(0).alias("label"),
+            F.lit(False).alias("injected_anomaly"),
+            F.lit(False).alias("is_anomaly"),
+        )
+        if k == 0:
+            catalog.create_table(name, df)
+        else:
+            catalog.insert_data(name, df)
+    # day 2: one clean append -> already compact, must not be rewritten
+    df2 = spark.range(1000, 1010).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(base + 86400) + (F.col("id") - 999) * 60).alias(
+            "timestamp"
+        ),
+        (F.col("id") * 1.5).alias("v1"),
+        F.lit(0).alias("label"),
+        F.lit(False).alias("injected_anomaly"),
+        F.lit(False).alias("is_anomaly"),
+    )
+    catalog.insert_data(name, df2.coalesce(1))
+
+    path = catalog._path(name)
+    parts_before = _partition_bytes(path)
+    day1 = [p for p in parts_before if "2023-11-15" in p][0]
+    day2 = [p for p in parts_before if "2023-11-16" in p][0]
+    n_day1_files = len(list((path / day1).glob("*.parquet")))
+    assert n_day1_files >= 8
+
+    before_rows = sorted(
+        (r["id"], r["v1"]) for r in catalog.read_data(name).collect()
+    )
+    stats = catalog.compact_table(name, target_file_bytes=1 << 30)
+    assert stats["partitions_compacted"] == 1
+    assert stats["files_before"] >= 9
+    assert stats["files_after"] < stats["files_before"]
+
+    parts_after = _partition_bytes(path)
+    assert len(list((path / day1).glob("*.parquet"))) == 1  # bin-packed
+    # untouched partition byte-identical
+    assert parts_after[day2] == parts_before[day2]
+    # content unchanged
+    after_rows = sorted(
+        (r["id"], r["v1"]) for r in catalog.read_data(name).collect()
+    )
+    assert after_rows == before_rows
+    # idempotent: second compact is a no-op
+    stats2 = catalog.compact_table(name, target_file_bytes=1 << 30)
+    assert stats2["partitions_compacted"] == 0

@@ -57,6 +57,8 @@ def test_run_stream_end_to_end(spark, csv_path, tmp_path):
     # stored stream table has flags persisted
     flagged = catalog.read_data("job_stream_s1").filter(F.col("is_anomaly"))
     assert flagged.count() == m["tp"] + m["fp"]
+    # per-micro-batch appends were bin-packed before handing to readers
+    assert result["compaction"]["files_after"] <= result["compaction"]["files_before"]
 
 
 def test_interarrival_and_windowed_counts(spark, csv_path, tmp_path):
