@@ -197,3 +197,114 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_epoch").alias("end_epoch"),
         (F.max("ts_epoch") - F.min("ts_epoch")).alias("duration_s"),
     )
+
+
+# --- interval (range) join via time-bin expansion ---------------------------
+
+_IJ_PAD_S = 300.0
+_IJ_BIN_S = 3600
+
+
+@register(
+    "ts_interval_join",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    flagged AS (
+        SELECT user_id, id, ts_epoch,
+               CASE WHEN lag(ts_epoch) OVER w IS NULL
+                         OR ts_epoch - lag(ts_epoch) OVER w > {_GAP_S!r}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM canon WHERE event_type = 'error'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch, id)
+    ),
+    sessions AS (
+        SELECT user_id, id, ts_epoch,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_epoch, id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flagged
+    ),
+    ivals AS (
+        SELECT user_id,
+               min(ts_epoch) - {_IJ_PAD_S!r} AS interval_start,
+               max(ts_epoch) + {_IJ_PAD_S!r} AS interval_end,
+               count(*) AS n_errors
+        FROM sessions GROUP BY user_id, session_seq
+    )
+    SELECT p.id AS purchase_id, p.user_id, p.ts_epoch AS purchase_epoch,
+           i.interval_start, i.interval_end, i.n_errors
+    FROM canon p
+    JOIN ivals i ON p.user_id = i.user_id
+                AND p.ts_epoch >= i.interval_start
+                AND p.ts_epoch <= i.interval_end
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="Generic interval (range) join, the operator class Spark has no "
+    "native physical strategy for: purchases joined into padded error-burst "
+    "sessions of the same user. A naive inequality join plans as a nested-"
+    "loop/cartesian product — O(|probe| x |intervals|) at scale. Here each "
+    "interval explodes into the 1-hour time bins it covers (expansion "
+    "factor = interval length / bin width, bounded and small) and each "
+    "probe row maps to its single bin, turning the range predicate into an "
+    "equi-join on (user_id, bin) + a residual filter. Padded sessions of "
+    "one user never overlap (pad < gap/2), so each probe matches at most "
+    "one interval and no dedup shuffle is needed. Two shuffles total: the "
+    "sessionization window and the equi-join.",
+)
+def ts_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    err = df.filter(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id").orderBy("ts_epoch", "id")
+    flagged = err.select(
+        "user_id",
+        "id",
+        "ts_epoch",
+        F.when(
+            F.lag("ts_epoch").over(w).isNull()
+            | ((F.col("ts_epoch") - F.lag("ts_epoch").over(w)) > _GAP_S),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ivals = (
+        flagged.withColumn("session_seq", F.sum("new_session").over(wc))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            (F.min("ts_epoch") - F.lit(_IJ_PAD_S)).alias("interval_start"),
+            (F.max("ts_epoch") + F.lit(_IJ_PAD_S)).alias("interval_end"),
+            F.count(F.lit(1)).alias("n_errors"),
+        )
+        .drop("session_seq")
+    )
+    # explode intervals into covered bins; probe rows map to exactly one bin
+    ivals_b = ivals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("interval_start") / _IJ_BIN_S),
+                F.floor(F.col("interval_end") / _IJ_BIN_S),
+            )
+        ),
+    )
+    purch = df.filter(F.col("event_type") == "purchase").select(
+        F.col("id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_epoch").alias("purchase_epoch"),
+        F.floor(F.col("ts_epoch") / _IJ_BIN_S).alias("__bin"),
+    )
+    return (
+        purch.join(ivals_b, ["user_id", "__bin"])
+        .filter(
+            (F.col("purchase_epoch") >= F.col("interval_start"))
+            & (F.col("purchase_epoch") <= F.col("interval_end"))
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_epoch",
+            "interval_start",
+            "interval_end",
+            "n_errors",
+        )
+    )
