@@ -556,3 +556,57 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "code_checksum"
         ),
     )
+
+
+# --- ANN quality diagnostic: IVF recall against the exact baseline ----------
+
+from exact_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+
+def _ivf_recall_sql() -> str:
+    return f"""
+    WITH ex AS ({_REGISTRY['sim_topk_cosine'].sql}),
+    ap AS ({_REGISTRY['sim_topk_ivf'].sql}),
+    hits AS (
+        SELECT e.query_id, count(a.neighbor_id) AS n_hits
+        FROM ex e LEFT JOIN ap a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT query_id, n_hits,
+           CAST(n_hits AS DOUBLE) / {_TOP_K} AS recall_at_k
+    FROM hits
+    """
+
+
+@register(
+    "sim_ivf_recall",
+    sql=_ivf_recall_sql(),  # composes the two sibling specs (already registered)
+    doc="Measure-don't-guess for the ANN scale path: per-query recall@k of "
+    "the IVF index against the exact brute-force top-k — the number every "
+    "nprobe/ncells tuning decision should be read off, computed "
+    "distributed (set intersection as a join on (query_id, neighbor_id), "
+    "one groupBy). Both rankings come from the registered operators "
+    "themselves, so the diagnostic can never drift from what the engine "
+    "actually serves.",
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    ap = sim_topk_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    hits = (
+        ex.join(
+            ap,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_nid").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / _TOP_K).alias("recall_at_k"),
+    )
