@@ -36,6 +36,9 @@ _LAZY = [
     "dedup_simhash",
     "sim_topk_cosine",
     "multimodal_binary_meta",
+    "text_filter_pipeline",
+    "emb_quantize_int8",
+    "sim_ivf_recall",
 ]
 
 
@@ -86,3 +89,20 @@ def test_codegen_covers_text_pipeline(spark, sf_dir):
     # (simple mode marks codegen stages with a "*(n)" prefix)
     plan = plan_of(spark, sf_dir, "text_profile", mode="simple")
     assert "*(" in plan
+
+
+def test_interval_join_is_equi_join(spark, sf_dir):
+    """ts_interval_join's range predicate must ride an equi-join on
+    (user_id, bin) — a nested-loop/cartesian on the inequality is exactly
+    the plan shape the bin expansion exists to prevent."""
+    plan = plan_of(spark, sf_dir, "ts_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__bin" in plan  # the composite equi-key is actually in the join
+
+
+def test_quantize_has_no_shuffle(spark, sf_dir):
+    """emb_quantize_int8 is per-row array math — any Exchange in its plan
+    is a regression."""
+    plan = plan_of(spark, sf_dir, "emb_quantize_int8")
+    assert "Exchange" not in plan
