@@ -159,9 +159,10 @@ class JobCatalog:
             src, dst = tmp / part, path / part
             old = path / ("." + part + ".old")
             shutil.rmtree(old, ignore_errors=True)
-            dst.rename(old)
+            if dst.exists():
+                dst.rename(old)
             src.rename(dst)
-            shutil.rmtree(old)
+            shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp)
 
     # -- maintenance: small-file compaction (extension) ----------------------
@@ -222,9 +223,87 @@ class JobCatalog:
         return {"partitions_compacted": len(plan), "files_before": files_before,
                 "files_after": files_after}
 
+    # -- maintenance: incremental hourly rollup (continuous-aggregate analog)
+    def refresh_rollup(self, table_name: str) -> dict:
+        """Incrementally maintain an hourly rollup sidecar of a job table —
+        the TimescaleDB continuous-aggregate analog on plain parquet.
+
+        Per (date, hour): row count, anomaly count, injected count. State
+        is a per-date-partition content fingerprint (file names + sizes)
+        stored beside the rollup; a refresh recomputes ONLY dates whose
+        fingerprint changed or appeared since the last refresh and swaps
+        just those rollup partitions in atomically. Appends, flag
+        writebacks and compactions all invalidate exactly the dates they
+        touched — at scale a refresh after a day's ingest reads one day,
+        not the table. (Compaction rewrites change the fingerprint but not
+        the data; the rollup recompute is then a no-op-sized date scan —
+        correct, merely redundant, and avoided by compacting before
+        refreshing.)
+
+        Returns ``{refreshed_dates, rollup_rows}``.
+        """
+        import json
+
+        src = self._path(table_name)
+        dst = self.warehouse / f"_rollup_hour_{table_name}"
+        meta_file = dst / "_rollup_meta.json"
+
+        def fingerprint(part_dir: Path) -> str:
+            return ";".join(
+                f"{f.name}:{f.stat().st_size}"
+                for f in sorted(part_dir.glob("*.parquet"))
+            )
+
+        current = {
+            p.name.split("=", 1)[1]: fingerprint(p)
+            for p in src.glob("__date=*")
+        }
+        seen = json.loads(meta_file.read_text()) if meta_file.exists() else {}
+        changed = sorted(d for d, fp in current.items() if seen.get(d) != fp)
+        stale = sorted(d for d in seen if d not in current)
+        for d in stale:  # dropped source partitions drop their rollup
+            shutil.rmtree(dst / f"__date={d}", ignore_errors=True)
+        if changed:
+            df = self.spark.read.parquet(str(src)).filter(
+                F.col("__date").isin(changed)
+            )
+            agg = (
+                df.groupBy("__date", F.date_trunc("hour", "timestamp").alias("hour"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+                    F.sum(F.col("injected_anomaly").cast("long")).alias("n_injected"),
+                )
+            )
+            tmp = dst.with_name(dst.name + "." + uuid.uuid4().hex[:8] + ".tmp")
+            dst.mkdir(parents=True, exist_ok=True)
+            agg.repartition("__date").write.partitionBy("__date").parquet(str(tmp))
+            # a changed date with rows landed in tmp; a changed-to-empty date
+            # has no tmp dir — remove its rollup partition outright
+            written = {p.name for p in tmp.glob("__date=*")}
+            swap = [p for p in (f"__date={d}" for d in changed) if p in written]
+            for p in (f"__date={d}" for d in changed):
+                if p not in written:
+                    shutil.rmtree(dst / p, ignore_errors=True)
+            self._swap_partitions(dst, tmp, swap)
+        dst.mkdir(parents=True, exist_ok=True)
+        meta_file.write_text(json.dumps(current))
+        rollup_rows = (
+            self.spark.read.parquet(str(dst)).count()
+            if any(dst.glob("__date=*"))
+            else 0
+        )
+        return {"refreshed_dates": changed, "rollup_rows": rollup_rows}
+
+    def read_rollup(self, table_name: str) -> DataFrame:
+        return self.spark.read.parquet(
+            str(self.warehouse / f"_rollup_hour_{table_name}")
+        ).drop("__date")
+
     # -- S9: drop ------------------------------------------------------------
     def drop_table(self, table_name: str) -> bool:
         p = self._path(table_name)
+        shutil.rmtree(self.warehouse / f"_rollup_hour_{table_name}", ignore_errors=True)
         if p.exists():
             shutil.rmtree(p)
             return True

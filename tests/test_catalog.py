@@ -196,3 +196,75 @@ def test_compact_table(spark, catalog):
     # idempotent: second compact is a no-op
     stats2 = catalog.compact_table(name, target_file_bytes=1 << 30)
     assert stats2["partitions_compacted"] == 0
+
+
+def test_refresh_rollup_incremental(spark, catalog):
+    """Continuous-aggregate analog: the hourly rollup refreshes only the
+    date partitions whose content changed; unchanged rollup partitions
+    stay byte-identical and the result always equals a full recompute."""
+    name = catalog.table_name("rollme")
+    base = 1700006400  # 2023-11-15 00:00 UTC
+
+    def series(lo, n, step=600):
+        return spark.range(lo, lo + n).select(
+            F.col("id"),
+            F.timestamp_seconds(F.lit(base) + (F.col("id") - 1) * step).alias(
+                "timestamp"
+            ),
+            (F.col("id") * 1.5).alias("v1"),
+            F.lit(0).alias("label"),
+            F.lit(False).alias("injected_anomaly"),
+            (F.col("id") % 10 == 0).alias("is_anomaly"),
+        )
+
+    # days 1-2 (10-min cadence, 288 rows spans 2 days)
+    catalog.create_table(name, series(1, 288))
+    r1 = catalog.refresh_rollup(name)
+    assert len(r1["refreshed_dates"]) == 2
+
+    def full_recompute():
+        df = catalog.read_data(name)
+        return sorted(
+            (str(r["hour"]), r["n_rows"], r["n_anomalies"])
+            for r in df.groupBy(F.date_trunc("hour", "timestamp").alias("hour"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+            )
+            .collect()
+        )
+
+    def rollup_rows():
+        return sorted(
+            (str(r["hour"]), r["n_rows"], r["n_anomalies"])
+            for r in catalog.read_rollup(name).collect()
+        )
+
+    assert rollup_rows() == full_recompute()
+
+    # append day 3 only -> exactly one date refreshes; day-1/2 rollup
+    # partitions are not rewritten
+    rollup_dir = catalog.warehouse / f"_rollup_hour_{name}"
+    before = _partition_bytes(rollup_dir)
+    catalog.insert_data(name, series(289, 144))
+    r2 = catalog.refresh_rollup(name)
+    assert r2["refreshed_dates"] == ["2023-11-17"]
+    after = _partition_bytes(rollup_dir)
+    for part in before:
+        if "2023-11-17" not in part:
+            assert after[part] == before[part]
+    assert rollup_rows() == full_recompute()
+
+    # flag writeback on one day invalidates exactly that day
+    ids = spark.createDataFrame([(5,), (6,)], ["id"])
+    catalog.update_anomalies(name, ids)
+    r3 = catalog.refresh_rollup(name)
+    assert r3["refreshed_dates"] == ["2023-11-15"]
+    assert rollup_rows() == full_recompute()
+
+    # no-op refresh refreshes nothing
+    r4 = catalog.refresh_rollup(name)
+    assert r4["refreshed_dates"] == []
+    # drop removes the sidecar too
+    catalog.drop_table(name)
+    assert not rollup_dir.exists()
