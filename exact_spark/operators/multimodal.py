@@ -126,3 +126,97 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = io.load(spark, sf_dir, "documents")
     return decode_features(with_binary_payload(docs))
+
+
+# --- video path: metadata-driven frame sampling -----------------------------
+
+_FRAME_K = 6
+
+
+@register(
+    "multimodal_frame_sample",
+    sql=f"""
+    WITH v AS (
+        SELECT doc_id, CAST(1 + (n_chars % 120) AS BIGINT) AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, n_frames,
+           CAST(FLOOR(j * n_frames / LEAST({_FRAME_K}, n_frames)) AS BIGINT) AS frame_idx
+    FROM v, UNNEST(range(0, LEAST({_FRAME_K}, n_frames))) AS t(j)
+    """,
+    doc="Video frame-sampling plan: each clip's frame count (typed "
+    "metadata; synthesized deterministically from n_chars here) expands to "
+    "a uniform-stride sample of at most K frame indices via explode — the "
+    "step that shifts downstream decode parallelism from per-video to "
+    "per-frame, so one 10-hour clip cannot straggle a stage. Pure integer "
+    "arithmetic, oracle-checked; the per-frame decode itself is the "
+    "mapInPandas stub path (multimodal_frame_features).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents")
+    n_frames = (1 + F.col("n_chars") % 120).cast("long")
+    k = F.least(F.lit(_FRAME_K).cast("long"), F.col("n_frames"))
+    idx = F.transform(
+        F.sequence(F.lit(0).cast("long"), k - 1),
+        lambda j: F.floor(j * F.col("n_frames") / k).cast("long"),
+    )
+    return (
+        docs.select("doc_id", n_frames.alias("n_frames"))
+        .select("doc_id", "n_frames", F.explode(idx).alias("frame_idx"))
+    )
+
+
+def frame_features(frames_with_payload: DataFrame) -> DataFrame:
+    """Per-frame decode/feature stub over (doc_id, frame_idx, payload) via
+    Arrow-batched mapInPandas — the real video codec wires in here; the
+    stub derives a deterministic per-frame signature so batch shape,
+    schema and per-frame partitioning are the ones a real decoder sees."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("frame_sig", T.LongType()),
+            T.StructField("brightness", T.DoubleType()),
+        ]
+    )
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            if _HAVE_PIL:  # pragma: no cover - not in this container
+                raise NotImplementedError("real frame decode: wire the codec here")
+            sigs, bright = [], []
+            for payload, fi in zip(pdf["payload"], pdf["frame_idx"]):
+                # STUB: deterministic fake frame decode
+                s = zlib.crc32(bytes(payload) + int(fi).to_bytes(4, "little"))
+                sigs.append(s)
+                bright.append((s % 256) / 255.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "frame_idx": pdf["frame_idx"].astype("int64"),
+                    "frame_sig": pd.Series(sigs, dtype="int64"),
+                    "brightness": pd.Series(bright, dtype="float64"),
+                }
+            )
+
+    return frames_with_payload.select("doc_id", "frame_idx", "payload").mapInPandas(
+        _batch, schema=schema
+    )
+
+
+@register(
+    "multimodal_frame_features",
+    sql=None,  # pandas-UDF decode path -> rows-only check
+    doc="Per-frame feature extraction over the sampled frame set: "
+    "frame_sample explode -> join payloads -> Arrow mapInPandas stub "
+    "decoder (one row per frame in, one feature row per frame out).",
+)
+def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents")
+    frames = multimodal_frame_sample(spark, sf_dir)
+    payloads = with_binary_payload(docs, kind="video").select("doc_id", "payload")
+    return frame_features(frames.join(payloads, "doc_id"))
