@@ -18,7 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -286,3 +286,55 @@ def salted_join(
     )
     out = salted_fact.join(salted_right, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+# --- multi-dimension layout: Z-order clustering -----------------------------
+
+
+def zorder_column(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
+    """Morton (Z-order) key over numeric columns: each column maps to a
+    ``2^bits``-bucket index over its [min, max] span (one tiny stats agg,
+    shipped as literals), and the bucket bits interleave into one long.
+
+    Sorting/range-partitioning by this key clusters rows so that EVERY
+    participating column's values are locally contiguous — parquet min/max
+    stats then prune files/row-groups for predicates on ANY of the
+    columns, where a plain sort only serves its leading column. This is
+    the single biggest I/O lever for a 100 TB table queried along more
+    than one dimension.
+    """
+    row = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    n = 1 << bits
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        lo, hi = float(row[f"lo_{c}"]), float(row[f"hi_{c}"])
+        span = (hi - lo) or 1.0
+        bucket = F.least(
+            F.lit(n - 1).cast("long"),
+            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n).cast("long"),
+        )
+        for b in range(bits):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1).cast("long"))
+            z = z + F.shiftleft(bit, b * len(cols) + ci)
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 16, bits: int = 8
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files range-partitioned AND
+    sorted by the Z-order key of ``cols`` — each file covers a compact
+    hyper-rectangle of the key space, so file- and row-group-level min/max
+    skipping works along every clustered dimension."""
+    z = zorder_column(df, cols, bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

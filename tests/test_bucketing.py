@@ -106,3 +106,59 @@ def test_salted_join_parity_and_spread(spark):
         .count()
     )
     assert n_groups >= 6  # 1800 hot rows spread over ~8 salts
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir):
+    """Z-order vs single-column sort: a linear (partkey-sorted) layout
+    localizes only partkey predicates — a narrow suppkey slice touches
+    essentially every file. The Z-ordered layout keeps BOTH dimensions
+    locally contiguous, so either predicate touches a small fraction of
+    files (sqrt scaling instead of all-files)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from exact_spark.operators.relational import write_zordered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    lo_p, hi_p, lo_s, hi_s = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    # narrow slices: 1/16 of each key span
+    p_hi = lo_p + (hi_p - lo_p) / 16
+    s_hi = lo_s + (hi_s - lo_s) / 16
+
+    with tempfile.TemporaryDirectory() as d:
+        linear, zordered = f"{d}/linear", f"{d}/zorder"
+        (
+            li.repartitionByRange(16, "l_partkey")
+            .sortWithinPartitions("l_partkey")
+            .write.parquet(linear)
+        )
+        write_zordered(li, zordered, ["l_partkey", "l_suppkey"], n_files=16)
+
+        def files_touched(path, col, hi):
+            return (
+                spark.read.parquet(path)
+                .filter(F.col(col) <= hi)
+                .select(F.input_file_name())
+                .distinct()
+                .count()
+            )
+
+        lin_part = files_touched(linear, "l_partkey", p_hi)
+        lin_supp = files_touched(linear, "l_suppkey", s_hi)
+        z_part = files_touched(zordered, "l_partkey", p_hi)
+        z_supp = files_touched(zordered, "l_suppkey", s_hi)
+
+        n_files = 16
+        # the linear layout serves its leading column well and the other
+        # not at all
+        assert lin_part <= 2
+        assert lin_supp >= n_files - 1
+        # z-order serves BOTH: each narrow slice touches well under half
+        # the files (ideal ~sqrt(16)=4)
+        assert z_part <= n_files // 2
+        assert z_supp <= n_files // 2
