@@ -615,3 +615,77 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(edges)
     sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("n_members"))
     return comp.join(sizes, "component_id").select("doc_id", "component_id", "n_members")
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+_EVAL_N = 50  # doc_id < _EVAL_N plays the held-out eval/benchmark set
+_DECON_MIN_SHARED = 3
+
+
+@register(
+    "decontaminate_ngram",
+    sql=f"""
+    WITH {_SQL_SHINGLES},
+    posting AS (
+        SELECT doc_id, unnest(shingles) AS sh FROM shingled
+    ),
+    cold AS (
+        SELECT sh FROM posting GROUP BY sh HAVING count(*) <= {_HOT_CAP}
+    ),
+    eval_sizes AS (
+        SELECT doc_id, len(shingles) AS n_sh FROM shingled WHERE doc_id < {_EVAL_N}
+    ),
+    hits AS (
+        SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS n_shared
+        FROM posting t
+        JOIN cold c ON t.sh = c.sh
+        JOIN posting e ON e.sh = t.sh AND e.doc_id < {_EVAL_N}
+        WHERE t.doc_id >= {_EVAL_N}
+        GROUP BY t.doc_id, e.doc_id
+        HAVING count(*) >= {_DECON_MIN_SHARED}
+    )
+    SELECT h.train_id, h.eval_id, h.n_shared,
+           h.n_shared * 1.0 / s.n_sh AS eval_overlap
+    FROM hits h JOIN eval_sizes s ON h.eval_id = s.doc_id
+    """,
+    doc="Benchmark decontamination: find training documents sharing >= K "
+    "distinct 3-gram shingles with any held-out eval document (the overlap "
+    "check every pretraining corpus runs before a benchmark claim). Same "
+    "inverted-index shape as the near-dup path — posting lists joined on "
+    "the shingle hash with the hot-shingle cap as the skew guard — but "
+    "asymmetric: the small eval side's postings broadcast, so the train "
+    "side streams through one scan and the only aggregation is keyed on "
+    "(train_id, eval_id). eval_overlap = shared / eval's shingle count "
+    "(how much of the benchmark doc leaks into that training doc).",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    sh = _shingled(spark, sf_dir).cache()
+    posting = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    cold = (
+        posting.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _HOT_CAP)
+        .select("sh")
+    )
+    eval_posting = posting.filter(F.col("doc_id") < _EVAL_N).select(
+        F.col("doc_id").alias("eval_id"), F.col("sh").alias("e_sh")
+    )
+    eval_sizes = sh.filter(F.col("doc_id") < _EVAL_N).select(
+        F.col("doc_id").alias("eval_id"), F.size("shingles").alias("n_sh")
+    )
+    hits = (
+        posting.filter(F.col("doc_id") >= _EVAL_N)
+        .join(cold, "sh")
+        .join(F.broadcast(eval_posting), F.col("sh") == F.col("e_sh"))
+        .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _DECON_MIN_SHARED)
+    )
+    return hits.join(F.broadcast(eval_sizes), "eval_id").select(
+        "train_id",
+        "eval_id",
+        "n_shared",
+        (F.col("n_shared") * 1.0 / F.col("n_sh")).alias("eval_overlap"),
+    )

@@ -344,3 +344,62 @@ def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("reasons"),
         (ne & ~short & ~lowq & ~unk & ~is_dup).alias("keep"),
     )
+
+
+# --- corpus mixing: deterministic per-group stratified sampling -------------
+
+_MIX_SEED = 42
+_MIX_RATES = {"en": 0.5, "es": 1.0, "fr": 1.0, "de": 1.0, "zh": 0.25}
+_MIX_DEFAULT_RATE = 1.0
+
+
+@register(
+    "text_sample_stratified",
+    sql=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5('{_MIX_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+               count(*) OVER (PARTITION BY lang) AS n_group
+        FROM documents
+    )
+    SELECT doc_id, lang, n_group,
+           CAST(FLOOR(n_group * CASE lang
+               {" ".join(f"WHEN '{k}' THEN {v!r}" for k, v in _MIX_RATES.items())}
+               ELSE {_MIX_DEFAULT_RATE!r} END) AS BIGINT) AS k_target
+    FROM ranked
+    WHERE rk <= FLOOR(n_group * CASE lang
+        {" ".join(f"WHEN '{k}' THEN {v!r}" for k, v in _MIX_RATES.items())}
+        ELSE {_MIX_DEFAULT_RATE!r} END)
+    """,
+    doc="Corpus-mixing sampler: exact-k per-language downsampling to hit a "
+    "target language mix (the rebalancing step before pretraining). "
+    "Selection order is md5(seed:doc_id) — partition-count and cluster-"
+    "size independent, so the sampled corpus is reproducible bit-for-bit "
+    "on any deployment and re-runs are stable under data relayout. One "
+    "shuffle (the per-language window); per-group k = floor(n * rate).",
+)
+def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents")
+    rate = F.lit(_MIX_DEFAULT_RATE)
+    for k, v in reversed(_MIX_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit(f"{_MIX_SEED}:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    wg = Window.partitionBy("lang")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wg).alias("n_group"),
+        rate.alias("rate"),
+    )
+    k_target = F.floor(F.col("n_group") * F.col("rate"))
+    return (
+        ranked.filter(F.col("rk") <= k_target)
+        .select("doc_id", "lang", "n_group", k_target.cast("long").alias("k_target"))
+    )
