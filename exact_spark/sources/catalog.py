@@ -414,6 +414,11 @@ def catalog_lifecycle(spark: SparkSession, sf_dir: str):
         ranged = cat.read_data(table, from_time=t0)
         n_flagged = ranged.filter(F.col("is_anomaly")).count()
 
+        # maintenance extensions: bin-pack the rewritten partitions, then
+        # refresh the hourly continuous-aggregate sidecar incrementally
+        compaction = cat.compact_table(table)
+        rollup = cat.refresh_rollup(table)
+
         row = {
             "table_name": table,
             "n_tables_listed": len(listed),
@@ -421,13 +426,16 @@ def catalog_lifecycle(spark: SparkSession, sf_dir: str):
             "flags_hidden": all(c not in cols for c in FLAG_COLS),
             "n_updated": int(n_updated),
             "n_flagged_readback": int(n_flagged),
+            "n_compacted_partitions": int(compaction["partitions_compacted"]),
+            "rollup_rows": int(rollup["rollup_rows"]),
             "dropped": cat.drop_table(table),  # S9
         }
         return spark.createDataFrame(
             [row],
             schema="table_name string, n_tables_listed long, "
             "n_visible_columns long, flags_hidden boolean, n_updated long, "
-            "n_flagged_readback long, dropped boolean",
+            "n_flagged_readback long, n_compacted_partitions long, "
+            "rollup_rows long, dropped boolean",
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -162,3 +162,31 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir):
         # the files (ideal ~sqrt(16)=4)
         assert z_part <= n_files // 2
         assert z_supp <= n_files // 2
+
+
+def test_zorder_key_properties(spark):
+    """Morton-key invariants: distinct bucket pairs map to distinct keys
+    (bit interleave is a bijection) and the key is monotone in each
+    dimension when the other is fixed at the bucket level."""
+    from pyspark.sql import functions as F
+
+    from exact_spark.operators.relational import zorder_column
+
+    n = 32
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).cast("double").alias("x"),
+        (F.col("id") / n).cast("long").cast("double").alias("y"),
+    )
+    z = zorder_column(grid, ["x", "y"], bits=5)
+    rows = grid.withColumn("z", z).collect()
+    seen = {}
+    for r in rows:
+        key = (r["x"], r["y"])
+        assert r["z"] not in seen or seen[r["z"]] == key  # bijective on grid
+        seen[r["z"]] = key
+    assert len({r["z"] for r in rows}) == n * n
+    by_y = {}
+    for r in sorted(rows, key=lambda r: (r["y"], r["x"])):
+        by_y.setdefault(r["y"], []).append(r["z"])
+    for zs in by_y.values():  # monotone in x for fixed y
+        assert zs == sorted(zs)
