@@ -689,3 +689,76 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         (F.col("n_shared") * 1.0 / F.col("n_sh")).alias("eval_overlap"),
     )
+
+
+# --- the end-to-end curation manifest ---------------------------------------
+
+from exact_spark.operators.text import (  # noqa: E402
+    text_filter_pipeline,
+    text_sample_stratified,
+)
+from exact_spark.registry import REGISTRY as _REG  # noqa: E402
+
+
+def _manifest_sql() -> str:
+    return f"""
+    WITH fp AS ({_REG['text_filter_pipeline'].sql}),
+    mix AS ({_REG['text_sample_stratified'].sql}),
+    con AS (
+        SELECT DISTINCT train_id FROM ({_REG['decontaminate_ngram'].sql})
+    )
+    SELECT d.doc_id, d.lang,
+           fp.keep AS quality_keep,
+           (mix.doc_id IS NOT NULL) AS mix_keep,
+           (con.train_id IS NULL) AS decon_keep,
+           (fp.keep AND mix.doc_id IS NOT NULL AND con.train_id IS NULL)
+               AS selected
+    FROM documents d
+    JOIN fp ON fp.doc_id = d.doc_id
+    LEFT JOIN mix ON mix.doc_id = d.doc_id
+    LEFT JOIN con ON con.train_id = d.doc_id
+    WHERE d.doc_id >= {_EVAL_N}
+    """
+
+
+@register(
+    "text_curation_manifest",
+    sql=_manifest_sql(),  # composes three sibling specs (already registered)
+    doc="The end-to-end curation decision, per training document: quality "
+    "keep/drop (filter pipeline), language-mix sampling keep, and "
+    "benchmark-decontamination keep, AND-ed into the final selected flag "
+    "— a corpus build is exactly this manifest materialized, and every "
+    "drop stays attributable to the stage that caused it. Composed from "
+    "the three registered operators (and their SQL from the sibling "
+    "specs), so the manifest cannot drift from the stages it audits.",
+)
+def text_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents").filter(F.col("doc_id") >= _EVAL_N)
+    fp = text_filter_pipeline(spark, sf_dir).select("doc_id", "keep")
+    mix = text_sample_stratified(spark, sf_dir).select(
+        F.col("doc_id").alias("m_id"), F.lit(True).alias("mix_keep")
+    )
+    con = (
+        decontaminate_ngram(spark, sf_dir)
+        .select(F.col("train_id").alias("c_id"))
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    out = (
+        docs.select("doc_id", "lang")
+        .join(fp, "doc_id")
+        .join(mix, F.col("doc_id") == F.col("m_id"), "left")
+        .join(con, F.col("doc_id") == F.col("c_id"), "left")
+    )
+    quality_keep = F.col("keep")
+    mix_keep = F.col("mix_keep").isNotNull() & F.col("mix_keep")
+    decon_keep = F.col("contaminated").isNull()
+    return out.select(
+        "doc_id",
+        "lang",
+        quality_keep.alias("quality_keep"),
+        mix_keep.alias("mix_keep"),
+        decon_keep.alias("decon_keep"),
+        (quality_keep & mix_keep & decon_keep).alias("selected"),
+    )
