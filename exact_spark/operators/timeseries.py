@@ -461,3 +461,65 @@ def ts_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         favg(F.col("value")).alias("mean_value"),
         (F.max("value") - F.min("value")).alias("data_range"),
     )
+
+
+# --- M4 plot downsampling ---------------------------------------------------
+
+_M4_BUCKETS = 1000
+
+
+@register(
+    "ts_downsample_m4",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    bounds AS (
+        SELECT min(ts_epoch) AS t0, max(ts_epoch) AS t1 FROM canon
+    ),
+    bucketed AS (
+        SELECT c.id, c.ts_epoch, c.value,
+               LEAST({_M4_BUCKETS - 1}, CAST(FLOOR(
+                   (c.ts_epoch - b.t0) / (b.t1 - b.t0) * {_M4_BUCKETS}
+               ) AS BIGINT)) AS bucket
+        FROM canon c, bounds b
+    )
+    SELECT bucket,
+           count(*) AS n_rows,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           min(ts_epoch) AS t_first,
+           max(ts_epoch) AS t_last,
+           arg_min(value, id) AS first_value,
+           arg_max(value, id) AS last_value
+    FROM bucketed GROUP BY bucket
+    """,
+    doc="M4 plot downsampling: the frontend's fixed point budget (initial "
+    "zoom = 1000 points, job_page_callbacks.py:1000) computed engine-side "
+    "— per time bucket, min/max/first/last preserve the series' visual "
+    "envelope exactly at pixel resolution, turning a billion-row zoom "
+    "into a 1000-row transfer. One scan + one partial-aggregable groupBy "
+    "on the bucket key; first/last ride min_by/max_by on the dense id, "
+    "no window.",
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    b = df.agg(F.min("ts_epoch").alias("t0"), F.max("ts_epoch").alias("t1"))
+    bucket = F.least(
+        F.lit(_M4_BUCKETS - 1).cast("long"),
+        F.floor(
+            (F.col("ts_epoch") - F.col("t0")) / (F.col("t1") - F.col("t0")) * _M4_BUCKETS
+        ).cast("long"),
+    )
+    return (
+        df.crossJoin(F.broadcast(b))
+        .select("id", "ts_epoch", "value", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.min("ts_epoch").alias("t_first"),
+            F.max("ts_epoch").alias("t_last"),
+            F.min_by("value", "id").alias("first_value"),
+            F.max_by("value", "id").alias("last_value"),
+        )
+    )
