@@ -325,3 +325,91 @@ def stateful_session_counts(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_zscore_detector(
+    stream_df: DataFrame,
+    threshold: float = 3.0,
+    min_obs: int = 10,
+    key_col: str = "user_id",
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    watermark: str = "30 minutes",
+):
+    """Online per-key anomaly detector (extension beyond T5): running
+    mean/variance via Welford's algorithm in ``applyInPandasWithState``,
+    flagging |z| > threshold against the state BEFORE the event updates it.
+
+    This is the adaptive complement to ``score_stream``'s pre-trained
+    static model: no training pass, the baseline tracks each key forever,
+    and state is O(1) per key (count, mean, M2) — the only viable shape
+    for an unbounded keyed stream. Event-time correctness: within a
+    micro-batch events are folded in event-time order, so a replay of the
+    same stream produces identical flags regardless of batch boundaries
+    (cross-batch reordering beyond the watermark is the usual streaming
+    caveat and is documented, not hidden).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("event_epoch", T.DoubleType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("zscore", T.DoubleType()),
+            T.StructField("is_anomaly", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("m2", T.DoubleType()),
+        ]
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        import math
+
+        import pandas as pd
+
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        rows = []
+        events = sorted(
+            (
+                (ts.timestamp(), float(v))
+                for pdf in pdfs
+                for ts, v in zip(pd.to_datetime(pdf[ts_col]), pdf[value_col])
+            )
+        )
+        for ep, v in events:
+            if n >= min_obs and m2 > 0:
+                sd = math.sqrt(m2 / (n - 1))
+                z = (v - mean) / sd if sd > 0 else 0.0
+            else:
+                z = 0.0
+            rows.append((str(key[0]), ep, v, z, abs(z) > threshold))
+            # Welford update AFTER scoring: the event can't vouch for itself
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["key", "event_epoch", "value", "zscore", "is_anomaly"]
+            )
+
+    return (
+        stream_df.withColumn("__key", F.col(key_col).cast("string"))
+        .withWatermark(ts_col, watermark)
+        .groupBy("__key")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

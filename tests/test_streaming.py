@@ -228,3 +228,52 @@ def test_deduplicated_stream_watermark_semantics(spark, tmp_path):
     assert sorted(by_id[1]) == [1.0, 111.0]
     assert by_id[40] == [40.0]
     assert len(out) == 20 + 10 + 1 + 1
+
+
+def test_streaming_zscore_detector(spark, tmp_path):
+    """Online per-key Welford z-score detector: state carries the running
+    baseline across micro-batches, a spike after the baseline stabilizes
+    is flagged, the stable tail is not, and replaying with different
+    batch boundaries yields identical flags."""
+    from exact_spark.streaming.replay import streaming_zscore_detector
+
+    rows = []
+    for i in range(40):  # stable baseline 10.0 +/- 0.5
+        rows.append(("u1", 1700000000 + i * 60, 10.0 + (0.5 if i % 2 else -0.5)))
+    rows.append(("u1", 1700000000 + 40 * 60, 50.0))  # spike
+    for i in range(41, 50):
+        rows.append(("u1", 1700000000 + i * 60, 10.0 + (0.5 if i % 2 else -0.5)))
+    df = spark.createDataFrame(rows, ["user_id", "epoch", "value"]).select(
+        "user_id", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+
+    def run(n_chunks, name):
+        src = str(tmp_path / f"zsrc{n_chunks}")
+        df.repartitionByRange(n_chunks, "timestamp").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_zscore_detector(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt{n_chunks}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["event_epoch"], r["value"], r["is_anomaly"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    got = run(4, "zs4")
+    assert len(got) == 50
+    flagged = [ep for ep, v, a in got if a]
+    assert flagged == [1700000000 + 40 * 60.0]  # exactly the spike
+    # batch-boundary invariance (events fold in event-time order)
+    assert got == run(2, "zs2")
