@@ -248,13 +248,32 @@ def test_streaming_zscore_detector(spark, tmp_path):
     )
 
     def run(n_chunks, name):
-        src = str(tmp_path / f"zsrc{n_chunks}")
-        df.repartitionByRange(n_chunks, "timestamp").write.parquet(src)
-        schema = spark.read.parquet(src).schema
+        # stage chunks one by one: parallel range-partition writes give the
+        # part files nondeterministic mtimes, and the file stream replays
+        # in (modTime, path) order — time order must be staged explicitly
+        import time as _time
+
+        src = tmp_path / f"zsrc{n_chunks}"
+        src.mkdir()
+        per = (len(rows) + n_chunks - 1) // n_chunks
+        for k in range(n_chunks):
+            lo, hi = k * per, min((k + 1) * per, len(rows))
+            cdf = spark.createDataFrame(
+                rows[lo:hi], ["user_id", "epoch", "value"]
+            ).select(
+                "user_id", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+            )
+            cdf.coalesce(1).write.parquet(str(tmp_path / f"zstage{n_chunks}_{k}"))
+            import shutil as _sh
+
+            part = next((tmp_path / f"zstage{n_chunks}_{k}").glob("*.parquet"))
+            _sh.copy(part, src / f"chunk{k}.parquet")
+            _time.sleep(0.05)
+        schema = spark.read.parquet(str(src)).schema
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
-            .parquet(src)
+            .parquet(str(src))
         )
         q = (
             streaming_zscore_detector(stream)
