@@ -254,3 +254,81 @@ def sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_users")
         ).alias("users_rel_err"),
     )
+
+
+# --- per-key grouped detector fit (the "one model per entity" pattern) ------
+
+
+@register(
+    "ml_per_key_threshold",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    ranked AS (
+        SELECT user_id, id, ts_epoch, value, label,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts_epoch, id) AS rk,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM canon
+    ),
+    split AS (
+        SELECT *, rk <= CAST(FLOOR(n * 0.85) AS BIGINT) AS is_train FROM ranked
+    ),
+    thr AS (
+        SELECT user_id,
+               quantile_cont(CASE WHEN is_train THEN value END, 0.95) AS t,
+               CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+        FROM split GROUP BY user_id
+    )
+    SELECT s.user_id,
+           {sql_fround('max(t.t)')} AS threshold,
+           max(t.n_train) AS n_train,
+           count(*) AS n_test,
+           CAST(SUM(CASE WHEN s.value > t.t AND s.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN s.value > t.t AND s.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN s.value <= t.t AND s.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(SUM(CASE WHEN s.value <= t.t AND s.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+    FROM split s JOIN thr t ON t.user_id = s.user_id
+    WHERE NOT s.is_train AND t.n_train > 0
+    GROUP BY s.user_id
+    """,
+    doc="One detector per entity, fitted and evaluated declaratively: each "
+    "user's P95-threshold model is trained on their first 85% of events "
+    "(positional split per key) and scored on their tail 15%, producing "
+    "per-user confusion counts — the grouped-model pattern (cohort / "
+    "device / tenant models) with NO per-group driver loop and no Python: "
+    "one per-key window shuffle + one aggregation, so fitting a million "
+    "per-entity models costs the same plan as fitting ten.",
+)
+def ml_per_key_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    df = canonical_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_epoch", "id")
+    wn = Window.partitionBy("user_id")
+    split = df.select(
+        "user_id",
+        "value",
+        "label",
+        (F.row_number().over(w) <= F.floor(F.count(F.lit(1)).over(wn) * 0.85)).alias(
+            "is_train"
+        ),
+    )
+    thr = split.groupBy("user_id").agg(
+        F.percentile(F.when(F.col("is_train"), F.col("value")), F.lit(0.95)).alias("t"),
+        F.sum(F.col("is_train").cast("long")).alias("n_train"),
+    )
+    test = split.filter(~F.col("is_train"))
+    pred = F.col("value") > F.col("t")
+    return (
+        test.join(thr, "user_id")
+        .filter(F.col("n_train") > 0)
+        .groupBy("user_id")
+        .agg(
+            fround(F.max("t")).alias("threshold"),
+            F.max("n_train").alias("n_train"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum((pred & (F.col("label") == 1)).cast("long")).alias("tp"),
+            F.sum((pred & (F.col("label") == 0)).cast("long")).alias("fp"),
+            F.sum((~pred & (F.col("label") == 0)).cast("long")).alias("tn"),
+            F.sum((~pred & (F.col("label") == 1)).cast("long")).alias("fn"),
+        )
+    )
