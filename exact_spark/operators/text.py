@@ -403,3 +403,56 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter(F.col("rk") <= k_target)
         .select("doc_id", "lang", "n_group", k_target.cast("long").alias("k_target"))
     )
+
+
+# --- vocabulary building (tokenizer-training corpus prep) -------------------
+
+_VOCAB_K = 200
+
+
+@register(
+    "text_vocab_topk",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT tok,
+               count(*) AS tf,
+               count(DISTINCT doc_id) AS df
+        FROM toks GROUP BY tok
+    ),
+    ranked AS (
+        SELECT tok, tf, df,
+               row_number() OVER (ORDER BY tf DESC, tok) AS rank
+        FROM counts
+    )
+    SELECT rank, tok, tf, df FROM ranked WHERE rank <= {_VOCAB_K}
+    """,
+    doc="Corpus vocabulary: term and document frequency for every token in "
+    "one explode + one groupBy (tf = count, df = distinct docs), top-K by "
+    "frequency with a deterministic tie-break — the first step of any "
+    "tokenizer/BPE training run. The groupBy is keyed on the token "
+    "(map-side partial aggregation absorbs the Zipf head before the "
+    "shuffle, so hot tokens like 'the' do not skew a reducer); the final "
+    "top-K is a single ranking over the already-aggregated vocabulary, "
+    "which is orders of magnitude smaller than the corpus.",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    # TakeOrderedAndProject (distributed top-K) instead of a global window:
+    # a single-partition row_number over the full vocabulary would bottleneck
+    # one task; ranking happens after the K survivors are selected
+    top = counts.orderBy(F.col("tf").desc(), "tok").limit(_VOCAB_K)
+    w = Window.orderBy(F.col("tf").desc(), "tok")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "tok", "tf", "df"
+    )

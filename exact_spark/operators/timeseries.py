@@ -523,3 +523,89 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", "id").alias("last_value"),
         )
     )
+
+
+# --- time-grid gap filling --------------------------------------------------
+
+_GF_STEP_S = 3600  # fill to an hourly grid
+_GF_USERS = 20     # bound the demo slice: first N users
+
+
+@register(
+    "ts_gap_fill",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    src AS (
+        SELECT user_id, ts_epoch, value FROM canon WHERE user_id < {_GF_USERS}
+    ),
+    bounds AS (
+        SELECT user_id,
+               CAST(FLOOR(min(ts_epoch) / {_GF_STEP_S}) AS BIGINT) AS b0,
+               CAST(FLOOR(max(ts_epoch) / {_GF_STEP_S}) AS BIGINT) AS b1
+        FROM src GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, b0 + j AS slot FROM bounds,
+               UNNEST(range(0, b1 - b0 + 1)) AS t(j)
+    ),
+    obs AS (
+        SELECT user_id, CAST(FLOOR(ts_epoch / {_GF_STEP_S}) AS BIGINT) AS slot,
+               arg_max(value, ts_epoch) AS last_value,
+               count(*) AS n_obs
+        FROM src GROUP BY user_id, slot
+    )
+    SELECT g.user_id,
+           CAST(g.slot * {_GF_STEP_S} AS DOUBLE) AS slot_epoch,
+           COALESCE(o.n_obs, 0) AS n_obs,
+           o.n_obs IS NULL AS filled,
+           last_value(o.last_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.slot
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ffill
+    FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.slot = g.slot
+    """,
+    doc="Regular-grid gap filling with forward fill — the resample step "
+    "most time-series stores ship natively (Timescale time_bucket_gapfill "
+    "+ locf) and Spark lacks: per key, the observed span explodes into "
+    "hourly slots (sequence + explode, bounded by span/step), observations "
+    "collapse onto their slot (arg_max by time = last observation), and "
+    "empty slots forward-fill via last_value(IGNORE NULLS) over the slot "
+    "order. Shuffles: one groupBy and one window, both keyed on user_id — "
+    "grid size is data-bounded, never a cross join against a calendar "
+    "table.",
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    df = canonical_events(spark, sf_dir).filter(F.col("user_id") < _GF_USERS)
+    src = df.select("user_id", "ts_epoch", "value")
+    bounds = src.groupBy("user_id").agg(
+        F.floor(F.min("ts_epoch") / _GF_STEP_S).cast("long").alias("b0"),
+        F.floor(F.max("ts_epoch") / _GF_STEP_S).cast("long").alias("b1"),
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("slot")
+    )
+    obs = (
+        src.withColumn("slot", F.floor(F.col("ts_epoch") / _GF_STEP_S).cast("long"))
+        .groupBy("user_id", "slot")
+        .agg(
+            F.max_by("value", "ts_epoch").alias("last_value"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "slot"], "left")
+        .select(
+            "user_id",
+            (F.col("slot") * _GF_STEP_S).cast("double").alias("slot_epoch"),
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            F.col("n_obs").isNull().alias("filled"),
+            F.last("last_value", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+    )
