@@ -338,3 +338,59 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+@register(
+    "rel_revenue_rollup",
+    sql=f"""
+    SELECT COALESCE(n.n_name, '<all>') AS nation,
+           COALESCE(CAST(year(o.o_orderdate) AS VARCHAR), '<all>') AS order_year,
+           CAST(grouping(n.n_name) AS BIGINT) AS g_nation,
+           CAST(grouping(year(o.o_orderdate)) AS BIGINT) AS g_year,
+           {sql_fsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, year(o.o_orderdate))
+    """,
+    doc="OLAP subtotal cube: revenue by (nation, year) with ROLLUP "
+    "subtotals and a grand total in ONE pass — Catalyst's Expand operator "
+    "replicates each row once per grouping set before a single shuffled "
+    "aggregation, versus three separate scans+shuffles for the naive "
+    "union-of-aggregates. Dimension joins (customer/nation) broadcast; "
+    "grouping() flags disambiguate '<all>' rollup rows from literal "
+    "values. Fixed-point revenue so every grouping level hash-matches "
+    "the oracle exactly.",
+)
+def rel_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem")
+    orders = io.load(spark, sf_dir, "orders")
+    cust = io.load(spark, sf_dir, "customer")
+    nation = io.load(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name"),
+            F.year("o_orderdate").alias("order_year"),
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    agg = joined.rollup("n_name", "order_year").agg(
+        fsum(F.col("rev")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.grouping("n_name").cast("long").alias("g_nation"),
+        F.grouping("order_year").cast("long").alias("g_year"),
+    )
+    return agg.select(
+        F.coalesce(F.col("n_name"), F.lit("<all>")).alias("nation"),
+        F.coalesce(F.col("order_year").cast("string"), F.lit("<all>")).alias("order_year"),
+        "g_nation",
+        "g_year",
+        "revenue",
+        "n_items",
+    )
