@@ -332,3 +332,46 @@ def ml_per_key_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~pred & (F.col("label") == 1)).cast("long")).alias("fn"),
         )
     )
+
+
+@register(
+    "sketch_mergeable_rollup",
+    sql=None,  # sketch binary internals are engine-specific -> rows-only
+    doc="The mergeability property that makes sketches the 100 TB "
+    "pre-aggregation pattern: per-day HLL sketches of distinct users "
+    "(hll_sketch_agg — computed once, stored beside the daily rollup) "
+    "merge into the full-range estimate via hll_union_agg WITHOUT "
+    "rescanning events, exactly how a year query reads 365 sketch rows "
+    "instead of a year of raw data. Reports the merged estimate against "
+    "the exact distinct count and the re-sketch of the raw range, "
+    "proving merge == direct sketch.",
+)
+def sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = io.load(spark, sf_dir, "events")
+    ev = ev.select(F.to_date("ts").alias("day"), "user_id")
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_day_users"),
+    )
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate"),
+        F.sum("exact_day_users").alias("sum_daily_users"),
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_estimate"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return merged.crossJoin(direct).select(
+        "n_days",
+        F.col("merged_estimate").cast("long").alias("merged_estimate"),
+        F.col("direct_estimate").cast("long").alias("direct_estimate"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        "sum_daily_users",
+        (F.col("merged_estimate") == F.col("direct_estimate")).alias("merge_lossless"),
+        (
+            F.abs(F.col("merged_estimate") - F.col("exact_users"))
+            / F.col("exact_users")
+        ).alias("rel_err"),
+    )

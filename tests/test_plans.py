@@ -106,3 +106,20 @@ def test_quantize_has_no_shuffle(spark, sf_dir):
     is a regression."""
     plan = plan_of(spark, sf_dir, "emb_quantize_int8")
     assert "Exchange" not in plan
+
+
+def test_rollup_uses_expand_single_pass(spark, sf_dir):
+    """rel_revenue_rollup must compute all grouping sets via one Expand +
+    one aggregation, not a union of per-level scans."""
+    plan = plan_of(spark, sf_dir, "rel_revenue_rollup")
+    assert "Expand" in plan
+    simple = plan_of(spark, sf_dir, "rel_revenue_rollup", mode="simple")
+    assert simple.count("FileScan parquet") <= 4  # each table scanned once
+
+
+def test_vocab_topk_is_distributed(spark, sf_dir):
+    """text_vocab_topk's top-K must be TakeOrderedAndProject over the
+    aggregated vocabulary — a global-window row_number over the full
+    vocab would serialize into one task."""
+    plan = plan_of(spark, sf_dir, "text_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
