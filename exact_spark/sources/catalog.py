@@ -183,6 +183,14 @@ class JobCatalog:
         see a partial partition, and untouched partitions are never read
         or rewritten (same MERGE-style scoping as ``update_anomalies``).
 
+        Reader isolation caveat (inherent to plain parquet, applies to
+        ``update_anomalies`` too): the swap is atomic at the directory
+        level, but a reader that listed files BEFORE the swap and reads
+        them after will hit FILE_NOT_EXIST and must retry. Snapshot
+        isolation across a rewrite needs a manifest layer (Delta/Iceberg)
+        — at scale, run maintenance in a reader quiesce window or behind
+        a retrying read path.
+
         Returns ``{partitions_compacted, files_before, files_after}``.
         """
         import math

@@ -226,11 +226,27 @@ def test_run_stream_over_the_wire(server, tmp_path):
             break
         time.sleep(0.5)
     assert table, "stream table never appeared"
-    # wait until the replay finished appending all rows
+    # wait until the replay finished appending all rows; the end-of-replay
+    # compaction swaps partition directories, so a poll that listed files
+    # pre-swap can hit FILE_NOT_EXIST — plain parquet has no snapshot
+    # isolation (documented on compact_table); a client retries
+    def count_with_retry():
+        try:
+            return server.api.catalog.read_data(table).count()
+        except Exception:
+            return -1
+
     while time.time() < deadline:
-        if server.api.catalog.read_data(table).count() == 150:
+        if count_with_retry() == 150:
             break
         time.sleep(0.5)
-    stored = server.api.catalog.read_data(table)
-    assert stored.count() == 150
-    assert "is_anomaly" in stored.columns
+    n, cols = -1, []
+    while time.time() < deadline:
+        try:
+            stored = server.api.catalog.read_data(table)
+            n, cols = stored.count(), stored.columns
+            break
+        except Exception:
+            time.sleep(0.5)
+    assert n == 150
+    assert "is_anomaly" in cols
