@@ -31,6 +31,17 @@ DEFAULT_CONF = {
     "spark.ui.enabled": "false",
 }
 
+# Static (JVM-start-only) confs — effective for sessions WE build
+# (bench.py, tests); a driver-provided session keeps its own. Local mode
+# runs every task in the driver JVM, whose 1g default heap GC-thrashes a
+# 32-thread suite (the observed multi-second bimodal query spikes), and
+# 65 queries of unique whole-stage codegen fill the default JIT code
+# cache. On a real cluster these become executor JVM sizing.
+STATIC_CONF = {
+    "spark.driver.memory": "16g",
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+}
+
 
 def get_spark(
     app_name: str = "exact-spark",
@@ -44,7 +55,7 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = builder.master(master)
-    conf = dict(DEFAULT_CONF)
+    conf = {**DEFAULT_CONF, **STATIC_CONF}
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     else:
