@@ -308,6 +308,33 @@ class JobCatalog:
             str(self.warehouse / f"_rollup_hour_{table_name}")
         ).drop("__date")
 
+    # -- maintenance: vacuum crash leftovers ---------------------------------
+    def vacuum(self) -> dict:
+        """Remove swap/staging debris a crashed maintenance run can strand:
+        ``<table>.<uuid>.tmp`` staging dirs, ``.__date=*.old`` swap
+        backups, and Spark ``_temporary`` output dirs. Every leftover
+        class is already invisible to readers (dot-prefixed or
+        underscore-prefixed names are ignored by Spark's file listing;
+        ``.tmp`` dirs fail the table-name prefix filter), so vacuum is
+        about reclaiming space and keeping the atomic-rename paths clear,
+        not correctness. Live tables are never touched.
+        """
+        removed = {"tmp_dirs": 0, "old_backups": 0, "temporary": 0}
+        for p in list(self.warehouse.glob("*.tmp")):
+            shutil.rmtree(p, ignore_errors=True)
+            removed["tmp_dirs"] += 1
+        for table in self.warehouse.iterdir():
+            if not table.is_dir():
+                continue
+            for old in table.glob(".__date=*.old"):
+                shutil.rmtree(old, ignore_errors=True)
+                removed["old_backups"] += 1
+            tmp = table / "_temporary"
+            if tmp.exists():
+                shutil.rmtree(tmp, ignore_errors=True)
+                removed["temporary"] += 1
+        return removed
+
     # -- S9: drop ------------------------------------------------------------
     def drop_table(self, table_name: str) -> bool:
         p = self._path(table_name)

@@ -268,3 +268,25 @@ def test_refresh_rollup_incremental(spark, catalog):
     # drop removes the sidecar too
     catalog.drop_table(name)
     assert not rollup_dir.exists()
+
+
+def test_vacuum_removes_crash_leftovers(spark, catalog):
+    """vacuum clears staging/backup debris without touching live data."""
+    name = catalog.table_name("vac")
+    catalog.create_table(name, _series(spark, 50))
+    path = catalog._path(name)
+    # plant the three leftover classes a crash can strand
+    (catalog.warehouse / (name + ".deadbeef.tmp")).mkdir()
+    stray_old = path / ".__date=2023-11-14.old"
+    stray_old.mkdir()
+    (stray_old / "junk").write_text("x")
+    (path / "_temporary").mkdir()
+
+    before = sorted(r["id"] for r in catalog.read_data(name).collect())
+    removed = catalog.vacuum()
+    assert removed == {"tmp_dirs": 1, "old_backups": 1, "temporary": 1}
+    assert not list(catalog.warehouse.glob("*.tmp"))
+    assert not list(path.glob(".__date=*.old"))
+    assert sorted(r["id"] for r in catalog.read_data(name).collect()) == before
+    # idempotent
+    assert catalog.vacuum() == {"tmp_dirs": 0, "old_backups": 0, "temporary": 0}
