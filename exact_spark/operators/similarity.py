@@ -119,6 +119,14 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BAND_PLANES = 6  # hyperplane bits per band -> 64 buckets per band
 _NEARDUP_MIN_COS = 0.25  # testdata embeddings are near-orthogonal (max ~0.48)
+# Degenerate-bucket guard, same rationale and value as dedup._LSH_BUCKET_CAP:
+# a (band, bucket) holding B vectors expands to B^2/2 candidate pairs inside
+# ONE task, so a hot bucket (zero / constant / mass-duplicated embeddings) is
+# a quadratic blowup at scale. Buckets above the cap are dropped — members of
+# a saturated sign-projection bucket are near-identical en masse, which exact
+# dedup (or emb_quantize_int8's code checksum) already catches linearly.
+# Mirrored in the oracle SQL so capped semantics stay oracle-checkable.
+_EMB_BUCKET_CAP = 200
 
 
 def _sql_proj_bit(j: int) -> str:
@@ -163,9 +171,15 @@ def _plane_signs(j: int, max_dim: int = 256) -> list[float]:
         UNION ALL
         SELECT vec_id, 1 AS band, bucket1 AS bucket FROM sigs
     ),
+    ok AS (
+        SELECT band, bucket FROM bands
+        GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND {_EMB_BUCKET_CAP}
+    ),
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM bands a JOIN bands b
+        FROM bands a
+        JOIN ok o ON a.band = o.band AND a.bucket = o.bucket
+        JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
     SELECT c.vec_a, c.vec_b,
@@ -178,8 +192,11 @@ def _plane_signs(j: int, max_dim: int = 256) -> list[float]:
     doc="Embedding near-dup via multi-band sign-projection LSH: 2 bands of "
     "6 deterministic md5-derived hyperplane bits (OR across bands raises "
     "recall, the standard banding trade-off); candidates dedupe BEFORE the "
-    "exact cosine so each surviving pair is scored once. The shuffles are "
-    "keyed on (band, bucket) and the candidate ids — never all-pairs.",
+    "exact cosine so each surviving pair is scored once. Candidate pairs "
+    "come from ONE shuffle keyed (band, bucket): collect the bucket's "
+    "vec_id list and expand in place (no bands self-join), with buckets "
+    "above the degenerate-bucket cap dropped (_EMB_BUCKET_CAP — same guard "
+    "as the text LSH variants).",
 )
 def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
@@ -223,15 +240,23 @@ def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("vec_id", "bb.band", "bb.bucket")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    grouped = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _EMB_BUCKET_CAP))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+            ),
         )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    cand = (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.vec_a", "p.vec_b")
         .distinct()
     )
     sa = sigs.select(
