@@ -86,6 +86,23 @@ _MIN_COMMON = 2
 _JACCARD_MIN = 0.1
 
 
+def _self_pairs(ids: str, a_name: str, b_name: str):
+    """Expand a sorted id array into its ordered pairs in place — the
+    collect-expand candidate shape: one shuffle keys the grouping column,
+    then the quadratic (capped) expansion happens inside the row instead of
+    through a posting self-join that would re-shuffle the posting list per
+    join side."""
+    return F.flatten(
+        F.transform(
+            F.col(ids),
+            lambda x, i: F.transform(
+                F.slice(F.col(ids), i + F.lit(2), F.size(F.col(ids))),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+            ),
+        )
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     sql=f"""
@@ -112,28 +129,28 @@ _JACCARD_MIN = 0.1
     JOIN doc_sizes sb ON p.doc_b = sb.doc_id
     WHERE p.n_common * 1.0 / (sa.n_sh + sb.n_sh - p.n_common) >= {_JACCARD_MIN!r}
     """,
-    doc="Near-dup via 3-gram shingle Jaccard: inverted-index candidate join "
-    "with hot-shingle cap; exact Jaccard on distinct-shingle sets.",
+    doc="Near-dup via 3-gram shingle Jaccard: inverted-index candidates via "
+    "the collect-expand shape (ONE posting shuffle keyed on the shingle; "
+    "pairs expand inside the capped posting row, no posting self-join), "
+    "hot-shingle cap as the skew guard; exact Jaccard on distinct-shingle "
+    "sets.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     sh = _shingled(spark, sf_dir).cache()
     posting = sh.select("doc_id", F.explode("shingles").alias("sh"))
     doc_sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    filtered = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= _HOT_CAP
-    ).select("sh")
-    a = posting.alias("a")
-    b = posting.alias("b")
+    grouped = (
+        posting.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _HOT_CAP))
+    )
     pairs = (
-        a.join(filtered.alias("f"), F.col("a.sh") == F.col("f.sh"))
-        .join(
-            b,
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(F.explode(_self_pairs("ids", "doc_a", "doc_b")).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= _MIN_COMMON)
+        .select(F.col("doc_a"), F.col("doc_b"), "n_common")
     )
     sa = doc_sizes.alias("sa")
     sb = doc_sizes.alias("sb")
@@ -245,17 +262,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= _LSH_BUCKET_CAP))
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     return (
-        grouped.select(F.explode(pair_arr).alias("p"))
+        grouped.select(F.explode(_self_pairs("ids", "doc_a", "doc_b")).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -654,34 +662,54 @@ _DECON_MIN_SHARED = 3
     "check every pretraining corpus runs before a benchmark claim). Same "
     "inverted-index shape as the near-dup path — posting lists joined on "
     "the shingle hash with the hot-shingle cap as the skew guard — but "
-    "asymmetric: the small eval side's postings broadcast, so the train "
-    "side streams through one scan and the only aggregation is keyed on "
-    "(train_id, eval_id). eval_overlap = shared / eval's shingle count "
-    "(how much of the benchmark doc leaks into that training doc).",
+    "asymmetric: ONE groupBy on the shingle collects the (tiny) eval-side "
+    "and train-side posting lists of each cold shingle, and the "
+    "train x eval hit pairs expand inside the capped row — no second "
+    "posting pass, no broadcast join. eval_overlap = shared / eval's "
+    "shingle count (how much of the benchmark doc leaks into that "
+    "training doc).",
 )
 def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     sh = _shingled(spark, sf_dir).cache()
     posting = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    cold = (
-        posting.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _HOT_CAP)
-        .select("sh")
-    )
-    eval_posting = posting.filter(F.col("doc_id") < _EVAL_N).select(
-        F.col("doc_id").alias("eval_id"), F.col("sh").alias("e_sh")
-    )
     eval_sizes = sh.filter(F.col("doc_id") < _EVAL_N).select(
         F.col("doc_id").alias("eval_id"), F.size("shingles").alias("n_sh")
     )
+    # collect_list drops the nulls the unmatched when() branches produce,
+    # so one aggregation splits each posting list into its two sides
+    grouped = (
+        posting.groupBy("sh")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.collect_list(
+                F.when(F.col("doc_id") < _EVAL_N, F.col("doc_id"))
+            ).alias("eval_ids"),
+            F.collect_list(
+                F.when(F.col("doc_id") >= _EVAL_N, F.col("doc_id"))
+            ).alias("train_ids"),
+        )
+        .filter(
+            (F.col("df") <= _HOT_CAP)
+            & (F.size("eval_ids") > 0)
+            & (F.size("train_ids") > 0)
+        )
+    )
+    cross = F.flatten(
+        F.transform(
+            F.col("train_ids"),
+            lambda t: F.transform(
+                F.col("eval_ids"),
+                lambda e: F.struct(t.alias("train_id"), e.alias("eval_id")),
+            ),
+        )
+    )
     hits = (
-        posting.filter(F.col("doc_id") >= _EVAL_N)
-        .join(cold, "sh")
-        .join(F.broadcast(eval_posting), F.col("sh") == F.col("e_sh"))
-        .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
+        grouped.select(F.explode(cross).alias("p"))
+        .groupBy("p.train_id", "p.eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _DECON_MIN_SHARED)
+        .select("train_id", "eval_id", "n_shared")
     )
     return hits.join(F.broadcast(eval_sizes), "eval_id").select(
         "train_id",
