@@ -346,7 +346,14 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_embedding"),
         F.col("norm_fx").alias("c_norm_fx"),
     )
+    return _ivf_topk(norms, cent)
 
+
+def _ivf_topk(norms: DataFrame, cent: DataFrame, n_probe: int = _N_PROBE) -> DataFrame:
+    """IVF search core shared by the seed-row and KMeans-trained variants:
+    broadcast the tiny centroid table, assign each vector to its argmax-cosine
+    cell, probe each query's n_probe nearest cells, exact cosine only inside
+    probed cells, per-query top-k."""
     # cell assignment: broadcast the tiny centroid table, argmax cosine
     a_cos = cosine_from_fixed(
         dot_fixed(F.col("embedding"), F.col("c_embedding")),
@@ -376,7 +383,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
         q.crossJoin(F.broadcast(cent))
         .withColumn("pr", F.row_number().over(wp))
-        .filter(F.col("pr") <= _N_PROBE)
+        .filter(F.col("pr") <= n_probe)
         .select("query_id", "q_embedding", "q_norm_fx", "cell")
     )
 
@@ -400,6 +407,155 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return cand.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= _TOP_K)
+
+
+_KMEANS_SEED = 42
+_KMEANS_SAMPLE_HEX = "8"  # md5 prefix cutoff: ~50% partition-stable sample
+_IVF_TARGET_RECALL = 0.99  # the tuner's validation recall@k target
+_N_VAL_QUERIES = 10
+
+
+def _tuned_nprobe(norms: DataFrame, cent: DataFrame, target: float) -> int:
+    """Recall-targeted nprobe in ONE pass (the FAISS measure-then-tune
+    posture, distributed): an exact-top-k neighbor is retrieved by IVF iff
+    its assigned cell is among the query's probed cells, so recall(nprobe)
+    is exactly the CDF of the probe-rank of each true neighbor's cell over
+    a validation query set. Compute those probe-ranks once (nq x k tiny
+    rows), take the ceil(target * N)-th smallest — no per-nprobe re-search.
+    Validation queries are md5-ordered rows disjoint from the serving
+    queries, so the tuned value carries no leakage from the queries it
+    will serve."""
+    val = (
+        norms.filter(F.col("vec_id") >= _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+            F.col("norm_fx").alias("q_norm_fx"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "query_id")
+        .limit(_N_VAL_QUERIES)
+        .drop("h")
+    )
+    q_cos = cosine_from_fixed(
+        dot_fixed(F.col("q_embedding"), F.col("embedding")),
+        F.col("q_norm_fx"),
+        F.col("norm_fx"),
+    )
+    # exact top-k neighbors of each validation query
+    wk = Window.partitionBy("query_id").orderBy(q_cos.desc(), F.col("vec_id"))
+    exact = (
+        F.broadcast(val)
+        .join(norms, F.col("vec_id") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    # cell of every vector (same argmax-cosine rule the server uses)
+    a_cos = cosine_from_fixed(
+        dot_fixed(F.col("embedding"), F.col("c_embedding")),
+        F.col("norm_fx"),
+        F.col("c_norm_fx"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(a_cos.desc(), F.col("cell"))
+    assigned = (
+        norms.crossJoin(F.broadcast(cent))
+        .withColumn("cr", F.row_number().over(wa))
+        .filter(F.col("cr") == 1)
+        .select(F.col("vec_id").alias("n_id"), F.col("cell").alias("n_cell"))
+    )
+    # probe rank of every cell for each validation query
+    p_cos = cosine_from_fixed(
+        dot_fixed(F.col("q_embedding"), F.col("c_embedding")),
+        F.col("q_norm_fx"),
+        F.col("c_norm_fx"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(p_cos.desc(), F.col("cell"))
+    ranks = (
+        val.crossJoin(F.broadcast(cent))
+        .withColumn("pr", F.row_number().over(wp))
+        .select(F.col("query_id").alias("r_qid"), F.col("cell").alias("r_cell"), "pr")
+    )
+    prs = sorted(
+        r["pr"]
+        for r in exact.join(assigned, F.col("neighbor_id") == F.col("n_id"))
+        .join(
+            ranks,
+            (F.col("query_id") == F.col("r_qid")) & (F.col("n_cell") == F.col("r_cell")),
+        )
+        .select("pr")
+        .collect()
+    )
+    if not prs:
+        return _N_PROBE
+    import math
+
+    return prs[min(len(prs) - 1, max(0, math.ceil(target * len(prs)) - 1))]
+
+
+@register(
+    "sim_topk_ivf_kmeans",
+    sql=None,  # centroids come from an iterative MLlib fit — not SQL-expressible
+    doc="IVF ANN top-k with a REAL trained coarse quantizer: spherical "
+    "KMeans (MLlib, fixed seed) on L2-normalized vectors replaces the "
+    "seed-row centroids of sim_topk_ivf, and nprobe is AUTO-TUNED to a "
+    "validation recall@k target instead of hard-coded — on clustered "
+    "corpora the tuner lands on a few probes, on structureless data it "
+    "honestly widens toward a full scan to hold the recall contract. "
+    "Training excludes the serving queries and reads a partition-stable "
+    "md5-capped sample (the quantizer needs a representative sample, not "
+    "the corpus); the k centroids come back to the driver as k tiny arrays "
+    "and broadcast into the assignment scan; search reuses the exact "
+    "_ivf_topk core. Quality is measured, not guessed: "
+    "sim_ivf_kmeans_recall reports recall@k vs the exact baseline, and the "
+    "regression test pins it >= the seed-row index.",
+)
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = io.load(spark, sf_dir, "embeddings")
+    # L2-normalize for training so euclidean KMeans approximates spherical
+    # (cosine) clustering — the metric the search side ranks by
+    l2 = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    train = (
+        emb.filter(F.col("vec_id") >= _N_QUERIES)  # serving queries stay out
+        .filter(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+            < _KMEANS_SAMPLE_HEX
+        )
+        .select(
+            array_to_vector(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.when(l2 > 0, x.cast("double") / l2).otherwise(0.0),
+                )
+            ).alias("features")
+        )
+    )
+    model = KMeans(k=_N_CELLS, seed=_KMEANS_SEED, maxIter=10).fit(train)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    cent_rows = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell INT, c_embedding ARRAY<DOUBLE>"
+    )
+    cent = cent_rows.select(
+        "cell",
+        "c_embedding",
+        dot_fixed(F.col("c_embedding"), F.col("c_embedding")).alias("c_norm_fx"),
+    ).cache()  # feeds the tuner and the server
+    norms = emb.select(
+        "vec_id", "embedding", "label",
+        dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
+    )
+    n_probe = _tuned_nprobe(norms, cent, _IVF_TARGET_RECALL)
+    return _ivf_topk(norms, cent, n_probe=n_probe)
 
 
 @register(
@@ -616,8 +772,16 @@ def _ivf_recall_sql() -> str:
     "actually serves.",
 )
 def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ex = sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
-    ap = sim_topk_ivf(spark, sf_dir).select(
+    ex = sim_topk_cosine(spark, sf_dir)
+    ap = sim_topk_ivf(spark, sf_dir)
+    return _recall_vs_exact(ex, ap)
+
+
+def _recall_vs_exact(ex: DataFrame, ap: DataFrame) -> DataFrame:
+    """Per-query recall@k of an approximate (query_id, neighbor_id) ranking
+    against the exact one: set intersection as a join, one groupBy."""
+    ex = ex.select("query_id", "neighbor_id")
+    ap = ap.select(
         F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
     )
     hits = (
@@ -635,3 +799,17 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / _TOP_K).alias("recall_at_k"),
     )
+
+
+@register(
+    "sim_ivf_kmeans_recall",
+    sql=None,  # inherits the non-SQL-expressible KMeans fit
+    doc="recall@k of the KMeans-trained IVF index (sim_topk_ivf_kmeans) "
+    "against the exact brute-force top-k — same measure-don't-guess "
+    "composition as sim_ivf_recall, so the trained quantizer's quality "
+    "claim is produced by the engine itself.",
+)
+def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = sim_topk_cosine(spark, sf_dir)
+    ap = sim_topk_ivf_kmeans(spark, sf_dir)
+    return _recall_vs_exact(ex, ap)
