@@ -12,7 +12,6 @@ binary path is exercised end-to-end on the driver's tables.
 
 from __future__ import annotations
 
-import zlib
 from typing import Iterator
 
 import numpy as np
@@ -52,23 +51,31 @@ def decode_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     """Decode / feature-extract over binary payloads via mapInPandas.
 
     Real decode (PIL etc.) is NOT available here; the stub derives
-    deterministic pseudo-features (crc32-seeded dims, exact byte entropy)
-    so the Arrow batch shape, schema, and partitioning behavior are the
-    ones a real decoder would see. Swap ``_decode_batch`` for the real
-    thing when the codec libraries exist.
+    deterministic pseudo-features so the Arrow batch shape, schema, and
+    partitioning behavior are the ones a real decoder would see. Swap
+    ``_decode_batch`` for the real thing when the codec libraries exist.
+
+    The stub features are deliberately EXACT byte math — integer byte
+    histogram stats (distinct bytes, fixed-point Simpson concentration
+    index) and md5-derived dimensions — rather than float entropy/crc32,
+    so the whole decode path is bit-reproducible across engines and
+    partitionings and the query stays DuckDB-oracle-checkable.
     """
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("n_bytes", T.LongType()),
-            T.StructField("byte_entropy", T.DoubleType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("n_distinct_bytes", T.LongType()),
+            T.StructField("simpson_fx", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
         ]
     )
 
     def _decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in it:
             if pdf.empty:
                 continue
@@ -77,21 +84,33 @@ def decode_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
                 b = bytes(payload)
                 if _HAVE_PIL:  # pragma: no cover - not in this container
                     raise NotImplementedError("real image decode: wire PIL here")
-                # STUB: deterministic fake decode
+                # STUB: deterministic fake decode (exact integer byte math)
+                n = len(b)
                 counts = np.bincount(np.frombuffer(b, dtype=np.uint8), minlength=256)
-                p = counts[counts > 0] / len(b)
-                entropy = float(-(p * np.log2(p)).sum()) if len(b) else 0.0
-                h = zlib.crc32(b)
+                n_distinct = int((counts > 0).sum())
+                sumsq = int((counts.astype(np.int64) ** 2).sum())
+                simpson_fx = (1_000_000_000 * sumsq) // (n * n) if n else 0
+                h = int(hashlib.md5(b).hexdigest()[:8], 16)
                 rows.append(
-                    (int(doc_id), len(b), entropy, 16 + h % 64, 16 + (h >> 8) % 64,
-                     1 + (h >> 16) % 8)
+                    (int(doc_id), n, n_distinct, simpson_fx,
+                     16 + h % 64, 16 + (h // 256) % 64, 1 + (h // 65536) % 8)
                 )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "n_bytes", "byte_entropy", "width",
-                               "height", "n_frames"]
+                rows, columns=["doc_id", "n_bytes", "n_distinct_bytes",
+                               "simpson_fx", "width", "height", "n_frames"]
             )
 
     return df.select("doc_id", "payload").mapInPandas(_decode_batch, schema=schema)
+
+
+def _sql_hex_int(expr: str, n_hex: int) -> str:
+    """DuckDB: parse the first n_hex chars of a hex digest into a BIGINT
+    (digit-weighted sum; exact — 16^(n_hex-1) fits a double for n_hex<=13)."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, {n_hex} + 1), "
+        f"i -> (strpos('0123456789abcdef', substr({expr}, i, 1)) - 1) "
+        f"* CAST(power(16, {n_hex} - i) AS BIGINT))) AS BIGINT)"
+    )
 
 
 @register(
@@ -118,9 +137,41 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_features",
-    sql=None,  # pandas-UDF decode path -> rows-only check
+    sql=f"""
+    WITH b AS (
+        SELECT doc_id, lower(hex(encode(text))) AS hx, md5(text) AS dig,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, substr(hx, 2 * j + 1, 2) AS byte
+        FROM b, UNNEST(range(0, n)) AS t(j)
+    ),
+    hist AS (
+        SELECT doc_id, byte, count(*) AS c FROM pos GROUP BY doc_id, byte
+    ),
+    stats AS (
+        SELECT doc_id,
+               count(*) AS n_distinct_bytes,
+               CAST(sum(c * c) AS BIGINT) AS sumsq
+        FROM hist GROUP BY doc_id
+    ),
+    h AS (SELECT doc_id, {_sql_hex_int('dig', 8)} AS hv, n FROM b)
+    SELECT h.doc_id,
+           CAST(h.n AS BIGINT) AS n_bytes,
+           CAST(COALESCE(s.n_distinct_bytes, 0) AS BIGINT) AS n_distinct_bytes,
+           CAST(CASE WHEN h.n = 0 THEN 0
+                ELSE (1000000000 * COALESCE(s.sumsq, 0)) // (h.n * h.n)
+           END AS BIGINT) AS simpson_fx,
+           16 + hv % 64 AS width,
+           16 + (hv // 256) % 64 AS height,
+           1 + (hv // 65536) % 8 AS n_frames
+    FROM h LEFT JOIN stats s ON s.doc_id = h.doc_id
+    """,
     doc="Binary decode/feature-extract via Arrow-batched mapInPandas "
-    "(deterministic stub decoder; real codec wires into _decode_batch).",
+    "(deterministic stub decoder; real codec wires into _decode_batch). "
+    "Stub features are exact integer byte math, so the mapInPandas path "
+    "itself is hash-checked against the DuckDB oracle.",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
@@ -182,6 +233,8 @@ def frame_features(frames_with_payload: DataFrame) -> DataFrame:
     )
 
     def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in it:
             if pdf.empty:
                 continue
@@ -189,8 +242,16 @@ def frame_features(frames_with_payload: DataFrame) -> DataFrame:
                 raise NotImplementedError("real frame decode: wire the codec here")
             sigs, bright = [], []
             for payload, fi in zip(pdf["payload"], pdf["frame_idx"]):
-                # STUB: deterministic fake frame decode
-                s = zlib.crc32(bytes(payload) + int(fi).to_bytes(4, "little"))
+                # STUB: deterministic fake frame decode — md5 over
+                # payload:frame_idx (exact byte math; brightness is one
+                # float division of identical small ints, bit-identical
+                # across engines)
+                s = int(
+                    hashlib.md5(
+                        bytes(payload) + b":" + str(int(fi)).encode()
+                    ).hexdigest()[:12],
+                    16,
+                )
                 sigs.append(s)
                 bright.append((s % 256) / 255.0)
             yield pd.DataFrame(
@@ -209,10 +270,32 @@ def frame_features(frames_with_payload: DataFrame) -> DataFrame:
 
 @register(
     "multimodal_frame_features",
-    sql=None,  # pandas-UDF decode path -> rows-only check
+    sql=f"""
+    WITH v AS (
+        SELECT doc_id, text, CAST(1 + (n_chars % 120) AS BIGINT) AS n_frames
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, text,
+               CAST(FLOOR(j * n_frames / LEAST({_FRAME_K}, n_frames)) AS BIGINT)
+                   AS frame_idx
+        FROM v, UNNEST(range(0, LEAST({_FRAME_K}, n_frames))) AS t(j)
+    ),
+    sig AS (
+        SELECT doc_id, frame_idx,
+               {_sql_hex_int("md5(text || ':' || CAST(frame_idx AS VARCHAR))", 12)}
+                   AS frame_sig
+        FROM fr
+    )
+    SELECT doc_id, frame_idx, frame_sig,
+           CAST(frame_sig % 256 AS DOUBLE) / 255.0 AS brightness
+    FROM sig
+    """,
     doc="Per-frame feature extraction over the sampled frame set: "
     "frame_sample explode -> join payloads -> Arrow mapInPandas stub "
-    "decoder (one row per frame in, one feature row per frame out).",
+    "decoder (one row per frame in, one feature row per frame out). The "
+    "md5-based stub signature keeps the whole per-frame path "
+    "hash-checked against the DuckDB oracle.",
 )
 def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
