@@ -73,8 +73,12 @@ def epoch_micros(df, col: str) -> Column:
     """
     dtype = dict(df.dtypes)[col]
     c = F.col(col)
-    if dtype in ("bigint", "long", "int"):
+    if dtype in ("bigint", "long"):
         return F.expr(f"{col} DIV 1000")
+    if dtype == "int":
+        # a 32-bit int cannot hold a ns (or µs) epoch — it is epoch
+        # SECONDS, the same reading epoch_seconds_any gives it
+        return c.cast("long") * F.lit(1_000_000).cast("long")
     if dtype == "timestamp_ntz":
         c = c.cast("timestamp")
     return F.unix_micros(c)

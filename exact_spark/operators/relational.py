@@ -310,12 +310,24 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
     n = 1 << bits
     z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
-        lo, hi = float(row[f"lo_{c}"]), float(row[f"hi_{c}"])
-        span = (hi - lo) or 1.0
-        bucket = F.least(
-            F.lit(n - 1).cast("long"),
-            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n).cast("long"),
-        )
+        lo_v, hi_v = row[f"lo_{c}"], row[f"hi_{c}"]
+        if lo_v is None or hi_v is None:
+            # empty frame or all-null column: no span to bucket over —
+            # everything clusters into the low bucket instead of a
+            # TypeError at plan-build time
+            bucket = F.lit(0).cast("long")
+        else:
+            lo, hi = float(lo_v), float(hi_v)
+            span = (hi - lo) or 1.0
+            bucket = F.coalesce(  # null values cluster into the low bucket
+                F.least(
+                    F.lit(n - 1).cast("long"),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n
+                    ).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+            )
         for b in range(bits):
             bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1).cast("long"))
             z = z + F.shiftleft(bit, b * len(cols) + ci)

@@ -15,6 +15,7 @@ swap — the plain-parquet equivalent of a Delta MERGE.
 from __future__ import annotations
 
 import shutil
+import time
 import uuid
 from pathlib import Path
 
@@ -309,7 +310,7 @@ class JobCatalog:
         ).drop("__date")
 
     # -- maintenance: vacuum crash leftovers ---------------------------------
-    def vacuum(self) -> dict:
+    def vacuum(self, min_age_seconds: float = 3600.0) -> dict:
         """Remove swap/staging debris a crashed maintenance run can strand:
         ``<table>.<uuid>.tmp`` staging dirs, ``.__date=*.old`` swap
         backups, and Spark ``_temporary`` output dirs. Every leftover
@@ -318,19 +319,37 @@ class JobCatalog:
         ``.tmp`` dirs fail the table-name prefix filter), so vacuum is
         about reclaiming space and keeping the atomic-rename paths clear,
         not correctness. Live tables are never touched.
+
+        ``min_age_seconds`` guards against a CONCURRENT maintenance run:
+        a staging dir younger than the threshold may be another writer's
+        in-flight compact/writeback, so only debris older than it is
+        eligible (a crash leftover only gets older). Pass 0 only when the
+        caller owns the single-writer guarantee.
         """
+        cutoff = time.time() - min_age_seconds
+
+        def _stale(p: Path) -> bool:
+            try:
+                return p.stat().st_mtime <= cutoff
+            except OSError:  # vanished mid-scan: another vacuum got it
+                return False
+
         removed = {"tmp_dirs": 0, "old_backups": 0, "temporary": 0}
         for p in list(self.warehouse.glob("*.tmp")):
+            if not _stale(p):
+                continue
             shutil.rmtree(p, ignore_errors=True)
             removed["tmp_dirs"] += 1
         for table in self.warehouse.iterdir():
             if not table.is_dir():
                 continue
             for old in table.glob(".__date=*.old"):
+                if not _stale(old):
+                    continue
                 shutil.rmtree(old, ignore_errors=True)
                 removed["old_backups"] += 1
             tmp = table / "_temporary"
-            if tmp.exists():
+            if tmp.exists() and _stale(tmp):
                 shutil.rmtree(tmp, ignore_errors=True)
                 removed["temporary"] += 1
         return removed
@@ -360,7 +379,27 @@ class JobCatalog:
             return False
         if (p / "_SUCCESS").exists():
             return True
-        return next(p.rglob("*.parquet"), None) is not None
+        # Only parquet files in VISIBLE directories count: a file under
+        # _temporary/ is an uncommitted task attempt (the race this probe
+        # exists to close) and one under .__date=*.old is crash debris.
+        # Partition dirs (__date=...) are underscore-prefixed but visible —
+        # the '=' tells them apart from committer/metadata dirs.
+        def _visible(part: str) -> bool:
+            if part.startswith("."):
+                return False
+            return not (part.startswith("_") and "=" not in part)
+
+        return (
+            next(
+                (
+                    f
+                    for f in p.rglob("*.parquet")
+                    if all(_visible(part) for part in f.relative_to(p).parts)
+                ),
+                None,
+            )
+            is not None
+        )
 
     # -- S11: columns minus flags (timescaledb_api.py:232-233) ---------------
     def get_columns(self, table_name: str) -> list[str]:

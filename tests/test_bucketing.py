@@ -190,3 +190,33 @@ def test_zorder_key_properties(spark):
         by_y.setdefault(r["y"], []).append(r["z"])
     for zs in by_y.values():  # monotone in x for fixed y
         assert zs == sorted(zs)
+
+
+def test_zorder_null_and_empty_guard(spark):
+    """Advisor guard: empty frames / all-null columns must not raise at
+    plan-build time, and null values cluster into the low bucket."""
+    from pyspark.sql import functions as F
+
+    from exact_spark.operators.relational import zorder_column
+
+    empty = spark.range(0).select(
+        F.col("id").cast("double").alias("x"), F.col("id").cast("double").alias("y")
+    )
+    z = zorder_column(empty, ["x", "y"], bits=4)  # must not raise
+    assert empty.select(z.alias("z")).count() == 0
+
+    withnull = spark.createDataFrame(
+        [(None, 1.0), (2.0, None), (3.0, 4.0), (None, None)], "x double, y double"
+    )
+    vals = [
+        r["z"]
+        for r in withnull.select(
+            zorder_column(withnull, ["x", "y"], bits=4).alias("z")
+        ).collect()
+    ]
+    assert all(v is not None for v in vals)
+    # an all-null column degenerates to the low bucket, never a TypeError
+    allnull = spark.createDataFrame([(None, 1.0), (None, 2.0)], "x double, y double")
+    assert allnull.select(
+        zorder_column(allnull, ["x", "y"], bits=4).alias("z")
+    ).count() == 2

@@ -283,10 +283,19 @@ def test_vacuum_removes_crash_leftovers(spark, catalog):
     (path / "_temporary").mkdir()
 
     before = sorted(r["id"] for r in catalog.read_data(name).collect())
-    removed = catalog.vacuum()
+    # the age guard protects a CONCURRENT writer's fresh staging dirs:
+    # everything just planted is younger than the default threshold
+    assert catalog.vacuum() == {"tmp_dirs": 0, "old_backups": 0, "temporary": 0}
+    assert list(catalog.warehouse.glob("*.tmp"))
+    # single-writer caller (min_age 0) reclaims the debris
+    removed = catalog.vacuum(min_age_seconds=0)
     assert removed == {"tmp_dirs": 1, "old_backups": 1, "temporary": 1}
     assert not list(catalog.warehouse.glob("*.tmp"))
     assert not list(path.glob(".__date=*.old"))
     assert sorted(r["id"] for r in catalog.read_data(name).collect()) == before
     # idempotent
-    assert catalog.vacuum() == {"tmp_dirs": 0, "old_backups": 0, "temporary": 0}
+    assert catalog.vacuum(min_age_seconds=0) == {
+        "tmp_dirs": 0,
+        "old_backups": 0,
+        "temporary": 0,
+    }

@@ -57,3 +57,17 @@ def test_parse_duration():
     assert parse_duration("1w") == 604800.0
     with pytest.raises(ValueError):
         parse_duration("10 parsecs")
+
+
+def test_epoch_helpers_agree_on_int_seconds(spark):
+    """Advisor guard: a 32-bit int column is epoch SECONDS to both
+    dtype-driven converters (it cannot hold a ns epoch)."""
+    from pyspark.sql import functions as F
+
+    from exact_spark.functions import epoch_micros, epoch_seconds_any
+
+    df = spark.createDataFrame([(1_700_000_000,), (1_700_000_060,)], "ts int")
+    micros = [r[0] for r in df.select(epoch_micros(df, "ts")).collect()]
+    secs = [r[0] for r in df.select(epoch_seconds_any(df, "ts")).collect()]
+    assert micros == [int(s * 1_000_000) for s in secs]
+    assert micros == [1_700_000_000_000_000, 1_700_000_060_000_000]
