@@ -17,6 +17,166 @@ from pyspark.sql import functions as F
 from exact_spark.registry import register
 
 
+def _bounded_events(spark: SparkSession, sf_dir: str, days: float, user_mod: int):
+    """Deterministic bounded slice of the events table for the streaming
+    demos: first ``days`` of the series, every ``user_mod``-th user, with a
+    proper event-time column regardless of the parquet timestamp storage
+    generation (dtype-driven epoch handling)."""
+    from exact_spark import io
+    from exact_spark.functions import epoch_micros
+    from exact_spark.session import tune_session
+
+    tune_session(spark)
+    ev = io.load(spark, sf_dir, "events")
+    ev = ev.withColumn("__ep_us", epoch_micros(ev, "ts"))
+    lo = ev.agg(F.min("__ep_us")).collect()[0][0] or 0
+    hi = lo + int(days * 86400) * 1_000_000
+    return (
+        ev.filter((F.col("__ep_us") < hi) & (F.col("user_id") % user_mod == 0))
+        .select(
+            "event_id",
+            "user_id",
+            F.timestamp_micros(F.col("__ep_us")).alias("timestamp"),
+            "value",
+        )
+    )
+
+
+@register(
+    "stream_watermark_dedup",
+    sql=None,  # Structured Streaming run -> rows-only check
+    doc="Streaming exact dedup for the ingest path, driver-visible bounded "
+    "run: a 2-day events slice with every 5th event duplicated replays as "
+    "a 2-chunk file stream; dropDuplicatesWithinWatermark keys state on "
+    "event_id inside the watermark horizon (bounded state — the only "
+    "viable contract for continuous ingest). Duplicates carry the same "
+    "event time, so the drop decision is invariant to micro-batch "
+    "boundaries; result is the per-user surviving-event count.",
+)
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exact_spark.streaming.replay import deduplicated_stream
+
+    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_sdedup_"))
+    try:
+        base = _bounded_events(spark, sf_dir, days=2.0, user_mod=5)
+        dup = base.filter(F.col("event_id") % 5 == 0)  # replayed arrivals
+        staged = base.unionByName(dup)
+        src = str(work / "src")
+        staged.repartitionByRange(2, "timestamp").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        deduped = deduplicated_stream(stream, ["event_id"], watermark="30 minutes")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("sdedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("SELECT * FROM sdedup_out")
+        return (
+            out.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_unique_events"))
+            .orderBy("user_id")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_stateful_sessions",
+    sql=None,  # custom stateful streaming operator -> rows-only check
+    doc="Per-user gap sessionization via applyInPandasWithState, "
+    "driver-visible bounded run: a 3-day events slice replays as a "
+    "2-chunk file stream; sessions emit exactly when the watermark proves "
+    "them final (end + gap passed), state carries open sessions across "
+    "micro-batches and tail sessions correctly stay unemitted. Result is "
+    "the closed-session table (key, bounds, event count).",
+)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exact_spark.streaming.replay import stateful_session_counts
+
+    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_ssess_"))
+    try:
+        base = _bounded_events(spark, sf_dir, days=3.0, user_mod=5)
+        src = str(work / "src")
+        base.repartitionByRange(2, "timestamp").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sessions = stateful_session_counts(
+            stream, gap_seconds=4 * 3600.0, watermark="2 hours", key_col="user_id"
+        )
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("ssess_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(
+            "SELECT key, session_start, session_end, n_events "
+            "FROM ssess_out ORDER BY key, session_start"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_online_zscore",
+    sql=None,  # custom stateful streaming operator -> rows-only check
+    doc="Online per-key z-score anomaly detector (Welford running "
+    "mean/variance in applyInPandasWithState, O(1) state per key), "
+    "driver-visible bounded run: a 4-day events slice replays as ONE "
+    "micro-batch so the event-time fold is reproducible end to end. "
+    "Result is the per-user event/flag tally.",
+)
+def stream_online_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exact_spark.streaming.replay import streaming_zscore_detector
+
+    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_szscore_"))
+    try:
+        base = _bounded_events(spark, sf_dir, days=4.0, user_mod=5)
+        src = str(work / "src")
+        base.coalesce(1).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        scored = streaming_zscore_detector(
+            stream, threshold=2.5, min_obs=10, key_col="user_id"
+        )
+        q = (
+            scored.writeStream.format("memory")
+            .queryName("szscore_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("SELECT * FROM szscore_out")
+        return (
+            out.groupBy("key")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("is_anomaly").cast("long")).alias("n_flagged"),
+            )
+            .orderBy("key")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register(
     "stream_replay_e2e",
     sql=None,  # Structured Streaming run -> rows-only check
