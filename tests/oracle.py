@@ -39,9 +39,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(spark_df, oracle_df: pd.DataFrame, name: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty = pass)."""
+    """Return a list of mismatch descriptions (empty = pass).
+
+    ``spark_df`` may be a Spark DataFrame or an already-collected pandas
+    frame (so callers that need the rows anyway don't run the query twice).
+    """
     errs: list[str] = []
-    sp = _canon(spark_df.toPandas())
+    sp = _canon(spark_df.toPandas() if hasattr(spark_df, "toPandas") else spark_df)
     oc = _canon(oracle_df)
     if sorted(sp.columns) != sorted(oc.columns):
         errs.append(f"{name}: columns differ spark={sorted(sp.columns)} oracle={sorted(oc.columns)}")
