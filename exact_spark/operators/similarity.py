@@ -512,43 +512,9 @@ def _tuned_nprobe(norms: DataFrame, cent: DataFrame, target: float) -> int:
 )
 def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     emb = io.load(spark, sf_dir, "embeddings")
-    # L2-normalize for training so euclidean KMeans approximates spherical
-    # (cosine) clustering — the metric the search side ranks by
-    l2 = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    train = (
-        emb.filter(F.col("vec_id") >= _N_QUERIES)  # serving queries stay out
-        .filter(
-            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
-            < _KMEANS_SAMPLE_HEX
-        )
-        .select(
-            array_to_vector(
-                F.transform(
-                    F.col("embedding"),
-                    lambda x: F.when(l2 > 0, x.cast("double") / l2).otherwise(0.0),
-                )
-            ).alias("features")
-        )
-    )
-    model = KMeans(k=_N_CELLS, seed=_KMEANS_SEED, maxIter=10).fit(train)
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    cent_rows = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)], "cell INT, c_embedding ARRAY<DOUBLE>"
-    )
-    cent = cent_rows.select(
-        "cell",
-        "c_embedding",
-        dot_fixed(F.col("c_embedding"), F.col("c_embedding")).alias("c_norm_fx"),
+    cent = _kmeans_centroids(
+        spark, emb.filter(F.col("vec_id") >= _N_QUERIES), _N_CELLS
     ).cache()  # feeds the tuner and the server
     norms = emb.select(
         "vec_id", "embedding", "label",
@@ -556,6 +522,47 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_probe = _tuned_nprobe(norms, cent, _IVF_TARGET_RECALL)
     return _ivf_topk(norms, cent, n_probe=n_probe)
+
+
+def _kmeans_centroids(spark: SparkSession, emb: DataFrame, k: int) -> DataFrame:
+    """Spherical-KMeans coarse quantizer shared by the trained-IVF and
+    semantic-dedup paths: fit euclidean KMeans (MLlib, fixed seed) on
+    L2-NORMALIZED vectors — on the unit sphere euclidean argmin == cosine
+    argmax, the metric both consumers rank by. Training reads a
+    partition-stable md5-capped sample (a representative sample trains the
+    quantizer as well as the corpus does); the k centers come back to the
+    driver as k tiny arrays and return as a broadcastable
+    (cell, c_embedding, c_norm_fx) frame."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    l2 = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    train = emb.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < _KMEANS_SAMPLE_HEX
+    ).select(
+        array_to_vector(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.when(l2 > 0, x.cast("double") / l2).otherwise(0.0),
+            )
+        ).alias("features")
+    )
+    model = KMeans(k=k, seed=_KMEANS_SEED, maxIter=10).fit(train)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    cent_rows = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell INT, c_embedding ARRAY<DOUBLE>"
+    )
+    return cent_rows.select(
+        "cell",
+        "c_embedding",
+        dot_fixed(F.col("c_embedding"), F.col("c_embedding")).alias("c_norm_fx"),
+    )
 
 
 @register(
@@ -813,3 +820,169 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sim_topk_cosine(spark, sf_dir)
     ap = sim_topk_ivf_kmeans(spark, sf_dir)
     return _recall_vs_exact(ex, ap)
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDedup; Abbas et al. 2023): cluster the embedding
+# space with a coarse quantizer, then compare vectors ONLY within their
+# cluster — pairwise cosine never crosses cluster boundaries, so the
+# quadratic term is bounded by the cluster size, not the corpus. A vector is
+# dropped when a LOWER-id member of its cluster sits above the duplicate
+# threshold (the deterministic keep-the-first-representative rule).
+#
+# Scale shape: at 100 TB k grows ~sqrt(N) so clusters stay small; candidate
+# pairs come from ONE shuffle keyed on the cluster id — the bucket's members
+# collect in place and the (capped) pair expansion happens inside the row,
+# the same collect-expand form as dedup_minhash_lsh. The cosine is computed
+# INSIDE the array expression so the expanded pair array holds (id_a, id_b,
+# cosine) scalars, never two full vectors per pair. Clusters above
+# _SEM_CLUSTER_CAP are dropped (degenerate-cluster guard, same rationale as
+# _EMB_BUCKET_CAP): a mass-duplicated embedding floods one cell, and exact
+# dedup / emb_quantize_int8's checksum already owns identical content.
+
+_SEM_K = 8  # seed/trained clusters; ~sqrt(N) at scale
+_SEM_DUP_COS = 0.30  # semantic-duplicate threshold for this corpus
+_SEM_CLUSTER_CAP = 200
+
+
+def _assign_members(norms: DataFrame, cent: DataFrame) -> DataFrame:
+    """argmax-cosine cluster assignment against a broadcast centroid table:
+    one scan, no shuffle until the assignment window on vec_id."""
+    a_cos = cosine_from_fixed(
+        dot_fixed(F.col("embedding"), F.col("c_embedding")),
+        F.col("norm_fx"),
+        F.col("c_norm_fx"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(a_cos.desc(), F.col("cell"))
+    return (
+        norms.crossJoin(F.broadcast(cent))
+        .withColumn("cr", F.row_number().over(wa))
+        .filter(F.col("cr") == 1)
+        .select("vec_id", "embedding", "norm_fx", F.col("cell").alias("cluster"))
+    )
+
+
+def _semantic_dropped(
+    members: DataFrame, tau: float = _SEM_DUP_COS, cap: int = _SEM_CLUSTER_CAP
+) -> DataFrame:
+    """Within-cluster collect-expand: group members by cluster, sort by id,
+    expand i<j pairs in place with the cosine computed inside the array
+    expression, keep pairs >= tau, then reduce to one row per dropped
+    vector (dup_of = its lowest qualifying representative)."""
+    grouped = (
+        members.groupBy("cluster")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "norm_fx", "embedding"))
+            ).alias("ms")
+        )
+        .filter((F.size("ms") > 1) & (F.size("ms") <= cap))
+    )
+    ms = F.col("ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda a, i: F.filter(
+                F.transform(
+                    F.slice(ms, i + F.lit(2), F.size(ms)),
+                    lambda b: F.struct(
+                        a["vec_id"].alias("doc_a"),
+                        b["vec_id"].alias("doc_b"),
+                        cosine_from_fixed(
+                            dot_fixed(a["embedding"], b["embedding"]),
+                            a["norm_fx"],
+                            b["norm_fx"],
+                        ).alias("cosine"),
+                    ),
+                ),
+                lambda p: p["cosine"] >= F.lit(tau),
+            ),
+        )
+    )
+    pairs = grouped.select("cluster", F.explode(pair_structs).alias("p")).select(
+        "cluster", "p.doc_a", "p.doc_b", "p.cosine"
+    )
+    return pairs.groupBy(F.col("doc_b").alias("vec_id")).agg(
+        F.min("cluster").alias("cluster"),
+        F.min("doc_a").alias("dup_of"),
+        F.min_by("cosine", "doc_a").alias("cosine"),
+    )
+
+
+@register(
+    "dedup_semantic",
+    sql=f"""
+    WITH norms AS (
+        SELECT vec_id, embedding,
+               {_sql_dot('embedding', 'embedding')} AS norm_fx
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, embedding AS cemb, norm_fx AS cnf
+             FROM norms WHERE vec_id < {_SEM_K}),
+    assign_scored AS (
+        SELECT v.vec_id, v.embedding, v.norm_fx, c.cid,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_SQL_COS.format(dot=_sql_dot('v.embedding', 'c.cemb'), na='v.norm_fx', nb='c.cnf')} DESC,
+                            c.cid
+               ) AS cr
+        FROM norms v, cent c
+    ),
+    members AS (SELECT vec_id, embedding, norm_fx, cid FROM assign_scored WHERE cr = 1),
+    sized AS (SELECT cid FROM members GROUP BY cid
+              HAVING COUNT(*) BETWEEN 2 AND {_SEM_CLUSTER_CAP}),
+    pairs AS (
+        SELECT a.cid AS cluster, a.vec_id AS doc_a, b.vec_id AS doc_b,
+               {_SQL_COS.format(dot=_sql_dot('a.embedding', 'b.embedding'), na='a.norm_fx', nb='b.norm_fx')} AS cosine
+        FROM members a
+        JOIN members b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN sized s ON s.cid = a.cid
+    )
+    SELECT doc_b AS vec_id, MIN(cluster) AS cluster, MIN(doc_a) AS dup_of,
+           arg_min(cosine, doc_a) AS cosine
+    FROM pairs WHERE cosine >= {_SEM_DUP_COS}
+    GROUP BY doc_b
+    """,
+    doc="SemDedup semantic near-duplicate removal: assign every vector to "
+    "its argmax-cosine cluster (broadcast seed centroids, one scan), then "
+    "pairwise cosine ONLY within clusters via the capped collect-expand "
+    "form — one shuffle keyed on the cluster id, cosines computed inside "
+    "the array expression so expanded pairs carry scalars, never vectors. "
+    "A vector is dropped when a lower-id cluster member exceeds the "
+    "threshold; dup_of is its lowest such representative. "
+    "dedup_semantic_kmeans swaps the seed centroids for a trained "
+    "quantizer at scale.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings", spread=True)
+    norms = emb.select(
+        "vec_id", "embedding",
+        dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
+    )
+    cent = norms.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_embedding"),
+        F.col("norm_fx").alias("c_norm_fx"),
+    )
+    return _semantic_dropped(_assign_members(norms, cent))
+
+
+@register(
+    "dedup_semantic_kmeans",
+    sql=None,  # centroids come from an iterative MLlib fit — not SQL-expressible
+    doc="SemDedup with a TRAINED coarse quantizer: spherical KMeans "
+    "centroids (shared _kmeans_centroids helper, fixed seed) replace the "
+    "seed rows of dedup_semantic, tightening clusters so the within-"
+    "cluster duplicate search sees semantically-coherent candidates — the "
+    "production configuration of the same capped collect-expand plan.",
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings", spread=True)
+    cent = _kmeans_centroids(spark, emb, _SEM_K)
+    norms = emb.select(
+        "vec_id", "embedding",
+        dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
+    )
+    return _semantic_dropped(_assign_members(norms, cent))

@@ -35,6 +35,7 @@ import pathlib
 import socket
 import tempfile
 import threading
+import time
 
 import pandas as pd
 
@@ -86,6 +87,9 @@ class EngineServer:
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
         self.job_threads: dict[str, threading.Thread] = {}
+        # job-name -> "ExcType: msg" for fire-and-forget jobs that failed;
+        # surfaced instead of letting a worker thread die unhandled
+        self.job_errors: dict[str, str] = {}
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> tuple[str, int]:
@@ -99,12 +103,32 @@ class EngineServer:
         self._thread.start()
         return self.host, self.port
 
-    def stop(self) -> None:
+    def stop(self, drain_s: float = 120.0) -> None:
+        # Drain in-flight jobs FIRST: a fire-and-forget run_batch/run_stream
+        # thread may still be mid-write (e.g. the end-of-replay compaction),
+        # and the caller typically stops the SparkSession right after this —
+        # killing the context under a live write job turns a clean shutdown
+        # into TASK_WRITE_FAILED noise (the flake this drain removes).
+        deadline = time.time() + drain_s
+        for t in list(self.job_threads.values()):
+            t.join(timeout=max(0.0, deadline - time.time()))
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=5.0)
         if self._sock:
             self._sock.close()
+
+    def _run_job(self, name: str, fn, *args, **kwargs) -> None:
+        """Worker-thread entry: record failures on the server instead of
+        letting the thread die unhandled. A CANCELLED job fails by design
+        (cancel-job drops its table while the job flow still runs — the
+        reference's engine likewise lets the worker error out and logs it,
+        engine.py:250-255); the error lands in ``job_errors`` where
+        get-running/tests can see it."""
+        try:
+            fn(*args, **kwargs)
+        except Exception as exc:  # noqa: BLE001 — boundary: worker thread top
+            self.job_errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     def _serve(self) -> None:
         while not self._stop.is_set():
@@ -173,7 +197,11 @@ class EngineServer:
                 model=data.get("model", "threshold"),
                 model_params=data.get("model_params") or {},
             )
-            t = threading.Thread(target=self.api.run_batch, args=(job,), daemon=True)
+            t = threading.Thread(
+                target=self._run_job,
+                args=(job.job_name, self.api.run_batch, job),
+                daemon=True,
+            )
             t.start()
             self.job_threads[job.job_name] = t  # fire-and-forget, no response
 
@@ -192,8 +220,9 @@ class EngineServer:
                 model_params=data.get("model_params") or {},
             )
             t = threading.Thread(
-                target=run_stream,
-                args=(self.api.spark, self.api.catalog, job,
+                target=self._run_job,
+                args=(job.job_name, run_stream,
+                      self.api.spark, self.api.catalog, job,
                       str(self.api.output_dir / f"stream_{job.job_name}")),
                 kwargs={
                     # engine.py:211's speedup knob; chunks is ours (bounds

@@ -68,6 +68,8 @@ DRIVER_ORDER: list[str] = [
     "ml_param_search",
     "ml_isotonic_calibration",
     # new in round 4
+    "dedup_semantic",
+    "dedup_semantic_kmeans",
     "sim_topk_ivf_kmeans",
     "sim_ivf_kmeans_recall",
     "stream_watermark_dedup",

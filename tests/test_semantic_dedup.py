@@ -1,0 +1,93 @@
+"""Semantic dedup (SemDedup) property + degenerate-cluster cap tests.
+
+Adversarial shape mirrors tests/test_similarity_caps.py: a mass-duplicated
+embedding floods ONE cluster of the coarse quantizer, so an uncapped
+within-cluster pairing is a B^2/2 blowup inside a single collected bucket.
+With _SEM_CLUSTER_CAP the hot cluster is dropped while a genuine semantic
+duplicate in a small cluster still surfaces, and the DuckDB oracle SQL
+carries the same cap so the capped semantics stay oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from exact_spark.operators.similarity import _SEM_CLUSTER_CAP, dedup_semantic
+from exact_spark.registry import REGISTRY, _load_all
+from tests.oracle import compare
+
+_DIM = 16
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(spark, tmp_path_factory):
+    """embeddings.parquet: 8 seed rows (orthogonal-ish centroids), a hot
+    block of _SEM_CLUSTER_CAP+30 copies of seed 3's direction, and one
+    genuine near-dup pair aligned with seed 5."""
+    rng = np.random.RandomState(11)
+    rows: list[tuple[int, np.ndarray, int]] = []
+    seeds = []
+    for i in range(8):
+        v = np.zeros(_DIM, dtype=np.float32)
+        v[2 * i] = 1.0
+        v[2 * i + 1] = 0.3
+        seeds.append(v)
+        rows.append((i, v, 0))
+    hot = seeds[3] * 0.9
+    for j in range(_SEM_CLUSTER_CAP + 30):
+        rows.append((100 + j, hot, 1))
+    near_a = seeds[5] * 1.1 + 0.02 * rng.rand(_DIM).astype(np.float32)
+    near_b = near_a * 0.98
+    rows.append((5_000, near_a.astype(np.float32), 2))
+    rows.append((5_001, near_b.astype(np.float32), 2))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1].tolist() for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    out = tmp_path_factory.mktemp("adversarial_sem")
+    pq.write_table(tbl, out / "embeddings.parquet")
+    return str(out)
+
+
+def test_cap_drops_degenerate_cluster(spark, adversarial_dir):
+    got = dedup_semantic(spark, adversarial_dir).toPandas()
+    hot_ids = set(range(100, 100 + _SEM_CLUSTER_CAP + 30))
+    # the over-cap cluster contributes NO dropped rows (B^2/2 pairs avoided)
+    assert not any(v in hot_ids for v in got.vec_id)
+    # the genuine duplicates in the small cluster still dedupe: both drop
+    # to the lowest qualifying representative (seed 5, which they align to)
+    for vid in (5_000, 5_001):
+        row = got[got.vec_id == vid]
+        assert len(row) == 1 and int(row.dup_of.iloc[0]) == 5
+
+
+def test_capped_semantics_match_oracle(spark, adversarial_dir):
+    _load_all()
+    spec = REGISTRY["dedup_semantic"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{adversarial_dir}/embeddings.parquet')"
+    )
+    sp = spec.fn(spark, adversarial_dir)
+    oc = con.execute(spec.sql).fetchdf()
+    assert compare(sp, oc, "dedup_semantic") == []
+
+
+def test_dropped_set_is_consistent(spark, sf_dir):
+    """Every dropped vector cites a KEPT representative (dup_of never
+    itself dropped... by the lower-id rule a representative may itself be
+    dropped only if ITS representative has an even lower id — the chain
+    bottoms out; here we check dup_of < vec_id and clusters agree)."""
+    got = dedup_semantic(spark, sf_dir).toPandas()
+    assert (got.dup_of < got.vec_id).all()
+    assert (got.cosine >= 0.30).all()

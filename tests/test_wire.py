@@ -240,13 +240,14 @@ def test_run_stream_over_the_wire(server, tmp_path):
         if count_with_retry() == 150:
             break
         time.sleep(0.5)
-    n, cols = -1, []
-    while time.time() < deadline:
-        try:
-            stored = server.api.catalog.read_data(table)
-            n, cols = stored.count(), stored.columns
-            break
-        except Exception:
-            time.sleep(0.5)
-    assert n == 150
-    assert "is_anomaly" in cols
+    # join the worker BEFORE the final read: the job is only done once the
+    # end-of-replay compaction committed (the row count hits 150 earlier),
+    # and a worker still writing when the session fixture stops Spark dies
+    # with TASK_WRITE_FAILED — the suite's one historical flake
+    worker = server.job_threads["wirestream"]
+    worker.join(timeout=max(0.0, deadline - time.time()))
+    assert not worker.is_alive(), "stream job did not finish in time"
+    assert "wirestream" not in server.job_errors, server.job_errors["wirestream"]
+    stored = server.api.catalog.read_data(table)
+    assert stored.count() == 150
+    assert "is_anomaly" in stored.columns
