@@ -456,3 +456,126 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "tok", "tf", "df"
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition profile (the Gopher repetition filters, Rae et
+# al. 2021 §A1.1: duplicate/top n-gram fractions catch boilerplate and
+# degenerate generation loops that per-corpus dedup cannot see).
+#
+# Scale shape: every statistic is computed INSIDE array expressions on the
+# row — sort_array + a run-length fold replaces the explode→groupBy(gram)
+# shuffle a naive plan would use, so the operator is embarrassingly parallel
+# with ZERO shuffles at any corpus size (per-row cost O(L log L) in document
+# length, bounded by the ingest-side length cap). The DuckDB oracle computes
+# the same counts via unnest+GROUP BY — max run length of the sorted gram
+# array == max per-gram count, integer-exact across engines.
+
+_REP_MIN_WORDS = 3
+_REP_MAX_TOP_WORD = 0.12  # drop: one word > 12% of the doc
+_REP_MAX_DUP_2GRAM = 0.10  # drop: >10% of word bigrams are repeats
+_REP_MIN_DISTINCT = 0.35  # drop: vocabulary-collapsed docs
+
+
+def _max_run_count(sorted_arr: Column) -> Column:
+    """Max multiplicity of any element — a run-length fold over the SORTED
+    array (equal elements are adjacent), entirely inside codegen."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, acc0, step, lambda acc: acc["best"])
+
+
+@register(
+    "text_repetition_profile",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ),
+    base AS (SELECT doc_id, t, len(t) AS n_words FROM toks WHERE len(t) >= {_REP_MIN_WORDS}),
+    g2 AS (
+        SELECT doc_id, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g
+        FROM base
+    ),
+    wtop AS (
+        SELECT doc_id, MAX(c) AS top_word_n FROM (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(t) AS tok FROM base) GROUP BY doc_id, tok
+        ) GROUP BY doc_id
+    ),
+    gtop AS (
+        SELECT doc_id, MAX(c) AS top_2gram_n FROM (
+            SELECT doc_id, gr, count(*) AS c
+            FROM (SELECT doc_id, unnest(g) AS gr FROM g2) GROUP BY doc_id, gr
+        ) GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT b.doc_id, b.n_words,
+               CAST(len(list_distinct(b.t)) AS DOUBLE) / b.n_words AS distinct_word_frac,
+               CAST(w.top_word_n AS DOUBLE) / b.n_words AS top_word_frac,
+               1.0 - CAST(len(list_distinct(g.g)) AS DOUBLE) / (b.n_words - 1) AS dup_2gram_frac,
+               CAST(c.top_2gram_n AS DOUBLE) / (b.n_words - 1) AS top_2gram_frac
+        FROM base b
+        JOIN wtop w USING (doc_id)
+        JOIN g2 g ON g.doc_id = b.doc_id
+        JOIN gtop c ON c.doc_id = b.doc_id
+    )
+    SELECT doc_id, n_words, distinct_word_frac, top_word_frac,
+           dup_2gram_frac, top_2gram_frac,
+           (top_word_frac <= {_REP_MAX_TOP_WORD}
+            AND dup_2gram_frac <= {_REP_MAX_DUP_2GRAM}
+            AND distinct_word_frac >= {_REP_MIN_DISTINCT}) AS rep_keep
+    FROM stats
+    """,
+    doc="Gopher-style intra-document repetition filters (duplicate/top "
+    "word and bigram fractions + vocabulary-collapse ratio -> keep flag): "
+    "every statistic folds inside array expressions on the row — "
+    "sort_array + run-length fold instead of an explode->groupBy(gram) "
+    "shuffle — so the operator is zero-shuffle and embarrassingly "
+    "parallel at any corpus size.",
+)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    base = docs.select("doc_id", tokens_col().alias("t")).filter(
+        F.size("t") >= _REP_MIN_WORDS
+    )
+    n = F.size("t")
+    g2 = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+        ),
+    )
+    stats = base.select(
+        "doc_id",
+        n.alias("n_words"),
+        (F.size(F.array_distinct("t")).cast("double") / n).alias("distinct_word_frac"),
+        (_max_run_count(F.sort_array("t")).cast("double") / n).alias("top_word_frac"),
+        g2.alias("g2"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "distinct_word_frac",
+        "top_word_frac",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("g2")).cast("double") / (F.col("n_words") - 1)
+        ).alias("dup_2gram_frac"),
+        (
+            _max_run_count(F.sort_array("g2")).cast("double") / (F.col("n_words") - 1)
+        ).alias("top_2gram_frac"),
+    )
+    return stats.withColumn(
+        "rep_keep",
+        (F.col("top_word_frac") <= _REP_MAX_TOP_WORD)
+        & (F.col("dup_2gram_frac") <= _REP_MAX_DUP_2GRAM)
+        & (F.col("distinct_word_frac") >= _REP_MIN_DISTINCT),
+    )

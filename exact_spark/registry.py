@@ -68,6 +68,7 @@ DRIVER_ORDER: list[str] = [
     "ml_param_search",
     "ml_isotonic_calibration",
     # new in round 4
+    "text_repetition_profile",
     "dedup_semantic",
     "dedup_semantic_kmeans",
     "sim_topk_ivf_kmeans",
