@@ -986,3 +986,230 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
     )
     return _semantic_dropped(_assign_members(norms, cent))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ; Jegou et al. 2011) — the embedding COMPRESSION
+# scale path: split each 64-dim vector into _PQ_M subspaces, encode every
+# subspace as its nearest codeword id (4 bits here), store M small codes
+# instead of 64 floats (64x compression at these parameters). Search runs
+# against the codes via asymmetric distance computation (ADC): the query
+# builds one tiny lookup table of exact subspace distances to every
+# codeword, and each candidate's distance is M table lookups — no float
+# vector is ever touched at scan time.
+#
+# Codebooks here are the sub-vectors of the first _PQ_K embeddings (the
+# seed-row pattern sim_topk_ivf uses, which keeps the whole operator
+# SQL-expressible for the oracle); at scale the codebooks come from
+# per-subspace KMeans exactly like _kmeans_centroids. Either way the
+# codebook is tiny and ships to every task as literals — the FAISS
+# deployment shape — so encode and search are ONE zero-shuffle scan each
+# (search adds only the final per-query top-k).
+#
+# All distances are per-element fixed-point (floor((x-c)^2 * 1e9 + 0.5) ->
+# BIGINT sums), bit-identical across engines and partitionings.
+
+_PQ_M = 8  # subspaces
+_PQ_SUB = 8  # dims per subspace (M * SUB = embedding dim)
+_PQ_K = 16  # codewords per subspace -> 4-bit codes
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """codebook[m][k] = subspace-m sub-vector of seed embedding k, collected
+    to the driver (K tiny arrays, the trained-model artifact)."""
+    emb = io.load(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    return [
+        [by_id[k][m * _PQ_SUB : (m + 1) * _PQ_SUB] for k in range(_PQ_K)]
+        for m in range(_PQ_M)
+    ]
+
+
+def _codebook_col(cb: list[list[list[float]]]) -> Column:
+    """The whole codebook as ONE literal array<array<array<double>>> column
+    (cb_col[m][k][j]). Everything downstream walks it with higher-order
+    functions — the generated code is a LOOP over the literal, not 1024
+    unrolled terms, so it stays inside the JVM's 64 KB method limit and
+    whole-stage codegen (the unrolled form compiled to interpreted
+    fallback)."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in cw]) for cw in cbm])
+            for cbm in cb
+        ]
+    )
+
+
+def _sub_dist_hof(sub: Column, cw: Column) -> Column:
+    """Fixed-point squared L2 distance between a sub-vector column and a
+    codeword column, as a fold (zip_with + aggregate)."""
+    diffs = F.zip_with(
+        sub,
+        cw,
+        lambda x, y: F.floor(
+            (x.cast("double") - y) * (x.cast("double") - y) * F.lit(float(_SCALE9))
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda a, v: a + v)
+
+
+def _pq_best(emb: Column, cb_col: Column) -> Column:
+    """array of _PQ_M structs (d, k): per subspace, the argmin-distance
+    codeword (lexicographic array_min = tie-break on lowest code)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda m: F.array_min(
+            F.transform(
+                F.element_at(cb_col, m + 1),
+                lambda cw, k: F.struct(
+                    _sub_dist_hof(
+                        F.slice(emb, m * _PQ_SUB + 1, _PQ_SUB), cw
+                    ).alias("d"),
+                    k.alias("k"),
+                ),
+            )
+        ),
+    )
+
+
+def _sql_sub_dist(a_emb: str, b_emb: str, m: str) -> str:
+    """Oracle-side subspace distance: same fixed-point kernel with the
+    codeword coming from the seed row's sub-vector."""
+    return (
+        f"list_sum(list_transform(range(1, {_PQ_SUB} + 1), j -> "
+        f"CAST(FLOOR((CAST({a_emb}[{m} * {_PQ_SUB} + j] AS DOUBLE) - "
+        f"CAST({b_emb}[{m} * {_PQ_SUB} + j] AS DOUBLE)) * "
+        f"(CAST({a_emb}[{m} * {_PQ_SUB} + j] AS DOUBLE) - "
+        f"CAST({b_emb}[{m} * {_PQ_SUB} + j] AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)))"
+    )
+
+
+_SQL_PQ_CODES = f"""
+    seeds AS (SELECT vec_id AS k, embedding AS cemb FROM embeddings WHERE vec_id < {_PQ_K}),
+    subdists AS (
+        SELECT e.vec_id, m.m, s.k,
+               {_sql_sub_dist('e.embedding', 's.cemb', 'm.m')} AS d
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m) m
+        CROSS JOIN seeds s
+    ),
+    best AS (
+        SELECT vec_id, m, k, d,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rk
+        FROM subdists
+    ),
+    codes AS (
+        SELECT vec_id,
+               {", ".join(f"MAX(CASE WHEN m = {m} THEN k END) AS code_{m}" for m in range(_PQ_M))},
+               CAST(SUM(d) AS BIGINT) AS recon_err_fx
+        FROM best WHERE rk = 1
+        GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "emb_pq_encode",
+    sql=f"""
+    WITH {_SQL_PQ_CODES}
+    SELECT * FROM codes
+    """,
+    doc="PQ encoding: each vector's 8 subspaces map to their argmin-"
+    "distance codeword (4-bit codes, 64x size reduction); codebook ships "
+    "as literals so the encode is ONE zero-shuffle scan. recon_err_fx is "
+    "the summed fixed-point quantization error — the compression-quality "
+    "column a pipeline monitors.",
+)
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    cb = _pq_codebook(spark, sf_dir)
+    emb = io.load(spark, sf_dir, "embeddings", spread=True)
+    staged = emb.select(
+        "vec_id", _pq_best(F.col("embedding"), _codebook_col(cb)).alias("best")
+    )
+    return staged.select(
+        "vec_id",
+        *[
+            F.element_at("best", m + 1)["k"].cast("long").alias(f"code_{m}")
+            for m in range(_PQ_M)
+        ],
+        F.aggregate(
+            "best", F.lit(0).cast("long"), lambda a, b: a + b["d"]
+        ).alias("recon_err_fx"),
+    )
+
+
+@register(
+    "sim_topk_pq",
+    sql=f"""
+    WITH {_SQL_PQ_CODES},
+    q AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings
+          WHERE vec_id < {_N_QUERIES}),
+    lut AS (
+        SELECT q.query_id, m.m, s.k,
+               {_sql_sub_dist('q.qemb', 's.cemb', 'm.m')} AS d
+        FROM q
+        CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m) m
+        CROSS JOIN seeds s
+    ),
+    cand AS (
+        SELECT vec_id, m, code FROM (
+            {" UNION ALL ".join(f"SELECT vec_id, {m} AS m, code_{m} AS code FROM codes" for m in range(_PQ_M))}
+        )
+    ),
+    adc AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc_fx
+        FROM cand c JOIN lut l ON l.m = c.m AND l.k = c.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY l.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_fx, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_fx, neighbor_id) AS rank
+        FROM adc
+    ) WHERE rank <= {_TOP_K}
+    """,
+    doc="PQ asymmetric-distance top-k: the query precomputes an M x K "
+    "lookup table of exact subspace distances to every codeword (tiny, "
+    "rides the broadcast), and each candidate's distance is M array "
+    "lookups over its codes — the scan never touches a float vector, so "
+    "at 100 TB the search reads the 8-byte code table instead of the "
+    "256-byte embeddings (plus the final per-query top-k shuffle).",
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    cb = _pq_codebook(spark, sf_dir)
+    codes = emb_pq_encode(spark, sf_dir)
+    emb = io.load(spark, sf_dir, "embeddings")
+    # lut[m][k] = exact subspace distance from this query to codeword k —
+    # one nested-transform expression over the literal codebook
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda m: F.transform(
+            F.element_at(_codebook_col(cb), m + 1),
+            lambda cw: _sub_dist_hof(
+                F.slice(F.col("embedding"), m * _PQ_SUB + 1, _PQ_SUB), cw
+            ),
+        ),
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), lut.alias("lut")
+    )
+    pairs = F.broadcast(q).join(codes, codes["vec_id"] != q["query_id"])
+    adc = F.lit(0).cast("long")
+    for m in range(_PQ_M):
+        adc = adc + F.element_at(
+            F.element_at("lut", m + 1), F.col(f"code_{m}").cast("int") + 1
+        )
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_fx")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_fx"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _TOP_K
+    )

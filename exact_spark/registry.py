@@ -69,6 +69,8 @@ DRIVER_ORDER: list[str] = [
     "ml_isotonic_calibration",
     # new in round 4
     "text_repetition_profile",
+    "emb_pq_encode",
+    "sim_topk_pq",
     "dedup_semantic",
     "dedup_semantic_kmeans",
     "sim_topk_ivf_kmeans",
