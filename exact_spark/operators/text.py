@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from exact_spark import io
 from exact_spark.functions import fround, sql_fround
@@ -578,4 +579,135 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("top_word_frac") <= _REP_MAX_TOP_WORD)
         & (F.col("dup_2gram_frac") <= _REP_MAX_DUP_2GRAM)
         & (F.col("distinct_word_frac") >= _REP_MIN_DISTINCT),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-batch sequence packing (concat-and-chunk): the corpus is one
+# doc_id-ordered token stream cut into fixed-budget packs (the GPT-style
+# pretraining batch layout). Each document reports which pack it starts in,
+# at what offset, and how many packs it spans — exactly what a loader needs
+# to materialize pack p without scanning the corpus.
+#
+# Scale shape: the global running token count is a DISTRIBUTED PREFIX SUM,
+# not a single-partition window — pass 1 aggregates per-bucket token totals
+# (tiny, to the driver), pass 2 adds the broadcast exclusive bucket offset
+# to a WITHIN-bucket window cumsum, so every partition works in parallel.
+# At extreme corpus sizes the bucket width widens (or the offset pass
+# recurses) to keep the driver-side partial list small.
+
+_PACK_BUDGET = 256  # tokens per packed sequence
+_PACK_BUCKET = 1000  # doc_ids per prefix-sum bucket
+
+
+@register(
+    "text_pack_sequences",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents
+    ),
+    base AS (SELECT doc_id, n_tokens FROM toks WHERE n_tokens >= 1),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM base
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS start_pack,
+           CAST((cum - n_tokens) % {_PACK_BUDGET} AS BIGINT) AS start_offset,
+           CAST(((cum - 1) // {_PACK_BUDGET}) - ((cum - n_tokens) // {_PACK_BUDGET}) + 1 AS BIGINT)
+               AS packs_spanned
+    FROM c
+    """,
+    doc="Concat-and-chunk sequence packing over the doc_id-ordered token "
+    "stream: per-doc start pack / offset / span against a fixed token "
+    "budget. The global cumulative count is a two-pass distributed prefix "
+    "sum (per-bucket totals to the driver, broadcast exclusive offsets + "
+    "within-bucket window), so no single-partition window exists at any "
+    "corpus size; the oracle is the equivalent single ORDER BY cumsum.",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    base = (
+        docs.select("doc_id", F.size(tokens_col()).alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 1)
+        .withColumn("bucket", F.floor(F.col("doc_id") / _PACK_BUCKET))
+    )
+    # pass 1: per-bucket token totals -> exclusive prefix offsets (tiny)
+    parts = base.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()
+    totals = {int(r["bucket"]): int(r["s"]) for r in parts}
+    offsets, run = {}, 0
+    for b in sorted(totals):
+        offsets[b] = run
+        run += totals[b]
+    off_map = F.create_map(
+        *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
+    )
+    # pass 2: within-bucket cumsum + broadcast offset = global cumsum
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (off_map[F.col("bucket")] + F.sum("n_tokens").over(w)).cast("long")
+    start = cum - F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / _PACK_BUDGET).cast("long").alias("start_pack"),
+        (start % _PACK_BUDGET).cast("long").alias("start_offset"),
+        (
+            F.floor((cum - 1) / _PACK_BUDGET) - F.floor(start / _PACK_BUDGET) + 1
+        ).cast("long").alias("packs_spanned"),
+    )
+
+
+_N_SHARDS = 8
+
+
+@register(
+    "text_shard_assign",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars,
+               (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                   % {_N_SHARDS} AS shard,
+               len({_SQL_TOKS}) AS n_tokens
+        FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM toks GROUP BY shard
+    """,
+    doc="Stable content-hash shard assignment for training output (md5 of "
+    "the doc id mod N — reproducible under any partitioning and across "
+    "engines) with per-shard size/token/language stats, the balance report "
+    "a writer checks before materializing shards. One map-side-combinable "
+    "groupBy on the shard key; at scale the same expression feeds "
+    "write.partitionBy(shard).",
+)
+def text_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    shard = (
+        F.expr(
+            "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+        )
+        % _N_SHARDS
+    ).cast("long")
+    base = docs.select(
+        shard.alias("shard"),
+        "lang",
+        "n_chars",
+        F.size(tokens_col()).alias("n_tokens"),
+    )
+    return base.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
     )

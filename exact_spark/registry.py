@@ -71,6 +71,8 @@ DRIVER_ORDER: list[str] = [
     "text_repetition_profile",
     "emb_pq_encode",
     "sim_topk_pq",
+    "text_pack_sequences",
+    "text_shard_assign",
     "dedup_semantic",
     "dedup_semantic_kmeans",
     "sim_topk_ivf_kmeans",
