@@ -790,3 +790,58 @@ def text_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         decon_keep.alias("decon_keep"),
         (quality_keep & mix_keep & decon_keep).alias("selected"),
     )
+
+
+@register(
+    "dedup_lsh_recall",
+    sql=f"""
+    WITH {_SQL_LSH_CAND},
+    posting AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
+    doc_sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled),
+    filtered AS (SELECT sh FROM posting GROUP BY sh HAVING count(*) <= {_HOT_CAP}),
+    jp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM posting a
+        JOIN posting b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        JOIN filtered f ON a.sh = f.sh
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {_MIN_COMMON}
+    ),
+    truth AS (
+        SELECT p.doc_a, p.doc_b,
+               p.n_common * 1.0 / (sa.n_sh + sb.n_sh - p.n_common) AS jaccard
+        FROM jp p
+        JOIN doc_sizes sa ON p.doc_a = sa.doc_id
+        JOIN doc_sizes sb ON p.doc_b = sb.doc_id
+        WHERE p.n_common * 1.0 / (sa.n_sh + sb.n_sh - p.n_common) >= {_JACCARD_MIN!r}
+    ),
+    hits AS (
+        SELECT CAST(FLOOR(t.jaccard * 10) AS BIGINT) AS jac_band,
+               CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM truth t
+        LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT jac_band, COUNT(*) AS n_true, CAST(SUM(hit) AS BIGINT) AS n_cand_hit,
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+    FROM hits GROUP BY jac_band
+    """,
+    doc="MinHash-LSH candidate recall vs the exact shingle-Jaccard truth "
+    "set, per 0.1-wide Jaccard band — the empirical LSH S-curve (Leskovec "
+    "et al., MMDS ch.3) produced by the engine itself, the same "
+    "measure-don't-guess posture as sim_ivf_recall: before trusting a "
+    "banding config at 100 TB, read its recall at the similarity level "
+    "you care about. Composed from the two REGISTERED sibling operators "
+    "(plan and SQL), so the diagnostic cannot drift from what ships.",
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = dedup_ngram_jaccard(spark, sf_dir)
+    cand = dedup_minhash_lsh(spark, sf_dir).withColumn("hit", F.lit(1))
+    joined = truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.floor(F.col("jaccard") * 10).cast("long").alias("jac_band"),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+    )
+    return joined.groupBy("jac_band").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum("hit").cast("long").alias("n_cand_hit"),
+        (F.sum("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+    )

