@@ -2,16 +2,21 @@
 
 The reference orchestrates SHAP/LIME/DiCE over flattened sliding windows
 (Backend/XAI_methods/xai_runner.py:310-881). Those libraries are not in
-this environment; the engine ships the same *operator surface* with TWO
+this environment; the engine ships the same *operator surface* with THREE
 model-agnostic explainers run through one pipeline (the reference's
 multi-method loop, xai_runner.py:310-881 / xai_factory.py:18-108):
 
 - ``occlusion``: perturb one feature to its training mean, measure the
-  model-score delta — the fan-out shape KernelSHAP would use.
+  model-score delta — the single-feature slice of the masking fan-out.
 - ``permutation``: permutation feature importance — break one feature's
   association with the rest by permuting it ACROSS the explained set
   (cyclic shift in id order: a seeded derangement that is deterministic
   under any partitioning), measure the score delta.
+- ``kernelshap``: a NATIVE KernelSHAP (Lundberg & Lee 2017) — the shap
+  library is absent, the algorithm is public: Shapley-kernel-weighted
+  regression over masked-coalition model evals, exact up to 11 features,
+  id-seeded sampling beyond (shap's own sampler is row-order-dependent;
+  this one is partition-stable like every other draw in the engine).
 
 Explained instances are independent, so they scatter across the cluster
 via mapInPandas with the (small) model broadcast, exactly the X1-X3
@@ -48,7 +53,7 @@ from exact_spark.operators.inject import AnomalySetting
 #: The implemented explainer set — the single source of truth the
 #: control plane advertises (engine.py:339-341 enumerates only the
 #: explainers that exist).
-METHODS = ("occlusion", "permutation")
+METHODS = ("occlusion", "permutation", "kernelshap")
 
 
 def select_instances(
@@ -164,12 +169,120 @@ def permutation_importances(
     return instances.select("id", *cols).coalesce(1).mapInPandas(explain, schema=schema)
 
 
+_SHAP_EXACT_MAX_M = 11  # exact 2^M enumeration cap; beyond -> seeded sampling
+_SHAP_N_SAMPLES = 2048  # sampled-coalition budget per instance above the cap
+
+
+def _shapley_kernel_weights(m: int, sizes: np.ndarray) -> np.ndarray:
+    """Shapley kernel w(s) = (M-1) / (C(M,s) * s * (M-s)) for interior
+    coalition sizes (Lundberg & Lee 2017, thm. 2)."""
+    comb = np.array([math.comb(m, int(s)) for s in sizes], dtype=np.float64)
+    return (m - 1) / (comb * sizes * (m - sizes))
+
+
+def _coalition_masks(m: int, instance_id: int) -> tuple[np.ndarray, np.ndarray]:
+    """(Z, w): interior coalition indicator matrix + kernel weights.
+
+    m <= _SHAP_EXACT_MAX_M enumerates ALL 2^m - 2 interior coalitions ->
+    EXACT Shapley values. Larger m samples a fixed budget with coalition
+    sizes drawn from the kernel-mass distribution — seeded by the INSTANCE
+    id, so the draw is identical under any partitioning (the engine-wide
+    id-keyed randomness rule; shap's own sampler is row-order-dependent).
+    """
+    if m == 1:
+        return np.ones((0, 1)), np.ones(0)
+    if m <= _SHAP_EXACT_MAX_M:
+        codes = np.arange(1, 2**m - 1, dtype=np.uint64)
+        z = ((codes[:, None] >> np.arange(m, dtype=np.uint64)) & 1).astype(np.float64)
+        return z, _shapley_kernel_weights(m, z.sum(axis=1))
+    rng = np.random.RandomState((instance_id * 2654435761 + 42) % (2**32))
+    sizes = np.arange(1, m, dtype=np.float64)
+    p = _shapley_kernel_weights(m, sizes) * np.array(
+        [math.comb(m, int(s)) for s in sizes]
+    )  # kernel mass per SIZE (weight x multiplicity)
+    p /= p.sum()
+    draw = rng.choice(len(sizes), size=_SHAP_N_SAMPLES, p=p)
+    z = np.zeros((_SHAP_N_SAMPLES, m))
+    for i, si in enumerate(draw):
+        z[i, rng.choice(m, size=int(sizes[si]), replace=False)] = 1.0
+    # sampled by kernel mass -> equal residual weights in the WLS
+    return z, np.ones(_SHAP_N_SAMPLES)
+
+
+def _kernelshap_single(score_fn, x: np.ndarray, bg: np.ndarray, instance_id: int) -> np.ndarray:
+    """Exact KernelSHAP for one instance against a single background point
+    (the k-means k=1 summary the reference feeds KernelExplainer,
+    ShapExplainer.py:151-157): weighted least squares over coalition
+    evaluations with the efficiency constraint eliminated by substituting
+    the last feature (the same reduction shap's KernelExplainer solves)."""
+    m = len(x)
+    f0 = float(score_fn(bg[None, :])[0])
+    fx = float(score_fn(x[None, :])[0])
+    if m == 1:
+        return np.array([fx - f0])
+    z, w = _coalition_masks(m, instance_id)
+    h = z * x[None, :] + (1.0 - z) * bg[None, :]
+    y = score_fn(h) - f0
+    # eliminate phi_m via sum(phi) = fx - f0
+    z_adj = z[:, :-1] - z[:, -1:]
+    y_adj = y - z[:, -1] * (fx - f0)
+    sw = np.sqrt(w)[:, None]
+    phi_head, *_ = np.linalg.lstsq(z_adj * sw, y_adj * sw[:, 0], rcond=None)
+    return np.append(phi_head, (fx - f0) - phi_head.sum())
+
+
+def kernelshap_importances(
+    model, instances: DataFrame, feature_cols: list[str], train_means: dict[str, float]
+) -> DataFrame:
+    """X1: KernelSHAP (Lundberg & Lee 2017), implemented natively — the
+    shap library is absent from this environment but the algorithm is not:
+    per instance, evaluate the model on masked feature coalitions (absent
+    features replaced by the training-mean background, the reference's
+    k-means summary collapsed to k=1) and solve the Shapley-kernel-weighted
+    regression for per-feature attributions. Exact (full enumeration) up
+    to 11 features; id-seeded kernel-mass sampling beyond. Output
+    importance is |phi_j| to match the sibling explainers' magnitude
+    contract; the per-coalition model evals batch through ONE vectorized
+    score_fn call per instance.
+    """
+    score_fn = _extract_score_fn(model, feature_cols)
+    bg = np.array([train_means[c] for c in feature_cols], dtype=np.float64)
+    cols = list(feature_cols)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("feature", T.StringType()),
+            T.StructField("importance", T.DoubleType()),
+        ]
+    )
+
+    def explain(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = pdf[cols].to_numpy(dtype=np.float64)
+            ids = pdf["id"].astype("int64").to_numpy()
+            out_ids, out_feats, out_imps = [], [], []
+            for i in range(len(pdf)):
+                phi = _kernelshap_single(score_fn, x[i], bg, int(ids[i]))
+                out_ids.extend([ids[i]] * len(cols))
+                out_feats.extend(cols)
+                out_imps.extend(np.abs(phi))
+            yield pd.DataFrame({"id": out_ids, "feature": out_feats, "importance": out_imps})
+
+    return instances.select("id", *cols).mapInPandas(explain, schema=schema)
+
+
 _IMPORTANCE_FNS = {
     "occlusion": lambda model, inst, cols, means: occlusion_importances(
         model, inst, cols, means
     ),
     "permutation": lambda model, inst, cols, means: permutation_importances(
         model, inst, cols
+    ),
+    "kernelshap": lambda model, inst, cols, means: kernelshap_importances(
+        model, inst, cols, means
     ),
 }
 
