@@ -296,9 +296,10 @@ _SEQ_L = 5  # sequence length (reference default time_steps=10, lstm.py:101)
     "(user_id) trailing length-5 windows built JVM-side "
     "(collect_list over a partitioned window — the sequence tensor of "
     "utils.py:147-282 without driver materialization), flattened to "
-    "L*F feature columns, nonlinear MLP autoencoder (tanh encoder / "
-    "linear decoder, Adam, lstm.py:16-167 with Keras removed) with the "
-    "P95 last-20%-of-training-windows error threshold, distributed "
+    "L*F feature columns, RECURRENT Elman-RNN autoencoder (native "
+    "numpy BPTT — the recurrence of lstm.py:89-115 with Keras removed; "
+    "gradient-checked in tests/test_rnn_ae.py) with the P95 "
+    "last-20%-of-training-windows error threshold, distributed "
     "broadcast-weights scoring, window-end-id left join alignment "
     "(execute_calls.py:653-690).",
 )
@@ -329,7 +330,7 @@ def ml_sequence_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cols = [f"x{i}" for i in range(_SEQ_L * 2)]
 
-    model = get_model("mlp_autoencoder")
+    model = get_model("rnn_autoencoder", epochs=10)
     model.run(flat.filter(F.col("id") <= cut).repartition(min(par, 8)), cols)
     det = model.detect(flat.repartition(par), cols).select("id", "predicted")
 

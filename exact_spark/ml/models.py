@@ -250,42 +250,203 @@ class MLPAutoencoderDetector(DetectorModel):
 
 
 # ---------------------------------------------------------------------------
+class RecurrentAutoencoderDetector(DetectorModel):
+    """M1 with REAL recurrence: an Elman-RNN sequence autoencoder trained
+    by backprop-through-time in numpy (TF/Keras absent; the recurrent
+    architecture of lstm.py:89-115 re-implemented natively, gates
+    simplified to the Elman cell). The flattened W1 window is read as a
+    length-D univariate sequence — the same tensor the reference feeds its
+    LSTM — encoded step-by-step into a hidden state (h_t depends on
+    h_{t-1}: ORDER WITHIN THE WINDOW matters, which no feed-forward AE
+    captures), decoded by a second recurrence, thresholded like the
+    sibling AEs (P95 of reconstruction error over the last 20% of
+    training windows, lstm.py:151-167). Driver-side training on the
+    capped ordered sample; distributed scoring via broadcast-weights
+    Arrow ``mapInPandas``; one seeded generator -> identical weights
+    under any partitioning."""
+
+    def __init__(self, hidden: int = 8, epochs: int = 20, batch: int = 256,
+                 lr: float = 1e-2, percentile: float = 95.0,
+                 threshold_tail: float = 0.2, seed: int = 42):
+        self.hidden = hidden
+        self.epochs = epochs
+        self.batch = batch
+        self.lr = lr
+        self.percentile = percentile
+        self.threshold_tail = threshold_tail
+        self.seed = seed
+        self.lo = self.rng_ = None
+        self.params: list[np.ndarray] | None = None
+        self.thr: float | None = None
+
+    # parameter order: Wxh (1,H), Whh (H,H), bh (H), Wdd (H,H), bd (H),
+    # Wo (H,1), bo (1)
+    @staticmethod
+    def _forward(xs: np.ndarray, p: list[np.ndarray], keep_states: bool = False):
+        wxh, whh, bh, wdd, bd, wo, bo = p
+        m, d_len = xs.shape
+        hdim = wxh.shape[1]
+        h = np.zeros((m, hdim))
+        enc_states = []
+        for t in range(d_len):
+            h = np.tanh(xs[:, t:t + 1] @ wxh + h @ whh + bh)
+            if keep_states:
+                enc_states.append(h)
+        dec = h  # latent seeds the decoder recurrence
+        dec_states = [dec]
+        rec = np.empty_like(xs)
+        for t in range(d_len):
+            dec = np.tanh(dec @ wdd + bd)
+            rec[:, t] = (dec @ wo + bo)[:, 0]
+            if keep_states:
+                dec_states.append(dec)
+        return (rec, enc_states, dec_states) if keep_states else rec
+
+    def _errors(self, xs: np.ndarray) -> np.ndarray:
+        rec = self._forward(xs, self.params)
+        return ((xs - rec) ** 2).mean(axis=1)
+
+    @classmethod
+    def _loss_grads(cls, xb: np.ndarray, p: list[np.ndarray]):
+        """Mean reconstruction MSE + its BPTT gradients for one batch
+        (numerically gradient-checked in tests/test_rnn_ae.py)."""
+        wxh, whh, bh, wdd, bd, wo, bo = p
+        m, d_len = xb.shape
+        hdim = wxh.shape[1]
+        rec, hs, ds = cls._forward(xb, p, keep_states=True)
+        loss = float(((xb - rec) ** 2).mean())
+        dy = 2.0 * (rec - xb) / (m * d_len)  # dL/d(rec)
+        g = [np.zeros_like(q) for q in p]
+        # --- decoder BPTT (ds[0] = latent, ds[t+1] emits step t) ---
+        gdec = np.zeros((m, hdim))
+        for t in range(d_len - 1, -1, -1):
+            d_t = ds[t + 1]
+            gd = gdec + dy[:, t:t + 1] @ wo.T
+            g[5] += d_t.T @ dy[:, t:t + 1]           # Wo
+            g[6] += dy[:, t].sum(keepdims=True)       # bo
+            c = gd * (1.0 - d_t**2)                   # pre-tanh grad
+            g[3] += ds[t].T @ c                       # Wdd
+            g[4] += c.sum(axis=0)                     # bd
+            gdec = c @ wdd.T
+        # --- encoder BPTT (gradient arrives at the latent) ---
+        gh = gdec
+        for t in range(d_len - 1, -1, -1):
+            c = gh * (1.0 - hs[t]**2)
+            g[0] += xb[:, t:t + 1].T @ c              # Wxh
+            h_prev = hs[t - 1] if t > 0 else np.zeros((m, hdim))
+            g[1] += h_prev.T @ c                      # Whh
+            g[2] += c.sum(axis=0)                     # bh
+            gh = c @ whh.T
+        return loss, g
+
+    def run(self, train, feature_cols, label_col="label"):
+        x = _collect_train_matrix(train, feature_cols)
+        self.lo = x.min(axis=0)
+        self.rng_ = x.max(axis=0) - self.lo
+        self.rng_[self.rng_ == 0] = 1.0
+        xs = (x - self.lo) / self.rng_
+
+        n, d_len = xs.shape
+        hdim = self.hidden
+        rng = np.random.default_rng(self.seed)
+        p = [
+            rng.normal(0, 1.0, (1, hdim)),                       # Wxh
+            rng.normal(0, 1.0 / np.sqrt(hdim), (hdim, hdim)),    # Whh
+            np.zeros(hdim),                                      # bh
+            rng.normal(0, 1.0 / np.sqrt(hdim), (hdim, hdim)),    # Wdd
+            np.zeros(hdim),                                      # bd
+            rng.normal(0, 1.0 / np.sqrt(hdim), (hdim, 1)),       # Wo
+            np.zeros(1),                                         # bo
+        ]
+        ms = [np.zeros_like(q) for q in p]
+        vs = [np.zeros_like(q) for q in p]
+        beta1, beta2, eps, t_step = 0.9, 0.999, 1e-8, 0
+        for _epoch in range(self.epochs):
+            order = rng.permutation(n)
+            for s0 in range(0, n, self.batch):
+                xb = xs[order[s0:s0 + self.batch]]
+                _, g = self._loss_grads(xb, p)
+                t_step += 1
+                for i in range(len(p)):
+                    ms[i] = beta1 * ms[i] + (1 - beta1) * g[i]
+                    vs[i] = beta2 * vs[i] + (1 - beta2) * g[i] * g[i]
+                    mhat = ms[i] / (1 - beta1**t_step)
+                    vhat = vs[i] / (1 - beta2**t_step)
+                    p[i] = p[i] - self.lr * mhat / (np.sqrt(vhat) + eps)
+        self.params = p
+        tail = xs[int(n * (1 - self.threshold_tail)):] if n > 1 else xs
+        self.thr = float(np.percentile(self._errors(tail), self.percentile))
+
+    def detect(self, df, feature_cols):
+        lo, rng_, params = self.lo, self.rng_, self.params
+        forward = self._forward
+
+        def score(x: np.ndarray) -> np.ndarray:
+            xs = (x - lo) / rng_
+            rec = forward(xs, params)
+            return ((xs - rec) ** 2).mean(axis=1)
+
+        return _score_map_in_pandas(df, feature_cols, score, self.thr)
+
+
+# ---------------------------------------------------------------------------
 class EncoderOneClassDetector(DetectorModel):
     """M3: AE + one-class boundary (svm.py:16-250's StandardScaler ->
     Dense autoencoder -> OneClassSVM-on-encoded shape, libraries removed):
     the nonlinear MLP autoencoder learns the latent space, and the
-    one-class boundary is an SVDD-style hypersphere in it — score =
-    squared distance of the encoding from the training-center, threshold
-    at the (1 - nu) quantile of training distances, so ~nu of the
-    training data falls outside the boundary (OneClassSVM's ``nu``
-    contract). Training is driver-side on the capped ordered sample;
-    scoring is a broadcast-weights distributed pass."""
+    one-class boundary is an RBF-KERNEL one-class model in it,
+    approximated with random Fourier features (Rahimi & Recht 2007):
+    phi(h) = sqrt(2/D) cos(hW + b) with W ~ N(0, 2*gamma*I) makes
+    <phi(a), phi(b)> converge to the RBF kernel exp(-gamma||a-b||^2), and
+    because every phi vector has (near-)constant norm, the SVDD sphere
+    around the mean embedding IS the kernelized one-class boundary —
+    nonlinear and multi-modal in latent space, unlike a raw hypersphere.
+    gamma follows sklearn OneClassSVM's 'scale' default 1/(d*Var);
+    threshold at the (1 - nu) quantile of training scores preserves
+    OneClassSVM's ``nu`` contract (property-tested). Training is
+    driver-side on the capped ordered sample; scoring is a
+    broadcast-weights distributed pass."""
 
     def __init__(self, encoding_dim: int = 2, nu: float = 0.1,
-                 epochs: int = 30, seed: int = 42):
+                 epochs: int = 30, seed: int = 42, n_rff: int = 128):
         self.ae = MLPAutoencoderDetector(hidden=encoding_dim, epochs=epochs, seed=seed)
         self.nu = nu
+        self.seed = seed
+        self.n_rff = n_rff
+        self.rff_w: np.ndarray | None = None
+        self.rff_b: np.ndarray | None = None
         self.center: np.ndarray | None = None
         self.thr: float | None = None
 
     def _encode(self, xs: np.ndarray) -> np.ndarray:
         return np.tanh(xs @ self.ae.w1 + self.ae.b1)
 
+    def _phi(self, h: np.ndarray) -> np.ndarray:
+        return np.sqrt(2.0 / self.n_rff) * np.cos(h @ self.rff_w + self.rff_b)
+
     def run(self, train, feature_cols, label_col="label"):
         self.ae.run(train, feature_cols)  # fits scaler + encoder/decoder
         x = _collect_train_matrix(train, feature_cols)
         h = self._encode(self.ae._scale(x))
-        self.center = h.mean(axis=0)
-        d = ((h - self.center) ** 2).sum(axis=1)
+        # gamma = 1 / (d * Var(h)) — sklearn's kernel='rbf', gamma='scale'
+        var = float(h.var()) or 1.0
+        gamma = 1.0 / (h.shape[1] * var)
+        rng = np.random.default_rng(self.seed + 1)
+        self.rff_w = rng.normal(0.0, np.sqrt(2.0 * gamma), (h.shape[1], self.n_rff))
+        self.rff_b = rng.uniform(0.0, 2.0 * np.pi, self.n_rff)
+        p = self._phi(h)
+        self.center = p.mean(axis=0)
+        d = ((p - self.center) ** 2).sum(axis=1)
         self.thr = float(np.quantile(d, 1.0 - self.nu))
 
     def _score_fn(self):
         lo, rng_, w1, b1 = self.ae.lo, self.ae.rng_, self.ae.w1, self.ae.b1
-        c = self.center
+        rw, rb, c, n_rff = self.rff_w, self.rff_b, self.center, self.n_rff
 
         def score(x: np.ndarray) -> np.ndarray:
             h = np.tanh(((x - lo) / rng_) @ w1 + b1)
-            return ((h - c) ** 2).sum(axis=1)
+            p = np.sqrt(2.0 / n_rff) * np.cos(h @ rw + rb)
+            return ((p - c) ** 2).sum(axis=1)
 
         return score
 
@@ -609,6 +770,8 @@ def get_model(name: str, **params) -> DetectorModel:
         return PCAReconstructionDetector(**params)
     if name == "mlp_autoencoder":
         return MLPAutoencoderDetector(**params)
+    if name == "rnn_autoencoder":
+        return RecurrentAutoencoderDetector(**params)
     if name == "ae_ocsvm":
         return EncoderOneClassDetector(**params)
     if name == "isolation_forest":

@@ -150,3 +150,47 @@ def test_ae_ocsvm_nu_contract(spark, series):
     frac = det.filter(F.col("predicted") == 1).count() / det.count()
     # quantile boundary on the capped ordered sample -> close to nu
     assert 0.05 <= frac <= 0.15
+
+
+def test_rff_approximates_rbf_kernel():
+    """The random-Fourier-feature map inside the M3 boundary:
+    <phi(a), phi(b)> must converge to exp(-gamma ||a-b||^2)."""
+    from exact_spark.ml.models import EncoderOneClassDetector
+
+    det = EncoderOneClassDetector(n_rff=4096, seed=11)
+    gamma = 0.7
+    rng = np.random.default_rng(13)
+    det.rff_w = rng.normal(0.0, np.sqrt(2.0 * gamma), (3, det.n_rff))
+    det.rff_b = rng.uniform(0.0, 2.0 * np.pi, det.n_rff)
+    a = rng.normal(0, 1, (50, 3))
+    b = rng.normal(0, 1, (50, 3))
+    approx = (det._phi(a) * det._phi(b)).sum(axis=1)
+    exact = np.exp(-gamma * ((a - b) ** 2).sum(axis=1))
+    assert np.abs(approx - exact).max() < 0.08
+
+
+def test_rff_boundary_is_multimodal():
+    """Two well-separated training clusters: the kernelized boundary must
+    accept BOTH cluster centers and reject the midpoint between them — a
+    raw latent hypersphere around the mean does the opposite."""
+    from exact_spark.ml.models import EncoderOneClassDetector
+
+    det = EncoderOneClassDetector(nu=0.05, n_rff=512, seed=3)
+    rng = np.random.default_rng(5)
+    h = np.vstack([
+        rng.normal(-3, 0.2, (300, 2)),
+        rng.normal(3, 0.2, (300, 2)),
+    ])
+    var = float(h.var()) or 1.0
+    gamma = 1.0 / (h.shape[1] * var)
+    r2 = np.random.default_rng(det.seed + 1)
+    det.rff_w = r2.normal(0.0, np.sqrt(2.0 * gamma), (2, det.n_rff))
+    det.rff_b = r2.uniform(0.0, 2.0 * np.pi, det.n_rff)
+    p = det._phi(h)
+    det.center = p.mean(axis=0)
+    d = ((p - det.center) ** 2).sum(axis=1)
+    thr = float(np.quantile(d, 1.0 - det.nu))
+    probe = np.array([[-3.0, -3.0], [3.0, 3.0], [0.0, 0.0]])
+    s = ((det._phi(probe) - det.center) ** 2).sum(axis=1)
+    assert s[0] <= thr and s[1] <= thr  # both modes inside
+    assert s[2] > thr                   # the empty midpoint outside
