@@ -2,21 +2,27 @@
 
 The reference orchestrates SHAP/LIME/DiCE over flattened sliding windows
 (Backend/XAI_methods/xai_runner.py:310-881). Those libraries are not in
-this environment; the engine ships the same *operator surface* with THREE
+this environment; the engine ships the same *operator surface* with FIVE
 model-agnostic explainers run through one pipeline (the reference's
-multi-method loop, xai_runner.py:310-881 / xai_factory.py:18-108):
+multi-method loop, xai_runner.py:310-881 / xai_factory.py:18-108) — the
+three reference algorithms implemented NATIVELY from their papers plus
+two extra baselines:
 
+- ``kernelshap``: KernelSHAP (Lundberg & Lee 2017) — Shapley-kernel-
+  weighted regression over masked-coalition model evals, exact up to 11
+  features, id-seeded sampling beyond (shap's own sampler is
+  row-order-dependent; this one is partition-stable like every other
+  draw in the engine).
+- ``lime``: LIME (Ribeiro et al. 2016) — locality-kernel-weighted ridge
+  surrogate over std-scaled perturbations, id-seeded draw.
+- ``counterfactual``: DiCE-style (Mothilal et al. 2020) greedy
+  counterfactual search — importance = standardized movement each
+  feature needs before the decision flips.
 - ``occlusion``: perturb one feature to its training mean, measure the
   model-score delta — the single-feature slice of the masking fan-out.
 - ``permutation``: permutation feature importance — break one feature's
   association with the rest by permuting it ACROSS the explained set
-  (cyclic shift in id order: a seeded derangement that is deterministic
-  under any partitioning), measure the score delta.
-- ``kernelshap``: a NATIVE KernelSHAP (Lundberg & Lee 2017) — the shap
-  library is absent, the algorithm is public: Shapley-kernel-weighted
-  regression over masked-coalition model evals, exact up to 11 features,
-  id-seeded sampling beyond (shap's own sampler is row-order-dependent;
-  this one is partition-stable like every other draw in the engine).
+  (cyclic shift in id order), measure the score delta.
 
 Explained instances are independent, so they scatter across the cluster
 via mapInPandas with the (small) model broadcast, exactly the X1-X3
@@ -53,7 +59,7 @@ from exact_spark.operators.inject import AnomalySetting
 #: The implemented explainer set — the single source of truth the
 #: control plane advertises (engine.py:339-341 enumerates only the
 #: explainers that exist).
-METHODS = ("occlusion", "permutation", "kernelshap")
+METHODS = ("occlusion", "permutation", "kernelshap", "lime", "counterfactual")
 
 
 def select_instances(
@@ -274,15 +280,153 @@ def kernelshap_importances(
     return instances.select("id", *cols).mapInPandas(explain, schema=schema)
 
 
+_LIME_N_SAMPLES = 512
+_LIME_RIDGE_ALPHA = 1.0
+
+
+def lime_importances(
+    model,
+    instances: DataFrame,
+    feature_cols: list[str],
+    train_means: dict[str, float],
+    train_stds: dict[str, float],
+) -> DataFrame:
+    """X2: LIME for tabular data (Ribeiro et al. 2016), implemented
+    natively — the lime library is absent, the algorithm is not: per
+    instance, sample perturbations around x scaled by the TRAINING
+    feature stds, weight them by the exponential locality kernel
+    exp(-d^2 / kw^2) with the library's default kw = 0.75 * sqrt(M) on
+    the standardized space, and fit a weighted ridge surrogate of the
+    model score; importance_j = |coef_j|. The perturbation draw is
+    instance-id-seeded (lime's own sampler is global-RNG-order-dependent;
+    this one is partition-stable)."""
+    score_fn = _extract_score_fn(model, feature_cols)
+    stds = np.array([train_stds[c] for c in feature_cols], dtype=np.float64)
+    cols = list(feature_cols)
+    m_feats = len(cols)
+    kw2 = (0.75 * math.sqrt(m_feats)) ** 2
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("feature", T.StringType()),
+            T.StructField("importance", T.DoubleType()),
+        ]
+    )
+
+    def explain(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = pdf[cols].to_numpy(dtype=np.float64)
+            ids = pdf["id"].astype("int64").to_numpy()
+            out_ids, out_feats, out_imps = [], [], []
+            for i in range(len(pdf)):
+                rng = np.random.RandomState(
+                    (int(ids[i]) * 2654435761 + 77) % (2**32)
+                )
+                z_std = rng.randn(_LIME_N_SAMPLES, m_feats)
+                z = x[i][None, :] + z_std * stds[None, :]
+                w = np.exp(-(z_std**2).sum(axis=1) / kw2)
+                y = score_fn(z)
+                # weighted ridge on the standardized design (+ intercept)
+                a = np.hstack([z_std, np.ones((_LIME_N_SAMPLES, 1))])
+                aw = a * w[:, None]
+                gram = a.T @ aw + _LIME_RIDGE_ALPHA * np.eye(m_feats + 1)
+                beta = np.linalg.solve(gram, a.T @ (w * y))
+                out_ids.extend([ids[i]] * m_feats)
+                out_feats.extend(cols)
+                out_imps.extend(np.abs(beta[:m_feats]))
+            yield pd.DataFrame({"id": out_ids, "feature": out_feats, "importance": out_imps})
+
+    return instances.select("id", *cols).mapInPandas(explain, schema=schema)
+
+
+_CF_MAX_STEPS = 60
+_CF_STEP = 0.25  # fraction of the remaining gap to the mean per move
+
+
+def counterfactual_importances(
+    model,
+    instances: DataFrame,
+    feature_cols: list[str],
+    train_means: dict[str, float],
+    train_stds: dict[str, float],
+) -> DataFrame:
+    """X3: DiCE-style counterfactual attribution (Mothilal et al. 2020's
+    contract reduced to one greedy counterfactual per instance — dice_ml
+    is absent, the search is implementable): walk the instance toward the
+    training mean one best-coordinate step at a time until the model's
+    decision flips (score crosses the trained threshold), then attribute
+    each feature the STANDARDIZED magnitude of its total move —
+    counterfactual importance is "how much did this feature have to
+    change". Greedy coordinate choice = the step with the largest score
+    movement per unit standardized change; instances that never flip
+    report the accumulated per-feature movement of the full budget."""
+    score_fn = _extract_score_fn(model, feature_cols)
+    thr = float(getattr(model, "thr", 0.0) or 0.0)
+    means = np.array([train_means[c] for c in feature_cols], dtype=np.float64)
+    stds = np.array([train_stds[c] for c in feature_cols], dtype=np.float64)
+    cols = list(feature_cols)
+    m_feats = len(cols)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("feature", T.StringType()),
+            T.StructField("importance", T.DoubleType()),
+        ]
+    )
+
+    def explain(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x0 = pdf[cols].to_numpy(dtype=np.float64)
+            ids = pdf["id"].astype("int64").to_numpy()
+            out_ids, out_feats, out_imps = [], [], []
+            for i in range(len(pdf)):
+                x = x0[i].copy()
+                above0 = float(score_fn(x[None])[0]) > thr
+                for _ in range(_CF_MAX_STEPS):
+                    s = float(score_fn(x[None])[0])
+                    if (s > thr) != above0:
+                        break
+                    # candidate: move each feature toward its mean
+                    cand = np.tile(x, (m_feats, 1))
+                    step = _CF_STEP * (means - x)
+                    cand[np.arange(m_feats), np.arange(m_feats)] += step
+                    sc = score_fn(cand)
+                    gain = (sc - s) * (-1.0 if above0 else 1.0)
+                    denom = np.abs(step) / stds + 1e-12
+                    j = int(np.argmax(gain / denom))
+                    if step[j] == 0.0 or gain[j] <= 0.0:
+                        break  # no move helps; stop early
+                    x[j] += step[j]
+                delta = np.abs(x - x0[i]) / stds
+                out_ids.extend([ids[i]] * m_feats)
+                out_feats.extend(cols)
+                out_imps.extend(delta)
+            yield pd.DataFrame({"id": out_ids, "feature": out_feats, "importance": out_imps})
+
+    return instances.select("id", *cols).mapInPandas(explain, schema=schema)
+
+
 _IMPORTANCE_FNS = {
-    "occlusion": lambda model, inst, cols, means: occlusion_importances(
+    "occlusion": lambda model, inst, cols, means, stds: occlusion_importances(
         model, inst, cols, means
     ),
-    "permutation": lambda model, inst, cols, means: permutation_importances(
+    "permutation": lambda model, inst, cols, means, stds: permutation_importances(
         model, inst, cols
     ),
-    "kernelshap": lambda model, inst, cols, means: kernelshap_importances(
+    "kernelshap": lambda model, inst, cols, means, stds: kernelshap_importances(
         model, inst, cols, means
+    ),
+    "lime": lambda model, inst, cols, means, stds: lime_importances(
+        model, inst, cols, means, stds
+    ),
+    "counterfactual": lambda model, inst, cols, means, stds: counterfactual_importances(
+        model, inst, cols, means, stds
     ),
 }
 
@@ -447,7 +591,14 @@ def run_explanations(
     """
     import time
 
-    train_means = df.agg(*[F.avg(c).alias(c) for c in feature_cols]).collect()[0].asDict()
+    stat_row = df.agg(
+        *[F.avg(c).alias(f"m_{c}") for c in feature_cols],
+        *[F.stddev_pop(c).alias(f"s_{c}") for c in feature_cols],
+    ).collect()[0]
+    train_means = {c: stat_row[f"m_{c}"] for c in feature_cols}
+    train_stds = {
+        c: (stat_row[f"s_{c}"] if stat_row[f"s_{c}"] else 1.0) for c in feature_cols
+    }
     instances = select_instances(df, strategy, n_instances, seed=seed).cache()
     inst_rows = instances.select("id", F.col("timestamp").cast("double").alias("ep")).collect()
     truth = ndcg_ground_truth({r["id"]: r["ep"] for r in inst_rows}, settings, start_epoch)
@@ -458,7 +609,7 @@ def run_explanations(
         if m not in _IMPORTANCE_FNS:
             raise KeyError(f"unknown XAI method {m!r}; implemented: {METHODS}")
         t0 = time.perf_counter()
-        imps = _IMPORTANCE_FNS[m](model, instances, feature_cols, train_means)
+        imps = _IMPORTANCE_FNS[m](model, instances, feature_cols, train_means, train_stds)
         agg = aggregate_importances(imps).collect()
         ranking = [r["feature"] for r in agg]
         per_method[m] = {

@@ -64,3 +64,28 @@ def test_sampled_masks_id_seeded_deterministic():
     z3, _ = _coalition_masks(20, instance_id=124)
     assert (z1 == z2).all() and (w1 == w2).all()
     assert not (z1 == z3).all()  # different instance -> different draw
+
+
+def test_lime_recovers_linear_coefficients():
+    """LIME's surrogate math on a LINEAR model must recover the
+    standardized coefficients |w_j * std_j| up to ridge shrinkage —
+    replicates lime_importances' per-instance computation exactly
+    (the Spark mapInPandas path is exercised in test_explain via
+    run_explanations over METHODS)."""
+    from exact_spark.ml import explain as ex
+
+    score_fn = lambda X: X @ np.array([5.0, 1.0, 0.0])  # noqa: E731
+    stds = np.array([1.0, 1.0, 1.0])
+    rng = np.random.RandomState(99)
+    z_std = rng.randn(ex._LIME_N_SAMPLES, 3)
+    x = np.array([0.5, -1.0, 2.0])
+    z = x[None, :] + z_std * stds[None, :]
+    kw2 = (0.75 * np.sqrt(3)) ** 2
+    w = np.exp(-(z_std**2).sum(axis=1) / kw2)
+    a = np.hstack([z_std, np.ones((ex._LIME_N_SAMPLES, 1))])
+    gram = a.T @ (a * w[:, None]) + ex._LIME_RIDGE_ALPHA * np.eye(4)
+    beta = np.linalg.solve(gram, a.T @ (w * score_fn(z)))
+    imp = np.abs(beta[:3])
+    assert imp[0] > imp[1] > imp[2]
+    assert imp[2] < 0.1  # zero-coefficient feature ~ 0
+    np.testing.assert_allclose(imp[0] / imp[1], 5.0, rtol=0.15)

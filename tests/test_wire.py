@@ -120,7 +120,7 @@ def test_listing_methods(server):
         server.api.get_models()
     )
     assert _request(server, {"METHOD": "get-xai-methods"})["methods"] == [
-        "occlusion", "permutation", "kernelshap",
+        "occlusion", "permutation", "kernelshap", "lime", "counterfactual",
     ]
     assert "spike" in _request(server, {"METHOD": "get-injection-methods"})[
         "injection_methods"
