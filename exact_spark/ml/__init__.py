@@ -108,10 +108,13 @@ def _decision_tree_pipeline(df: DataFrame, cut: int) -> DataFrame:
     doc="M4/M5/M6/M7 + §7.2 slice, one row per model: decision_tree "
     "(explicit MinMaxScaler pipeline, decision_tree.py:13-871), "
     "logistic_regression (M6 analog, SGDClassifier.py:14-620 on "
-    "pyspark.ml), gbt (M4 analog — distributed boosted ensemble, "
-    "XGBoost.py:11-699 contract with scale_pos_weight class weights). "
-    "Each: 85% positional train split -> fully distributed train AND "
-    "score on all rows -> confusion metrics.",
+    "pyspark.ml), gbt (distributed boosted ensemble on pyspark.ml), and "
+    "xgboost — the NATIVE histogram second-order boosting implementation "
+    "of XGBoost.py:11-699's algorithm (Chen & Guestrin 2016: logloss "
+    "g/h, regularized gain, quantile-binned hists, scale_pos_weight; "
+    "xgboost the library is absent, the math is not). Each: 85% "
+    "positional train split -> train -> distributed score on all rows -> "
+    "confusion metrics.",
 )
 def ml_supervised_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
@@ -127,11 +130,31 @@ def ml_supervised_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     def branch(name: str) -> dict:
         if name == "decision_tree":
             row = _decision_tree_pipeline(df, cut).collect()[0]
+        elif name == "xgboost":
+            # the reference feeds scale_pos_weight = neg/pos from the G8
+            # class counts into XGBoost (XGBoost.py:83-92) — a calibrated
+            # logloss model on a weak 20%-positive signal otherwise
+            # (correctly) never crosses P=0.5
+            from exact_spark.ml.models import get_model
+
+            counts = (
+                df.filter(F.col("id") <= cut)
+                .groupBy("label").count().collect()
+            )
+            by = {r["label"]: r["count"] for r in counts}
+            spw = by.get(0, 1) / max(by.get(1, 1), 1)
+            model = get_model(name, scale_pos_weight=spw)
+            model.run(df.filter(F.col("id") <= cut), ["value", "hour"])
+            det = model.detect(df, ["value", "hour"]).select("id", "predicted")
+            scored = df.select("id", "label").join(det, "id", "left").select(
+                "label", F.coalesce(F.col("predicted"), F.lit(0)).alias("predicted")
+            )
+            row = _confusion(scored).collect()[0]
         else:
             row = _detector_e2e_on(df, cut, name).collect()[0]
         return {"model": name, **row.asDict()}
 
-    names = ["decision_tree", "logistic_regression", "gbt"]
+    names = ["decision_tree", "logistic_regression", "gbt", "xgboost"]
     with ThreadPoolExecutor(len(names)) as ex:
         rows = list(ex.map(branch, names))
     df.unpersist()
