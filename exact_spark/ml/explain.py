@@ -630,6 +630,8 @@ def run_explanations(
         "per_method": per_method,
     }
     if output_dir is not None:
+        from exact_spark.ml.visualize import svg_bar_chart
+
         out = pathlib.Path(output_dir) / job_name
         out.mkdir(parents=True, exist_ok=True)
         sidecar = out / "aggregated_feature_importances.json"
@@ -640,4 +642,21 @@ def run_explanations(
             )
         )
         summary["aggregated_feature_importances_path"] = str(sidecar)
+        # X7 visual artifacts: one importance bar chart per method, as
+        # native SVG (xai_visualizations.py:12-397's summary plots;
+        # matplotlib is absent, XML is not)
+        plots = out / "plots"
+        plots.mkdir(exist_ok=True)
+        plot_paths = []
+        for m, r in per_method.items():
+            agg = r["aggregated_feature_importances"]
+            svg = svg_bar_chart(
+                f"Aggregated feature importances — {m}",
+                list(agg.keys()),
+                list(agg.values()),
+            )
+            p = plots / f"feature_importances_{m}.svg"
+            p.write_text(svg)
+            plot_paths.append(str(p))
+        summary["plot_paths"] = plot_paths
     return summary

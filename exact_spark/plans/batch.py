@@ -179,7 +179,76 @@ def run_batch(
         "execution_time_total_seconds": round(time.perf_counter() - t_total, 3),
         "timestamp": _dt.datetime.now(_dt.timezone.utc),
     }
+    # 8. X7 visual artifact: the job page's detection timeline as native
+    # SVG (job_page_callbacks.py:1000's plot; matplotlib/plotly absent —
+    # XML is not). The polyline goes through the M4 visual envelope so the
+    # driver collects <= 4 points per screen bucket at ANY table size
+    # (the frontend's 1000-point budget, engine-side), and anomaly
+    # markers carry the reference's 500-marker cap
+    # (job_page_callbacks.py:1038).
+    summary["timeline_svg"] = _write_timeline_svg(
+        df_all, det_all, feats[0], job.job_name, output_dir
+    )
     summary["logfile"] = save_run_summary(summary, job.job_name, output_dir)
     df.unpersist()
     det_all.unpersist()
     return summary
+
+
+_TL_BUCKETS = 1000  # frontend initial-zoom point budget
+_TL_MARKER_CAP = 500  # anomaly marker constant (job_page_callbacks.py:1038)
+
+
+def _write_timeline_svg(
+    df_all, det_all, value_col: str, job_name: str, output_dir: str
+) -> str:
+    from exact_spark.ml.visualize import svg_timeseries
+
+    ep = F.col("timestamp").cast("double")
+    b = df_all.agg(F.min(ep).alias("t0"), F.max(ep).alias("t1"))
+    bucket = F.least(
+        F.lit(_TL_BUCKETS - 1).cast("long"),
+        F.floor((ep - F.col("t0")) / (F.col("t1") - F.col("t0") + 1e-9) * _TL_BUCKETS).cast(
+            "long"
+        ),
+    )
+    m4 = (
+        df_all.crossJoin(F.broadcast(b))
+        .select(ep.alias("t"), F.col(value_col).cast("double").alias("v"), bucket.alias("b"))
+        .groupBy("b")
+        .agg(
+            F.min_by("t", "t").alias("t_first"),
+            F.min_by("v", "t").alias("v_first"),
+            F.min_by("t", "v").alias("t_min"),
+            F.min("v").alias("v_min"),
+            F.max_by("t", "v").alias("t_max"),
+            F.max("v").alias("v_max"),
+            F.max("t").alias("t_last"),
+            F.max_by("v", "t").alias("v_last"),
+        )
+        .collect()
+    )
+    points: list[tuple[float, float]] = []
+    for r in m4:
+        quad = [
+            (r["t_first"], r["v_first"]),
+            (r["t_min"], r["v_min"]),
+            (r["t_max"], r["v_max"]),
+            (r["t_last"], r["v_last"]),
+        ]
+        points.extend(sorted(set(quad)))
+    points.sort()
+    marks = [
+        (float(r["t"]), float(r["v"]))
+        for r in det_all.filter(F.col("predicted") == 1)
+        .join(df_all.select("id", ep.alias("t"), F.col(value_col).cast("double").alias("v")), "id")
+        .orderBy("id")
+        .limit(_TL_MARKER_CAP)
+        .collect()
+    ]
+    svg = svg_timeseries(f"{job_name} — {value_col} with detections", points, marks)
+    out = pathlib.Path(output_dir) / job_name / "plots"
+    out.mkdir(parents=True, exist_ok=True)
+    path = out / "detection_timeline.svg"
+    path.write_text(svg)
+    return str(path)
