@@ -845,3 +845,81 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hit").cast("long").alias("n_cand_hit"),
         (F.sum("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
     )
+
+
+_INC_BATCH_HEX = ("c", "d", "e", "f")  # md5 first-hex split: ~25% "arriving"
+
+_SQL_FP = (
+    "md5(array_to_string(list_sort(list_distinct("
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))), ' '))"
+)
+
+
+@register(
+    "dedup_incremental",
+    sql=f"""
+    WITH f AS (
+        SELECT doc_id, {_SQL_FP} AS fp,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN {_INC_BATCH_HEX!r} AS is_new
+        FROM documents
+    ),
+    hist AS (
+        SELECT fp, MIN(doc_id) AS hist_min
+        FROM f WHERE NOT is_new GROUP BY fp
+    ),
+    batch AS (
+        SELECT doc_id, fp,
+               MIN(doc_id) OVER (PARTITION BY fp) AS batch_min
+        FROM f WHERE is_new
+    )
+    SELECT b.doc_id,
+           CASE WHEN h.hist_min IS NOT NULL THEN 'dup_of_history'
+                WHEN b.batch_min < b.doc_id THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict,
+           CASE WHEN h.hist_min IS NOT NULL THEN h.hist_min
+                WHEN b.batch_min < b.doc_id THEN b.batch_min END AS dup_of
+    FROM batch b LEFT JOIN hist h ON h.fp = b.fp
+    """,
+    doc="Incremental ingestion dedup — the DAILY-crawl shape: an arriving "
+    "batch (partition-stable md5 split standing in for today's delivery) "
+    "is checked against the HISTORICAL corpus fingerprint index AND "
+    "within itself, without ever rescanning history pairwise. History "
+    "reduces to one (fingerprint -> first doc) index — at scale a stored "
+    "table the batch shuffle-joins on the fingerprint key; within-batch "
+    "firsts come from one window over the same key. Verdicts: "
+    "dup_of_history / dup_in_batch / new, with dup_of provenance.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    f = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_col())))
+        ).alias("fp"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin(*_INC_BATCH_HEX)
+        .alias("is_new"),
+    )
+    hist = (
+        f.filter(~F.col("is_new"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("hist_min"))
+    )
+    batch = f.filter(F.col("is_new")).withColumn(
+        "batch_min", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    j = batch.join(hist, "fp", "left")
+    return j.select(
+        "doc_id",
+        F.when(F.col("hist_min").isNotNull(), F.lit("dup_of_history"))
+        .when(F.col("batch_min") < F.col("doc_id"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+        F.when(F.col("hist_min").isNotNull(), F.col("hist_min"))
+        .when(F.col("batch_min") < F.col("doc_id"), F.col("batch_min"))
+        .alias("dup_of"),
+    )

@@ -785,3 +785,126 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
         "ids_md5",
     )
+
+
+@register(
+    "text_source_mix",
+    sql=None,  # composed at first access — needs text_profile's SQL (set below)
+    doc="Corpus mixing weights PER SOURCE (the domain-weighting step of a "
+    "pretraining data recipe, DoReMi-lite heuristic): per-source doc/token "
+    "mass and mean quality (composed from the REGISTERED text_profile "
+    "quality score — plan and SQL, so the signal cannot drift), weight "
+    "proportional to n_docs x mean_quality normalized over sources. "
+    "Quality mass aggregates through the fixed-point kernels so the mean "
+    "is partition-order-independent; one groupBy(source) plus a "
+    "broadcastable over-() normalization window.",
+)
+def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    prof = _text_profile_frame(spark, sf_dir)
+    src = io.load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = prof.select("doc_id", "n_tokens", "quality_score").join(src, "doc_id")
+    # quality_score is an exact multiple of 1e-4 (fround 10000), so the
+    # x10000 fixed sum is an integer — and because the mixing mass
+    # n_docs * mean_quality telescopes to exactly that sum, the
+    # normalization is an INTEGER ratio: no float summation order anywhere
+    qsum = F.sum(
+        F.floor(F.col("quality_score") * 10000 + F.lit(0.5)).cast("long")
+    ).alias("qsum_fx")
+    per = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        qsum,
+    )
+    total_fx = F.sum("qsum_fx").over(Window.partitionBy())
+    return per.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        (F.col("qsum_fx") / (F.col("n_docs") * 10000)).alias("mean_quality"),
+        (F.col("qsum_fx").cast("double") / total_fx.cast("double")).alias("mix_weight"),
+    )
+
+
+# The oracle SQL composes the REGISTERED text_profile query as a CTE (the
+# curation-manifest pattern: the diagnostic cannot drift from what ships).
+# It is attached after registration because the profile's SQL lives in the
+# registry entry, and QuerySpec is a frozen dataclass.
+from exact_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_src_mix_sql = """
+    WITH profile AS ({profile_sql}),
+    j AS (
+        SELECT p.doc_id, p.n_tokens, p.quality_score, d.source
+        FROM profile p JOIN documents d ON d.doc_id = p.doc_id
+    ),
+    per AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CAST(FLOOR(quality_score * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS qsum_fx
+        FROM j GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens,
+           CAST(qsum_fx AS DOUBLE) / (n_docs * 10000) AS mean_quality,
+           CAST(qsum_fx AS DOUBLE) / CAST(SUM(qsum_fx) OVER () AS DOUBLE) AS mix_weight
+    FROM per
+"""
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+_REG["text_source_mix"] = _dc_replace(
+    _REG["text_source_mix"],
+    sql=_src_mix_sql.format(profile_sql=_REG["text_profile"].sql),
+)
+
+
+_QC_CURATED_SOURCES = ("src0", "src1", "src2", "src3")  # stand-in reference corpus
+
+
+@register(
+    "text_quality_classifier",
+    sql=None,  # iterative MLlib fit — not SQL-expressible, rows-only check
+    doc="Reference-corpus quality classifier (the GPT-3/fasttext curation "
+    "pattern: train 'does this look like the curated corpus?' on weak "
+    "source labels, score everything): profile features (token count, "
+    "distinct/stopword ratios, mean token length, BPE estimate — composed "
+    "from the registered text_profile frame) -> standardized MLlib "
+    "LogisticRegression against curated-vs-rest source labels -> per-doc "
+    "quality probability + keep flag. Fully distributed fit and scoring; "
+    "at 100 TB the curated positives are the small side and the model is "
+    "a broadcastable coefficient vector.",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    tune_session(spark)
+    prof = _text_profile_frame(spark, sf_dir).select(
+        "doc_id", "n_tokens", "distinct_ratio", "stopword_ratio",
+        "avg_token_len", "n_bpe_est",
+    )
+    src = io.load(spark, sf_dir, "documents").select("doc_id", "source")
+    feats = ["n_tokens", "distinct_ratio", "stopword_ratio", "avg_token_len", "n_bpe_est"]
+    df = prof.join(src, "doc_id").withColumn(
+        "qlabel",
+        F.col("source").isin(*_QC_CURATED_SOURCES).cast("double"),
+    )
+    assembled = VectorAssembler(inputCols=feats, outputCol="features").transform(df)
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="qlabel", maxIter=25, regParam=0.01
+    )
+    model = lr.fit(assembled)
+    scored = model.transform(assembled)
+    # decision rule: keep what looks MORE curated-like than the prior —
+    # a calibrated model on weak labels rarely crosses 0.5 when the
+    # curated corpus is a small fraction, so 0.5 would keep nothing;
+    # "above the base rate" is the standard quality-filter cut
+    prior = float(df.agg(F.avg("qlabel")).collect()[0][0])
+    return scored.select(
+        "doc_id",
+        "source",
+        vector_to_array("probability")[1].alias("quality_proba"),
+        (vector_to_array("probability")[1] > prior).cast("int").alias("quality_keep"),
+    )

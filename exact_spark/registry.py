@@ -75,6 +75,9 @@ DRIVER_ORDER: list[str] = [
     "text_shard_assign",
     "dedup_lsh_recall",
     "text_tokenize_ids",
+    "text_source_mix",
+    "dedup_incremental",
+    "text_quality_classifier",
     "dedup_semantic",
     "dedup_semantic_kmeans",
     "sim_topk_ivf_kmeans",
