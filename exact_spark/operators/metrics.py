@@ -375,3 +375,116 @@ def sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_users")
         ).alias("rel_err"),
     )
+
+
+_QSK_BINS = 256
+_QSK_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "sketch_quantile_rollup",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    src AS (
+        SELECT CAST(FLOOR(ts_epoch / 86400.0) AS BIGINT) AS day, value FROM canon
+    ),
+    bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM src),
+    binned AS (
+        SELECT day,
+               LEAST({_QSK_BINS - 1}, CAST(FLOOR((value - b.lo) / (b.hi - b.lo) * {_QSK_BINS}) AS BIGINT)) AS bin
+        FROM src, bounds b
+    ),
+    daily AS (SELECT day, bin, COUNT(*) AS c FROM binned GROUP BY day, bin),
+    merged AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS c FROM daily GROUP BY bin),
+    cum AS (
+        SELECT bin, c, SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_c,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM merged) AS n
+        FROM merged
+    ),
+    qs AS (SELECT unnest(ARRAY[{", ".join(str(q) for q in _QSK_QS)}]) AS q),
+    est AS (
+        SELECT q.q, MIN(c.bin) AS qbin
+        FROM qs q JOIN cum c ON c.cum_c >= CEILING(q.q * c.n)
+        GROUP BY q.q
+    ),
+    exact AS (
+        SELECT unnest(ARRAY[{", ".join(str(q) for q in _QSK_QS)}]) AS q,
+               unnest(ARRAY[{", ".join(sql_fround(f'quantile_cont(value, {q})') for q in _QSK_QS)}]) AS exact_q
+        FROM src
+    )
+    SELECT e.q,
+           b.lo + e.qbin * (b.hi - b.lo) / {_QSK_BINS} AS est_lo,
+           b.lo + (e.qbin + 1) * (b.hi - b.lo) / {_QSK_BINS} AS est_hi,
+           x.exact_q,
+           (x.exact_q >= b.lo + e.qbin * (b.hi - b.lo) / {_QSK_BINS}
+            AND x.exact_q <= b.lo + (e.qbin + 1) * (b.hi - b.lo) / {_QSK_BINS})
+               AS within_bound
+    FROM est e JOIN exact x ON x.q = e.q, bounds b
+    """,
+    doc="Mergeable QUANTILE rollup — the percentile companion to the HLL "
+    "rollup: per-day fixed-bin value histograms (deterministic integer "
+    "bins over the global range) UNION-MERGE by bin addition into any "
+    "time-range quantile estimate without rescanning raw data — the "
+    "pattern approx_percentile cannot give you across stored groups. Each "
+    "estimate is a [bin_lo, bin_hi) bracket with a PROVEN error bound "
+    "(one bin width); the exact interpolated quantile rides along and "
+    "within_bound certifies the bracket. Daily histograms are map-side-"
+    "combinable groupBys; the merge is a ~256-row aggregation.",
+)
+def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    df = canonical_events(spark, sf_dir)
+    src = df.select(
+        F.floor(F.col("ts_epoch") / 86400.0).cast("long").alias("day"), "value"
+    )
+    b = src.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = src.crossJoin(F.broadcast(b)).select(
+        "day",
+        F.least(
+            F.lit(_QSK_BINS - 1).cast("long"),
+            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * _QSK_BINS).cast("long"),
+        ).alias("bin"),
+    )
+    daily = binned.groupBy("day", "bin").agg(F.count(F.lit(1)).alias("c"))
+    merged = daily.groupBy("bin").agg(F.sum("c").cast("long").alias("c"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "bin", "c", F.sum("c").over(w).alias("cum_c"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    qs = df.sparkSession.createDataFrame([(q,) for q in _QSK_QS], "q double")
+    est = (
+        F.broadcast(qs)
+        .join(cum, cum.cum_c >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    # F.percentile needs a foldable fraction — compute the three exact
+    # quantiles in ONE agg and unpivot
+    exact = src.agg(
+        *[
+            fround(F.percentile(F.col("value"), F.lit(q))).alias(f"q_{i}")
+            for i, q in enumerate(_QSK_QS)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(q).alias("q"), F.col(f"q_{i}").alias("exact_q"))
+                    for i, q in enumerate(_QSK_QS)
+                ]
+            )
+        ).alias("s")
+    ).select("s.q", "s.exact_q")
+    joined = est.join(exact, "q").crossJoin(F.broadcast(b))
+    width = (F.col("hi") - F.col("lo")) / _QSK_BINS
+    est_lo = F.col("lo") + F.col("qbin") * width
+    est_hi = F.col("lo") + (F.col("qbin") + 1) * width
+    return joined.select(
+        "q",
+        est_lo.alias("est_lo"),
+        est_hi.alias("est_hi"),
+        "exact_q",
+        ((F.col("exact_q") >= est_lo) & (F.col("exact_q") <= est_hi)).alias("within_bound"),
+    )

@@ -406,3 +406,70 @@ def rel_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         "n_items",
     )
+
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1999-06-30"
+_Q3_TOPK = 10
+
+
+@register(
+    "rel_shipping_priority",
+    sql=f"""
+    SELECT l.l_orderkey,
+           {sql_fsum('l.l_extendedprice * (1.0 - l.l_discount)', SCALE2)} AS revenue,
+           CAST(epoch_ms(o.o_orderdate) AS BIGINT) AS orderdate_ms,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{_Q3_DATE} 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '{_Q3_DATE} 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT {_Q3_TOPK}
+    """,
+    doc="TPC-H Q3 shipping priority on this schema: revenue of not-yet-"
+    "shipped lineitems for one market segment's pre-cutoff orders, top-10 "
+    "by revenue. Plan shape: the segment-filtered CUSTOMER side broadcasts "
+    "(selective dimension), orders x lineitem is the one fact shuffle "
+    "keyed on the orderkey with BOTH date predicates pushed to the scans, "
+    "revenue through the fixed-point kernels, final top-K as distributed "
+    "TakeOrderedAndProject — no global sort.",
+)
+def rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    cust = io.load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == _Q3_SEGMENT
+    )
+    orders = io.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(f"{_Q3_DATE} 00:00:00").cast("timestamp")
+    )
+    li = io.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(f"{_Q3_DATE} 00:00:00").cast("timestamp")
+    )
+    j = (
+        li.join(
+            F.broadcast(cust.select("c_custkey"))
+            .join(orders, orders.o_custkey == F.col("c_custkey"))
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        fsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), SCALE2).alias(
+            "revenue"
+        )
+    )
+    return (
+        agg.select(
+            "l_orderkey",
+            "revenue",
+            # NTZ -> LTZ cast is exact under the UTC-pinned session
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(_Q3_TOPK)
+    )

@@ -78,6 +78,8 @@ DRIVER_ORDER: list[str] = [
     "text_source_mix",
     "dedup_incremental",
     "text_quality_classifier",
+    "rel_shipping_priority",
+    "sketch_quantile_rollup",
     "dedup_semantic",
     "dedup_semantic_kmeans",
     "sim_topk_ivf_kmeans",
