@@ -908,3 +908,98 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         vector_to_array("probability")[1].alias("quality_proba"),
         (vector_to_array("probability")[1] > prior).cast("int").alias("quality_keep"),
     )
+
+
+_CMS_ROWS = 4  # independent hash rows
+_CMS_W = 256  # counters per row
+_CMS_TOPK = 10
+_CMS_BUCKET = 100  # doc_ids per partial sketch ("daily" shards)
+
+
+def _sql_cms_idx(r: int, tok: str) -> str:
+    """counter index = first two md5 hex chars of (row-salt : token) -> 0..255,
+    engine-exact via strpos arithmetic."""
+    h = f"md5('r{r}:' || {tok})"
+    return (
+        f"((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1))"
+    )
+
+
+def _cms_idx(r: int, tok: Column) -> Column:
+    h = F.md5(F.concat(F.lit(f"r{r}:"), tok))
+    # first two hex chars -> 0..255 (the oracle does the same arithmetic
+    # via strpos; conv() is hex-parse, identical value)
+    return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+
+
+@register(
+    "sketch_heavy_hitters",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id // {_CMS_BUCKET} AS part, unnest({_SQL_TOKS}) AS tok
+        FROM documents
+    ),
+    posting AS (SELECT part, tok, COUNT(*) AS c FROM toks GROUP BY part, tok),
+    cells AS (
+        {" UNION ALL ".join(f"SELECT part, {r} AS r, {_sql_cms_idx(r, 'tok')} AS idx, c FROM posting" for r in range(_CMS_ROWS))}
+    ),
+    partials AS (
+        SELECT part, r, idx, CAST(SUM(c) AS BIGINT) AS c
+        FROM cells GROUP BY part, r, idx
+    ),
+    merged AS (SELECT r, idx, CAST(SUM(c) AS BIGINT) AS c FROM partials GROUP BY r, idx),
+    truth AS (
+        SELECT tok, CAST(SUM(c) AS BIGINT) AS true_count
+        FROM posting GROUP BY tok
+        ORDER BY true_count DESC, tok LIMIT {_CMS_TOPK}
+    ),
+    lookups AS (
+        {" UNION ALL ".join(f"SELECT tok, true_count, {r} AS r, {_sql_cms_idx(r, 'tok')} AS idx FROM truth" for r in range(_CMS_ROWS))}
+    )
+    SELECT l.tok, MIN(l.true_count) AS true_count,
+           CAST(MIN(m.c) AS BIGINT) AS cms_estimate,
+           (MIN(m.c) >= MIN(l.true_count)) AS never_underestimates
+    FROM lookups l JOIN merged m ON m.r = l.r AND m.idx = l.idx
+    GROUP BY l.tok
+    """,
+    doc="Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) — "
+    "the frequency companion to the HLL and quantile rollups: per-shard "
+    "4x256 counter sketches (deterministic md5-derived hashes, "
+    "engine-exact) UNION-MERGE by cell addition into whole-corpus "
+    "frequency estimates without rescanning raw tokens; the top-K exact "
+    "tokens are estimated from the MERGED sketch and the CMS "
+    "never-underestimates invariant rides as a checked column. The "
+    "per-shard sketch is a bounded 1024-cell state no matter how large "
+    "the shard — the fixed-size-state property that makes it streamable.",
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        (F.col("doc_id") / _CMS_BUCKET).cast("long").alias("part"),
+        F.explode(tokens_col()).alias("tok"),
+    )
+    posting = toks.groupBy("part", "tok").agg(F.count(F.lit(1)).alias("c"))
+    cell_rows = None
+    for r in range(_CMS_ROWS):
+        piece = posting.select("part", F.lit(r).alias("r"), _cms_idx(r, F.col("tok")).alias("idx"), "c")
+        cell_rows = piece if cell_rows is None else cell_rows.unionByName(piece)
+    partials = cell_rows.groupBy("part", "r", "idx").agg(F.sum("c").alias("c"))
+    merged = partials.groupBy("r", "idx").agg(F.sum("c").cast("long").alias("c"))
+    truth = (
+        posting.groupBy("tok")
+        .agg(F.sum("c").cast("long").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "tok")
+        .limit(_CMS_TOPK)
+    )
+    lookups = None
+    for r in range(_CMS_ROWS):
+        piece = truth.select("tok", "true_count", F.lit(r).alias("r"), _cms_idx(r, F.col("tok")).alias("idx"))
+        lookups = piece if lookups is None else lookups.unionByName(piece)
+    j = F.broadcast(lookups).join(merged, ["r", "idx"])
+    return j.groupBy("tok").agg(
+        F.min("true_count").alias("true_count"),
+        F.min("c").cast("long").alias("cms_estimate"),
+        (F.min("c") >= F.min("true_count")).alias("never_underestimates"),
+    )

