@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from exact_spark import io
-from exact_spark.functions import SCALE2, favg, fsum, sql_favg, sql_fsum
+from exact_spark.functions import SCALE2, favg, fround, fsum, sql_favg, sql_fround, sql_fsum
 from exact_spark.registry import register
 from exact_spark.session import tune_session
 
@@ -472,4 +472,56 @@ def rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(_Q3_TOPK)
+    )
+
+
+_Q14_FROM = "2000-01-01"
+_Q14_TO = "2000-07-01"
+
+
+@register(
+    "rel_promo_revenue",
+    sql=f"""
+    SELECT {sql_fround(
+        "100.0 * SUM(CASE WHEN p.p_type = 'PROMO' "
+        "THEN CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT) "
+        "ELSE 0 END) * 1.0 / "
+        "SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT))"
+    )} AS promo_revenue_pct,
+           {sql_fsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END", SCALE2)} AS promo_revenue,
+           {sql_fsum('l.l_extendedprice * (1.0 - l.l_discount)', SCALE2)} AS total_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_Q14_FROM} 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '{_Q14_TO} 00:00:00'
+    """,
+    doc="TPC-H Q14 promotion effect: PROMO-type revenue share over a "
+    "ship-date window. Plan shape: the part dimension broadcasts, the "
+    "date range pushes to the lineitem scan, both revenue sums go through "
+    "the fixed-point kernels and the percentage is a ratio of the two "
+    "exact integer sums — one broadcast join, one scalar aggregate, no "
+    "shuffle of fact rows beyond the partial-agg combine.",
+)
+def rel_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{_Q14_FROM} 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{_Q14_TO} 00:00:00").cast("timestamp"))
+    )
+    part = io.load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+    rev_fx = F.floor(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0 + F.lit(0.5)
+    ).cast("long")
+    promo_fx = F.when(F.col("p_type") == "PROMO", rev_fx).otherwise(F.lit(0).cast("long"))
+    agg = j.agg(
+        F.sum(promo_fx).alias("promo_fx"),
+        F.sum(rev_fx).alias("total_fx"),
+    )
+    return agg.select(
+        fround(
+            F.lit(100.0) * F.col("promo_fx") * 1.0 / F.col("total_fx")
+        ).alias("promo_revenue_pct"),
+        (F.col("promo_fx") / F.lit(100.0)).alias("promo_revenue"),
+        (F.col("total_fx") / F.lit(100.0)).alias("total_revenue"),
     )

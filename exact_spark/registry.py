@@ -81,6 +81,8 @@ DRIVER_ORDER: list[str] = [
     "rel_shipping_priority",
     "sketch_quantile_rollup",
     "sketch_heavy_hitters",
+    "rel_promo_revenue",
+    "stream_cms_maintain",
     "dedup_semantic",
     "dedup_semantic_kmeans",
     "sim_topk_ivf_kmeans",

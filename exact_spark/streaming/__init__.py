@@ -247,3 +247,98 @@ def stream_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _user_cms_cells(df: DataFrame) -> DataFrame:
+    """(r, idx, c) count-min cells over user_id frequencies — the same
+    deterministic md5 hash family as sketch_heavy_hitters, so batch and
+    streaming sketches are interchangeable artifacts."""
+    from exact_spark.operators.text import _CMS_ROWS, _cms_idx
+
+    key = F.col("user_id").cast("string")
+    out = None
+    for r in range(_CMS_ROWS):
+        piece = df.select(F.lit(r).alias("r"), _cms_idx(r, key).alias("idx"))
+        out = piece if out is None else out.unionByName(piece)
+    return out.groupBy("r", "idx").agg(F.count(F.lit(1)).alias("c"))
+
+
+@register(
+    "stream_cms_maintain",
+    sql=None,  # Structured Streaming run -> rows-only check
+    doc="Streaming sketch maintenance, driver-visible bounded run: a "
+    "3-day events slice replays as a 3-chunk file stream and foreachBatch "
+    "folds each micro-batch's count-min cells into the maintained sketch "
+    "— the per-batch aggregation is fully distributed and only the "
+    "bounded <=1KB cell table crosses to the sketch store, so the "
+    "maintenance cost is independent of batch size. After the replay the "
+    "maintained sketch must EQUAL the direct batch sketch over the same "
+    "data cell-for-cell (CMS merge is exact addition — the property that "
+    "makes the streaming and batch paths interchangeable), and the top "
+    "exact users' estimates must never underestimate.",
+)
+def stream_cms_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exact_spark.operators.text import _CMS_ROWS, _cms_idx
+
+    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_scms_"))
+    try:
+        base = _bounded_events(spark, sf_dir, days=3.0, user_mod=3)
+        src = str(work / "src")
+        base.repartitionByRange(3, "timestamp").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sketch: dict[tuple[int, int], int] = {}
+        n_batches = [0]
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            n_batches[0] += 1
+            for row in _user_cms_cells(batch_df).collect():
+                k = (row["r"], row["idx"])
+                sketch[k] = sketch.get(k, 0) + row["c"]
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        staged = spark.read.parquet(src)
+        direct = {
+            (r["r"], r["idx"]): r["c"] for r in _user_cms_cells(staged).collect()
+        }
+        matches = int(direct == sketch)
+        # top-3 exact users: maintained-sketch estimate must cover truth
+        top = (
+            staged.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("true_c"))
+            .orderBy(F.col("true_c").desc(), "user_id")
+            .limit(3)
+            .collect()
+        )
+        import hashlib
+
+        def est(uid: int) -> int:
+            vals = []
+            for r in range(_CMS_ROWS):
+                h = hashlib.md5(f"r{r}:{uid}".encode()).hexdigest()
+                vals.append(sketch.get((r, int(h[:2], 16)), 0))
+            return min(vals)
+
+        rows = [
+            ("n_batches", float(n_batches[0])),
+            ("n_cells", float(len(sketch))),
+            ("total_mass_per_row", float(sum(v for (r, _), v in sketch.items() if r == 0))),
+            ("matches_direct", float(matches)),
+        ] + [
+            (f"covers_user_{t['user_id']}", float(int(est(t["user_id"]) >= t["true_c"])))
+            for t in top
+        ]
+        return spark.createDataFrame(rows, "metric string, value double")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
