@@ -609,3 +609,92 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("last_value", ignorenulls=True).over(w).alias("value_ffill"),
         )
     )
+
+
+# --- truncated-EWMA anomaly band ---------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_K = 16  # truncation: (1-alpha)^16 ~ 0.003 residual weight
+_EWMA_Z = 3.0  # band width in residual-sigma units
+_EWMA_USERS = 20  # bound the demo slice
+
+
+def _ewma_weights() -> list[float]:
+    """Literal truncated-EWMA lag weights w_j = alpha*(1-alpha)^j,
+    renormalized over the K kept lags so the weights sum to 1 exactly —
+    the truncation turns the infinite recursion into a FIXED linear
+    combination of the last K values, which both engines evaluate as the
+    same K-term expression (no recursion, no state)."""
+    raw = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j for j in range(_EWMA_K)]
+    s = sum(raw)
+    return [w / s for w in raw]
+
+
+@register(
+    "ts_ewma_band",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    src AS (
+        SELECT user_id, id, ts_epoch, value FROM canon WHERE user_id < {_EWMA_USERS}
+    ),
+    lagged AS (
+        SELECT user_id, id, ts_epoch, value,
+               {" + ".join(f"{w!r} * LAG(value, {j + 1}) OVER w" for j, w in enumerate(_ewma_weights()))} AS ewma,
+               COUNT(*) OVER (w ROWS BETWEEN {_EWMA_K} PRECEDING AND 1 PRECEDING) AS n_hist
+        FROM src
+        WINDOW w AS (PARTITION BY user_id ORDER BY id)
+    ),
+    resid AS (
+        SELECT *, value - ewma AS r FROM lagged WHERE n_hist >= {_EWMA_K}
+    ),
+    sigma AS (
+        SELECT user_id,
+               sqrt(SUM(CAST(FLOOR(r * r * 1000000.0 + 0.5) AS BIGINT)) * 1.0
+                    / (1000000.0 * COUNT(*))) AS s
+        FROM resid GROUP BY user_id
+    )
+    SELECT r.user_id,
+           COUNT(*) AS n_scored,
+           CAST(SUM(CASE WHEN abs(r.r) > {_EWMA_Z} * g.s THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged
+    FROM resid r JOIN sigma g ON g.user_id = r.user_id
+    GROUP BY r.user_id
+    """,
+    doc="Truncated-EWMA anomaly band per series (the classic EWMA control "
+    "chart, statistical-process-control shape): the recursive smoother is "
+    "truncated to a FIXED 16-lag linear combination (residual weight "
+    "~0.3%), so the forecast is a pure window expression — K LAG terms "
+    "with literal weights, no recursion, no state, no UDF — and the plan "
+    "is ONE shuffle keyed on the series with an ordinary per-key window. "
+    "Rows flag when |value - ewma| exceeds 3 per-key residual sigmas "
+    "(sigma through the fixed-point kernels). Output: per-key scored/"
+    "flagged counts.",
+)
+def ts_ewma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    df = canonical_events(spark, sf_dir).filter(F.col("user_id") < _EWMA_USERS)
+    w = W.partitionBy("user_id").orderBy("id")
+    ewma = None
+    for j, wt in enumerate(_ewma_weights()):
+        term = F.lag("value", j + 1).over(w) * F.lit(wt)
+        ewma = term if ewma is None else ewma + term
+    n_hist = F.count(F.lit(1)).over(w.rowsBetween(-_EWMA_K, -1))
+    lagged = df.select(
+        "user_id", "id", "value", ewma.alias("ewma"), n_hist.alias("n_hist")
+    ).filter(F.col("n_hist") >= _EWMA_K)
+    resid = lagged.withColumn("r", F.col("value") - F.col("ewma"))
+    sigma = resid.groupBy("user_id").agg(
+        F.sqrt(
+            F.sum(F.floor(F.col("r") * F.col("r") * 1e6 + F.lit(0.5)).cast("long"))
+            * F.lit(1.0)
+            / (F.lit(1e6) * F.count(F.lit(1)))
+        ).alias("s")
+    )
+    j = resid.join(F.broadcast(sigma), "user_id")
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(
+            F.when(F.abs(F.col("r")) > F.lit(_EWMA_Z) * F.col("s"), 1).otherwise(0)
+        ).cast("long").alias("n_flagged"),
+    )

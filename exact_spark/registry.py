@@ -83,6 +83,7 @@ DRIVER_ORDER: list[str] = [
     "sketch_heavy_hitters",
     "rel_promo_revenue",
     "stream_cms_maintain",
+    "ts_ewma_band",
     "dedup_semantic",
     "dedup_semantic_kmeans",
     "sim_topk_ivf_kmeans",
