@@ -517,6 +517,24 @@ def _extract_score_fn(model, feature_cols: list[str]):
         # the detector's own by-value scoring closure (vectorized over
         # trees x rows) is already picklable without exact_spark imports
         return model._score_closure(None)
+
+    from exact_spark.ml.models import (
+        NativeXGBoostDetector,
+        RecurrentAutoencoderDetector,
+    )
+
+    if isinstance(model, NativeXGBoostDetector):
+        return model._score_closure()  # P(anomaly), picklable tree arrays
+    if isinstance(model, RecurrentAutoencoderDetector):
+        lo, rng_, params = model.lo, model.rng_, model.params
+        forward = model._forward
+
+        def fn(x):
+            xs = (x - lo) / rng_
+            rec = forward(xs, params)
+            return ((xs - rec) ** 2).mean(axis=1)
+
+        return fn
     raise TypeError(
         f"no picklable score function for {type(model).__name__}; "
         "MLlib models are explained via their own featureImportances"

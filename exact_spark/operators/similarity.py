@@ -513,18 +513,19 @@ def _tuned_nprobe(norms: DataFrame, cent: DataFrame, target: float) -> int:
 def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     emb = io.load(spark, sf_dir, "embeddings")
-    cent = _kmeans_centroids(
-        spark, sf_dir, _N_CELLS, exclude_queries=True
-    ).cache()  # feeds the tuner and the server
+    cent = _kmeans_centroids(spark, sf_dir, _N_CELLS, exclude_queries=True)
     norms = emb.select(
         "vec_id", "embedding", "label",
         dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
     )
     # the tuned nprobe is part of the trained-index ARTIFACT (see
     # _KMEANS_MEMO): deterministic given (corpus, centers, target), tuned
-    # once and served thereafter
+    # once and served thereafter. Cache the centroid frame ONLY while the
+    # tuner shares it with the search — on memoized calls the frame is
+    # read once and caching it would just leak one cached RDD per query
     key = (sf_dir, _N_CELLS, _IVF_TARGET_RECALL)
     if key not in _NPROBE_MEMO:
+        cent = cent.cache()
         _NPROBE_MEMO[key] = _tuned_nprobe(norms, cent, _IVF_TARGET_RECALL)
     return _ivf_topk(norms, cent, n_probe=_NPROBE_MEMO[key])
 
@@ -1059,9 +1060,16 @@ _PQ_SUB = 8  # dims per subspace (M * SUB = embedding dim)
 _PQ_K = 16  # codewords per subspace -> 4-bit codes
 
 
+_PQ_CODEBOOK_MEMO: dict[str, list[list[list[float]]]] = {}
+
+
 def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     """codebook[m][k] = subspace-m sub-vector of seed embedding k, collected
-    to the driver (K tiny arrays, the trained-model artifact)."""
+    to the driver (K tiny arrays, the trained-model artifact — memoized per
+    corpus like _KMEANS_MEMO, so encode+search compositions collect it
+    once)."""
+    if sf_dir in _PQ_CODEBOOK_MEMO:
+        return _PQ_CODEBOOK_MEMO[sf_dir]
     emb = io.load(spark, sf_dir, "embeddings")
     rows = (
         emb.filter(F.col("vec_id") < _PQ_K)
@@ -1069,10 +1077,12 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
         .collect()
     )
     by_id = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
-    return [
+    cb = [
         [by_id[k][m * _PQ_SUB : (m + 1) * _PQ_SUB] for k in range(_PQ_K)]
         for m in range(_PQ_M)
     ]
+    _PQ_CODEBOOK_MEMO[sf_dir] = cb
+    return cb
 
 
 def _codebook_col(cb: list[list[list[float]]]) -> Column:

@@ -597,7 +597,8 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recurses) to keep the driver-side partial list small.
 
 _PACK_BUDGET = 256  # tokens per packed sequence
-_PACK_BUCKET = 1000  # doc_ids per prefix-sum bucket
+_PACK_BUCKET = 1000  # MINIMUM doc_ids per prefix-sum bucket
+_PACK_MAX_PARTIALS = 10_000  # cap on driver-held bucket partials (see below)
 
 
 @register(
@@ -629,10 +630,16 @@ _PACK_BUCKET = 1000  # doc_ids per prefix-sum bucket
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = io.load(spark, sf_dir, "documents", spread=True)
+    # ADAPTIVE bucket width: the driver holds one partial per bucket, so
+    # the width widens with the corpus to keep at most _PACK_MAX_PARTIALS
+    # entries in the offset map — the doc-count probe is a column-pruned
+    # max over the dense id
+    n_docs = (docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    width = max(_PACK_BUCKET, -(-n_docs // _PACK_MAX_PARTIALS))
     base = (
         docs.select("doc_id", F.size(tokens_col()).alias("n_tokens"))
         .filter(F.col("n_tokens") >= 1)
-        .withColumn("bucket", F.floor(F.col("doc_id") / _PACK_BUCKET))
+        .withColumn("bucket", F.floor(F.col("doc_id") / width))
     )
     # pass 1: per-bucket token totals -> exclusive prefix offsets (tiny)
     parts = base.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()
@@ -900,8 +907,14 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decision rule: keep what looks MORE curated-like than the prior —
     # a calibrated model on weak labels rarely crosses 0.5 when the
     # curated corpus is a small fraction, so 0.5 would keep nothing;
-    # "above the base rate" is the standard quality-filter cut
-    prior = float(df.agg(F.avg("qlabel")).collect()[0][0])
+    # "above the base rate" is the standard quality-filter cut. The prior
+    # depends only on the tiny source column — compute it from src, not
+    # from the profile join (that would re-run the full regex-heavy scan)
+    prior = float(
+        src.agg(
+            F.avg(F.col("source").isin(*_QC_CURATED_SOURCES).cast("double"))
+        ).collect()[0][0]
+    )
     return scored.select(
         "doc_id",
         "source",

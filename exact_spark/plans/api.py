@@ -20,9 +20,10 @@ from exact_spark.sources.ingest import get_file_columns
 
 JOB_NAME_RE = re.compile(r"^[a-z_][a-z0-9_]*$")  # Frontend/callbacks.py:1618
 
-MODELS = ("threshold", "pca_autoencoder", "mlp_autoencoder", "ae_ocsvm",
-          "isolation_forest", "decision_tree", "logistic_regression",
-          "linear_svc", "gbt", "calibrated_svc")
+MODELS = ("threshold", "pca_autoencoder", "mlp_autoencoder", "rnn_autoencoder",
+          "ae_ocsvm", "isolation_forest", "decision_tree",
+          "logistic_regression", "linear_svc", "gbt", "xgboost",
+          "calibrated_svc")
 INJECTION_METHODS = ("spike", "step", "lowered", "offline", "custom")
 
 

@@ -89,3 +89,40 @@ def test_lime_recovers_linear_coefficients():
     assert imp[0] > imp[1] > imp[2]
     assert imp[2] < 0.1  # zero-coefficient feature ~ 0
     np.testing.assert_allclose(imp[0] / imp[1], 5.0, rtol=0.15)
+
+
+def test_explainers_compose_with_new_detectors(spark):
+    """Every advertised model with a picklable score path must flow
+    through _extract_score_fn — the new detectors (native xgboost, RNN
+    autoencoder) and the new explainers shipped together and must
+    compose."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from exact_spark.ml.explain import _extract_score_fn, occlusion_importances
+    from exact_spark.ml.models import get_model
+
+    rows = [(i, float(i % 7), float((i * 3) % 5), int(i % 11 == 0)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v1 double, v2 double, label int")
+    for name in ("xgboost", "rnn_autoencoder"):
+        m = get_model(name) if name != "xgboost" else get_model(name, n_estimators=5)
+        if name == "rnn_autoencoder":
+            m = get_model(name, epochs=2)
+        m.run(df, ["v1", "v2"])
+        fn = _extract_score_fn(m, ["v1", "v2"])
+        out = fn(pd.DataFrame(rows, columns=["id", "v1", "v2", "label"])[["v1", "v2"]].to_numpy())
+        assert out.shape == (300,)
+        imps = occlusion_importances(
+            m, df.limit(5), ["v1", "v2"], {"v1": 3.0, "v2": 2.0}
+        ).toPandas()
+        assert set(imps.feature) == {"v1", "v2"}
+
+
+def test_advertised_models_all_resolve(spark):
+    """get-models drift guard: every wire-advertised name constructs."""
+    from exact_spark.ml.models import get_model
+    from exact_spark.plans.api import MODELS
+
+    for name in MODELS:
+        assert get_model(name) is not None
+    assert "xgboost" in MODELS and "rnn_autoencoder" in MODELS
