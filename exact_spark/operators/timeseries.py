@@ -616,6 +616,10 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EWMA_ALPHA = 0.3
 _EWMA_K = 16  # truncation: (1-alpha)^16 ~ 0.003 residual weight
 _EWMA_Z = 3.0  # band width in residual-sigma units
+_EWMA_FLOOR = 1e-9  # absolute residual floor: a CONSTANT series has
+# residuals of pure float rounding (the renormalized weights sum to 1 only
+# to ~1e-16), and sigma is the same magnitude — without the floor the band
+# flags FP noise on perfectly flat data
 _EWMA_USERS = 20  # bound the demo slice
 
 
@@ -655,7 +659,8 @@ def _ewma_weights() -> list[float]:
     )
     SELECT r.user_id,
            COUNT(*) AS n_scored,
-           CAST(SUM(CASE WHEN abs(r.r) > {_EWMA_Z} * g.s THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN abs(r.r) > {_EWMA_Z} * g.s AND abs(r.r) > {_EWMA_FLOOR!r}
+                        THEN 1 ELSE 0 END) AS BIGINT)
                AS n_flagged
     FROM resid r JOIN sigma g ON g.user_id = r.user_id
     GROUP BY r.user_id
@@ -695,6 +700,10 @@ def ts_ewma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_scored"),
         F.sum(
-            F.when(F.abs(F.col("r")) > F.lit(_EWMA_Z) * F.col("s"), 1).otherwise(0)
+            F.when(
+                (F.abs(F.col("r")) > F.lit(_EWMA_Z) * F.col("s"))
+                & (F.abs(F.col("r")) > F.lit(_EWMA_FLOOR)),
+                1,
+            ).otherwise(0)
         ).cast("long").alias("n_flagged"),
     )

@@ -1,0 +1,96 @@
+"""Edge-case behavior of the round-4 curation/TS operators on constructed
+degenerate inputs (empty batches, constant series, spikes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from exact_spark.operators.dedup import dedup_incremental
+from exact_spark.operators.text import text_pack_sequences, text_shard_assign
+
+
+def _write_docs(tmp_path_factory, docs):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["t"] * len(docs)),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    out = tmp_path_factory.mktemp("edge_docs")
+    pq.write_table(tbl, out / "documents.parquet")
+    return str(out)
+
+
+def test_incremental_dedup_no_batch_docs(spark, tmp_path_factory):
+    """A corpus whose md5 split yields an empty arriving batch returns an
+    empty verdict frame, not an error (md5('4') starts 'a' — outside the
+    c-f batch split)."""
+    d = _write_docs(tmp_path_factory, [(4, "alpha beta gamma")])
+    got = dedup_incremental(spark, d).toPandas()
+    assert len(got) == 0
+    assert list(got.columns) == ["doc_id", "verdict", "dup_of"]
+
+
+def test_pack_sequences_skips_empty_docs(spark, tmp_path_factory):
+    """Zero-token documents are excluded; the stream stays contiguous
+    across the gap they leave in doc_id space."""
+    d = _write_docs(
+        tmp_path_factory,
+        [(0, "one two three"), (1, "...!!!"), (2, "four five six seven")],
+    )
+    got = text_pack_sequences(spark, d).toPandas().sort_values("doc_id")
+    assert list(got.doc_id) == [0, 2]
+    assert got.iloc[0].start_offset == 0
+    # doc 2 starts exactly where doc 0 ended: token 3
+    assert got.iloc[1].start_pack * 256 + got.iloc[1].start_offset == 3
+
+
+def test_shard_assign_conserves_single_doc(spark, tmp_path_factory):
+    d = _write_docs(tmp_path_factory, [(7, "a b c")])
+    got = text_shard_assign(spark, d).toPandas()
+    assert len(got) == 1 and got.n_docs.iloc[0] == 1 and got.total_tokens.iloc[0] == 3
+
+
+@pytest.fixture(scope="module")
+def ewma_events_dir(tmp_path_factory):
+    """events.parquet: user 0 constant series; user 1 one large spike.
+    Timestamps as TIMESTAMP(us) parquet (DuckDB-compatible)."""
+    n = 60
+    rows = []
+    eid = 0
+    for uid, vals in ((0, [5.0] * n), (1, [5.0] * n)):
+        v = list(vals)
+        if uid == 1:
+            v[40] = 50.0
+        for i, x in enumerate(v):
+            rows.append((eid, 1_700_000_000_000_000 + i * 60_000_000, uid, "view", x))
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int32()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    out = tmp_path_factory.mktemp("ewma_events")
+    pq.write_table(tbl, out / "events.parquet")
+    return str(out)
+
+
+def test_ewma_band_constant_vs_spike(spark, ewma_events_dir):
+    from exact_spark.operators.timeseries import ts_ewma_band
+
+    got = ts_ewma_band(spark, ewma_events_dir).toPandas().set_index("user_id")
+    # constant series: zero residual everywhere -> nothing flagged
+    assert got.loc[0, "n_flagged"] == 0
+    # spiked series: the spike dominates sigma, at least one flag
+    assert got.loc[1, "n_flagged"] >= 1
