@@ -525,3 +525,56 @@ def rel_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("promo_fx") / F.lit(100.0)).alias("promo_revenue"),
         (F.col("total_fx") / F.lit(100.0)).alias("total_revenue"),
     )
+
+
+_Q5_FROM = "1999-01-01"
+_Q5_TO = "2000-01-01"
+
+
+@register(
+    "rel_local_supplier_volume",
+    sql=f"""
+    SELECT n.n_name AS nation,
+           {sql_fsum('l.l_extendedprice * (1.0 - l.l_discount)', SCALE2)} AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '{_Q5_FROM} 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '{_Q5_TO} 00:00:00'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 local supplier volume: revenue where the customer and "
+    "the supplier share a nation, grouped by that nation, over one order "
+    "year. Plan shape: supplier/customer/nation dimensions broadcast, the "
+    "date range pushes to the orders scan, the customer=supplier nation "
+    "equality is a post-broadcast residual filter, and only the "
+    "lineitem x orders fact join shuffles — the standard star-join "
+    "discipline, with the revenue sum through the fixed-point kernels.",
+)
+def rel_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem")
+    orders = io.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{_Q5_FROM} 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{_Q5_TO} 00:00:00").cast("timestamp"))
+    )
+    cust = io.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = io.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = io.load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    return df.groupBy(F.col("n_name").alias("nation")).agg(
+        fsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), SCALE2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )

@@ -1016,3 +1016,91 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").cast("long").alias("cms_estimate"),
         (F.min("c") >= F.min("true_count")).alias("never_underestimates"),
     )
+
+
+_LM_SURPRISE_P = 0.001  # transition-probability floor for "surprising"
+
+
+@register(
+    "text_lm_score",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+               unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+        FROM toks WHERE len(t) >= 2
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
+    cu AS (SELECT w1, COUNT(*) AS cu FROM bi GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(t) AS tok FROM toks)),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(FLOOR((cb.c + 1.0) / (cu.cu + v.v) * 1000000000.0 + 0.5) AS BIGINT) AS p_fx
+        FROM bi b
+        JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+        JOIN cu ON cu.w1 = b.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(p_fx) AS DOUBLE) / (COUNT(*) * 1000000000.0) AS avg_transition_p,
+           CAST(SUM(CASE WHEN p_fx < {int(_LM_SURPRISE_P * 1e9)} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_surprising
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Corpus-bigram language-model fluency score (the perplexity-proxy "
+    "quality signal, reference-free): Laplace-smoothed transition "
+    "probabilities p(w2|w1) trained on the corpus itself, each document "
+    "scored by its mean transition probability and its count of "
+    "surprising (<0.1%) transitions — degenerate/garbled text scores low "
+    "without any external model. Probabilities are exact integer-count "
+    "ratios pushed through the fixed-point kernels, so the mean is "
+    "partition-order-independent; the plan is two map-combinable n-gram "
+    "count aggregations plus two shuffle joins keyed on the n-gram — the "
+    "shape that holds when the bigram table is billions of rows.",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    base = docs.select("doc_id", tokens_col().alias("t"))
+    bi = (
+        base.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("w1"),
+                        F.element_at(F.col("t"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cu = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    v = base.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    p_fx = F.floor(
+        (F.col("c") + 1.0) / (F.col("cu") + F.col("v")) * 1e9 + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        bi.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", p_fx.alias("p_fx"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("p_fx").cast("double") / (F.count(F.lit(1)) * 1e9)).alias(
+            "avg_transition_p"
+        ),
+        F.sum(
+            F.when(F.col("p_fx") < int(_LM_SURPRISE_P * 1e9), 1).otherwise(0)
+        ).cast("long").alias("n_surprising"),
+    )

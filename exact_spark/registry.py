@@ -84,6 +84,8 @@ DRIVER_ORDER: list[str] = [
     "rel_promo_revenue",
     "stream_cms_maintain",
     "ts_ewma_band",
+    "rel_local_supplier_volume",
+    "text_lm_score",
     "dedup_semantic",
     "dedup_semantic_kmeans",
     "sim_topk_ivf_kmeans",
