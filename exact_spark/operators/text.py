@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from exact_spark import io
-from exact_spark.functions import fround, sql_fround
+from exact_spark.functions import fixed, fround, sql_fixed, sql_fround
 from exact_spark.registry import register
 from exact_spark.session import tune_session
 
@@ -1037,7 +1037,7 @@ _LM_SURPRISE_P = 0.001  # transition-probability floor for "surprising"
     v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(t) AS tok FROM toks)),
     scored AS (
         SELECT b.doc_id,
-               CAST(FLOOR((cb.c + 1.0) / (cu.cu + v.v) * 1000000000.0 + 0.5) AS BIGINT) AS p_fx
+               {sql_fixed('(cb.c + 1.0) / (cu.cu + v.v)', 10**9)} AS p_fx
         FROM bi b
         JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
         JOIN cu ON cu.w1 = b.w1
@@ -1086,9 +1086,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = base.select(F.explode("t").alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
-    p_fx = F.floor(
-        (F.col("c") + 1.0) / (F.col("cu") + F.col("v")) * 1e9 + F.lit(0.5)
-    ).cast("long")
+    p_fx = fixed((F.col("c") + 1.0) / (F.col("cu") + F.col("v")), 10**9)
     scored = (
         bi.join(cb, ["w1", "w2"])
         .join(cu, "w1")

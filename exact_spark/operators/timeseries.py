@@ -616,10 +616,11 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EWMA_ALPHA = 0.3
 _EWMA_K = 16  # truncation: (1-alpha)^16 ~ 0.003 residual weight
 _EWMA_Z = 3.0  # band width in residual-sigma units
-_EWMA_FLOOR = 1e-9  # absolute residual floor: a CONSTANT series has
+_EWMA_FLOOR = 1e-9  # RELATIVE residual floor: a CONSTANT series has
 # residuals of pure float rounding (the renormalized weights sum to 1 only
-# to ~1e-16), and sigma is the same magnitude — without the floor the band
-# flags FP noise on perfectly flat data
+# to ~1e-16 of the VALUE, so the noise scales with the level) — the floor
+# is applied per-row as _EWMA_FLOOR * max(1, |ewma|) so flat series of any
+# magnitude stay unflagged while real deviations are untouched
 _EWMA_USERS = 20  # bound the demo slice
 
 
@@ -659,7 +660,8 @@ def _ewma_weights() -> list[float]:
     )
     SELECT r.user_id,
            COUNT(*) AS n_scored,
-           CAST(SUM(CASE WHEN abs(r.r) > {_EWMA_Z} * g.s AND abs(r.r) > {_EWMA_FLOOR!r}
+           CAST(SUM(CASE WHEN abs(r.r) > {_EWMA_Z} * g.s
+                             AND abs(r.r) > {_EWMA_FLOOR!r} * GREATEST(1.0, abs(r.ewma))
                         THEN 1 ELSE 0 END) AS BIGINT)
                AS n_flagged
     FROM resid r JOIN sigma g ON g.user_id = r.user_id
@@ -702,7 +704,10 @@ def ts_ewma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(
                 (F.abs(F.col("r")) > F.lit(_EWMA_Z) * F.col("s"))
-                & (F.abs(F.col("r")) > F.lit(_EWMA_FLOOR)),
+                & (
+                    F.abs(F.col("r"))
+                    > F.lit(_EWMA_FLOOR) * F.greatest(F.lit(1.0), F.abs(F.col("ewma")))
+                ),
                 1,
             ).otherwise(0)
         ).cast("long").alias("n_flagged"),

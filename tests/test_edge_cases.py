@@ -3,14 +3,16 @@ degenerate inputs (empty batches, constant series, spikes)."""
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
-from pyspark.sql import functions as F
 
 from exact_spark.operators.dedup import dedup_incremental
-from exact_spark.operators.text import text_pack_sequences, text_shard_assign
+from exact_spark.operators.text import (
+    _PACK_BUDGET,
+    text_pack_sequences,
+    text_shard_assign,
+)
 
 
 def _write_docs(tmp_path_factory, docs):
@@ -49,7 +51,7 @@ def test_pack_sequences_skips_empty_docs(spark, tmp_path_factory):
     assert list(got.doc_id) == [0, 2]
     assert got.iloc[0].start_offset == 0
     # doc 2 starts exactly where doc 0 ended: token 3
-    assert got.iloc[1].start_pack * 256 + got.iloc[1].start_offset == 3
+    assert got.iloc[1].start_pack * _PACK_BUDGET + got.iloc[1].start_offset == 3
 
 
 def test_shard_assign_conserves_single_doc(spark, tmp_path_factory):
@@ -94,3 +96,32 @@ def test_ewma_band_constant_vs_spike(spark, ewma_events_dir):
     assert got.loc[0, "n_flagged"] == 0
     # spiked series: the spike dominates sigma, at least one flag
     assert got.loc[1, "n_flagged"] >= 1
+
+
+@pytest.fixture(scope="module")
+def big_flat_events_dir(tmp_path_factory):
+    """A LARGE-magnitude constant series (~1e8, e.g. byte counters): the
+    renormalization FP noise scales with the level, so an absolute floor
+    would flag every row — the relative floor must not."""
+    rows = []
+    for i in range(60):
+        rows.append((i, 1_700_000_000_000_000 + i * 60_000_000, 0, "view", 1.23456789e8))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int32()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    out = tmp_path_factory.mktemp("big_flat_events")
+    pq.write_table(tbl, out / "events.parquet")
+    return str(out)
+
+
+def test_ewma_band_flat_large_magnitude(spark, big_flat_events_dir):
+    from exact_spark.operators.timeseries import ts_ewma_band
+
+    got = ts_ewma_band(spark, big_flat_events_dir).toPandas()
+    assert got.n_flagged.iloc[0] == 0
