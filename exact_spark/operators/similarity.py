@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from exact_spark import io
+from exact_spark.functions import sql_fround
 from exact_spark.registry import register
 from exact_spark.session import tune_session
 
@@ -1267,4 +1268,71 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("adc_fx"), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= _TOP_K
+    )
+
+
+_RANGE_MIN_COS = 0.30  # radius for the range-search demo
+
+
+@register(
+    "sim_range_search",
+    sql=f"""
+    WITH norms AS (
+        SELECT vec_id, embedding,
+               {_sql_dot('embedding', 'embedding')} AS norm_fx
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM norms WHERE vec_id < {_N_QUERIES}),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_SQL_COS.format(dot=_sql_dot('q.embedding', 'c.embedding'), na='q.norm_fx', nb='c.norm_fx')} AS cosine
+        FROM q JOIN norms c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id,
+           COUNT(*) FILTER (cosine >= {_RANGE_MIN_COS}) AS n_in_radius,
+           CAST(MAX(CASE WHEN cosine >= {_RANGE_MIN_COS} THEN neighbor_id END) AS BIGINT)
+               AS max_neighbor_id,
+           {sql_fround(f'COALESCE(MAX(CASE WHEN cosine >= {_RANGE_MIN_COS} THEN cosine END), 0.0)', 1000000)}
+               AS best_cosine
+    FROM pairs GROUP BY query_id
+    """,
+    doc="Cosine RANGE search (radius query — the other half of the ANN "
+    "API next to top-k): all neighbors with cosine >= tau per query, "
+    "reported as per-query counts + best match. Same broadcast-query "
+    "single-scan shape as sim_topk_cosine, but the predicate replaces the "
+    "rank window, so there is NO per-query sort at all — the radius "
+    "filter folds into the scan and only the tiny per-query aggregate "
+    "shuffles. At scale the same predicate runs inside IVF-probed cells.",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exact_spark.functions import fround
+
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "embedding",
+        dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
+    )
+    q = norms.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm_fx").alias("q_norm_fx"),
+    )
+    cos = cosine_from_fixed(
+        dot_fixed(F.col("q_embedding"), F.col("embedding")),
+        F.col("q_norm_fx"),
+        F.col("norm_fx"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(norms, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    hit = F.col("cosine") >= _RANGE_MIN_COS
+    return pairs.groupBy("query_id").agg(
+        F.sum(hit.cast("long")).alias("n_in_radius"),
+        F.max(F.when(hit, F.col("neighbor_id"))).cast("long").alias("max_neighbor_id"),
+        fround(
+            F.coalesce(F.max(F.when(hit, F.col("cosine"))), F.lit(0.0)), 1000000
+        ).alias("best_cosine"),
     )

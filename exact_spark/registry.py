@@ -86,6 +86,7 @@ DRIVER_ORDER: list[str] = [
     "ts_ewma_band",
     "rel_local_supplier_volume",
     "text_lm_score",
+    "sim_range_search",
     "dedup_semantic",
     "dedup_semantic_kmeans",
     "sim_topk_ivf_kmeans",
