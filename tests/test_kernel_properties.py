@@ -1,0 +1,92 @@
+"""Hypothesis property tests for the pure (Spark-free) kernels that
+several operators build on — run-length argmax, EWMA weights, session
+splitting, KernelSHAP axioms, and the boosting tree math — so their
+contracts hold on arbitrary inputs, not just the corpus fixtures."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from exact_spark.ml.explain import _kernelshap_single
+from exact_spark.ml.models import NativeXGBoostDetector
+from exact_spark.operators.timeseries import _ewma_weights
+from exact_spark.streaming.replay import split_sessions
+
+
+@given(st.lists(st.sampled_from("abcde"), min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_sorted_run_length_equals_mode_count(tokens):
+    """The sort_array + run-length fold (text_repetition_profile's
+    zero-shuffle mode count) must equal Counter's max multiplicity.
+    Replicates the fold in plain Python against the spec."""
+    arr = sorted(tokens)
+    prev, run, best = None, 0, 0
+    for x in arr:
+        run = run + 1 if x == prev else 1
+        best = max(best, run)
+        prev = x
+    assert best == max(Counter(tokens).values())
+
+
+def test_ewma_weights_sum_to_one_and_decay():
+    w = _ewma_weights()
+    assert abs(sum(w) - 1.0) < 1e-12
+    assert all(a > b for a, b in zip(w, w[1:]))  # strictly decaying lags
+
+
+@given(
+    st.lists(st.floats(0, 1e6, allow_nan=False), min_size=1, max_size=50).map(sorted),
+    st.floats(0.1, 1e4),
+)
+@settings(max_examples=200, deadline=None)
+def test_split_sessions_partitions_input(buf, gap):
+    runs = split_sessions(buf, gap)
+    flat = [t for r in runs for t in r]
+    assert flat == buf  # partition, order preserved
+    for r in runs:  # intra-run gaps within the threshold
+        assert all(b - a <= gap for a, b in zip(r, r[1:]))
+    for r1, r2 in zip(runs, runs[1:]):  # inter-run gaps exceed it
+        assert r2[0] - r1[-1] > gap
+
+
+@given(st.integers(2, 8), st.integers(0, 2**31 - 1))
+@settings(max_examples=50, deadline=None)
+def test_kernelshap_efficiency_holds_for_any_dimension(m, seed):
+    rng = np.random.RandomState(seed % 10_000)
+    w = rng.randn(m)
+    x, bg = rng.randn(m), rng.randn(m)
+    fn = lambda X: np.tanh(X @ w)  # noqa: E731 — nonlinear
+    phi = _kernelshap_single(fn, x, bg, instance_id=seed)
+    assert abs(phi.sum() - (fn(x[None])[0] - fn(bg[None])[0])) < 1e-9
+
+
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_xgb_tree_margin_routes_every_row_to_a_leaf(seed):
+    """_tree_margin's vectorized traversal must assign every row the
+    weight of exactly the leaf its bins route to (checked against a
+    scalar re-walk of the same tree)."""
+    rng = np.random.RandomState(seed % 10_000)
+    det = NativeXGBoostDetector(n_estimators=1, max_depth=3)
+    x = rng.randn(80, 3)
+    y = (x[:, 0] + x[:, 1] > 0).astype(float)
+    qs = np.linspace(0, 1, det.n_bins + 1)[1:-1]
+    det.edges = [np.unique(np.quantile(x[:, f], qs)) for f in range(3)]
+    codes = det._bin(x)
+    g = y - 0.5
+    h = np.full_like(g, 0.25)
+    tree = det._grow_tree(codes, g, h)
+    fast = det._tree_margin(tree, codes)
+
+    def walk(row):
+        n = 0
+        while tree["feature"][n] >= 0:
+            n = tree["left"][n] if row[tree["feature"][n]] <= tree["bin"][n] else tree["right"][n]
+        return tree["weight"][n]
+
+    slow = np.array([walk(codes[i]) for i in range(len(codes))])
+    np.testing.assert_allclose(fast, slow)
