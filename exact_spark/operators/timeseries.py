@@ -712,3 +712,53 @@ def ts_ewma_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("n_flagged"),
     )
+
+
+# --- anomaly spans (gaps-and-islands over detector flags) --------------------
+
+_SPAN_USERS = 20  # bound the demo slice, same as the EWMA band
+
+
+@register(
+    "ts_anomaly_spans",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    src AS (
+        SELECT user_id, id, ts_epoch, value, label
+        FROM canon WHERE user_id < {_SPAN_USERS}
+    ),
+    flagged AS (
+        SELECT user_id, id, ts_epoch,
+               id - row_number() OVER (PARTITION BY user_id ORDER BY id) AS grp
+        FROM src WHERE label = 1
+    )
+    SELECT user_id,
+           MIN(id) AS span_start_id,
+           MAX(id) AS span_end_id,
+           COUNT(*) AS n_rows,
+           MIN(ts_epoch) AS span_start_ts,
+           MAX(ts_epoch) AS span_end_ts
+    FROM flagged GROUP BY user_id, grp
+    """,
+    doc="Anomaly SPAN summarization — the alert-episodes view the frontend "
+    "renders from raw per-row flags: consecutive flagged rows (by the "
+    "per-series dense id) merge into one span via the gaps-and-islands "
+    "id - row_number() grouping constant, one window + one aggregate, "
+    "both keyed on the series — no self-join, no iteration, the shape "
+    "that turns a billion flag rows into thousands of episodes at scale.",
+)
+def ts_anomaly_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    df = canonical_events(spark, sf_dir).filter(F.col("user_id") < _SPAN_USERS)
+    flagged = df.filter(F.col("label") == 1).withColumn(
+        "grp",
+        F.col("id") - F.row_number().over(W.partitionBy("user_id").orderBy("id")),
+    )
+    return flagged.groupBy("user_id", "grp").agg(
+        F.min("id").alias("span_start_id"),
+        F.max("id").alias("span_end_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ts_epoch").alias("span_start_ts"),
+        F.max("ts_epoch").alias("span_end_ts"),
+    ).drop("grp")

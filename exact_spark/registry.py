@@ -87,6 +87,7 @@ DRIVER_ORDER: list[str] = [
     "rel_local_supplier_volume",
     "text_lm_score",
     "sim_range_search",
+    "ts_anomaly_spans",
     "dedup_semantic",
     "dedup_semantic_kmeans",
     "sim_topk_ivf_kmeans",
