@@ -125,3 +125,38 @@ def test_ewma_band_flat_large_magnitude(spark, big_flat_events_dir):
 
     got = ts_ewma_band(spark, big_flat_events_dir).toPandas()
     assert got.n_flagged.iloc[0] == 0
+
+
+def test_lm_score_flags_garbled_document(spark, tmp_path_factory):
+    """The bigram LM must rank an out-of-distribution garbled document
+    below corpus-typical ones: its transitions are unseen, so Laplace
+    mass dominates and surprising-transition counts spike."""
+    from exact_spark.operators.text import text_lm_score
+
+    normal = "the quick brown fox jumps over the lazy dog near the old barn"
+    docs = [(i, normal) for i in range(10)]
+    docs.append((10, "zq xv qj vk wz jx kq zx vq xw"))  # garbled
+    d = _write_docs(tmp_path_factory, docs)
+    got = text_lm_score(spark, d).toPandas().set_index("doc_id")
+    # strictly the worst fluency in the corpus (the n_surprising floor is
+    # sized for corpus-scale vocabularies; on a 21-token toy corpus the
+    # Laplace mass keeps every p above it, so the ORDERING is the test)
+    assert got.loc[10, "avg_transition_p"] == got.avg_transition_p.min()
+    assert (got.drop(10).avg_transition_p > got.loc[10, "avg_transition_p"] * 2).all()
+
+
+def test_cms_never_underestimates_under_zipf_skew(spark, tmp_path_factory):
+    """A Zipf-extreme corpus (one token = half of all mass) must not
+    break the count-min overestimate invariant — the hot token's cells
+    absorb collisions but min-over-rows still covers the truth."""
+    from exact_spark.operators.text import sketch_heavy_hitters
+
+    hot = ("hot " * 200).strip()
+    docs = [(i, hot) for i in range(5)]
+    docs += [(100 + i, f"w{i}a w{i}b w{i}c w{i}d") for i in range(50)]
+    d = _write_docs(tmp_path_factory, docs)
+    got = sketch_heavy_hitters(spark, d).toPandas()
+    assert got.never_underestimates.all()
+    top = got.sort_values("true_count", ascending=False).iloc[0]
+    assert top.tok == "hot" and top.true_count == 1000
+    assert top.cms_estimate >= 1000
