@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from exact_spark import io
-from exact_spark.functions import SCALE2, favg, fround, fsum, sql_favg, sql_fround, sql_fsum
+from exact_spark.functions import SCALE2, favg, fround, fsum, sql_favg, sql_fixed, sql_fround, sql_fsum
 from exact_spark.registry import register
 from exact_spark.session import tune_session
 
@@ -577,4 +577,118 @@ def rel_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
         F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_Q18_QTY = 250.0
+_Q18_TOPK = 20
+
+
+@register(
+    "rel_large_orders",
+    sql=f"""
+    WITH big AS (
+        SELECT l_orderkey, {sql_fsum('l_quantity', SCALE2)} AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING {sql_fsum('l_quantity', SCALE2)} > {_Q18_QTY}
+    )
+    SELECT c.c_custkey,
+           c.c_name,
+           o.o_orderkey,
+           CAST(epoch_ms(o.o_orderdate) AS BIGINT) AS orderdate_ms,
+           {sql_fround('o.o_totalprice', SCALE2)} AS totalprice,
+           b.sum_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, o.o_orderkey
+    LIMIT {_Q18_TOPK}
+    """,
+    doc="TPC-H Q18 large-volume customers on this schema: orders whose "
+    "total lineitem quantity exceeds a threshold, joined back to the "
+    "order and customer. Plan shape: the HAVING side is ONE map-side-"
+    "combinable groupBy on the fact's own join key (so the orderkey "
+    "shuffle is shared with the join), the surviving order set is tiny "
+    "and broadcasts into orders, the customer dimension broadcasts, and "
+    "the top-K is a distributed TakeOrderedAndProject — no global sort, "
+    "no second full lineitem pass.",
+)
+def rel_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(fsum(F.col("l_quantity"), SCALE2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_QTY)
+    )
+    orders = io.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = io.load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return (
+        j.select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            fround(F.col("o_totalprice"), SCALE2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(_Q18_TOPK)
+    )
+
+
+_Q17_TYPE = "PROMO"
+
+
+@register(
+    "rel_small_qty_revenue",
+    sql=f"""
+    WITH pa AS (
+        SELECT l_partkey, {sql_favg('l_quantity', SCALE2)} AS avg_qty
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT {sql_fround('SUM(' + sql_fixed('l.l_extendedprice', SCALE2)
+                       + ') / (100.0 * 7.0)')} AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa   ON pa.l_partkey = l.l_partkey
+    WHERE p.p_type = '{_Q17_TYPE}'
+      AND l.l_quantity < 0.5 * pa.avg_qty
+    """,
+    doc="TPC-H Q17 small-quantity-order revenue: lineitems of one part "
+    "type below half their part's average quantity; yearly revenue slice. "
+    "Plan shape: the correlated per-part average becomes ONE map-side-"
+    "combinable groupBy over lineitem whose result (<=|part| rows) "
+    "BROADCASTS back into the fact scan — the decorrelated two-scan Q17 "
+    "form; the part-type dimension filter also broadcasts, so the fact "
+    "table never shuffles at all; the final aggregate is a scalar.",
+)
+def rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem")
+    pa = (
+        li.groupBy(F.col("l_partkey").alias("pa_partkey"))
+        .agg(favg(F.col("l_quantity"), SCALE2).alias("avg_qty"))
+    )
+    promo = io.load(spark, sf_dir, "part").filter(F.col("p_type") == _Q17_TYPE)
+    j = (
+        li.join(F.broadcast(promo.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(pa), li.l_partkey == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+    )
+    agg = j.agg(
+        F.sum(F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast("long")).alias("rev_fx"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+    return agg.select(
+        fround(F.col("rev_fx") / (F.lit(100.0) * F.lit(7.0))).alias("avg_yearly"),
+        "n_small",
     )

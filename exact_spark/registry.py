@@ -85,6 +85,8 @@ DRIVER_ORDER: list[str] = [
     "stream_cms_maintain",
     "ts_ewma_band",
     "rel_local_supplier_volume",
+    "rel_large_orders",
+    "rel_small_qty_revenue",
     "text_lm_score",
     "sim_range_search",
     "ts_anomaly_spans",

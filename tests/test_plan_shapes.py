@@ -60,3 +60,25 @@ def test_incremental_dedup_joins_index_not_docs(spark, sf_dir):
     assert plan.index("HashAggregate") is not None
     # and there is exactly one left outer join (batch x index)
     assert plan.count("LeftOuter") == 1
+
+
+def test_large_orders_shape(spark, sf_dir):
+    from exact_spark.operators.relational import rel_large_orders
+
+    plan = _plan(rel_large_orders(spark, sf_dir))
+    # the HAVING survivor set and the customer dim both broadcast — the
+    # orders side must never shuffle for either join
+    assert plan.count("BroadcastHashJoin") >= 2
+    # map-side partial aggregation before the orderkey shuffle
+    assert "HashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan  # distributed top-K
+
+
+def test_small_qty_revenue_shape(spark, sf_dir):
+    from exact_spark.operators.relational import rel_small_qty_revenue
+
+    plan = _plan(rel_small_qty_revenue(spark, sf_dir))
+    # the decorrelated per-part average and the part-type dim both
+    # broadcast into the fact scan — lineitem itself never shuffles
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Exchange rangepartitioning" not in plan
