@@ -692,3 +692,87 @@ def rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("rev_fx") / (F.lit(100.0) * F.lit(7.0))).alias("avg_yearly"),
         "n_small",
     )
+
+
+_BLOOM_BITS = 4096  # 64 longs; fp rate ~ (1-e^(-2n/m))^2 — <2% at n=1500
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_PRIORITY = "1-URGENT"
+
+
+def _bloom_positions(key: Column) -> tuple[Column, Column]:
+    """Two deterministic bit positions in [0, _BLOOM_BITS) from md5(key).
+
+    Two independent 31-bit integers from disjoint md5 nibbles — the same
+    double-hashing family the repo's CMS/LSH operators use, so membership
+    is reproducible on any engine.
+    """
+    h = F.md5(key.cast("string"))
+    p1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BLOOM_BITS
+    p2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % _BLOOM_BITS
+    return p1, p2
+
+
+@register(
+    "rel_bloom_semijoin",
+    sql=f"""
+    SELECT o.o_orderpriority,
+           {sql_fsum('l.l_extendedprice * (1.0 - l.l_discount)', SCALE2)} AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN (
+        SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE o_orderpriority = '{_BLOOM_PRIORITY}'
+    ) o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Bloom-pruned semi-join: revenue of lineitems belonging to urgent "
+    "orders. Plan shape: the build side folds into a {bits}-bit Bloom "
+    "filter via ONE map-side-combinable bit_or aggregate (<= {words} "
+    "longs ever reach the driver, whatever the build cardinality), the "
+    "bitset is embedded as a literal in the probe-side FILTER so "
+    "non-member fact rows die at the scan BEFORE any join shuffle, and "
+    "the exact join afterwards removes the ~2% false positives — the "
+    "pattern that turns a 100 TB fact x 100 M key semi-join into a "
+    "pruned scan plus a small residual join. The Bloom filter itself "
+    "never changes the result (no false negatives), which is why the "
+    "oracle is the plain semi-join.".format(bits=_BLOOM_BITS, words=_BLOOM_WORDS),
+)
+def rel_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    build = (
+        io.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == _BLOOM_PRIORITY)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    # -- build: per-key bit masks -> one bit_or per word (distributed) ------
+    p1, p2 = _bloom_positions(F.col("o_orderkey"))
+    masks = build.select(
+        F.explode(F.array(p1, p2)).alias("pos")
+    ).select(
+        (F.col("pos") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+    )
+    words_rows = masks.groupBy("word").agg(F.bit_or("mask").alias("bits")).collect()
+    words = [0] * _BLOOM_WORDS
+    for r in words_rows:
+        words[int(r["word"])] = int(r["bits"])
+
+    # -- probe: literal-bitset membership filter at the fact scan -----------
+    bitset = F.array(*[F.lit(w).cast("long") for w in words])
+    li = io.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    q1, q2 = _bloom_positions(F.col("l_orderkey"))
+
+    def member(pos: Column) -> Column:
+        word = F.element_at(bitset, ((pos / 64).cast("long") + 1).cast("int"))
+        bit = F.call_function("shiftright", word, (pos % 64).cast("int"))
+        return bit.bitwiseAND(F.lit(1).cast("long")) == 1
+
+    pruned = li.filter(member(q1) & member(q2))
+    # -- residual exact join kills the false positives ----------------------
+    j = pruned.join(F.broadcast(build), pruned.l_orderkey == build.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        fsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), SCALE2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )

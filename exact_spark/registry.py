@@ -87,6 +87,7 @@ DRIVER_ORDER: list[str] = [
     "rel_local_supplier_volume",
     "rel_large_orders",
     "rel_small_qty_revenue",
+    "rel_bloom_semijoin",
     "text_lm_score",
     "sim_range_search",
     "ts_anomaly_spans",
