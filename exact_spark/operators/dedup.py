@@ -923,3 +923,76 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("batch_min") < F.col("doc_id"), F.col("batch_min"))
         .alias("dup_of"),
     )
+
+
+_CHUNK_TOKENS = 16
+_CHUNK_DUP_MAX = 0.3
+
+
+@register(
+    "dedup_chunk_exact",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ),
+    ch AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   t[(i*{_CHUNK_TOKENS}+1):(i*{_CHUNK_TOKENS}+{_CHUNK_TOKENS})], ' ')) AS ch
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(0, len(t)//{_CHUNK_TOKENS} - 1)) AS i
+            FROM toks WHERE len(t) >= {_CHUNK_TOKENS}
+        )
+    ),
+    cnt AS (SELECT ch, count(*) AS c FROM ch GROUP BY ch)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           (CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) AS dup_frac,
+           ((CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*))
+              <= {_CHUNK_DUP_MAX}) AS keep
+    FROM ch JOIN cnt USING (ch)
+    GROUP BY doc_id
+    """,
+    doc="Chunk-level exact dedup — the line-level dedup stage of RefinedWeb/"
+    "CCNet-style curation, adapted to this newline-free corpus: each doc's "
+    "token stream splits into consecutive {n}-token chunks, a chunk "
+    "duplicated ANYWHERE in the corpus marks every doc containing it, and "
+    "docs above {m:.0%} duplicated-chunk mass are dropped. Plan shape: one "
+    "scan builds all chunk hashes inside an array expression (no "
+    "per-chunk row until the explode), the global chunk census is ONE "
+    "map-side-combinable groupBy on the chunk hash, the census joins back "
+    "on the same chunk-hash partitioning (no extra exchange), and the "
+    "per-doc rollup is the second and last shuffle — no pairwise "
+    "comparisons at any corpus size.".format(n=_CHUNK_TOKENS, m=_CHUNK_DUP_MAX),
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col().alias("t")).filter(
+        F.size("t") >= _CHUNK_TOKENS
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(floor(size(t)/{_CHUNK_TOKENS}) AS INT) - 1),"
+                f" i -> md5(concat_ws(' ', slice(t, i*{_CHUNK_TOKENS}+1, {_CHUNK_TOKENS}))))"
+            )
+        ).alias("ch"),
+    )
+    cnt = chunks.groupBy("ch").agg(F.count(F.lit(1)).alias("c"))
+    j = chunks.join(cnt, "ch")
+    per_doc = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+    )
+    dup_frac = F.col("n_dup_chunks").cast("double") / F.col("n_chunks")
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        dup_frac.alias("dup_frac"),
+        (dup_frac <= _CHUNK_DUP_MAX).alias("keep"),
+    )

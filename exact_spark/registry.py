@@ -88,6 +88,7 @@ DRIVER_ORDER: list[str] = [
     "rel_large_orders",
     "rel_small_qty_revenue",
     "rel_bloom_semijoin",
+    "dedup_chunk_exact",
     "text_lm_score",
     "sim_range_search",
     "ts_anomaly_spans",
