@@ -762,3 +762,77 @@ def ts_anomaly_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_epoch").alias("span_start_ts"),
         F.max("ts_epoch").alias("span_end_ts"),
     ).drop("grp")
+
+
+_SN_SEASON = 24  # hours; one diurnal cycle
+
+
+@register(
+    "ts_seasonal_naive",
+    sql=f"""
+    WITH canon AS ({{canon}}),
+    hourly AS (
+        SELECT CAST(FLOOR(ts_epoch / 3600.0) AS BIGINT) AS hour_bucket,
+               count(*) AS n
+        FROM canon GROUP BY 1
+    ),
+    bounds AS (SELECT min(hour_bucket) AS lo, max(hour_bucket) AS hi FROM hourly),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi)) AS hour_bucket FROM bounds
+    ),
+    dense AS (
+        SELECT g.hour_bucket, COALESCE(h.n, 0) AS n
+        FROM grid g LEFT JOIN hourly h USING (hour_bucket)
+    )
+    SELECT d.hour_bucket,
+           d.n AS n_events,
+           s.n AS n_prev_day,
+           p.n AS n_prev_hour,
+           ABS(d.n - s.n) AS abs_err_seasonal,
+           ABS(d.n - p.n) AS abs_err_persistence,
+           (ABS(d.n - s.n) > 3.0 * SQRT(CAST(s.n AS DOUBLE) + 1.0)) AS spike_flag
+    FROM dense d
+    JOIN dense s ON s.hour_bucket = d.hour_bucket - {_SN_SEASON}
+    JOIN dense p ON p.hour_bucket = d.hour_bucket - 1
+    """.format(canon=CANON_SQL),
+    doc="Seasonal-naive forecasting baseline over the event stream: the "
+    "global hourly count series (densified over the data's own span, like "
+    "ts_gap_fill) scored against its value one diurnal cycle earlier and "
+    "one hour earlier, with a Poisson-band spike flag — the standard "
+    "sanity baseline any forecasting/anomaly stack is graded against. "
+    "Plan shape: ONE map-side-combinable groupBy builds the hourly "
+    "census; the dense grid explodes from a single min/max row (bounded "
+    "by the span, never by raw cardinality); the two lag features are "
+    "shifted EQUI-joins on the hour key rather than a global-ORDER "
+    "window, so there is no single-partition sort at any history length; "
+    "sqrt is IEEE-correctly-rounded, so the band is cross-engine exact.",
+)
+def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    hourly = df.groupBy(
+        F.floor(F.col("ts_epoch") / 3600.0).cast("long").alias("hour_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = hourly.agg(
+        F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hour_bucket")
+    )
+    dense = (
+        grid.join(hourly, "hour_bucket", "left")
+        .select("hour_bucket", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"))
+    )
+    d, s, p = dense.alias("d"), dense.alias("s"), dense.alias("p")
+    j = d.join(
+        s, F.col("s.hour_bucket") == F.col("d.hour_bucket") - _SN_SEASON
+    ).join(p, F.col("p.hour_bucket") == F.col("d.hour_bucket") - 1)
+    err_s = F.abs(F.col("d.n") - F.col("s.n"))
+    return j.select(
+        F.col("d.hour_bucket").alias("hour_bucket"),
+        F.col("d.n").alias("n_events"),
+        F.col("s.n").alias("n_prev_day"),
+        F.col("p.n").alias("n_prev_hour"),
+        err_s.alias("abs_err_seasonal"),
+        F.abs(F.col("d.n") - F.col("p.n")).alias("abs_err_persistence"),
+        (err_s > 3.0 * F.sqrt(F.col("s.n").cast("double") + 1.0)).alias("spike_flag"),
+    )

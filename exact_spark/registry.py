@@ -89,6 +89,7 @@ DRIVER_ORDER: list[str] = [
     "rel_small_qty_revenue",
     "rel_bloom_semijoin",
     "dedup_chunk_exact",
+    "ts_seasonal_naive",
     "text_lm_score",
     "sim_range_search",
     "ts_anomaly_spans",
