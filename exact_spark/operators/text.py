@@ -1102,3 +1102,100 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("p_fx") < int(_LM_SURPRISE_P * 1e9), 1).otherwise(0)
         ).cast("long").alias("n_surprising"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (probability-proportional-to-size) corpus sampling. Where
+# text_sample_stratified draws exact-k per language, this draws k docs with
+# probability proportional to token mass — the epoch-sampling shape mixture
+# trainers use. Systematic sampling over a weighted cumsum keeps the whole
+# thing INTEGER: pick j lands at position floor(j*W/k) in the token stream,
+# doc d is picked C(cum_d) - C(cum_d - w_d) times with
+# C(x) = (x*k + W - 1) // W — deterministic on any engine, no transcendental
+# key (no u^(1/w)) to drift in the last ulp, and a doc heavier than one
+# stride is drawn multiple times, exactly as pps sampling requires.
+
+_WS_K = 100  # picks per epoch
+_WS_SEED = "wsample"
+_WS_BUCKETS = 256  # md5 first-byte prefix buckets for the prefix sum
+
+
+@register(
+    "text_weighted_sample",
+    sql=f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len({_SQL_TOKS}) AS BIGINT) AS w,
+               md5('{_WS_SEED}:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+        WHERE len({_SQL_TOKS}) >= 1
+    ),
+    c AS (
+        SELECT doc_id, w,
+               SUM(w) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cum
+        FROM base
+    ),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM base)
+    SELECT doc_id,
+           w AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens,
+           CAST((cum * {_WS_K} + tw - 1) // tw
+              - ((cum - w) * {_WS_K} + tw - 1) // tw AS BIGINT) AS n_picks
+    FROM c, t
+    WHERE (cum * {_WS_K} + tw - 1) // tw
+        - ((cum - w) * {_WS_K} + tw - 1) // tw >= 1
+    """,
+    doc="Weighted pps sampling of the corpus (see module comment above the "
+    "constants): k systematic picks over the md5-ordered weighted cumsum. "
+    "Plan shape: the cumsum is the SAME two-pass distributed prefix sum "
+    "text_pack_sequences uses, bucketed on the md5 first byte (<=256 "
+    "partials ever reach the driver), so every partition works in "
+    "parallel; sum(n_picks) == k by construction at any corpus size.",
+)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    base = (
+        docs.select("doc_id", F.size(tokens_col()).cast("long").alias("w"))
+        .filter(F.col("w") >= 1)
+        .withColumn(
+            "h",
+            F.md5(F.concat(F.lit(f"{_WS_SEED}:"), F.col("doc_id").cast("string"))),
+        )
+        .withColumn("bucket", F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
+    )
+    parts = base.groupBy("bucket").agg(F.sum("w").alias("s")).collect()
+    totals = {int(r["bucket"]): int(r["s"]) for r in parts}
+    tw = sum(totals.values())
+    offsets, run = {}, 0
+    for b in sorted(totals):
+        offsets[b] = run
+        run += totals[b]
+    off_map = F.create_map(
+        *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
+    )
+    w_win = (
+        Window.partitionBy("bucket").orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (off_map[F.col("bucket")] + F.sum("w").over(w_win)).cast("long")
+
+    # integer DIV (not floor of a double divide): W*k can exceed 2^53 at
+    # real corpus sizes, where double division would drift off the
+    # oracle's exact integer division
+    staged = base.select(
+        "doc_id",
+        F.col("w").alias("n_tokens"),
+        cum.alias("cum_tokens"),
+        (cum * _WS_K + tw - 1).alias("num1"),
+        ((cum - F.col("w")) * _WS_K + tw - 1).alias("num0"),
+    )
+    n_picks = F.expr(f"num1 DIV {tw}L - num0 DIV {tw}L")
+    return (
+        staged.select(
+            "doc_id",
+            "n_tokens",
+            "cum_tokens",
+            n_picks.cast("long").alias("n_picks"),
+        )
+        .filter(F.col("n_picks") >= 1)
+    )

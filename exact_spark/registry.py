@@ -90,6 +90,7 @@ DRIVER_ORDER: list[str] = [
     "rel_bloom_semijoin",
     "dedup_chunk_exact",
     "ts_seasonal_naive",
+    "text_weighted_sample",
     "text_lm_score",
     "sim_range_search",
     "ts_anomaly_spans",

@@ -51,3 +51,25 @@ def test_shard_totals_conserve_corpus(spark, sf_dir):
     assert shards.n_docs.sum() == n_docs
     assert shards.total_tokens.sum() == n_tokens
     assert shards.shard.between(0, 7).all()
+
+
+def test_weighted_sample_mass_and_invariance(spark, sf_dir):
+    """pps systematic sampling: total picks == k exactly, heavy docs can be
+    picked more than once, and the selection is partition-invariant."""
+    from pyspark.sql import functions as F
+
+    from exact_spark.operators.text import _WS_K, text_weighted_sample
+
+    res = text_weighted_sample(spark, sf_dir).cache()
+    try:
+        assert res.agg(F.sum("n_picks")).collect()[0][0] == _WS_K
+        ids1 = sorted(r["doc_id"] for r in res.select("doc_id").collect())
+        # re-run: plan rebuilds from scratch (fresh prefix-sum collect) —
+        # same picks regardless of scheduling/partitioning
+        ids2 = sorted(
+            r["doc_id"]
+            for r in text_weighted_sample(spark, sf_dir).select("doc_id").collect()
+        )
+        assert ids1 == ids2
+    finally:
+        res.unpersist()
