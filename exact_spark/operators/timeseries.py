@@ -836,3 +836,49 @@ def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("d.n") - F.col("p.n")).alias("abs_err_persistence"),
         (err_s > 3.0 * F.sqrt(F.col("s.n").cast("double") + 1.0)).alias("spike_flag"),
     )
+
+
+@register(
+    "ts_props_extract",
+    sql="""
+    WITH ext AS (
+        SELECT event_type,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS label,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           COUNT(DISTINCT k) AS n_distinct_k,
+           CAST(SUM(CASE WHEN label = 1 THEN k ELSE 0 END) AS BIGINT) AS sum_k_anomalous
+    FROM ext GROUP BY event_type
+    """,
+    doc="Schema-on-read extraction of the semi-structured props column: "
+    "parse the JSON payload per row (from_json with an explicit schema — "
+    "typed, null-safe, JVM-side) and roll the extracted field up per "
+    "event type, including the anomaly-mass slice. Plan shape: the parse "
+    "is a per-row expression inside the scan projection (whole-stage "
+    "codegen, no UDF), the rollup is one map-side-combinable groupBy on "
+    "a low-cardinality key; all aggregates are integer-exact.",
+)
+def ts_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = io.load(spark, sf_dir, "events")
+    ext = ev.select(
+        "event_type",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("label"),
+        F.from_json(F.col("props"), "k BIGINT")["k"].alias("k"),
+    )
+    return ext.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+        F.sum(F.when(F.col("label") == 1, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("sum_k_anomalous"),
+    )

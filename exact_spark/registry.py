@@ -91,6 +91,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_chunk_exact",
     "ts_seasonal_naive",
     "text_weighted_sample",
+    "ts_props_extract",
     "text_lm_score",
     "sim_range_search",
     "ts_anomaly_spans",
