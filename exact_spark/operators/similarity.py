@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from exact_spark import io
-from exact_spark.functions import sql_fround
+from exact_spark.functions import favg, sql_fround
 from exact_spark.registry import register
 from exact_spark.session import tune_session
 
@@ -1335,4 +1335,98 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(
             F.coalesce(F.max(F.when(hit, F.col("cosine"))), F.lit(0.0)), 1000000
         ).alias("best_cosine"),
+    )
+
+
+@register(
+    "sim_cluster_profile",
+    sql=f"""
+    WITH norms AS (
+        SELECT vec_id, embedding, label,
+               {_sql_dot('embedding', 'embedding')} AS norm_fx
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, embedding AS cemb, norm_fx AS cnf
+             FROM norms WHERE vec_id < {_SEM_K}),
+    assign_scored AS (
+        SELECT v.vec_id, v.label, c.cid,
+               {_SQL_COS.format(dot=_sql_dot('v.embedding', 'c.cemb'), na='v.norm_fx', nb='c.cnf')} AS cos,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_SQL_COS.format(dot=_sql_dot('v.embedding', 'c.cemb'), na='v.norm_fx', nb='c.cnf')} DESC,
+                            c.cid
+               ) AS cr
+        FROM norms v, cent c
+    ),
+    members AS (SELECT vec_id, label, cid, cos FROM assign_scored WHERE cr = 1),
+    prof AS (
+        SELECT cid AS cluster, count(*) AS n_members,
+               (SUM(CAST(FLOOR(cos * 1000000.0 + 0.5) AS BIGINT)) / (1000000.0 * COUNT(cos))) AS mean_cos,
+               MIN(cos) AS min_cos
+        FROM members GROUP BY cid
+    ),
+    lab AS (
+        SELECT cid, label, count(*) AS ln,
+               row_number() OVER (PARTITION BY cid ORDER BY count(*) DESC, label) AS lr
+        FROM members GROUP BY cid, label
+    )
+    SELECT p.cluster, p.n_members, p.mean_cos, p.min_cos,
+           l.label AS top_label, l.ln AS top_label_n,
+           (CAST(l.ln AS DOUBLE) / p.n_members) AS purity
+    FROM prof p JOIN lab l ON l.cid = p.cluster AND l.lr = 1
+    """,
+    doc="Cluster-quality profile of the argmax-cosine assignment (the "
+    "diagnostic read before trusting any cluster-scoped operator — "
+    "SemDedup's within-cluster search, IVF's probe order): per-cluster "
+    "cardinality, mean/min cosine-to-centroid (cohesion and worst member) "
+    "and majority-label purity. Plan shape: one broadcast-centroid scan "
+    "assigns (same kernel as dedup_semantic), two map-side-combinable "
+    "groupBys on the cluster id; cosines aggregate through the "
+    "fixed-point kernels so the profile is partition-order exact.",
+)
+def sim_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings", spread=True)
+    norms = emb.select(
+        "vec_id", "label", "embedding",
+        dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
+    )
+    cent = norms.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_embedding"),
+        F.col("norm_fx").alias("c_norm_fx"),
+    )
+    a_cos = cosine_from_fixed(
+        dot_fixed(F.col("embedding"), F.col("c_embedding")),
+        F.col("norm_fx"),
+        F.col("c_norm_fx"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(a_cos.desc(), F.col("cell"))
+    members = (
+        norms.crossJoin(F.broadcast(cent))
+        .withColumn("cos", a_cos)
+        .withColumn("cr", F.row_number().over(wa))
+        .filter(F.col("cr") == 1)
+        .select("vec_id", "label", F.col("cell").alias("cluster"), "cos")
+    )
+    prof = members.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        favg(F.col("cos")).alias("mean_cos"),
+        F.min("cos").alias("min_cos"),
+    )
+    wl = Window.partitionBy("cluster").orderBy(F.col("ln").desc(), F.col("label"))
+    lab = (
+        members.groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("ln"))
+        .withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") == 1)
+    )
+    return prof.join(lab, "cluster").select(
+        "cluster",
+        "n_members",
+        "mean_cos",
+        "min_cos",
+        F.col("label").alias("top_label"),
+        F.col("ln").alias("top_label_n"),
+        (F.col("ln").cast("double") / F.col("n_members")).alias("purity"),
     )

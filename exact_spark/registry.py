@@ -92,6 +92,7 @@ DRIVER_ORDER: list[str] = [
     "ts_seasonal_naive",
     "text_weighted_sample",
     "ts_props_extract",
+    "sim_cluster_profile",
     "text_lm_score",
     "sim_range_search",
     "ts_anomaly_spans",
