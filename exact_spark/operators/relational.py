@@ -776,3 +776,114 @@ def rel_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         fsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), SCALE2).alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+_PIVOT_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+_PIVOT_NAMES = ("urgent", "high", "medium", "not_specified", "low")
+
+
+@register(
+    "rel_pivot_priority_year",
+    sql=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           {', '.join(
+               "CAST(SUM(CASE WHEN o_orderpriority = '" + p + "' THEN 1 ELSE 0 END) AS BIGINT) AS n_" + n
+               for p, n in zip(_PIVOT_PRIORITIES, _PIVOT_NAMES)
+           )},
+           count(*) AS n_total,
+           {sql_fsum('o_totalprice', SCALE2)} AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Pivot (long->wide conditional aggregation): order counts per "
+    "year x priority as one wide row per year, plus totals. Plan shape: "
+    "Spark's pivot with an EXPLICIT value list compiles to the same "
+    "single-pass conditional aggregate as the SQL (no extra "
+    "distinct-collection job to discover pivot values, deterministic "
+    "schema), map-side combinable, one shuffle on the year key.",
+)
+def rel_pivot_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    orders = io.load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    wide = (
+        base.groupBy("order_year")
+        .pivot("o_orderpriority", list(_PIVOT_PRIORITIES))
+        .agg(F.count(F.lit(1)))
+    )
+    for p, n in zip(_PIVOT_PRIORITIES, _PIVOT_NAMES):
+        wide = wide.withColumnRenamed(p, f"n_{n}")
+    wide = wide.na.fill(0, [f"n_{n}" for n in _PIVOT_NAMES])
+    totals = base.groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        fsum(F.col("o_totalprice"), SCALE2).alias("revenue"),
+    )
+    return wide.join(totals, "order_year").select(
+        "order_year",
+        *[F.col(f"n_{n}").cast("long").alias(f"n_{n}") for n in _PIVOT_NAMES],
+        "n_total",
+        "revenue",
+    )
+
+
+_TOPN_PER_TYPE = 3
+
+
+@register(
+    "rel_top_parts_per_type",
+    sql=f"""
+    WITH rev AS (
+        SELECT p.p_type, l.l_partkey,
+               {sql_fsum('l.l_extendedprice * (1.0 - l.l_discount)', SCALE2)} AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_type, l.l_partkey
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY p_type ORDER BY revenue DESC, l_partkey
+        ) AS rn
+        FROM rev
+    )
+    SELECT p_type, l_partkey AS p_partkey, revenue, n_lineitems, rn AS rank
+    FROM ranked WHERE rn <= {_TOPN_PER_TYPE}
+    """,
+    doc="Per-group top-N (the grouped ranking pattern, distinct from "
+    "rel_top_customers' global top-K): the 3 highest-revenue parts within "
+    "every part type. Plan shape: part dimension broadcasts, ONE "
+    "map-side-combinable groupBy keyed (type, part), then a window "
+    "PARTITIONED on the group key — every group ranks in parallel, no "
+    "global sort, no single-partition window at any group count.",
+)
+def rel_top_parts_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem")
+    part = io.load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "l_partkey")
+        .agg(
+            fsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), SCALE2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+    w = Window.partitionBy("p_type").orderBy(F.col("revenue").desc(), "l_partkey")
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPN_PER_TYPE)
+        .select(
+            "p_type",
+            F.col("l_partkey").alias("p_partkey"),
+            "revenue",
+            "n_lineitems",
+            "rank",
+        )
+    )

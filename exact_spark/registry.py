@@ -93,6 +93,8 @@ DRIVER_ORDER: list[str] = [
     "text_weighted_sample",
     "ts_props_extract",
     "sim_cluster_profile",
+    "rel_pivot_priority_year",
+    "rel_top_parts_per_type",
     "text_lm_score",
     "sim_range_search",
     "ts_anomaly_spans",
