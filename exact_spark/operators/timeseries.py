@@ -882,3 +882,140 @@ def ts_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_k_anomalous"),
     )
+
+
+@register(
+    "ts_funnel",
+    sql="""
+    WITH canon AS ({canon}),
+    u AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts_epoch END) AS v_ts
+        FROM canon GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts_epoch) AS c_ts
+        FROM canon e JOIN u ON u.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts_epoch >= u.v_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts_epoch) AS p_ts
+        FROM canon e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts_epoch >= c.c_ts
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM u) AS n_users,
+           (SELECT count(v_ts) FROM u) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click,
+           (CAST((SELECT count(*) FROM c) AS DOUBLE)
+              / (SELECT count(v_ts) FROM u)) AS view_to_click,
+           (CAST((SELECT count(*) FROM p) AS DOUBLE)
+              / (SELECT count(*) FROM c)) AS click_to_purchase
+    """.format(canon=CANON_SQL),
+    doc="Ordered funnel analysis (view -> click -> purchase): a user "
+    "converts a stage only by an event AT OR AFTER their previous stage's "
+    "first completion — the sequential pattern every product-analytics "
+    "engine ships. Plan shape: the three stage timestamps are chained "
+    "conditional MINs over ONE user-partitioned Window spec, so the "
+    "whole funnel costs a single user_id shuffle (Catalyst stacks the "
+    "dependent Window ops on the same exchange); the final row is a "
+    "scalar aggregate. No joins, no per-user iteration.",
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    v_ts = F.min(F.when(F.col("event_type") == "view", F.col("ts_epoch"))).over(w)
+    staged = df.withColumn("v_ts", v_ts)
+    c_ts = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_epoch") >= F.col("v_ts")),
+            F.col("ts_epoch"),
+        )
+    ).over(w)
+    staged = staged.withColumn("c_ts", c_ts)
+    p_ts = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_epoch") >= F.col("c_ts")),
+            F.col("ts_epoch"),
+        )
+    ).over(w)
+    staged = staged.withColumn("p_ts", p_ts)
+    per_user = staged.groupBy("user_id").agg(
+        F.min("v_ts").alias("v_ts"), F.min("c_ts").alias("c_ts"), F.min("p_ts").alias("p_ts")
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("v_ts").alias("n_view"),
+        F.count("c_ts").alias("n_click_after_view"),
+        F.count("p_ts").alias("n_purchase_after_click"),
+    )
+    return agg.select(
+        "n_users",
+        "n_view",
+        "n_click_after_view",
+        "n_purchase_after_click",
+        (F.col("n_click_after_view").cast("double") / F.col("n_view")).alias(
+            "view_to_click"
+        ),
+        (
+            F.col("n_purchase_after_click").cast("double")
+            / F.col("n_click_after_view")
+        ).alias("click_to_purchase"),
+    )
+
+
+@register(
+    "ts_retention_cohorts",
+    sql="""
+    WITH canon AS ({canon}),
+    days AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(ts_epoch / 86400.0) AS BIGINT) AS day
+        FROM canon
+    ),
+    cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id),
+    sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM cohorts GROUP BY cohort_day)
+    SELECT c.cohort_day,
+           d.day - c.cohort_day AS day_offset,
+           count(*) AS n_active,
+           s.cohort_size,
+           (CAST(count(*) AS DOUBLE) / s.cohort_size) AS retention
+    FROM days d
+    JOIN cohorts c ON c.user_id = d.user_id
+    JOIN sizes s ON s.cohort_day = c.cohort_day
+    GROUP BY c.cohort_day, d.day - c.cohort_day, s.cohort_size
+    """.format(canon=CANON_SQL),
+    doc="Retention cohort matrix: users grouped by first-active day, "
+    "retention = fraction of the cohort active again N days later — the "
+    "other standard product-analytics rollup next to ts_funnel. Plan "
+    "shape: one DISTINCT on (user, day) (map-side combinable), the "
+    "cohort assignment is a groupBy on the SAME user_id partitioning "
+    "(no second exchange for the join back), cohort sizes broadcast, "
+    "and the final matrix is a tiny aggregate — cells bounded by "
+    "days^2, never by user count.",
+)
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    days = df.select(
+        "user_id", F.floor(F.col("ts_epoch") / 86400.0).cast("long").alias("day")
+    ).distinct()
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    j = days.join(cohorts, "user_id").join(F.broadcast(sizes), "cohort_day")
+    return (
+        j.groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+            "cohort_size",
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+        )
+    )

@@ -95,6 +95,8 @@ DRIVER_ORDER: list[str] = [
     "sim_cluster_profile",
     "rel_pivot_priority_year",
     "rel_top_parts_per_type",
+    "ts_funnel",
+    "ts_retention_cohorts",
     "text_lm_score",
     "sim_range_search",
     "ts_anomaly_spans",
