@@ -97,6 +97,7 @@ DRIVER_ORDER: list[str] = [
     "rel_top_parts_per_type",
     "ts_funnel",
     "ts_retention_cohorts",
+    "stream_windowed_counts",
     "text_lm_score",
     "sim_range_search",
     "ts_anomaly_spans",

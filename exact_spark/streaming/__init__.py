@@ -342,3 +342,49 @@ def stream_cms_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "metric string, value double")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_windowed_counts",
+    sql=None,  # Structured Streaming run -> rows-only check
+    doc="T5 watermarked tumbling-window aggregation as a driver-visible "
+    "bounded run: a 3-day events slice replays as a 2-chunk time-ordered "
+    "file stream; 6-hour windows with a 30-minute watermark emit in "
+    "APPEND mode exactly when the watermark proves them final, so the "
+    "result is the finalized-window table — window membership is decided "
+    "by event time, making the emitted set invariant to micro-batch "
+    "boundaries. State is bounded by one watermark horizon of open "
+    "windows regardless of stream length.",
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exact_spark.streaming.replay import windowed_counts
+
+    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_swin_"))
+    try:
+        base = _bounded_events(spark, sf_dir, days=3.0, user_mod=5).withColumn(
+            "is_anomaly", F.lit(False)
+        )
+        src = str(work / "src")
+        base.repartitionByRange(2, "timestamp").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        win = windowed_counts(stream, window="6 hours", watermark="30 minutes")
+        q = (
+            win.writeStream.format("memory")
+            .queryName("swin_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(
+            "SELECT CAST(window_start AS LONG) AS window_start_epoch, "
+            "n_events, n_anomalies FROM swin_out ORDER BY window_start"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

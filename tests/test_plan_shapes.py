@@ -115,3 +115,13 @@ def test_bloom_semijoin_prunes_before_join(spark, sf_dir):
     n_joined = res.agg(F.sum("n_lineitems")).collect()[0][0]
     assert n_joined == n_true  # exactness: residual join killed every fp
     assert n_true < n_total  # the query is actually selective on this data
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """The three chained stage-MIN windows must all ride ONE user_id
+    exchange — a regression that re-partitions per stage triples the
+    funnel's shuffle cost."""
+    from exact_spark.operators.timeseries import ts_funnel
+
+    plan = _plan(ts_funnel(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
