@@ -887,3 +887,55 @@ def rel_top_parts_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "rel_inactive_customers",
+    sql=f"""
+    WITH avg_bal AS (
+        SELECT {sql_favg('c_acctbal', SCALE2)} AS ab
+        FROM customer WHERE c_acctbal > 0.0
+    ),
+    rich AS (
+        SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+        FROM customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.ab
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    )
+    SELECT n.n_name AS nation,
+           count(*) AS n_customers,
+           {sql_fsum('r.c_acctbal', SCALE2)} AS total_acctbal
+    FROM rich r JOIN nation n ON n.n_nationkey = r.c_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q22-shaped dormant-capital report: customers with an "
+    "above-average positive balance who have NEVER placed an order, "
+    "rolled up per nation. Plan shape: the global average is ONE scalar "
+    "aggregate folded into the filter (decorrelated, no per-row "
+    "subquery), the NOT EXISTS becomes a LEFT ANTI join — the join type "
+    "the rest of the suite doesn't otherwise exercise — on the customer "
+    "key with the orders side reduced to its distinct custkeys first, "
+    "and the nation dimension broadcasts; the fixed-point balance sum "
+    "keeps the rollup reduction-order exact.",
+)
+def rel_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    cust = io.load(spark, sf_dir, "customer")
+    orders = io.load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    nation = io.load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ab = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(favg(F.col("c_acctbal"), SCALE2).alias("ab"))
+        .collect()[0]["ab"]
+    )
+    rich = cust.filter(F.col("c_acctbal") > F.lit(ab)).join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        rich.join(F.broadcast(nation), rich.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            fsum(F.col("c_acctbal"), SCALE2).alias("total_acctbal"),
+        )
+    )

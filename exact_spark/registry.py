@@ -98,6 +98,7 @@ DRIVER_ORDER: list[str] = [
     "ts_funnel",
     "ts_retention_cohorts",
     "stream_windowed_counts",
+    "rel_inactive_customers",
     "text_lm_score",
     "sim_range_search",
     "ts_anomaly_spans",
