@@ -1430,3 +1430,119 @@ def sim_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ln").alias("top_label_n"),
         (F.col("ln").cast("double") / F.col("n_members")).alias("purity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA whitening — the classic embedding post-processing step before
+# similarity search / clustering (decorrelate + equalize variance; with the
+# top-d' cut it is also the standard dimensionality reduction ahead of PQ).
+# The FIT is a driver-side eigendecomposition of the sample covariance
+# (deterministic LAPACK eigh on an md5-stable capped sample — the same
+# train-small/serve-distributed posture as _kmeans_centroids); the APPLY
+# ships mean + whitening matrix as LITERALS into one zero-shuffle scan of
+# per-row array expressions (the PQ-codebook pattern), so the projection
+# stays inside whole-stage codegen at any corpus size.
+
+_PCA_DIMS = 16  # output dims (input is 64)
+_PCA_SAMPLE_CAP = 4096
+_PCA_EPS = 1e-9
+
+_PCA_MEMO: dict[tuple[str, int], tuple[list[float], list[list[float]], list[float]]] = {}
+
+
+def _pca_whitening_model(
+    spark: SparkSession, sf_dir: str, d_out: int
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """(mean, components[d_out][d_in], eigenvalues[d_out]) — memoized
+    deterministic artifact, exactly like the KMeans quantizer."""
+    key = (sf_dir, d_out)
+    if key not in _PCA_MEMO:
+        import numpy as np
+
+        emb = io.load(spark, sf_dir, "embeddings")
+        # md5-stable capped sample, collected in a deterministic order
+        sample = (
+            emb.select("vec_id", "embedding")
+            .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("h")
+            .limit(_PCA_SAMPLE_CAP)
+            .collect()
+        )
+        x = np.array([r["embedding"] for r in sample], dtype=np.float64)
+        mu = x.mean(axis=0)
+        cov = np.cov(x - mu, rowvar=False, bias=True)
+        evals, evecs = np.linalg.eigh(cov)  # ascending
+        order = np.argsort(evals)[::-1][:d_out]
+        top_vals = evals[order]
+        top_vecs = evecs[:, order].T  # (d_out, d_in)
+        # sign convention so the artifact is reproducible: largest-|.|
+        # coefficient of each component is positive
+        for i in range(top_vecs.shape[0]):
+            j = int(np.argmax(np.abs(top_vecs[i])))
+            if top_vecs[i, j] < 0:
+                top_vecs[i] = -top_vecs[i]
+        _PCA_MEMO[key] = (
+            [float(v) for v in mu],
+            [[float(v) for v in row] for row in top_vecs],
+            [float(v) for v in top_vals],
+        )
+    return _PCA_MEMO[key]
+
+
+@register(
+    "emb_pca_whiten",
+    sql=None,  # eigendecomposition fit — not SQL-expressible
+    doc="PCA whitening of the embedding column (see module comment): "
+    "project every vector onto the top-16 principal components scaled to "
+    "unit variance, as ONE zero-shuffle literal-matrix scan. The result "
+    "is the per-dimension diagnostic the operator must satisfy to be "
+    "correct — eigenvalue (variance before), variance after whitening "
+    "(== 1 on the fitted sample up to fp rounding, checked in test) and "
+    "mean after (== 0) — through the fixed-point kernels.",
+)
+def emb_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    mu, comps, evals = _pca_whitening_model(spark, sf_dir, _PCA_DIMS)
+    emb = io.load(spark, sf_dir, "embeddings", spread=True)
+    mu_arr = F.array(*[F.lit(v) for v in mu])
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"), mu_arr, lambda a, b: a - b
+    )
+    scales = [1.0 / float((ev + _PCA_EPS) ** 0.5) for ev in evals]
+    y_dims = []
+    for j, (row, s) in enumerate(zip(comps, scales)):
+        v_arr = F.array(*[F.lit(v) for v in row])
+        dot = F.aggregate(
+            F.zip_with(centered, v_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        y_dims.append((dot * F.lit(s)).alias(f"y{j}"))
+    proj = emb.select("vec_id", *y_dims)
+    longf = proj.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("dim"), F.col(f"y{j}").alias("y"))
+                    for j in range(_PCA_DIMS)
+                ]
+            )
+        ).alias("p"),
+    ).select("vec_id", "p.dim", "p.y")
+    return (
+        longf.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            favg(F.col("y")).alias("mean_after"),
+            favg(F.col("y") * F.col("y")).alias("var_after"),
+        )
+        .join(
+            spark.createDataFrame(
+                [(j, float(ev)) for j, ev in enumerate(evals)],
+                "dim int, eigenvalue double",
+            ),
+            "dim",
+        )
+        .select("dim", "n", "eigenvalue", "mean_after", "var_after")
+    )

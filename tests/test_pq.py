@@ -41,3 +41,18 @@ def test_pq_plan_is_loop_form_single_scan(spark, sf_dir):
     assert "Exchange" not in plan.replace("Exchange RoundRobin", "")  # scan-only
     # 8 code extractions reference ONE shared 'best' array, not 8 rebuilds
     assert plan.count("array_min(transform(") == 1
+
+
+def test_pca_whitening_isotropy(spark, sf_dir):
+    """After whitening, every kept dimension has mean ~0 and variance ~1
+    (the sample == corpus at this SF, so the diagnostic is exact up to
+    fp rounding), and eigenvalues come out in descending order."""
+    from exact_spark.operators.similarity import _PCA_DIMS, emb_pca_whiten
+
+    rows = {r["dim"]: r for r in emb_pca_whiten(spark, sf_dir).collect()}
+    assert len(rows) == _PCA_DIMS
+    evs = [rows[j]["eigenvalue"] for j in range(_PCA_DIMS)]
+    assert evs == sorted(evs, reverse=True)
+    for j in range(_PCA_DIMS):
+        assert abs(rows[j]["mean_after"]) < 1e-3
+        assert abs(rows[j]["var_after"] - 1.0) < 1e-2
