@@ -700,15 +700,16 @@ _BLOOM_PRIORITY = "1-URGENT"
 
 
 def _bloom_positions(key: Column) -> tuple[Column, Column]:
-    """Two deterministic bit positions in [0, _BLOOM_BITS) from md5(key).
+    """Two deterministic bit positions in [0, _BLOOM_BITS) from
+    xxhash64(key) under two seeds.
 
-    Two independent 31-bit integers from disjoint md5 nibbles — the same
-    double-hashing family the repo's CMS/LSH operators use, so membership
-    is reproducible on any engine.
+    Unlike the CMS/LSH hashes, bloom membership never crosses engines (the
+    oracle is the plain semi-join — the filter only needs NO FALSE
+    NEGATIVES within Spark), so the cheap JVM-side xxhash64 beats an
+    md5+conv per probe row. pmod keeps the position non-negative.
     """
-    h = F.md5(key.cast("string"))
-    p1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BLOOM_BITS
-    p2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % _BLOOM_BITS
+    p1 = F.pmod(F.xxhash64(key), F.lit(_BLOOM_BITS)).cast("long")
+    p2 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(_BLOOM_BITS)).cast("long")
     return p1, p2
 
 
