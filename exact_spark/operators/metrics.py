@@ -488,3 +488,164 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_q",
         ((F.col("exact_q") >= est_lo) & (F.col("exact_q") <= est_hi)).alias("within_bound"),
     )
+
+
+_DRIFT_BINS = 20
+_DRIFT_EPS = 1e-9
+
+
+@register(
+    "ml_drift_bins",
+    sql=f"""
+    WITH canon AS ({{canon}}),
+    n AS (SELECT count(*) AS n_total FROM canon),
+    tagged AS (
+        SELECT c.value,
+               CASE WHEN c.id <= CAST(FLOOR(0.85 * n.n_total) AS BIGINT)
+                    THEN 'train' ELSE 'test' END AS split
+        FROM canon c, n
+    ),
+    span AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi
+        FROM tagged WHERE split = 'train'
+    ),
+    binned AS (
+        SELECT t.split,
+               LEAST({_DRIFT_BINS} - 1,
+                     GREATEST(0, CAST(FLOOR((t.value - s.lo) / ((s.hi - s.lo) / {_DRIFT_BINS}.0)) AS BIGINT))) AS bin
+        FROM tagged t, span s
+    ),
+    counts AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+               CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_train) AS BIGINT) AS tt, CAST(SUM(n_test) AS BIGINT) AS te
+        FROM counts
+    )
+    SELECT c.bin, c.n_train, c.n_test,
+           (CAST(c.n_train AS DOUBLE) / t.tt) AS p_train,
+           (CAST(c.n_test AS DOUBLE) / t.te) AS p_test,
+           (((CAST(c.n_train AS DOUBLE) / t.tt) - (CAST(c.n_test AS DOUBLE) / t.te))
+            * ((CAST(c.n_train AS DOUBLE) / t.tt) - (CAST(c.n_test AS DOUBLE) / t.te))
+            / ((CAST(c.n_train AS DOUBLE) / t.tt) + (CAST(c.n_test AS DOUBLE) / t.te) + {_DRIFT_EPS})) AS drift_term
+    FROM counts c, tot t
+    """.format(canon=CANON_SQL),
+    doc="Train/serve distribution-drift detection — the production-ML "
+    "monitor that catches a shifted feature before the model silently "
+    "degrades: the value distribution of the 85% training window vs the "
+    "15% holdout over TRAIN-FITTED equal-width bins (bins must come from "
+    "the reference window only, the same leakage rule as P7 imputation), "
+    "per-bin triangular-discrimination drift terms (ln-free — every term "
+    "is a single-expression double, so the statistic is cross-engine "
+    "exact without transcendental-rounding risk; sum the column for the "
+    "PSI-style scalar). Plan shape: one pass tags the split positionally "
+    "(dense id), the bin span is a 1-row broadcast, the census is one "
+    "map-side-combinable groupBy on ~{b} bins.".format(b=_DRIFT_BINS, canon="{canon}"),
+)
+def ml_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    n_total = df.count()
+    cut = int(0.85 * n_total)
+    tagged = df.select(
+        "value", F.when(F.col("id") <= cut, "train").otherwise("test").alias("split")
+    )
+    span = (
+        tagged.filter(F.col("split") == "train")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()[0]
+    )
+    lo, hi = float(span["lo"]), float(span["hi"])
+    width = (hi - lo) / float(_DRIFT_BINS)
+    bin_col = F.least(
+        F.lit(_DRIFT_BINS - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    ).cast("long")
+    counts = tagged.groupBy(bin_col.alias("bin")).agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).cast("long").alias("n_test"),
+    )
+    tot = counts.agg(
+        F.sum("n_train").cast("long").alias("tt"), F.sum("n_test").cast("long").alias("te")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p_train = F.col("n_train").cast("double") / F.col("tt")
+    p_test = F.col("n_test").cast("double") / F.col("te")
+    return j.select(
+        "bin",
+        "n_train",
+        "n_test",
+        p_train.alias("p_train"),
+        p_test.alias("p_test"),
+        ((p_train - p_test) * (p_train - p_test) / (p_train + p_test + _DRIFT_EPS)).alias(
+            "drift_term"
+        ),
+    )
+
+
+@register(
+    "ts_value_k_corr",
+    sql="""
+    WITH ext AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vx,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(vx) AS BIGINT) AS sum_v_fx,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(vx * k) AS BIGINT) AS sum_vk_fx,
+           ((count(*) * CAST(SUM(vx * k) AS DOUBLE) - CAST(SUM(vx) AS DOUBLE) * SUM(k))
+            / (SQRT(count(*) * CAST(SUM(vx * vx) AS DOUBLE) - CAST(SUM(vx) AS DOUBLE) * SUM(vx))
+             * SQRT(count(*) * CAST(SUM(k * k) AS DOUBLE) - CAST(SUM(k) AS DOUBLE) * SUM(k)))) AS pearson_r
+    FROM ext GROUP BY event_type
+    """,
+    doc="Feature-correlation profile (the pre-training statistical screen): "
+    "Pearson r between the value column and the extracted props.k per "
+    "event type, computed from EXACT integer moment sums (value through "
+    "the fixed-point kernel, k native integer) so every partial sum is "
+    "reduction-order independent; the final r is a fixed arithmetic "
+    "expression over those exact integers — identical on any engine, any "
+    "cluster size. One scan, one small groupBy.",
+)
+def ts_value_k_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ev = io.load(spark, sf_dir, "events")
+    ext = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("vx"),
+        F.from_json(F.col("props"), "k BIGINT")["k"].alias("k"),
+    )
+    agg = ext.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vx").cast("long").alias("sum_v_fx"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum(F.col("vx") * F.col("k")).cast("long").alias("sum_vk_fx"),
+        F.sum(F.col("vx") * F.col("vx")).cast("long").alias("sum_vv_fx"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("sum_kk"),
+    )
+    num = (
+        F.col("n") * F.col("sum_vk_fx").cast("double")
+        - F.col("sum_v_fx").cast("double") * F.col("sum_k")
+    )
+    den = F.sqrt(
+        F.col("n") * F.col("sum_vv_fx").cast("double")
+        - F.col("sum_v_fx").cast("double") * F.col("sum_v_fx")
+    ) * F.sqrt(
+        F.col("n") * F.col("sum_kk").cast("double")
+        - F.col("sum_k").cast("double") * F.col("sum_k")
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "sum_v_fx",
+        "sum_k",
+        "sum_vk_fx",
+        (num / den).alias("pearson_r"),
+    )

@@ -113,6 +113,9 @@ DRIVER_ORDER: list[str] = [
     "dedup_ngram_jaccard",
     "decontaminate_ngram",
     # ---- position 50+: spill (rotate in next round) -----------------------
+    # late-round oracle additions (covered by the local record this round)
+    "ml_drift_bins",
+    "ts_value_k_corr",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
