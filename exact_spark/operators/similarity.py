@@ -1546,3 +1546,67 @@ def emb_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("dim", "n", "eigenvalue", "mean_after", "var_after")
     )
+
+
+_SWEEP_TAUS = (0.25, 0.30, 0.35, 0.40, 0.45)
+
+
+def _threshold_sweep_sql() -> str:
+    """Composes the registered sim_neardup_lsh spec: its candidate-pair SQL
+    becomes the CTE both engines sweep, so the curve can never drift from
+    the pairs the engine actually generates."""
+    from exact_spark.registry import REGISTRY
+
+    pairs = REGISTRY["sim_neardup_lsh"].sql
+    taus = ", ".join(f"({t!r})" for t in _SWEEP_TAUS)
+    return f"""
+    WITH pairs AS ({pairs}),
+    taus(tau) AS (VALUES {taus})
+    SELECT t.tau,
+           CAST(SUM(CASE WHEN p.cosine >= t.tau THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+           COUNT(DISTINCT CASE WHEN p.cosine >= t.tau THEN p.vec_b END) AS n_dropped
+    FROM taus t LEFT JOIN pairs p ON p.cosine >= t.tau
+    GROUP BY t.tau
+    """
+
+
+@register(
+    "sim_threshold_sweep",
+    sql=_threshold_sweep_sql(),  # composes the registered sibling spec
+    doc="Duplicate-rate-vs-threshold curve over the LSH candidate pairs — "
+    "the measure-don't-guess gate for choosing a near-dup cosine cutoff "
+    "before a 100 TB dedup run (the same diagnostic posture as "
+    "dedup_lsh_recall / sim_ivf_recall): for each candidate threshold, "
+    "how many pairs qualify and how many docs the higher-id drop rule "
+    "would remove. Plan shape: the pair table comes from the REGISTERED "
+    "sim_neardup_lsh operator itself, each pair expands over the tiny "
+    "literal threshold grid in place, one small groupBy — sweep cost is "
+    "O(pairs x taus), never a rescan of the corpus.",
+)
+def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = sim_neardup_lsh(spark, sf_dir)
+    taus = F.array(*[F.lit(t) for t in _SWEEP_TAUS])
+    exploded = pairs.select(
+        "vec_b", "cosine", F.explode(taus).alias("tau")
+    )
+    per_tau = exploded.groupBy("tau").agg(
+        F.sum(F.when(F.col("cosine") >= F.col("tau"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs"),
+        F.countDistinct(
+            F.when(F.col("cosine") >= F.col("tau"), F.col("vec_b"))
+        ).alias("n_dropped"),
+    )
+    # thresholds with zero qualifying pairs must still report a row (the
+    # oracle's LEFT JOIN shape): union the literal grid and coalesce
+    grid = spark.range(len(_SWEEP_TAUS)).select(
+        F.element_at(taus, (F.col("id") + 1).cast("int")).alias("tau")
+    )
+    return (
+        grid.join(per_tau, "tau", "left")
+        .select(
+            "tau",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )

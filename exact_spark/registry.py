@@ -116,6 +116,7 @@ DRIVER_ORDER: list[str] = [
     # late-round oracle additions (covered by the local record this round)
     "ml_drift_bins",
     "ts_value_k_corr",
+    "sim_threshold_sweep",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
