@@ -160,3 +160,27 @@ def test_cms_never_underestimates_under_zipf_skew(spark, tmp_path_factory):
     top = got.sort_values("true_count", ascending=False).iloc[0]
     assert top.tok == "hot" and top.true_count == 1000
     assert top.cms_estimate >= 1000
+
+
+def test_drift_bins_mass_and_conservation(spark, sf_dir):
+    """Drift bins: probability masses each sum to 1, every bin row carries a
+    non-negative bounded term, and the two split sizes re-add to the corpus
+    (the positional 85/15 contract)."""
+    from pyspark.sql import functions as F
+
+    from exact_spark.operators.metrics import ml_drift_bins
+    from exact_spark.operators.timeseries import canonical_events
+
+    res = ml_drift_bins(spark, sf_dir)
+    agg = res.agg(
+        F.sum("p_train").alias("pt"),
+        F.sum("p_test").alias("pe"),
+        F.sum("n_train").alias("nt"),
+        F.sum("n_test").alias("ne"),
+        F.min("drift_term").alias("mn"),
+        F.max("drift_term").alias("mx"),
+    ).collect()[0]
+    assert abs(agg["pt"] - 1.0) < 1e-9 and abs(agg["pe"] - 1.0) < 1e-9
+    assert agg["mn"] >= 0.0 and agg["mx"] <= 2.0  # triangular discrimination bound
+    n_total = canonical_events(spark, sf_dir).count()
+    assert agg["nt"] + agg["ne"] == n_total
