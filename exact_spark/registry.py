@@ -117,6 +117,7 @@ DRIVER_ORDER: list[str] = [
     "ml_drift_bins",
     "ts_value_k_corr",
     "sim_threshold_sweep",
+    "catalog_time_travel",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
@@ -201,5 +202,6 @@ def _load_all() -> None:
     from exact_spark import streaming as _streaming  # noqa: F401
     from exact_spark.plans import api as _api  # noqa: F401
     from exact_spark.sources import catalog as _catalog  # noqa: F401
+    from exact_spark.sources import versioned as _versioned  # noqa: F401
     from exact_spark.sources import ingest as _ingest  # noqa: F401
     _LOADED = True

@@ -1,0 +1,95 @@
+"""Snapshot-versioned table layer: commit atomicity, time travel, retention."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from exact_spark.sources.versioned import VersionedTable
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    return VersionedTable(spark, str(tmp_path), "t")
+
+
+def _df(spark, lo, hi, flag=False):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(flag).alias("flag")
+    )
+
+
+def test_create_append_replace_time_travel(spark, tbl):
+    tbl.create(_df(spark, 0, 100))
+    tbl.append(_df(spark, 100, 150))
+    tbl.replace_where(
+        _df(spark, 0, 100, flag=True), keep_predicate=F.col("k") >= 100
+    )
+    # all three versions readable AFTER the later commits
+    assert tbl.read(1).count() == 100
+    assert tbl.read(2).count() == 150
+    assert tbl.read(3).count() == 150
+    assert tbl.read(3).filter("flag").count() == 100
+    assert tbl.read(2).filter("flag").count() == 0  # old snapshot unchanged
+    ops = [h["op"] for h in tbl.history()]
+    assert ops == ["create", "append", "replace"]
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, tbl):
+    tbl.create(_df(spark, 0, 1000).repartition(8))
+    n_before = tbl.manifest(1)["n_files"]
+    tbl.compact(target_files=1)
+    assert tbl.manifest(2)["n_files"] == 1 < n_before
+    a = sorted(r["k"] for r in tbl.read(1).collect())
+    b = sorted(r["k"] for r in tbl.read(2).collect())
+    assert a == b
+
+
+def test_uncommitted_stage_is_invisible(spark, tbl):
+    tbl.create(_df(spark, 0, 10))
+    # a crashed writer: staged files with no manifest commit
+    tbl._stage(_df(spark, 10, 99))
+    assert tbl.read().count() == 10  # reader resolves the manifest, not ls
+    assert tbl.latest() == 1
+
+
+def test_vacuum_retention(spark, tbl):
+    tbl.create(_df(spark, 0, 10))
+    tbl.append(_df(spark, 10, 20))
+    tbl.compact(target_files=1)
+    # keep_last=2 retains v2+v3 — every file is still referenced (v2 holds
+    # the pre-compaction files), so only the v1 manifest goes
+    res = tbl.vacuum(keep_last=2)
+    assert res["removed_manifests"] == 1
+    assert res["removed_files"] == 0
+    assert tbl.versions() == [2, 3]
+    assert tbl.read(2).count() == 20
+    # retention down to the latest: the pre-compaction files unreference
+    res = tbl.vacuum(keep_last=1)
+    assert res["removed_files"] >= 2
+    assert tbl.versions() == [3]
+    assert tbl.read(3).count() == 20
+    with pytest.raises(FileNotFoundError):
+        tbl.manifest(1)
+
+
+def test_commit_race_resolves_to_distinct_versions(spark, tbl):
+    """Two writers staging concurrently both commit — exclusive manifest
+    create forces the loser onto the next version number (no lost update)."""
+    tbl.create(_df(spark, 0, 10))
+    f1 = tbl._stage(_df(spark, 10, 20))
+    f2 = tbl._stage(_df(spark, 20, 30))
+    prev = tbl.manifest(tbl.latest())["files"]
+    v_a = tbl._commit(prev + f1, "append")
+    v_b = tbl._commit(prev + f2, "append")
+    assert {v_a, v_b} == {2, 3}
+    assert tbl.read(2).count() == 20 and tbl.read(3).count() == 20
+
+
+def test_manifest_is_valid_json_with_sorted_files(spark, tbl):
+    tbl.create(_df(spark, 0, 10))
+    doc = json.loads((tbl.vdir / "v1.json").read_text())
+    assert doc["files"] == sorted(doc["files"])
+    assert doc["op"] == "create"
