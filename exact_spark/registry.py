@@ -118,6 +118,7 @@ DRIVER_ORDER: list[str] = [
     "ts_value_k_corr",
     "sim_threshold_sweep",
     "catalog_time_travel",
+    "dq_expectations",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
@@ -188,6 +189,7 @@ def _load_all() -> None:
         return
     from exact_spark.operators import (  # noqa: F401
         dedup,
+        dq,
         inject,
         metrics,
         multimodal,
