@@ -940,3 +940,75 @@ def rel_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             fsum(F.col("c_acctbal"), SCALE2).alias("total_acctbal"),
         )
     )
+
+
+_Q7_NATION_A = "NATION_1"
+_Q7_NATION_B = "NATION_2"
+
+
+@register(
+    "rel_bilateral_trade",
+    sql=f"""
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           {sql_fsum('l.l_extendedprice * (1.0 - l.l_discount)', SCALE2)} AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE ((cn.n_name = '{_Q7_NATION_A}' AND sn.n_name = '{_Q7_NATION_B}')
+        OR (cn.n_name = '{_Q7_NATION_B}' AND sn.n_name = '{_Q7_NATION_A}'))
+    GROUP BY cn.n_name, sn.n_name, year(l.l_shipdate)
+    """,
+    doc="TPC-H Q7-shaped bilateral trade volume: revenue flowing between "
+    "two nations in BOTH directions (customer-nation x supplier-nation "
+    "x ship year). The distinct join pattern here is the SAME dimension "
+    "joined twice under different roles (nation as buyer-side and "
+    "seller-side), with the either-direction predicate applied AFTER "
+    "both role joins. Plan shape: customer/supplier/nation(x2) all "
+    "broadcast, the orderkey fact join is the only shuffle, and the "
+    "direction filter is a post-broadcast residual — the fact table is "
+    "touched once.",
+)
+def rel_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem")
+    orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = io.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = io.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = io.load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(
+            (
+                (F.col("cust_nation") == _Q7_NATION_A)
+                & (F.col("supp_nation") == _Q7_NATION_B)
+            )
+            | (
+                (F.col("cust_nation") == _Q7_NATION_B)
+                & (F.col("supp_nation") == _Q7_NATION_A)
+            )
+        )
+    )
+    return j.groupBy(
+        "cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("ship_year")
+    ).agg(
+        fsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), SCALE2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )

@@ -1199,3 +1199,55 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_picks") >= 1)
     )
+
+
+_IDF_TOPK = 3
+
+
+@register(
+    "text_idf_keywords",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+        SELECT t.doc_id, t.token, t.tf, d.df,
+               (CAST(t.tf * n.n_docs AS DOUBLE) / d.df) AS score,
+               row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY (CAST(t.tf * n.n_docs AS DOUBLE) / d.df) DESC, t.token
+               ) AS rnk
+        FROM tf t JOIN df d ON d.token = t.token, n
+    )
+    SELECT doc_id, rnk AS rank, token, tf, CAST(df AS BIGINT) AS df, score
+    FROM scored WHERE rnk <= {_IDF_TOPK}
+    """,
+    doc="TF-IDF keyword extraction (linear-idf variant: score = tf * N/df "
+    "— a RATIONAL score, so the ranking needs no cross-engine-risky "
+    "logarithm; the one double division is a single identical operation "
+    "on both engines): top-{k} most distinctive tokens per document. "
+    "Plan shape: one explode scan, tf as a map-side-combinable groupBy "
+    "on (doc, token), df derived FROM the tf table (count per token — "
+    "never a second corpus scan), the ranking window PARTITIONED per "
+    "doc; three keyed shuffles total, each on a high-cardinality key — "
+    "no skew, no global sort, at any corpus size.".format(k=_IDF_TOPK),
+)
+def text_idf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    scored = tf.join(df, "token").withColumn(
+        "score", (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IDF_TOPK)
+        .select("doc_id", "rank", "token", "tf", "df", "score")
+    )

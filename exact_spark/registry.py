@@ -119,6 +119,8 @@ DRIVER_ORDER: list[str] = [
     "sim_threshold_sweep",
     "catalog_time_travel",
     "dq_expectations",
+    "text_idf_keywords",
+    "rel_bilateral_trade",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
