@@ -135,13 +135,25 @@ class VersionedTable:
         cur = self.read().coalesce(target_files)
         return self._commit(self._stage(cur), "compact", note)
 
+    def restore(self, version: int, note: str = "") -> int:
+        """Delta-RESTORE-style rollback: commit a NEW version that references
+        the file set of an older one — no data is copied, history is
+        preserved (the bad versions stay inspectable until retention), and
+        readers flip atomically like any other commit."""
+        files = self.manifest(version)["files"]
+        return self._commit(files, "restore", note or f"restore v{version}")
+
     # -- reads ---------------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
         v = self.latest() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version in {self.root}")
         files = [str(self.root / f) for f in self.manifest(v)["files"]]
-        return self.spark.read.parquet(*files)
+        # mergeSchema: an append may have evolved the schema (added a
+        # column); the union schema serves the snapshot, with nulls
+        # backfilled for files that predate the column — and a TIME TRAVEL
+        # read of an old version sees only that version's schema
+        return self.spark.read.option("mergeSchema", "true").parquet(*files)
 
     def exists(self) -> bool:
         return self.latest() is not None

@@ -93,3 +93,29 @@ def test_manifest_is_valid_json_with_sorted_files(spark, tbl):
     doc = json.loads((tbl.vdir / "v1.json").read_text())
     assert doc["files"] == sorted(doc["files"])
     assert doc["op"] == "create"
+
+
+def test_schema_evolution_and_time_travel_schema(spark, tbl):
+    """An append may add a column: the latest snapshot serves the union
+    schema with nulls backfilled for pre-evolution files, while a time
+    travel read of the old version sees only the old schema."""
+    tbl.create(_df(spark, 0, 10))
+    evolved = _df(spark, 10, 20).withColumn("score", F.col("k") * 2)
+    tbl.append(evolved)
+    cur = tbl.read()
+    assert "score" in cur.columns
+    assert cur.filter(F.col("score").isNull()).count() == 10  # backfilled
+    assert cur.filter(F.col("score").isNotNull()).count() == 10
+    assert "score" not in tbl.read(1).columns  # v1 schema untouched
+
+
+def test_restore_rolls_back_without_copying(spark, tbl):
+    tbl.create(_df(spark, 0, 10))
+    tbl.replace_where(_df(spark, 0, 5), keep_predicate=F.lit(False))  # bad write
+    assert tbl.read().count() == 5
+    v = tbl.restore(1)
+    assert v == 3
+    assert tbl.read().count() == 10  # rolled back
+    # no data copied: the restore manifest references v1's exact files
+    assert tbl.manifest(3)["files"] == tbl.manifest(1)["files"]
+    assert tbl.history()[-1]["op"] == "restore"
