@@ -303,3 +303,141 @@ def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = multimodal_frame_sample(spark, sf_dir)
     payloads = with_binary_payload(docs, kind="video").select("doc_id", "payload")
     return frame_features(frames.join(payloads, "doc_id"))
+
+
+# --- audio path: overlapped waveform framing --------------------------------
+# The payload bytes read as an 8-bit unsigned mono waveform (the synthesized
+# stand-in; a real PCM decoder wires into the same batch function). Framing
+# is the standard 50%-overlap analysis window: _AUDIO_FRAME samples per
+# frame, _AUDIO_HOP hop. Stub features are EXACT integer DSP — energy
+# (sum of squared deviations from the 128 midline), zero-crossing count,
+# peak deviation — so the whole audio path hash-matches the DuckDB oracle
+# like the image/video stubs.
+
+_AUDIO_FRAME = 256
+_AUDIO_HOP = 128
+_AUDIO_RATE = 8000  # Hz, synthesized metadata
+
+
+def audio_frame_features(framed: DataFrame) -> DataFrame:
+    """Per-frame integer DSP over the sliced waveform chunk (Arrow batches;
+    a real codec/resampler replaces the byte math here)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("start_sample", T.LongType()),
+            T.StructField("energy_fx", T.LongType()),
+            T.StructField("n_zero_crossings", T.LongType()),
+            T.StructField("peak_dev", T.LongType()),
+        ]
+    )
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, fi, start, chunk in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["start_sample"], pdf["chunk"]
+            ):
+                v = np.frombuffer(bytes(chunk), dtype=np.uint8).astype(np.int64) - 128
+                pos = v >= 0
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(fi),
+                        int(start),
+                        int((v * v).sum()),
+                        int((pos[1:] != pos[:-1]).sum()),
+                        int(np.abs(v).max()) if v.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "start_sample",
+                    "energy_fx", "n_zero_crossings", "peak_dev",
+                ],
+            )
+
+    return framed.mapInPandas(_batch, schema=schema)
+
+
+_SQL_HEXV = (
+    "((strpos('0123456789abcdef', substr(hx, 2 * j + 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(hx, 2 * j + 2, 1)) - 1))"
+)
+
+
+@register(
+    "multimodal_audio_windows",
+    sql=f"""
+    WITH b AS (
+        SELECT doc_id, lower(hex(encode(text))) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, hx, f AS frame_idx, f * {_AUDIO_HOP} AS start_sample
+        FROM b, UNNEST(range(0, CASE WHEN n >= {_AUDIO_FRAME}
+                                     THEN (n - {_AUDIO_FRAME}) // {_AUDIO_HOP} + 1
+                                     ELSE 0 END)) AS t(f)
+    ),
+    samples AS (
+        SELECT doc_id, frame_idx, start_sample,
+               s AS pos, {_SQL_HEXV.replace('j', '(start_sample + s)')} - 128 AS v
+        FROM frames, UNNEST(range(0, {_AUDIO_FRAME})) AS t(s)
+    ),
+    lagged AS (
+        SELECT doc_id, frame_idx, start_sample, v,
+               lag(v) OVER (PARTITION BY doc_id, frame_idx ORDER BY pos) AS pv
+        FROM samples
+    )
+    SELECT doc_id, frame_idx, CAST(start_sample AS BIGINT) AS start_sample,
+           CAST(SUM(v * v) AS BIGINT) AS energy_fx,
+           CAST(SUM(CASE WHEN pv IS NOT NULL
+                          AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_crossings,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak_dev
+    FROM lagged
+    GROUP BY doc_id, frame_idx, start_sample
+    """,
+    doc="Audio modality path (see section comment): the payload as an 8-bit "
+    "mono waveform framed into {fr}-sample windows at {hop}-sample hop "
+    "(50% overlap, the standard analysis framing), per-frame integer DSP "
+    "stub features via Arrow mapInPandas — energy, zero crossings, peak. "
+    "Plan shape: frames EXPLODE from the byte-length metadata (so decode "
+    "parallelism is per-frame, exactly like the video path), each frame "
+    "carries only its {fr}-byte slice into the Python batch (never the "
+    "whole payload), and the features are exact integers — the Arrow "
+    "path itself is hash-checked against the oracle.".format(
+        fr=_AUDIO_FRAME, hop=_AUDIO_HOP
+    ),
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    pay = with_binary_payload(docs, kind="audio").filter(
+        # sequence(0, -1) would generate a DESCENDING range — short docs
+        # must drop before the explode, not after
+        F.col("meta")["n_bytes"] >= _AUDIO_FRAME
+    )
+    n = F.col("meta")["n_bytes"]
+    n_frames = ((n - _AUDIO_FRAME) / _AUDIO_HOP).cast("long") + 1
+    framed = (
+        pay.select(
+            "doc_id",
+            "payload",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.col("frame_idx") * _AUDIO_HOP).alias("start_sample"),
+            F.expr(
+                f"substring(payload, CAST(frame_idx * {_AUDIO_HOP} + 1 AS INT), {_AUDIO_FRAME})"
+            ).alias("chunk"),
+        )
+    )
+    return audio_frame_features(framed)

@@ -121,6 +121,7 @@ DRIVER_ORDER: list[str] = [
     "dq_expectations",
     "text_idf_keywords",
     "rel_bilateral_trade",
+    "multimodal_audio_windows",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
