@@ -1251,3 +1251,77 @@ def text_idf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _IDF_TOPK)
         .select("doc_id", "rank", "token", "tf", "df", "score")
     )
+
+
+_ZR_FLAG_BELOW_FX = 300_000  # ratio < 0.30 => extreme repetition
+
+
+@register(
+    "text_compression_ratio",
+    sql=None,  # zlib is not expressible in the oracle's SQL — rows-only
+    doc="Compression-ratio quality signal (the Gopher-family repetition "
+    "proxy text_repetition_profile's token statistics can miss — e.g. "
+    "long-range or sub-token repetition): deflate each document in Arrow "
+    "batches (zlib level 6, deterministic for a given payload) and "
+    "report compressed/raw as a fixed-point ratio, rolled up per source "
+    "with a flag count for docs compressing below {t:.2f}. The Python "
+    "stage is CPU-bound C code over Arrow batches (the legitimate "
+    "mapInPandas shape, like the multimodal decoders); per-doc outputs "
+    "are exact integers, so the rollup is partition-order independent.".format(
+        t=_ZR_FLAG_BELOW_FX / 1e6
+    ),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+            T.StructField("ratio_fx", T.LongType()),
+        ]
+    )
+
+    def _batch(it):
+        import zlib
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, source, text in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                raw = text.encode("utf-8")
+                comp = zlib.compress(raw, 6)
+                n = len(raw)
+                rows.append(
+                    (
+                        int(doc_id),
+                        source,
+                        n,
+                        len(comp),
+                        (1_000_000 * len(comp)) // n if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "source", "n_bytes", "n_compressed", "ratio_fx"]
+            )
+
+    per_doc = docs.select("doc_id", "source", "text").mapInPandas(_batch, schema=schema)
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum("n_compressed").cast("long").alias("total_compressed"),
+        (F.sum("ratio_fx") / (F.lit(1_000_000.0) * F.count(F.lit(1)))).alias(
+            "mean_ratio"
+        ),
+        F.min("ratio_fx").alias("min_ratio_fx"),
+        F.sum(F.when(F.col("ratio_fx") < _ZR_FLAG_BELOW_FX, 1).otherwise(0))
+        .cast("long")
+        .alias("n_extreme_repetition"),
+    )

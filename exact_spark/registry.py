@@ -122,6 +122,7 @@ DRIVER_ORDER: list[str] = [
     "text_idf_keywords",
     "rel_bilateral_trade",
     "multimodal_audio_windows",
+    "text_compression_ratio",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
