@@ -1610,3 +1610,62 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
         )
     )
+
+
+_KNN_GRAPH_K = 3
+
+
+def _knn_graph_sql() -> str:
+    """Composes the registered sim_neardup_lsh candidate pairs into a
+    per-vector top-k neighbor ranking (symmetrized before ranking)."""
+    from exact_spark.registry import REGISTRY
+
+    pairs = REGISTRY["sim_neardup_lsh"].sql
+    return f"""
+    WITH pairs AS ({pairs}),
+    sym AS (
+        SELECT vec_a AS src, vec_b AS dst, cosine FROM pairs
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst, cosine FROM pairs
+    ),
+    ranked AS (
+        SELECT src, dst, cosine,
+               row_number() OVER (
+                   PARTITION BY src ORDER BY cosine DESC, dst
+               ) AS rnk
+        FROM sym
+    )
+    SELECT src AS vec_id, rnk AS rank, dst AS neighbor_id, cosine
+    FROM ranked WHERE rnk <= {_KNN_GRAPH_K}
+    """
+
+
+@register(
+    "sim_knn_graph",
+    sql=_knn_graph_sql(),  # composes the registered sibling spec
+    doc="kNN graph over the corpus (every vector's top-{k} neighbors — the "
+    "semantic-similarity graph SemDedup clustering, label propagation, "
+    "and graph-based curation all start from): candidate edges come from "
+    "the REGISTERED capped-LSH operator (never all-pairs), symmetrize by "
+    "emitting each pair in both directions, then one window PARTITIONED "
+    "per vector ranks neighbors — recall is bounded by the LSH banding "
+    "exactly as sim_threshold_sweep measures, which is the honest "
+    "100 TB contract for a neighbor graph.".format(k=_KNN_GRAPH_K),
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = sim_neardup_lsh(spark, sf_dir)
+    sym = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cosine"
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_GRAPH_K)
+        .select(
+            F.col("src").alias("vec_id"), "rank", F.col("dst").alias("neighbor_id"), "cosine"
+        )
+    )

@@ -1019,3 +1019,43 @@ def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
         )
     )
+
+
+@register(
+    "ts_user_growth",
+    sql="""
+    WITH canon AS ({canon}),
+    firsts AS (
+        SELECT user_id,
+               MIN(CAST(FLOOR(ts_epoch / 86400.0) AS BIGINT)) AS first_day
+        FROM canon GROUP BY user_id
+    ),
+    daily AS (SELECT first_day AS day, count(*) AS new_users FROM firsts GROUP BY first_day)
+    SELECT day,
+           new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumulative_users
+    FROM daily
+    """.format(canon=CANON_SQL),
+    doc="User growth curve (cumulative uniques by first-seen day — the DAU/"
+    "adoption rollup): one groupBy collapses each user to a first-seen "
+    "day, a second tiny groupBy counts per-day cohort entries, and the "
+    "running total windows over the DAY series — whose cardinality is "
+    "the calendar, not the user count, so the unpartitioned cumsum "
+    "window is bounded (10 years = 3.7k rows) no matter how many "
+    "billions of users the input holds.",
+)
+def ts_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    firsts = df.groupBy("user_id").agg(
+        F.min(F.floor(F.col("ts_epoch") / 86400.0).cast("long")).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )

@@ -123,6 +123,8 @@ DRIVER_ORDER: list[str] = [
     "rel_bilateral_trade",
     "multimodal_audio_windows",
     "text_compression_ratio",
+    "ts_user_growth",
+    "sim_knn_graph",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
