@@ -1669,3 +1669,73 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src").alias("vec_id"), "rank", F.col("dst").alias("neighbor_id"), "cosine"
         )
     )
+
+
+_PR_ITERS = 10
+_PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100  # d = 0.85 as a rational
+_PR_SCALE = 1_000_000  # rank mass in integer micro-units
+_PR_TOPK = 20
+
+
+@register(
+    "sim_graph_pagerank",
+    sql=None,  # iterative power method — not SQL-expressible
+    doc="PageRank centrality over the kNN semantic graph (the second "
+    "iterative graph algorithm next to dedup_components' connected "
+    "components; centrality picks REPRESENTATIVE docs inside near-dup "
+    "clusters and hub docs for curation review). Deterministic "
+    "distributed power iteration: rank mass is INTEGER micro-units, "
+    "each step sends rank*d/outdegree over the edges via integer "
+    "division (truncation is deterministic, so the result is identical "
+    "on any partitioning — a float groupBy-sum would not be), dangling "
+    "and truncated mass is implicitly dropped (ranks are a lower bound, "
+    "ordering-faithful), {it} fixed iterations with lineage truncated "
+    "per step exactly like dedup_components. Output: the top-{k} hubs.".format(
+        it=_PR_ITERS, k=_PR_TOPK
+    ),
+)
+def sim_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    edges = (
+        sim_knn_graph(spark, sf_dir)
+        .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges = edges.join(deg, "src").localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    base_fx = ((_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE) // (_PR_DAMP_DEN * n)
+    ranks = nodes.select("v", F.lit(_PR_SCALE // n).cast("long").alias("r_fx"))
+    for i in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.v)
+            .select(
+                F.col("dst").alias("v"),
+                F.expr(
+                    f"CAST(r_fx * {_PR_DAMP_NUM} AS BIGINT) DIV "
+                    f"CAST({_PR_DAMP_DEN} * deg AS BIGINT)"
+                ).alias("c_fx"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c_fx").cast("long").alias("in_fx"))
+        )
+        ranks = (
+            nodes.join(contrib, "v", "left")
+            .select(
+                "v",
+                (F.lit(base_fx) + F.coalesce(F.col("in_fx"), F.lit(0))).cast("long").alias("r_fx"),
+            )
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint()  # truncate the iteration lineage
+    w = Window.orderBy(F.col("r_fx").desc(), "v")
+    return (
+        ranks.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PR_TOPK)
+        .select(F.col("rank"), F.col("v").alias("vec_id"), F.col("r_fx").alias("pagerank_fx"))
+    )

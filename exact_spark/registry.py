@@ -125,6 +125,7 @@ DRIVER_ORDER: list[str] = [
     "text_compression_ratio",
     "ts_user_growth",
     "sim_knn_graph",
+    "sim_graph_pagerank",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
