@@ -649,3 +649,88 @@ def ts_value_k_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_vk_fx",
         (num / den).alias("pearson_r"),
     )
+
+
+_PR_TAUS = (0.80, 0.85, 0.90, 0.95, 0.99)
+
+
+@register(
+    "g9_pr_curve",
+    sql=f"""
+    WITH canon AS ({{canon}}),
+    qs AS (
+        SELECT {", ".join(
+            f"quantile_cont(value, {t}) AS q_{int(t * 100)}" for t in _PR_TAUS
+        )}
+        FROM canon
+    ),
+    taus AS (
+        {" UNION ALL ".join(
+            f"SELECT {t} AS tau, q_{int(t * 100)} AS thr FROM qs" for t in _PR_TAUS
+        )}
+    ),
+    scored AS (
+        SELECT t.tau, t.thr,
+               SUM(CASE WHEN c.value > t.thr AND c.label = 1 THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN c.value > t.thr AND c.label = 0 THEN 1 ELSE 0 END) AS fp,
+               SUM(CASE WHEN c.value <= t.thr AND c.label = 1 THEN 1 ELSE 0 END) AS fn
+        FROM canon c, taus t
+        GROUP BY t.tau, t.thr
+    )
+    SELECT tau,
+           {{thr_round}} AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+           (CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0)) AS precision,
+           (CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0)) AS recall
+    FROM scored
+    """.format(canon=CANON_SQL, thr_round=sql_fround("thr")),
+    doc="Precision-recall curve for the percentile detector (the G1/G2 "
+    "confusion shape swept over an operating-point grid — the eval every "
+    "threshold choice should be read off, like sim_threshold_sweep for "
+    "dedup): five candidate percentile thresholds, each scored with "
+    "exact integer confusion counts. Plan shape: ONE distributed "
+    "exact-percentile pass computes all five thresholds together, the "
+    "five-row threshold table broadcasts into a single scoring scan "
+    "(conditional aggregation per tau — the corpus is read ONCE, not "
+    "once per operating point), precision/recall are single divisions "
+    "over exact integers.",
+)
+def g9_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    qs = df.agg(
+        *[
+            F.percentile(F.col("value"), F.lit(t)).alias(f"q_{int(t * 100)}")
+            for t in _PR_TAUS
+        ]
+    ).collect()[0]
+    taus = spark.createDataFrame(
+        [(t, float(qs[f"q_{int(t * 100)}"])) for t in _PR_TAUS], "tau double, thr double"
+    )
+    scored = (
+        df.crossJoin(F.broadcast(taus))
+        .groupBy("tau", "thr")
+        .agg(
+            F.sum(
+                F.when((F.col("value") > F.col("thr")) & (F.col("label") == 1), 1).otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when((F.col("value") > F.col("thr")) & (F.col("label") == 0), 1).otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when((F.col("value") <= F.col("thr")) & (F.col("label") == 1), 1).otherwise(0)
+            ).cast("long").alias("fn"),
+        )
+    )
+    return scored.select(
+        "tau",
+        fround(F.col("thr")).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))).alias(
+            "precision"
+        ),
+        (F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))).alias(
+            "recall"
+        ),
+    )

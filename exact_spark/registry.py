@@ -126,6 +126,8 @@ DRIVER_ORDER: list[str] = [
     "ts_user_growth",
     "sim_knn_graph",
     "sim_graph_pagerank",
+    "g9_pr_curve",
+    "stream_static_enrich",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",

@@ -388,3 +388,58 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_static_enrich",
+    sql=None,  # Structured Streaming run -> rows-only check
+    doc="Stream-static join, driver-visible bounded run (the enrichment "
+    "shape every scoring stream needs: micro-batches joined against a "
+    "slowly-changing dimension without restarting the query): a per-user "
+    "profile (historical mean value in fixed point + event count) is "
+    "computed ONCE as a static frame, a 2-day events slice replays as a "
+    "2-chunk stream, and each micro-batch broadcast-joins the profile to "
+    "flag events above 1.5x their user's historical mean. The join is "
+    "stateless (no watermark state — static side pinned at query start), "
+    "so state stays zero no matter how long the stream runs; result is "
+    "the per-user event/flag tally.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_senrich_"))
+    try:
+        base = _bounded_events(spark, sf_dir, days=4.0, user_mod=5)
+        # static dimension: per-user historical profile (fixed-point mean)
+        profile = base.groupBy(F.col("user_id").alias("p_user")).agg(
+            (
+                F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"))
+                / (F.lit(100.0) * F.count(F.lit(1)))
+            ).alias("hist_mean"),
+            F.count(F.lit(1)).alias("hist_n"),
+        )
+        slice_dir = work / "src"
+        base.repartitionByRange(2, "timestamp").write.parquet(str(slice_dir))
+        schema = spark.read.parquet(str(slice_dir)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(slice_dir))
+        )
+        enriched = stream.join(
+            F.broadcast(profile), stream.user_id == F.col("p_user")
+        ).withColumn("flag", F.col("value") > 1.5 * F.col("hist_mean"))
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("senrich_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(
+            "SELECT user_id, count(*) AS n_events, "
+            "CAST(sum(CAST(flag AS INT)) AS BIGINT) AS n_flagged "
+            "FROM senrich_out GROUP BY user_id ORDER BY user_id"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
