@@ -441,3 +441,67 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return audio_frame_features(framed)
+
+
+@register(
+    "multimodal_binaryfile_ingest",
+    sql=None,  # filesystem-staged binaryFile source -> rows-only check
+    doc="The REAL multimodal ingestion path (the other registered "
+    "multimodal queries synthesize payloads in-plan): documents staged "
+    "as one opaque file each, read back with Spark's `binaryFile` "
+    "source — (path, modificationTime, length, content) — and fed "
+    "through the same deterministic decode stub. At scale this source "
+    "is how a directory of images/audio lands in a table: file listing "
+    "is distributed, each task reads only its files' bytes, and "
+    "`pathGlobFilter`/`recursiveFileLookup` prune at the source. Result "
+    "aggregates the decoded features, keyed by the doc id parsed from "
+    "the filename.",
+)
+def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pathlib
+    import shutil
+    import tempfile
+
+    tune_session(spark)
+    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_binf_"))
+    try:
+        docs = (
+            io.load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 64)
+            .select("doc_id", "text")
+            .collect()
+        )
+        blob_dir = work / "blobs"
+        blob_dir.mkdir()
+        for r in docs:
+            (blob_dir / f"{r['doc_id']:06d}.bin").write_bytes(r["text"].encode("utf-8"))
+
+        binf = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(str(blob_dir))
+        )
+        payloads = binf.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+            F.col("length").alias("n_bytes_src"),
+        )
+        feats = decode_features(payloads)
+        out = (
+            feats.join(payloads.select("doc_id", "n_bytes_src"), "doc_id")
+            .select(
+                "doc_id",
+                "n_bytes",
+                (F.col("n_bytes") == F.col("n_bytes_src")).alias("length_matches"),
+                "n_distinct_bytes",
+                "simpson_fx",
+            )
+            .orderBy("doc_id")
+        )
+        # materialize BEFORE the finally deletes the staged blobs — the
+        # returned frame must not lazily re-read them
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -128,6 +128,7 @@ DRIVER_ORDER: list[str] = [
     "sim_graph_pagerank",
     "g9_pr_curve",
     "stream_static_enrich",
+    "multimodal_binaryfile_ingest",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",

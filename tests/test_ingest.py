@@ -71,3 +71,36 @@ def test_epoch_helpers_agree_on_int_seconds(spark):
     secs = [r[0] for r in df.select(epoch_seconds_any(df, "ts")).collect()]
     assert micros == [int(s * 1_000_000) for s in secs]
     assert micros == [1_700_000_000_000_000, 1_700_000_060_000_000]
+
+
+def test_orc_roundtrip_preserves_canonical_events(spark, sf_dir, tmp_path):
+    """Source-format coverage: the canonical series round-trips through ORC
+    (Spark-native, no extra package) with identical rows — the engine is
+    not parquet-bound."""
+    from pyspark.sql import functions as F
+
+    from exact_spark.operators.timeseries import canonical_events
+
+    canon = canonical_events(spark, sf_dir).select("id", "ts_epoch", "value", "label")
+    orc_dir = str(tmp_path / "events_orc")
+    canon.write.orc(orc_dir)
+    back = spark.read.orc(orc_dir)
+    assert back.count() == canon.count()
+    a = canon.agg(
+        F.sum("id").alias("si"), F.sum(F.floor(F.col("value") * 100)).alias("sv")
+    ).collect()[0]
+    b = back.agg(
+        F.sum("id").alias("si"), F.sum(F.floor(F.col("value") * 100)).alias("sv")
+    ).collect()[0]
+    assert (a["si"], a["sv"]) == (b["si"], b["sv"])
+
+
+def test_binaryfile_ingest_matches_synthesized_payloads(spark, sf_dir):
+    """The binaryFile source path produces the same decode features as the
+    in-plan synthesized payloads for the same docs."""
+    from exact_spark.operators.multimodal import multimodal_binaryfile_ingest
+
+    rows = multimodal_binaryfile_ingest(spark, sf_dir).collect()
+    assert len(rows) == 64
+    assert all(r["length_matches"] for r in rows)
+    assert all(r["n_distinct_bytes"] > 0 for r in rows)
