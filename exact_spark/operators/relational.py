@@ -1012,3 +1012,65 @@ def rel_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+_ROLL_DAYS = 7
+
+
+@register(
+    "rel_rolling_revenue",
+    sql=f"""
+    WITH daily AS (
+        SELECT o.o_custkey,
+               CAST(epoch(o.o_orderdate) // 86400 AS BIGINT) AS day,
+               SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS rev_fx
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_custkey, CAST(epoch(o.o_orderdate) // 86400 AS BIGINT)
+    )
+    SELECT o_custkey AS c_custkey, day,
+           (rev_fx / 100.0) AS day_revenue,
+           (CAST(SUM(rev_fx) OVER (
+               PARTITION BY o_custkey ORDER BY day
+               RANGE BETWEEN {_ROLL_DAYS - 1} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) / 100.0) AS rolling_7d_revenue
+    FROM daily
+    """,
+    doc="Trailing 7-day rolling revenue per customer — the RANGE-frame "
+    "moving aggregate (a TIME-bounded window, not a row-count one: a "
+    "customer with one order in the week gets a 1-day trailing sum, not "
+    "6 phantom rows). Plan shape: one fact groupBy collapses lineitems "
+    "to (customer, day) dailies FIRST (the window then runs over the "
+    "small daily series, not raw lineitems), the RANGE window partitions "
+    "per customer — parallel across customers, integer day arithmetic, "
+    "fixed-point revenue.",
+)
+def rel_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    rev_fx = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0 + F.lit(0.5)
+    ).cast("long")
+    daily = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "o_custkey",
+            F.floor(F.col("o_orderdate").cast("timestamp").cast("double") / 86400.0)
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.sum(rev_fx).alias("rev_fx"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-(_ROLL_DAYS - 1), 0)
+    )
+    return daily.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "day",
+        (F.col("rev_fx") / 100.0).alias("day_revenue"),
+        (F.sum("rev_fx").over(w).cast("long") / 100.0).alias("rolling_7d_revenue"),
+    )

@@ -1325,3 +1325,58 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_extreme_repetition"),
     )
+
+
+_FH_BUCKETS = 32
+
+
+@register(
+    "text_feature_hashing",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) AS hb,
+               CASE WHEN (strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1) % 2 = 0
+                    THEN 1 ELSE -1 END AS sign
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(hb % {_FH_BUCKETS} AS BIGINT) AS bucket,
+           CAST(SUM(sign) AS BIGINT) AS weight
+    FROM hashed
+    GROUP BY doc_id, hb % {_FH_BUCKETS}
+    HAVING SUM(sign) <> 0
+    """,
+    doc="Feature hashing (the hashing-trick featurizer fasttext/Vowpal-"
+    "style linear models train on — no vocabulary to build, ship, or "
+    "grow): every token hashes to one of {b} buckets with a deterministic "
+    "md5-derived sign (the sign trick keeps collisions unbiased in "
+    "expectation), per-doc signed counts form the sparse vector, emitted "
+    "long-form (doc, bucket, weight). Plan shape: one explode scan + one "
+    "map-side-combinable groupBy on (doc, bucket) — the featurizer is "
+    "stateless, so it parallelizes perfectly and never needs the "
+    "vocabulary broadcast text_tokenize_ids ships.".format(b=_FH_BUCKETS),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    h = F.md5(F.col("token"))
+    hb = (
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _FH_BUCKETS)
+        .cast("long")
+        .alias("bucket")
+    )
+    sign = F.when(
+        F.conv(F.substring(h, 3, 1), 16, 10).cast("int") % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        toks.select("doc_id", hb, sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

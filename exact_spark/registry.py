@@ -129,6 +129,9 @@ DRIVER_ORDER: list[str] = [
     "g9_pr_curve",
     "stream_static_enrich",
     "multimodal_binaryfile_ingest",
+    "catalog_snapshot_diff",
+    "text_feature_hashing",
+    "rel_rolling_revenue",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",

@@ -272,3 +272,76 @@ def catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "catalog_snapshot_diff",
+    sql=None,  # versioned-table lifecycle — rows-only check
+    doc="Snapshot reconciliation (the CDC/audit read the versioned layer "
+    "enables): diff two committed versions of a table by FULL OUTER join "
+    "on the primary key comparing content hashes — rows classified "
+    "added / removed / changed / unchanged, with only per-class COUNTS "
+    "crossing to the driver. Bounded run: day-1 events commit as v1, a "
+    "mutated snapshot (one day dropped, one day added, values scaled on "
+    "a slice) commits as v2, and the diff of (v1, v2) must tally "
+    "exactly. At scale both sides prune to their manifests' files and "
+    "the join shuffles once on the key — never a full-history scan.",
+)
+def catalog_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from exact_spark import io
+    from exact_spark.functions import epoch_micros
+    from exact_spark.session import tune_session
+
+    tune_session(spark)
+    work = tempfile.mkdtemp(prefix="exact_spark_vdiff_")
+    try:
+        ev = io.load(spark, sf_dir, "events")
+        ev = ev.withColumn("__ep_us", epoch_micros(ev, "ts"))
+        lo = ev.agg(F.min("__ep_us")).collect()[0][0] or 0
+        day = 86400 * 1_000_000
+        base = ev.select(
+            "event_id", "user_id", "value",
+            ((F.col("__ep_us") - lo) / day).cast("long").alias("day_no"),
+        )
+        v1_rows = base.filter(F.col("day_no") <= 1)
+        v2_rows = base.filter(F.col("day_no").between(1, 2)).withColumn(
+            "value",
+            F.when(F.col("user_id") % 3 == 0, F.col("value") * 2.0).otherwise(
+                F.col("value")
+            ),
+        )
+        t = VersionedTable(spark, work, "ev_diff")
+        t.create(v1_rows)
+        t.replace_where(v2_rows, keep_predicate=F.lit(False))
+
+        def keyed(v: int):
+            d = t.read(v)
+            return d.select(
+                F.col("event_id").alias("k"),
+                F.md5(F.concat_ws("|", "user_id", F.col("value").cast("string"))).alias(
+                    "h"
+                ),
+            )
+        a, b = keyed(1), keyed(2)
+        d = a.alias("a").join(
+            b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer"
+        ).select(
+            F.when(F.col("a.k").isNull(), "added")
+            .when(F.col("b.k").isNull(), "removed")
+            .when(F.col("a.h") != F.col("b.h"), "changed")
+            .otherwise("unchanged")
+            .alias("verdict")
+        )
+        out = (
+            d.groupBy("verdict")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("verdict")
+        )
+        # materialize BEFORE the finally deletes the warehouse — the
+        # returned frame must not lazily re-read vacuumed files
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
