@@ -1074,3 +1074,50 @@ def rel_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_fx") / 100.0).alias("day_revenue"),
         (F.sum("rev_fx").over(w).cast("long") / 100.0).alias("rolling_7d_revenue"),
     )
+
+
+@register(
+    "rel_grouping_sets",
+    sql=f"""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           {sql_fsum('l_extendedprice * (1.0 - l_discount)', SCALE2)} AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="GROUPING SETS with NON-hierarchical sets — the aggregation shape "
+    "ROLLUP cannot express (rel_revenue_rollup's subtotals nest; these "
+    "are two independent single-dimension rollups plus the grand total): "
+    "per-returnflag, per-linestatus, and overall revenue in ONE Expand "
+    "pass over the fact scan — one read, one shuffle, however many sets; "
+    "GROUPING() flags disambiguate the subtotal rows exactly as the "
+    "cube query does.",
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    agg = (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            fsum(disc, SCALE2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+    return agg.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+        "g_flag",
+        "g_status",
+        "revenue",
+        "n_lineitems",
+    )

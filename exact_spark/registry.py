@@ -132,6 +132,8 @@ DRIVER_ORDER: list[str] = [
     "catalog_snapshot_diff",
     "text_feature_hashing",
     "rel_rolling_revenue",
+    "rel_grouping_sets",
+    "sketch_hll_intersection",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
