@@ -29,11 +29,45 @@ INJECTION_METHODS = ("spike", "step", "lowered", "offline", "custom")
 
 class EngineAPI:
     def __init__(self, spark: SparkSession, warehouse_dir: str, output_dir: str,
-                 datasets_dir: str | None = None):
+                 datasets_dir: str | None = None, analytics_dir: str | None = None):
         self.spark = spark
         self.catalog = JobCatalog(spark, warehouse_dir)
         self.output_dir = pathlib.Path(output_dir)
         self.datasets_dir = pathlib.Path(datasets_dir) if datasets_dir else None
+        #: default table dir for the registered-analytics surface
+        #: (get-queries / run-query); a request may override per call
+        self.analytics_dir = analytics_dir
+
+    # -- registered-analytics surface (extension beyond the reference) ------
+    def get_queries(self) -> list[dict]:
+        """Every registered analytic: name + whether it is oracle-backed."""
+        from exact_spark.registry import REGISTRY, _load_all
+
+        _load_all()
+        return [
+            {"name": n, "oracle": REGISTRY[n].sql is not None}
+            for n in sorted(REGISTRY)
+        ]
+
+    def run_query(self, name: str, sf_dir: str | None = None,
+                  limit: int = 1000) -> dict:
+        """Run one registered analytic and return a bounded split-orient
+        payload (same driver-safety contract as get-data: the engine never
+        collects an unbounded result)."""
+        from exact_spark.registry import REGISTRY, _load_all
+
+        _load_all()
+        if name not in REGISTRY:
+            raise KeyError(name)
+        target = sf_dir or self.analytics_dir
+        if target is None:
+            raise ValueError("no sf_dir configured for run-query")
+        df = REGISTRY[name].fn(self.spark, target).limit(int(limit))
+        rows = df.collect()
+        return {
+            "columns": list(df.columns),
+            "data": [[row[c] for c in df.columns] for row in rows],
+        }
 
     # -- run-batch (engine.py:161-205) ---------------------------------------
     def run_batch(self, job: BatchJob) -> dict:

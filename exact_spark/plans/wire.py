@@ -283,5 +283,18 @@ class EngineServer:
                 finally:
                     pathlib.Path(staged).unlink(missing_ok=True)
 
+        elif method == "get-queries":
+            send({"queries": self.api.get_queries()})
+        elif method == "run-query":
+            try:
+                payload = self.api.run_query(
+                    data["name"], sf_dir=data.get("sf_dir"),
+                    limit=int(data.get("limit", 1000)),
+                )
+                send({"columns": payload["columns"],
+                      "data": json.loads(json.dumps(payload["data"], default=str))})
+            except (KeyError, ValueError) as e:
+                send({"error": f"unknown query or bad request: {e}"})
+
         else:
             send({"error": "method-error-response"})  # engine.py:402-404

@@ -251,3 +251,24 @@ def test_run_stream_over_the_wire(server, tmp_path):
     stored = server.api.catalog.read_data(table)
     assert stored.count() == 150
     assert "is_anomaly" in stored.columns
+
+
+def test_get_queries_and_run_query(server):
+    """Extension surface: the whole registered-analytics registry is
+    servable over the wire — list it, then run one oracle-backed query
+    against the testdata tables and get a bounded split payload back."""
+    qs = _request(server, {"METHOD": "get-queries"})["queries"]
+    names = {q["name"] for q in qs}
+    assert len(names) > 100 and "g1_confusion_metrics" in names
+    assert any(q["oracle"] for q in qs) and any(not q["oracle"] for q in qs)
+
+    out = _request(
+        server,
+        {"METHOD": "run-query", "name": "rel_region_revenue",
+         "sf_dir": "/root/testdata/sf0.001", "limit": 10},
+    )
+    assert out["columns"] == ["region", "revenue", "n_lineitems"]
+    assert 0 < len(out["data"]) <= 10
+
+    bad = _request(server, {"METHOD": "run-query", "name": "nope"})
+    assert "error" in bad
