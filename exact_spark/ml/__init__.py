@@ -426,3 +426,47 @@ def xai_methods_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="method string, n_instances long, n_features_ranked long, "
         "ndcg_at_3 double, ndcg_at_5 double, ndcg_at_10 double",
     )
+
+
+_LC_FRACTIONS = (0.25, 0.5, 1.0)
+
+
+@register(
+    "ml_learning_curve",
+    sql=None,  # model training is not SQL-expressible -> rows-only check
+    doc="Learning curve for the decision-tree detector: the SAME pipeline "
+    "trained on the first 25% / 50% / 100% of the training window, each "
+    "fit scored on the SAME fixed holdout — the diagnostic that answers "
+    "'will more data help, or is the model capacity-bound?' before "
+    "anyone pays for a 4x larger training run. Prefix slices (not random "
+    "subsamples) respect the series' temporal order exactly like the "
+    "85/15 split itself; the three fits run concurrently like "
+    "ml_supervised_e2e's branches. One row per fraction: train size, "
+    "confusion counts, F1 (exact integer arithmetic, 4dp).",
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
+    df, cut = _cached_features(spark, sf_dir)
+
+    def branch(frac: float) -> dict:
+        sub_cut = int(cut * frac)
+        row = _detector_e2e_on(df, sub_cut, "decision_tree").collect()[0]
+        d = row.asDict()
+        tp, fp, fn = d["tp"], d["fp"], d["fn"]
+        f1 = (2.0 * tp) / max(2 * tp + fp + fn, 1)
+        return {
+            "train_fraction": frac,
+            "n_train": sub_cut,
+            **d,
+            "f1": round(f1, 4),
+        }
+
+    with ThreadPoolExecutor(len(_LC_FRACTIONS)) as ex:
+        rows = list(ex.map(branch, _LC_FRACTIONS))
+    df.unpersist()
+    return spark.createDataFrame(
+        rows,
+        schema="train_fraction double, n_train long, tp long, tn long, "
+        "fp long, fn long, n_rows long, f1 double",
+    )

@@ -783,3 +783,69 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return spark.createDataFrame(rows, "metric string, estimate double, exact double")
+
+
+_MAD_K = 3.0 * 1.4826  # 3 sigma under the normal-consistency constant
+
+
+@register(
+    "ts_outlier_mad",
+    sql=f"""
+    WITH canon AS ({{canon}}),
+    med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM canon GROUP BY event_type
+    ),
+    dev AS (
+        SELECT c.event_type, c.value, m.med, ABS(c.value - m.med) AS adev
+        FROM canon c JOIN med m ON m.event_type = c.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n_rows,
+           {{med_r}} AS median_value,
+           {{mad_r}} AS mad_value,
+           CAST(SUM(CASE WHEN d.adev > {_MAD_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type, m.mad, d.med
+    """.format(
+        canon=CANON_SQL, med_r=sql_fround("d.med"), mad_r=sql_fround("m.mad")
+    ),
+    doc="Robust outlier detection via median absolute deviation — the "
+    "detector family that survives what breaks z-scores (a single "
+    "extreme value inflates a mean/stddev band until nothing else "
+    "flags; the median and MAD have 50% breakdown). Per event type: "
+    "exact median, exact MAD, and the count beyond 3 normal-consistent "
+    "MADs. Plan shape: two distributed exact-percentile passes (median "
+    "of values, median of deviations) + one flagging scan, all keyed on "
+    "the low-cardinality type — the 100 TB path swaps quantile_cont for "
+    "the mergeable histogram sketch_quantile_rollup already provides.",
+)
+def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    med = df.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    dev = df.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("adev") > _MAD_K * F.col("mad"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+    ).select(
+        "event_type",
+        "n_rows",
+        fround(F.col("med")).alias("median_value"),
+        fround(F.col("mad")).alias("mad_value"),
+        "n_outliers",
+    )

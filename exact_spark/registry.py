@@ -134,6 +134,8 @@ DRIVER_ORDER: list[str] = [
     "rel_rolling_revenue",
     "rel_grouping_sets",
     "sketch_hll_intersection",
+    "ts_outlier_mad",
+    "ml_learning_curve",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
