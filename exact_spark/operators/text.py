@@ -1380,3 +1380,106 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sign").cast("long").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+_PMI_WINDOW = 5  # symmetric co-occurrence window (word2vec's default)
+_PMI_MIN_PAIR = 5
+_PMI_TOPK = 50
+
+
+@register(
+    "text_cooccurrence_pmi",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i, t[i + 1] AS w, t
+        FROM toks, UNNEST(range(0, len(t))) AS u(i)
+    ),
+    pairs AS (
+        SELECT LEAST(p.w, p.t[p.i + 1 + o]) AS w_a,
+               GREATEST(p.w, p.t[p.i + 1 + o]) AS w_b
+        FROM pos p, UNNEST(range(1, {_PMI_WINDOW} + 1)) AS v(o)
+        WHERE p.i + o < len(p.t)
+    ),
+    pc AS (
+        SELECT w_a, w_b, count(*) AS c_ab FROM pairs GROUP BY w_a, w_b
+        HAVING count(*) >= {_PMI_MIN_PAIR}
+    ),
+    uc AS (SELECT w, count(*) AS c_w FROM pos GROUP BY w),
+    n AS (SELECT count(*) AS n_tok FROM pos),
+    scored AS (
+        SELECT p.w_a, p.w_b, p.c_ab, a.c_w AS c_a, b.c_w AS c_b,
+               (CAST(p.c_ab AS DOUBLE) * n.n_tok) / (CAST(a.c_w AS DOUBLE) * b.c_w)
+                   AS pmi_ratio
+        FROM pc p
+        JOIN uc a ON a.w = p.w_a
+        JOIN uc b ON b.w = p.w_b, n
+    )
+    SELECT w_a, w_b, c_ab, c_a, c_b, pmi_ratio
+    FROM scored
+    ORDER BY pmi_ratio DESC, w_a, w_b
+    LIMIT {_PMI_TOPK}
+    """,
+    doc="Co-occurrence PMI pairs (the word2vec/GloVe-prep statistic: which "
+    "token pairs appear together {w}-token-window-often beyond chance): "
+    "ratio form PMI = c(a,b)*N / (c(a)*c(b)) — RATIONAL, so the ranking "
+    "needs no cross-engine logarithm (log is monotone; the ordering is "
+    "identical). Plan shape: pairs explode inside the row against the "
+    "offsets 1..{w} (symmetric window canonicalized LEAST/GREATEST so "
+    "each pair counts once), pair census and unigram census are two "
+    "map-side-combinable groupBys, the min-count filter kills the "
+    "hapax tail BEFORE the join, final top-K distributed. At corpus "
+    "scale the pair space is the explode of the token stream x {w} — "
+    "linear, never quadratic.".format(w=_PMI_WINDOW),
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", tokens_col().alias("t"))
+    pos = toks.select(
+        "doc_id", F.posexplode(F.col("t")).alias("i", "w"), "t"
+    )
+    offs = F.array(*[F.lit(o) for o in range(1, _PMI_WINDOW + 1)])
+    pairs = (
+        pos.select(
+            "w",
+            F.explode(
+                F.filter(
+                    F.transform(
+                        offs,
+                        lambda o: F.try_element_at(
+                            F.col("t"), (F.col("i") + 1 + o).cast("int")
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("w2"),
+        )
+        .select(
+            F.least(F.col("w"), F.col("w2")).alias("w_a"),
+            F.greatest(F.col("w"), F.col("w2")).alias("w_b"),
+        )
+    )
+    pc = (
+        pairs.groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_PAIR)
+    )
+    uc = pos.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    n_tok = pos.count()
+    scored = (
+        pc.join(uc.select(F.col("w").alias("w_a"), F.col("c_w").alias("c_a")), "w_a")
+        .join(uc.select(F.col("w").alias("w_b"), F.col("c_w").alias("c_b")), "w_b")
+        .withColumn(
+            "pmi_ratio",
+            (F.col("c_ab").cast("double") * F.lit(n_tok))
+            / (F.col("c_a").cast("double") * F.col("c_b")),
+        )
+    )
+    return (
+        scored.select("w_a", "w_b", "c_ab", "c_a", "c_b", "pmi_ratio")
+        .orderBy(F.col("pmi_ratio").desc(), "w_a", "w_b")
+        .limit(_PMI_TOPK)
+    )

@@ -136,6 +136,7 @@ DRIVER_ORDER: list[str] = [
     "sketch_hll_intersection",
     "ts_outlier_mad",
     "ml_learning_curve",
+    "text_cooccurrence_pmi",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
