@@ -1121,3 +1121,42 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         "n_lineitems",
     )
+
+
+_Q6_FROM, _Q6_TO = "2000-01-01", "2001-01-01"
+_Q6_DISC_LO, _Q6_DISC_HI = 0.05, 0.07
+_Q6_QTY = 24.0
+
+
+@register(
+    "rel_forecast_revenue",
+    sql=f"""
+    SELECT {sql_fsum('l_extendedprice * l_discount', SCALE2)} AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q6_FROM} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{_Q6_TO} 00:00:00'
+      AND l_discount BETWEEN {_Q6_DISC_LO} AND {_Q6_DISC_HI}
+      AND l_quantity < {_Q6_QTY}
+    """,
+    doc="TPC-H Q6 forecasting-revenue-change: the canonical scan-dominated "
+    "query — no join at all, a conjunction of range predicates and one "
+    "fixed-point sum. Its whole value is what the plan shows: every "
+    "predicate lands in PushedFilters (date + discount + quantity all "
+    "prune at the parquet reader), the projection reads exactly two "
+    "columns, and the aggregate is a scalar — the query a column store "
+    "must execute at raw scan speed or nothing else matters.",
+)
+def rel_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit(f"{_Q6_FROM} 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{_Q6_TO} 00:00:00").cast("timestamp"))
+        & (F.col("l_discount").between(_Q6_DISC_LO, _Q6_DISC_HI))
+        & (F.col("l_quantity") < _Q6_QTY)
+    )
+    return f.agg(
+        fsum(F.col("l_extendedprice") * F.col("l_discount"), SCALE2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )

@@ -137,6 +137,7 @@ DRIVER_ORDER: list[str] = [
     "ts_outlier_mad",
     "ml_learning_curve",
     "text_cooccurrence_pmi",
+    "rel_forecast_revenue",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
