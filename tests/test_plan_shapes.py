@@ -125,3 +125,18 @@ def test_funnel_single_user_shuffle(spark, sf_dir):
 
     plan = _plan(ts_funnel(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_forecast_revenue_pushdown(spark, sf_dir):
+    """Q6's whole value is the plan: all range predicates reach the parquet
+    reader and the projection reads only the needed columns."""
+    from exact_spark.operators.relational import rel_forecast_revenue
+
+    plan = _plan(rel_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    # column pruning: the scan schema carries only the 4 needed columns
+    rs = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_extendedprice" in rs and "l_returnflag" not in rs
