@@ -1739,3 +1739,60 @@ def sim_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PR_TOPK)
         .select(F.col("rank"), F.col("v").alias("vec_id"), F.col("r_fx").alias("pagerank_fx"))
     )
+
+
+_KNN_OUT_PCT = 0.10  # bottom decile of neighborhood similarity = outliers
+
+
+def _knn_outlier_sql() -> str:
+    """Composes the registered sim_knn_graph spec: vectors whose best
+    available neighbors are weakest are distribution outliers."""
+    from exact_spark.registry import REGISTRY
+
+    graph = REGISTRY["sim_knn_graph"].sql
+    return f"""
+    WITH g AS ({graph}),
+    per_vec AS (
+        SELECT vec_id,
+               count(*) AS n_neighbors,
+               MAX(cosine) AS best_cos,
+               (SUM(CAST(FLOOR(cosine * 1000000.0 + 0.5) AS BIGINT)) / (1000000.0 * COUNT(cosine))) AS mean_cos
+        FROM g GROUP BY vec_id
+    ),
+    thr AS (SELECT quantile_cont(mean_cos, {_KNN_OUT_PCT}) AS t FROM per_vec)
+    SELECT p.vec_id, p.n_neighbors, p.best_cos, p.mean_cos,
+           (p.mean_cos <= thr.t) AS is_outlier
+    FROM per_vec p, thr
+    """
+
+
+@register(
+    "sim_knn_outliers",
+    sql=_knn_outlier_sql(),  # composes the registered sibling spec
+    doc="kNN-distance outlier scores over embeddings (the density-based "
+    "anomaly family — a vector whose NEAREST neighbors are all far is "
+    "off-distribution, the k-NN analog of isolation scoring): per-vector "
+    "best/mean neighbor cosine from the REGISTERED kNN graph, outlier = "
+    "bottom decile of mean neighborhood similarity (distributed exact "
+    "percentile). A vector absent from the graph entirely (no LSH "
+    "candidate at all) is the extreme case and is surfaced by "
+    "sim_threshold_sweep's recall contract rather than silently scored. "
+    "Plan: one groupBy over graph edges + a scalar quantile + one scan.",
+)
+def sim_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = sim_knn_graph(spark, sf_dir)
+    per_vec = g.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.max("cosine").alias("best_cos"),
+        favg(F.col("cosine")).alias("mean_cos"),
+    )
+    thr = per_vec.agg(
+        F.percentile(F.col("mean_cos"), F.lit(_KNN_OUT_PCT)).alias("t")
+    ).collect()[0]["t"]
+    return per_vec.select(
+        "vec_id",
+        "n_neighbors",
+        "best_cos",
+        "mean_cos",
+        (F.col("mean_cos") <= F.lit(thr)).alias("is_outlier"),
+    )

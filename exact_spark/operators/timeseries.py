@@ -1059,3 +1059,49 @@ def ts_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+@register(
+    "ts_event_type_markov",
+    sql="""
+    WITH canon AS ({canon}),
+    lagged AS (
+        SELECT user_id, event_type AS cur,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY id) AS prev
+        FROM canon
+    ),
+    trans AS (
+        SELECT prev, cur, count(*) AS c
+        FROM lagged WHERE prev IS NOT NULL
+        GROUP BY prev, cur
+    ),
+    outc AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS c_out FROM trans GROUP BY prev)
+    SELECT t.prev, t.cur, t.c AS n_transitions, o.c_out AS n_from_prev,
+           (CAST(t.c AS DOUBLE) / o.c_out) AS p_transition
+    FROM trans t JOIN outc o ON o.prev = t.prev
+    """.format(canon=CANON_SQL),
+    doc="First-order Markov transition statistics over per-user event "
+    "sequences (the sequence-modeling prep every behavioral model "
+    "starts from, and the base distribution behind the LM-score idea "
+    "applied to event streams): P(next type | current type) from exact "
+    "integer transition counts. Plan shape: one LAG over the "
+    "user-partitioned window (single user_id shuffle), one map-side-"
+    "combinable census on the (prev, cur) pair — the transition matrix "
+    "is |types|^2 rows at any event volume; probabilities are single "
+    "divisions over exact integers.",
+)
+def ts_event_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("id")
+    lagged = df.select(
+        "user_id", F.col("event_type").alias("cur"), F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    trans = lagged.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    outc = trans.groupBy("prev").agg(F.sum("c").cast("long").alias("c_out"))
+    return trans.join(outc, "prev").select(
+        "prev",
+        "cur",
+        F.col("c").alias("n_transitions"),
+        F.col("c_out").alias("n_from_prev"),
+        (F.col("c").cast("double") / F.col("c_out")).alias("p_transition"),
+    )

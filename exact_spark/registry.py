@@ -138,6 +138,8 @@ DRIVER_ORDER: list[str] = [
     "ml_learning_curve",
     "text_cooccurrence_pmi",
     "rel_forecast_revenue",
+    "ts_event_type_markov",
+    "sim_knn_outliers",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
