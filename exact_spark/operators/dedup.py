@@ -996,3 +996,78 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac.alias("dup_frac"),
         (dup_frac <= _CHUNK_DUP_MAX).alias("keep"),
     )
+
+
+_CONTAIN_MIN = 0.9
+
+
+@register(
+    "dedup_containment",
+    sql=f"""
+    WITH {_SQL_SHINGLES},
+    posting AS (
+        SELECT doc_id, unnest(shingles) AS sh FROM shingled
+    ),
+    doc_sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled),
+    filtered AS (
+        SELECT sh FROM posting GROUP BY sh HAVING count(*) <= {_HOT_CAP}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM posting a
+        JOIN posting b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        JOIN filtered f ON a.sh = f.sh
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {_MIN_COMMON}
+    )
+    SELECT p.doc_a, p.doc_b, p.n_common,
+           (p.n_common * 1.0 / LEAST(sa.n_sh, sb.n_sh)) AS containment,
+           CASE WHEN sa.n_sh <= sb.n_sh THEN p.doc_a ELSE p.doc_b END AS contained_doc
+    FROM pairs p
+    JOIN doc_sizes sa ON p.doc_a = sa.doc_id
+    JOIN doc_sizes sb ON p.doc_b = sb.doc_id
+    WHERE (p.n_common * 1.0 / LEAST(sa.n_sh, sb.n_sh)) >= {_CONTAIN_MIN!r}
+    """,
+    doc="Containment near-dup (the asymmetric-overlap detector symmetric "
+    "Jaccard structurally misses: a short doc quoted wholesale inside a "
+    "long one scores n_common/|short| ~ 1 here but a tiny Jaccard — the "
+    "quote/excerpt/subset case curation must catch separately): same "
+    "single-shuffle collect-expand candidate plan and hot-shingle cap as "
+    "dedup_ngram_jaccard, with the pair scored by containment of the "
+    "SMALLER shingle set and the contained doc identified for drop/"
+    "attribution decisions.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    sh = _shingled(spark, sf_dir).cache()
+    posting = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    doc_sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    grouped = (
+        posting.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _HOT_CAP))
+    )
+    pairs = (
+        grouped.select(F.explode(_self_pairs("ids", "doc_a", "doc_b")).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= _MIN_COMMON)
+        .select(F.col("doc_a"), F.col("doc_b"), "n_common")
+    )
+    sa = doc_sizes.alias("sa")
+    sb = doc_sizes.alias("sb")
+    cont = F.col("n_common") * 1.0 / F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(cont >= _CONTAIN_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            cont.alias("containment"),
+            F.when(F.col("sa.n_sh") <= F.col("sb.n_sh"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+    )

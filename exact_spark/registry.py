@@ -140,6 +140,7 @@ DRIVER_ORDER: list[str] = [
     "rel_forecast_revenue",
     "ts_event_type_markov",
     "sim_knn_outliers",
+    "dedup_containment",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
