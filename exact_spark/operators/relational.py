@@ -1160,3 +1160,162 @@ def rel_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         fsum(F.col("l_extendedprice") * F.col("l_discount"), SCALE2).alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+_MB_MIN_SUPPORT = 3  # baskets containing the pair
+_MB_BASKET_CAP = 30  # skew guard: a basket of B items expands to B^2/2 pairs
+
+
+@register(
+    "rel_market_basket",
+    sql=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    sized AS (
+        SELECT l_orderkey FROM items GROUP BY l_orderkey
+        HAVING count(*) BETWEEN 2 AND {_MB_BASKET_CAP}
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_baskets
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        JOIN sized s ON s.l_orderkey = a.l_orderkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {_MB_MIN_SUPPORT}
+    ),
+    ic AS (SELECT l_partkey, count(*) AS c FROM items GROUP BY l_partkey),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items)
+    SELECT p.part_a, p.part_b, p.n_baskets,
+           ca.c AS n_a, cb.c AS n_b,
+           (CAST(p.n_baskets AS DOUBLE) / ca.c) AS confidence_a_to_b,
+           (CAST(p.n_baskets AS DOUBLE) * n.n_orders / (CAST(ca.c AS DOUBLE) * cb.c)) AS lift
+    FROM pairs p
+    JOIN ic ca ON ca.l_partkey = p.part_a
+    JOIN ic cb ON cb.l_partkey = p.part_b, n
+    """,
+    doc="Market-basket association mining (support / confidence / lift for "
+    "part pairs co-ordered in one order — the classic affinity analysis, "
+    "and the relational twin of text_cooccurrence_pmi): pair candidates "
+    "come from the SAME capped collect-expand shape as the dedup LSH "
+    "family — one shuffle keyed on the basket id, the quadratic pair "
+    "expansion bounded per basket ({cap} items) so a degenerate mega-"
+    "order can't blow up one task; item census and basket count are "
+    "map-side-combinable; lift is the rational c_ab*N/(c_a*c_b) — no "
+    "logs, cross-engine exact.".format(cap=_MB_BASKET_CAP),
+)
+def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    grouped = (
+        items.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+        .filter((F.size("parts") >= 2) & (F.size("parts") <= _MB_BASKET_CAP))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + F.lit(2), F.size("parts")),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= _MB_MIN_SUPPORT)
+    )
+    ic = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    n_orders = items.select("l_orderkey").distinct().count()
+    j = pairs.join(
+        F.broadcast(ic.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("n_a"))),
+        "part_a",
+    ).join(
+        F.broadcast(ic.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("n_b"))),
+        "part_b",
+    )
+    return j.select(
+        "part_a",
+        "part_b",
+        "n_baskets",
+        "n_a",
+        "n_b",
+        (F.col("n_baskets").cast("double") / F.col("n_a")).alias("confidence_a_to_b"),
+        (
+            F.col("n_baskets").cast("double")
+            * F.lit(n_orders)
+            / (F.col("n_a").cast("double") * F.col("n_b"))
+        ).alias("lift"),
+    )
+
+
+@register(
+    "rel_customer_rfm",
+    sql=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(MAX(epoch(o_orderdate)) // 86400 AS BIGINT) AS last_day,
+               count(*) AS frequency,
+               SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS monetary_fx
+        FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+        SELECT quantile_cont(last_day, 0.5) AS r_med,
+               quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS f_med,
+               quantile_cont(CAST(monetary_fx AS DOUBLE), 0.5) AS m_med
+        FROM per_cust
+    ),
+    seg AS (
+        SELECT p.o_custkey,
+               CASE WHEN p.last_day > c.r_med THEN 'recent' ELSE 'lapsed' END AS r_seg,
+               CASE WHEN p.frequency > c.f_med THEN 'frequent' ELSE 'occasional' END AS f_seg,
+               CASE WHEN p.monetary_fx > c.m_med THEN 'high_value' ELSE 'low_value' END AS m_seg,
+               p.monetary_fx
+        FROM per_cust p, cuts c
+    )
+    SELECT r_seg, f_seg, m_seg,
+           count(*) AS n_customers,
+           (CAST(SUM(monetary_fx) AS BIGINT) / 100.0) AS total_spend
+    FROM seg GROUP BY r_seg, f_seg, m_seg
+    """,
+    doc="RFM customer segmentation (recency / frequency / monetary — the "
+    "standard BI customer-value rollup): per-customer aggregates in one "
+    "map-side-combinable pass, EXACT distributed medians as the segment "
+    "cuts (deterministic, unlike ntile under ties), then an 8-cell "
+    "segment census. Spend through the fixed-point kernels; three "
+    "bounded passes total, none touching raw orders twice.",
+)
+def rel_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    orders = io.load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.floor(F.max(F.col("o_orderdate").cast("timestamp").cast("double")) / 86400.0)
+        .cast("long")
+        .alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")).alias(
+            "monetary_fx"
+        ),
+    )
+    cuts = per_cust.agg(
+        F.percentile(F.col("last_day").cast("double"), F.lit(0.5)).alias("r_med"),
+        F.percentile(F.col("frequency").cast("double"), F.lit(0.5)).alias("f_med"),
+        F.percentile(F.col("monetary_fx").cast("double"), F.lit(0.5)).alias("m_med"),
+    ).collect()[0]
+    seg = per_cust.select(
+        F.when(F.col("last_day") > cuts["r_med"], "recent").otherwise("lapsed").alias("r_seg"),
+        F.when(F.col("frequency") > cuts["f_med"], "frequent")
+        .otherwise("occasional")
+        .alias("f_seg"),
+        F.when(F.col("monetary_fx") > cuts["m_med"], "high_value")
+        .otherwise("low_value")
+        .alias("m_seg"),
+        "monetary_fx",
+    )
+    return seg.groupBy("r_seg", "f_seg", "m_seg").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("monetary_fx").cast("long") / 100.0).alias("total_spend"),
+    )

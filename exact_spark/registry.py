@@ -141,6 +141,8 @@ DRIVER_ORDER: list[str] = [
     "ts_event_type_markov",
     "sim_knn_outliers",
     "dedup_containment",
+    "rel_market_basket",
+    "rel_customer_rfm",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
