@@ -470,3 +470,61 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="train_fraction double, n_train long, tp long, tn long, "
         "fp long, fn long, n_rows long, f1 double",
     )
+
+
+_ENSEMBLE = ("threshold", "isolation_forest", "pca_autoencoder")
+
+
+@register(
+    "ml_ensemble_vote",
+    sql=None,  # model training is not SQL-expressible -> rows-only check
+    doc="Majority-vote ensemble of three detector FAMILIES (statistical "
+    "threshold, isolation forest, linear reconstruction) — the cheap "
+    "variance-reduction every production detector stack reaches for "
+    "before heavier models: a row is flagged when >=2 of 3 agree, which "
+    "suppresses each family's idiosyncratic false positives. The three "
+    "fits/scores run concurrently over one cached feature frame (the "
+    "ml_supervised_e2e pattern); output = per-detector confusion rows "
+    "PLUS the ensemble row, so the vote's precision gain is read "
+    "directly against its members.",
+)
+def ml_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from exact_spark.ml.models import get_model
+
+    df, cut = _cached_features(spark, sf_dir)
+    feats = ["value", "hour"]
+    train = df.filter(F.col("id") <= cut)
+
+    def branch(name: str):
+        model = get_model(name)
+        model.run(train, feats)
+        det = model.detect(df, feats).select(
+            "id", F.col("predicted").alias(f"p_{name}")
+        )
+        return name, det
+
+    with ThreadPoolExecutor(len(_ENSEMBLE)) as ex:
+        dets = dict(ex.map(branch, _ENSEMBLE))
+
+    scored = df.select("id", "label")
+    for name in _ENSEMBLE:
+        scored = scored.join(dets[name], "id", "left").withColumn(
+            f"p_{name}", F.coalesce(F.col(f"p_{name}"), F.lit(0))
+        )
+    votes = sum(F.col(f"p_{n}") for n in _ENSEMBLE)
+    scored = scored.withColumn("p_ensemble", (votes >= 2).cast("int")).cache()
+    try:
+        rows = []
+        for name in list(_ENSEMBLE) + ["ensemble"]:
+            r = _confusion(
+                scored.select("label", F.col(f"p_{name}").alias("predicted"))
+            ).collect()[0]
+            rows.append({"model": name, **r.asDict()})
+    finally:
+        scored.unpersist()
+        df.unpersist()
+    return spark.createDataFrame(
+        rows, schema="model string, tp long, tn long, fp long, fn long, n_rows long"
+    )

@@ -143,6 +143,8 @@ DRIVER_ORDER: list[str] = [
     "dedup_containment",
     "rel_market_basket",
     "rel_customer_rfm",
+    "ml_ensemble_vote",
+    "stream_drift_monitor",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",

@@ -443,3 +443,97 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_drift_monitor",
+    sql=None,  # Structured Streaming run -> rows-only check
+    doc="Streaming drift monitoring, driver-visible bounded run (the "
+    "production-ML watchdog ml_drift_bins batch-computes, maintained "
+    "incrementally): the value-distribution bins are FITTED on a static "
+    "day-1 reference window, then a 3-day replay folds each micro-"
+    "batch's bin census into the maintained counts via foreachBatch — "
+    "per-batch counting is fully distributed, only the 20-cell census "
+    "crosses to the store, so monitor cost is independent of batch "
+    "size. After the replay the maintained census must EQUAL the direct "
+    "batch census cell-for-cell (exact-addition merge, the CMS-maintain "
+    "property) and the drift statistic vs the reference window is "
+    "computed from the maintained counts alone.",
+)
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bins = 20
+    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_sdrift_"))
+    try:
+        base = _bounded_events(spark, sf_dir, days=3.0, user_mod=3)
+        # reference = day 1 (fit window), replay = the full slice
+        lo_ts = base.agg(F.min("timestamp")).collect()[0][0]
+        import datetime as _dt
+
+        day1_end = lo_ts + _dt.timedelta(days=1)
+        ref = base.filter(F.col("timestamp") < F.lit(day1_end))
+        span = ref.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+        lo, hi = float(span["lo"]), float(span["hi"])
+        width = (hi - lo) / n_bins or 1.0
+
+        def bin_col():
+            return F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0), F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("int")
+                ),
+            ).alias("bin")
+
+        ref_counts = {
+            r["bin"]: r["c"]
+            for r in ref.groupBy(bin_col()).agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+
+        src = str(work / "src")
+        base.repartitionByRange(3, "timestamp").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintained: dict[int, int] = {}
+        n_batches = [0]
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            n_batches[0] += 1
+            for r in batch_df.groupBy(bin_col()).agg(F.count(F.lit(1)).alias("c")).collect():
+                maintained[r["bin"]] = maintained.get(r["bin"], 0) + r["c"]
+
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        direct = {
+            r["bin"]: r["c"]
+            for r in spark.read.parquet(src)
+            .groupBy(bin_col())
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        matches = int(direct == maintained)
+        tot_ref = sum(ref_counts.values())
+        tot_cur = sum(maintained.values())
+        drift = 0.0
+        for b in range(n_bins):
+            p = ref_counts.get(b, 0) / tot_ref
+            qv = maintained.get(b, 0) / tot_cur
+            if p + qv > 0:
+                drift += (p - qv) * (p - qv) / (p + qv + 1e-9)
+        rows = [
+            ("n_batches", float(n_batches[0])),
+            ("n_bins_active", float(len(maintained))),
+            ("matches_direct", float(matches)),
+            ("drift_vs_reference", round(drift, 6)),
+        ]
+        return spark.createDataFrame(rows, "metric string, value double")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
