@@ -1105,3 +1105,55 @@ def ts_event_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_out").alias("n_from_prev"),
         (F.col("c").cast("double") / F.col("c_out")).alias("p_transition"),
     )
+
+
+@register(
+    "ts_dau_wau",
+    sql="""
+    WITH canon AS ({canon}),
+    days AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(ts_epoch / 86400.0) AS BIGINT) AS day
+        FROM canon
+    ),
+    grid AS (SELECT DISTINCT day FROM days),
+    wau AS (
+        SELECT g.day, count(DISTINCT d.user_id) AS wau
+        FROM grid g JOIN days d ON d.day BETWEEN g.day - 6 AND g.day
+        GROUP BY g.day
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM days GROUP BY day)
+    SELECT d.day, d.dau, w.wau,
+           (CAST(d.dau AS DOUBLE) / w.wau) AS stickiness
+    FROM dau d JOIN wau w ON w.day = d.day
+    """.format(canon=CANON_SQL),
+    doc="DAU/WAU stickiness (the engagement ratio product teams watch "
+    "daily): distinct active users per day over distinct active users in "
+    "the trailing 7 days. Plan shape: ONE (user, day) DISTINCT collapses "
+    "the event volume to at most users x days rows; the trailing-window "
+    "distinct joins that small activity table against the tiny "
+    "broadcast day grid with a BETWEEN predicate (grid cardinality = "
+    "the calendar), so the range join never touches raw events; DAU "
+    "rides the same distinct table.",
+)
+def ts_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    days = df.select(
+        "user_id", F.floor(F.col("ts_epoch") / 86400.0).cast("long").alias("day")
+    ).distinct()
+    grid = days.select("day").distinct().withColumnRenamed("day", "g_day")
+    wau = (
+        days.join(
+            F.broadcast(grid),
+            F.col("day").between(F.col("g_day") - 6, F.col("g_day")),
+        )
+        .groupBy("g_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, dau.day == wau.g_day).select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )

@@ -145,6 +145,7 @@ DRIVER_ORDER: list[str] = [
     "rel_customer_rfm",
     "ml_ensemble_vote",
     "stream_drift_monitor",
+    "ts_dau_wau",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
