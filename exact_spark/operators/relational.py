@@ -1319,3 +1319,156 @@ def rel_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         (F.sum("monetary_fx").cast("long") / 100.0).alias("total_spend"),
     )
+
+
+_Q13_EXCL_PRIORITY = "1-URGENT"
+
+
+@register(
+    "rel_order_count_distribution",
+    sql=f"""
+    WITH per_cust AS (
+        SELECT o_custkey, count(*) AS c_count
+        FROM orders
+        WHERE o_orderpriority <> '{_Q13_EXCL_PRIORITY}'
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(pc.c_count, 0) AS c_count,
+           count(*) AS custdist
+    FROM customer c LEFT JOIN per_cust pc ON pc.o_custkey = c.c_custkey
+    GROUP BY COALESCE(pc.c_count, 0)
+    """,
+    doc="TPC-H Q13-shaped customer order-count distribution (left outer "
+    "join + two-level aggregation). Scale shape: orders are collapsed to "
+    "per-customer counts FIRST (map-side combinable, one shuffle of "
+    "customer-cardinality rows), so the outer join matches two "
+    "customer-sized keyed frames instead of streaming raw orders through "
+    "a join; zero-order customers come from the LEFT side + COALESCE, "
+    "exactly the rows an inner-join-then-histogram silently drops. The "
+    "closing histogram groupBy runs over at most max(c_count) keys.",
+)
+def rel_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference analog: the engine's catalog/count rollups (SURVEY §2.4);
+    the outer-join-preserving count shape has no pandas counterpart —
+    positional indexing cannot express 'customers with zero orders'."""
+    tune_session(spark)
+    cust = io.load(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        io.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != _Q13_EXCL_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    joined = cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+    return (
+        joined.select(F.coalesce(F.col("c_count"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# Three (brand, max-size, quantity-band) arms; the redundant single-side
+# bounds derived from them are stated explicitly in BOTH plans so each
+# engine can push them to the scans (the classic hand-optimized Q19 form —
+# semantically implied by the OR, not an extra filter).
+_Q19_ARMS = [
+    ("Brand#12", 15, 1.0, 11.0),
+    ("Brand#23", 25, 10.0, 20.0),
+    ("Brand#3", 35, 20.0, 30.0),
+]
+_Q19_BRANDS = tuple(a[0] for a in _Q19_ARMS)
+_Q19_QTY_LO = min(a[2] for a in _Q19_ARMS)
+_Q19_QTY_HI = max(a[3] for a in _Q19_ARMS)
+_Q19_SIZE_HI = max(a[1] for a in _Q19_ARMS)
+
+
+@register(
+    "rel_disjunctive_revenue",
+    sql=f"""
+    SELECT {sql_fsum('l.l_extendedprice * (1.0 - l.l_discount)', SCALE2)} AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity BETWEEN {_Q19_QTY_LO} AND {_Q19_QTY_HI}
+      AND p.p_brand IN {_Q19_BRANDS}
+      AND p.p_size BETWEEN 1 AND {_Q19_SIZE_HI}
+      AND (
+        {' OR '.join(f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {sz} AND l.l_quantity BETWEEN {lo} AND {hi})" for b, sz, lo, hi in _Q19_ARMS)}
+      )
+    """,
+    doc="TPC-H Q19-shaped disjunctive-predicate revenue: three (brand, "
+    "size, quantity-band) OR-arms that each reference BOTH join sides. "
+    "Scale shape: the implied single-side envelopes (brand IN set, size "
+    "and quantity bounds) are stated explicitly so they reach the parquet "
+    "scans as PushedFilters — the part side shrinks to the three brands "
+    "BEFORE broadcast, lineitem rows outside the quantity envelope never "
+    "leave the scan — and only the residual cross-side OR evaluates "
+    "post-join. Without the envelopes the whole OR is a post-join filter "
+    "and both scans read everything.",
+)
+def rel_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(_Q19_QTY_LO, _Q19_QTY_HI)
+    )
+    part = io.load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(*_Q19_BRANDS) & F.col("p_size").between(1, _Q19_SIZE_HI)
+    )
+    arm = None
+    for b, sz, lo, hi in _Q19_ARMS:
+        cond = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(1, sz)
+            & F.col("l_quantity").between(lo, hi)
+        )
+        arm = cond if arm is None else (arm | cond)
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(arm)
+        .agg(
+            fsum(disc, SCALE2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_Q16_EXCL_BRAND = "Brand#5"
+_Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+
+@register(
+    "rel_supplier_cnt_by_part",
+    sql=f"""
+    SELECT p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> '{_Q16_EXCL_BRAND}'
+      AND p.p_size IN {_Q16_SIZES}
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16-shaped distinct-supplier census per (type, size): "
+    "NOT-IN denylist + COUNT(DISTINCT) over a dimension join. Scale "
+    "shape: the denylist (suppliers in arrears) broadcasts as a LEFT "
+    "ANTI join — no shuffle, and no NOT IN null-trap since the key is a "
+    "PK; the part side shrinks to the seven sizes before broadcast; the "
+    "distinct-aggregate runs as Spark's two-phase partial-distinct "
+    "(dedup on (type,size,suppkey) map-side, then count) instead of "
+    "collecting supplier sets.",
+)
+def rel_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = io.load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != _Q16_EXCL_BRAND) & F.col("p_size").isin(*_Q16_SIZES)
+    )
+    bad_supp = io.load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
