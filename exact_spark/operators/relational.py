@@ -1472,3 +1472,242 @@ def rel_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
+
+
+@register(
+    "rel_important_parts",
+    sql="""
+    WITH pv AS (
+        SELECT l_partkey,
+               SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS val_fx
+        FROM lineitem
+        GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(val_fx) AS total_fx, count(*) AS n_parts FROM pv)
+    SELECT pv.l_partkey AS p_partkey,
+           (pv.val_fx / 100.0) AS part_value
+    FROM pv, tot
+    WHERE pv.val_fx * tot.n_parts * 2 > 3 * tot.total_fx
+    """,
+    doc="TPC-H Q11-shaped 'important parts': parts whose revenue exceeds "
+    "1.5x the average part's (a scale-invariant share threshold — a "
+    "fixed fraction like Q11's 0.0001 goes degenerate as part "
+    "cardinality scales). Scale shape: ONE fact groupBy produces the "
+    "per-part values; the global (total, count) reduces from that "
+    "already-aggregated frame and broadcasts back as a 1-row cross "
+    "join, so lineitem is scanned once and the threshold compare is "
+    "integer-exact (no float share in the predicate).",
+)
+def rel_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem")
+    val_fx = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0 + F.lit(0.5)
+    ).cast("long")
+    pv = li.groupBy("l_partkey").agg(F.sum(val_fx).alias("val_fx"))
+    tot = pv.agg(
+        F.sum("val_fx").alias("total_fx"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val_fx") * F.col("n_parts") * F.lit(2) > F.lit(3) * F.col("total_fx"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("val_fx") / 100.0).alias("part_value"),
+        )
+    )
+
+
+_Q15_FROM, _Q15_TO = "2000-01-01", "2000-04-01"
+
+
+@register(
+    "rel_top_supplier",
+    sql=f"""
+    WITH srev AS (
+        SELECT l_suppkey,
+               SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS rev_fx
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_Q15_FROM} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{_Q15_TO} 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, (srev.rev_fx / 100.0) AS total_revenue
+    FROM supplier s
+    JOIN srev ON srev.l_suppkey = s.s_suppkey
+    WHERE srev.rev_fx = (SELECT MAX(rev_fx) FROM srev)
+    """,
+    doc="TPC-H Q15-shaped top supplier of the quarter: the 'create view, "
+    "select where rev = (select max from view)' pattern. Scale shape: "
+    "the quarter filter is pushed to the scan; one fact groupBy yields "
+    "supplier-cardinality revenues; the scalar MAX reduces from that "
+    "small frame and broadcasts back (1-row cross join, integer-exact "
+    "equality so ties surface instead of an arbitrary LIMIT 1 pick); "
+    "the supplier dimension broadcasts for the name attach.",
+)
+def rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{_Q15_FROM} 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{_Q15_TO} 00:00:00").cast("timestamp"))
+    )
+    rev_fx = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0 + F.lit(0.5)
+    ).cast("long")
+    srev = li.groupBy("l_suppkey").agg(F.sum(rev_fx).alias("rev_fx"))
+    mx = srev.agg(F.max("rev_fx").alias("max_fx"))
+    supp = io.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_fx") == F.col("max_fx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", (F.col("rev_fx") / 100.0).alias("total_revenue"))
+    )
+
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_2"
+_Q8_PTYPE = "PROMO"
+
+
+@register(
+    "rel_market_share",
+    sql=f"""
+    WITH vol AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT) AS vol_fx,
+               ns.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = nc.n_regionkey AND r.r_name = '{_Q8_REGION}'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = '{_Q8_PTYPE}'
+    )
+    SELECT o_year,
+           (SUM(CASE WHEN supp_nation = '{_Q8_NATION}' THEN vol_fx ELSE 0 END) * 1.0
+              / SUM(vol_fx)) AS mkt_share,
+           (SUM(vol_fx) / 100.0) AS total_volume
+    FROM vol
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8-shaped national market share: the focal nation's slice "
+    "of PROMO-part revenue sold into one region, per order year. Scale "
+    "shape: a five-dimension star join where EVERY dimension side "
+    "(part filtered to one type, customer->nation->region filtered to "
+    "one region, supplier->nation) broadcasts — the fact table never "
+    "shuffles before aggregation; the share is a single divide of two "
+    "integer-exact conditional sums, so numerator and denominator come "
+    "out of ONE pass (no self-join of per-year totals).",
+)
+def rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = io.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = io.load(spark, sf_dir, "nation")
+    reg = io.load(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    supp = io.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = io.load(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_PTYPE).select(
+        "p_partkey"
+    )
+    # customer keys restricted to the region (dimension-side reduction,
+    # then broadcast into the fact join)
+    region_cust = (
+        cust.join(
+            F.broadcast(nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)),
+            cust.c_nationkey == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        supp.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    vol_fx = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0 + F.lit(0.5)
+    ).cast("long")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(region_cust), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol_fx.alias("vol_fx"),
+            "supp_nation",
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == _Q8_NATION, F.col("vol_fx")).otherwise(F.lit(0)))
+            * F.lit(1.0)
+            / F.sum("vol_fx")
+        ).alias("mkt_share"),
+        (F.sum("vol_fx") / 100.0).alias("total_volume"),
+    )
+
+
+@register(
+    "rel_sole_blame_supplier",
+    sql="""
+    WITH per_pair AS (
+        SELECT l_orderkey, l_suppkey,
+               MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+        FROM lineitem
+        GROUP BY l_orderkey, l_suppkey
+    ),
+    flagged AS (
+        SELECT l_orderkey, l_suppkey, has_r,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+               SUM(has_r) OVER (PARTITION BY l_orderkey) AS n_r_supp
+        FROM per_pair
+    )
+    SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+    FROM flagged f
+    JOIN orders o ON o.o_orderkey = f.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = f.l_suppkey
+    WHERE f.has_r = 1 AND f.n_supp >= 2 AND f.n_r_supp = 1
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    doc="TPC-H Q21-shaped 'sole blame' supplier census: on finished "
+    "multi-supplier orders, suppliers who were the ONLY one with "
+    "returned lines (returnflag standing in for Q21's late receipt — "
+    "this data has no commit/receipt dates). Scale shape: Q21's "
+    "EXISTS + NOT-EXISTS lineitem self-joins are rewritten as one "
+    "(orderkey, suppkey) groupBy plus per-order window counts — two "
+    "orderkey-clustered shuffles of a collapsed frame instead of three "
+    "passes over raw lineitems joined to each other; the orders filter "
+    "then prunes by status on an equi-join and the supplier dimension "
+    "broadcasts for the final census.",
+)
+def rel_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_pair.select(
+        "l_orderkey",
+        "l_suppkey",
+        "has_r",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("has_r").over(w).alias("n_r_supp"),
+    ).filter((F.col("has_r") == 1) & (F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+    orders = (
+        io.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = io.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.join(orders, flagged.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), flagged.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
