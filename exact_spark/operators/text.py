@@ -1483,3 +1483,54 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_ratio").desc(), "w_a", "w_b")
         .limit(_PMI_TOPK)
     )
+
+
+# --- lexical diversity (rational entropy analogs) ----------------------------
+
+
+@register(
+    "text_token_diversity",
+    sql=f"""
+    WITH toks AS (
+        SELECT source, UNNEST({_SQL_TOKS}) AS w FROM documents
+    ),
+    counts AS (
+        SELECT source, w, count(*) AS c FROM toks GROUP BY source, w
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+           (CAST(SUM(c) AS DOUBLE) * SUM(c) / SUM(c * c)) AS simpson_effective,
+           (CAST(count(*) AS DOUBLE) / SUM(c)) AS type_token_ratio
+    FROM counts
+    GROUP BY source
+    """,
+    doc="Per-source lexical diversity — the corpus-quality signal behind "
+    "'is this source natural text or boilerplate/spam': inverse-Simpson "
+    "effective vocabulary N^2 / sum(c^2) (the RATIONAL entropy analog — "
+    "exp(Renyi-2); Shannon entropy needs a cross-engine log, this "
+    "needs only integer sums and one divide) plus type-token ratio. "
+    "Plan shape: one in-row tokenize+explode, a (source, token) census "
+    "that map-side combines, then a source-level reduce of three "
+    "integers — no token list ever collects. (sum of squared counts is "
+    "BIGINT; a single token exceeding ~3e9 occurrences in one source "
+    "needs DECIMAL at that scale.)",
+)
+def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    counts = (
+        docs.select("source", F.explode(tokens_col()).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        (
+            F.sum("c").cast("double") * F.sum("c") / F.sum(F.col("c") * F.col("c"))
+        ).alias("simpson_effective"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("type_token_ratio"),
+    )

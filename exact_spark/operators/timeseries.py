@@ -1157,3 +1157,91 @@ def ts_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
     )
+
+
+# --- CUSUM changepoint (AMOC estimator per series) ---------------------------
+
+
+@register(
+    "ts_changepoint_cusum",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    fx AS (
+        SELECT event_type, id, ts_epoch,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_fx
+        FROM canon
+    ),
+    cum AS (
+        SELECT event_type, id, ts_epoch,
+               row_number() OVER w AS i,
+               SUM(v_fx) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_fx,
+               COUNT(*) OVER (PARTITION BY event_type) AS n,
+               SUM(v_fx) OVER (PARTITION BY event_type) AS total_fx
+        FROM fx
+        WINDOW w AS (PARTITION BY event_type ORDER BY id)
+    ),
+    dev AS (
+        SELECT event_type, id, ts_epoch, i, n,
+               abs(n * cum_fx - i * total_fx) AS abs_d,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(n * cum_fx - i * total_fx) DESC, i ASC
+               ) AS rk
+        FROM cum
+    )
+    SELECT event_type,
+           n AS n_rows,
+           i AS cp_index,
+           ts_epoch AS cp_epoch,
+           ((CAST(abs_d AS DOUBLE) / n) / 1000000.0) AS max_dev
+    FROM dev WHERE rk = 1
+    """,
+    doc="CUSUM changepoint per series (the AMOC 'at most one change' "
+    "estimator: the index maximizing |cumulative deviation from the "
+    "series mean| is the least-squares single-changepoint location). "
+    "The mean never materializes as a float: with S_i the fixed-point "
+    "prefix sum and T the series total, n*S_i - i*T is the deviation "
+    "scaled by n — pure BIGINT, so argmax and tie-breaks (earliest "
+    "index) are integer-exact cross-engine; the one divide back to "
+    "measure units happens after selection. Plan shape: ONE shuffle "
+    "keyed on the series id — the prefix sum, the per-series totals, "
+    "and the argmax rank are all windows over the same partitioning, "
+    "parallel across series. (v*1e6 fixed-point bounds: prefix sums "
+    "times n must stay under 2^63 — for series beyond ~1e5 rows of "
+    "1e3-magnitude values, drop to cent scale.)",
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    df = canonical_events(spark, sf_dir)
+    v_fx = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    w = W.partitionBy("event_type").orderBy("id")
+    wall = W.partitionBy("event_type")
+    cum = df.select(
+        "event_type",
+        "id",
+        "ts_epoch",
+        F.row_number().over(w).alias("i"),
+        F.sum(v_fx).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum_fx"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum(v_fx).over(wall).alias("total_fx"),
+    )
+    abs_d = F.abs(F.col("n") * F.col("cum_fx") - F.col("i") * F.col("total_fx"))
+    dev = cum.select(
+        "event_type",
+        "ts_epoch",
+        "i",
+        "n",
+        abs_d.alias("abs_d"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy(abs_d.desc(), F.col("i").asc()))
+        .alias("rk"),
+    )
+    return dev.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("n").alias("n_rows"),
+        F.col("i").alias("cp_index"),
+        F.col("ts_epoch").alias("cp_epoch"),
+        ((F.col("abs_d").cast("double") / F.col("n")) / F.lit(1e6)).alias("max_dev"),
+    )
