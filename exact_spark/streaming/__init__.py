@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 from exact_spark.registry import register
 
 
-def _bounded_events(spark: SparkSession, sf_dir: str, days: float, user_mod: int):
+def _bounded_events(
+    spark: SparkSession, sf_dir: str, days: float, user_mod: int, with_type: bool = False
+):
     """Deterministic bounded slice of the events table for the streaming
     demos: first ``days`` of the series, every ``user_mod``-th user, with a
     proper event-time column regardless of the parquet timestamp storage
@@ -31,14 +33,16 @@ def _bounded_events(spark: SparkSession, sf_dir: str, days: float, user_mod: int
     ev = ev.withColumn("__ep_us", epoch_micros(ev, "ts"))
     lo = ev.agg(F.min("__ep_us")).collect()[0][0] or 0
     hi = lo + int(days * 86400) * 1_000_000
-    return (
-        ev.filter((F.col("__ep_us") < hi) & (F.col("user_id") % user_mod == 0))
-        .select(
-            "event_id",
-            "user_id",
-            F.timestamp_micros(F.col("__ep_us")).alias("timestamp"),
-            "value",
-        )
+    cols = [
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.col("__ep_us")).alias("timestamp"),
+        "value",
+    ]
+    if with_type:
+        cols.append("event_type")
+    return ev.filter((F.col("__ep_us") < hi) & (F.col("user_id") % user_mod == 0)).select(
+        *cols
     )
 
 
@@ -535,5 +539,84 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("drift_vs_reference", round(drift, 6)),
         ]
         return spark.createDataFrame(rows, "metric string, value double")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_stream_join",
+    sql=None,  # Structured Streaming run -> rows-only check
+    doc="Stream-STREAM interval join, driver-visible bounded run (the "
+    "attribution shape: purchases joined to the view that preceded them "
+    "within 6 hours, per user, both sides unbounded streams): a 3-day "
+    "events slice replays as a 2-chunk file stream read TWICE — one "
+    "reader filtered to views, one to purchases — each watermarked 1 "
+    "hour; the join predicate is user equality plus the event-time "
+    "range [view_ts, view_ts + 2h]. The range bound is what makes "
+    "state finite: a buffered view is provably unmatchable once the "
+    "purchase watermark passes view_ts + 6h and is evicted, so state "
+    "holds one join-horizon of rows per side regardless of stream "
+    "length — the contract that keeps the operator alive at 100 TB/day. "
+    "Join rows are event-time decided, so the matched set is invariant "
+    "to micro-batch boundaries; result is the per-user attributed-"
+    "purchase tally.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_ssjoin_"))
+    try:
+        base = _bounded_events(spark, sf_dir, days=3.0, user_mod=2, with_type=True)
+        src = str(work / "src")
+        base.repartitionByRange(2, "timestamp").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def reader():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        views = (
+            reader()
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("timestamp").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "1 hour")
+        )
+        purchases = (
+            reader()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("timestamp").alias("purchase_ts"),
+                F.col("value").alias("amount"),
+            )
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        joined = purchases.join(
+            views,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 6 HOURS")),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssjoin_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(
+            "SELECT p_user AS user_id, "
+            "count(DISTINCT purchase_id) AS n_attributed_purchases, "
+            "count(*) AS n_view_purchase_pairs "
+            "FROM ssjoin_out GROUP BY p_user ORDER BY p_user"
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
