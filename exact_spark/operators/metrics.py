@@ -849,3 +849,176 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("mad")).alias("mad_value"),
         "n_outliers",
     )
+
+
+# --- decile lift table (score-ranking model evaluation) ----------------------
+
+_LIFT_DECILES = 10
+
+
+@register(
+    "ml_lift_table",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    fx AS (
+        SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_fx, label
+        FROM canon
+    ),
+    cuts AS (
+        SELECT {", ".join(f"quantile_cont(CAST(v_fx AS DOUBLE), {k / 10!r}) AS c{k}" for k in range(1, _LIFT_DECILES))}
+        FROM fx
+    ),
+    bucketed AS (
+        SELECT ({_LIFT_DECILES} - ({" + ".join(f"CASE WHEN f.v_fx > c.c{k} THEN 1 ELSE 0 END" for k in range(1, _LIFT_DECILES))}))
+                   AS decile,
+               f.label
+        FROM fx f, cuts c
+    ),
+    per AS (
+        SELECT decile, count(*) AS n,
+               CAST(SUM(label) AS BIGINT) AS n_pos
+        FROM bucketed GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(n_pos) AS BIGINT) AS pt FROM per)
+    SELECT p.decile, p.n, p.n_pos,
+           (CAST(p.n_pos AS DOUBLE) / p.n) AS response_rate,
+           ((CAST(p.n_pos AS DOUBLE) / p.n) / (CAST(t.pt AS DOUBLE) / t.nt)) AS lift,
+           (CAST(SUM(p.n_pos) OVER (ORDER BY p.decile) AS DOUBLE) / t.pt) AS cum_capture
+    FROM per p, tot t
+    """,
+    doc="Decile lift/gains table for a score-ranked detector (the "
+    "campaign-targeting / triage-quality evaluation: how concentrated "
+    "are positives in the top score deciles). Scale shape: deciles come "
+    "from nine QUANTILE CUTS broadcast as one row — membership is nine "
+    "comparisons in the scan — NOT an ntile window, which would "
+    "global-sort every row at 100 TB for the same statistic; counts "
+    "reduce in one groupBy over 10 keys and the cumulative capture runs "
+    "over the 10-row result. Cut exactness: quantiles are taken over "
+    "fixed-point integers, so an interpolated cut is either exactly an "
+    "integer (both engines) or strictly between representable scores — "
+    "bucket membership cannot flip on a last-ulp cut difference.",
+)
+def ml_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    df = canonical_events(spark, sf_dir)
+    fx = df.select(
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("v_fx"),
+        "label",
+    )
+    cuts = fx.agg(
+        *[
+            F.percentile(F.col("v_fx").cast("double"), F.lit(k / 10)).alias(f"c{k}")
+            for k in range(1, _LIFT_DECILES)
+        ]
+    )
+    decile = F.lit(_LIFT_DECILES)
+    for k in range(1, _LIFT_DECILES):
+        decile = decile - F.when(F.col("v_fx") > F.col(f"c{k}"), 1).otherwise(0)
+    per = (
+        fx.crossJoin(F.broadcast(cuts))
+        .select(decile.alias("decile"), "label")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("label").cast("long").alias("n_pos"))
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("n_pos").cast("long").alias("pt")
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n")).alias("response_rate"),
+        (
+            (F.col("n_pos").cast("double") / F.col("n"))
+            / (F.col("pt").cast("double") / F.col("nt"))
+        ).alias("lift"),
+        (F.sum("n_pos").over(w).cast("double") / F.col("pt")).alias("cum_capture"),
+    )
+
+
+# --- chi-square association census -------------------------------------------
+
+
+@register(
+    "ml_chi2_assoc",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    med AS (
+        SELECT quantile_cont(CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS DOUBLE), 0.5)
+                   AS m_fx
+        FROM canon
+    ),
+    tagged AS (
+        SELECT c.event_type,
+               CASE WHEN CAST(FLOOR(c.value * 100.0 + 0.5) AS BIGINT) > m.m_fx
+                    THEN 1 ELSE 0 END AS high_value
+        FROM canon c, med m
+    ),
+    cells AS (
+        SELECT event_type, high_value, count(*) AS observed
+        FROM tagged GROUP BY event_type, high_value
+    ),
+    margins AS (
+        SELECT c.event_type, c.high_value, c.observed,
+               CAST(SUM(c.observed) OVER (PARTITION BY c.event_type) AS BIGINT) AS row_n,
+               CAST(SUM(c.observed) OVER (PARTITION BY c.high_value) AS BIGINT) AS col_n,
+               CAST(SUM(c.observed) OVER () AS BIGINT) AS n
+        FROM cells c
+    )
+    SELECT event_type, high_value, observed,
+           ((CAST(row_n AS DOUBLE) * col_n) / n) AS expected,
+           (((CAST(observed AS DOUBLE) * n - CAST(row_n AS DOUBLE) * col_n)
+             * (CAST(observed AS DOUBLE) * n - CAST(row_n AS DOUBLE) * col_n))
+            / ((CAST(n AS DOUBLE) * row_n) * col_n)) AS chi2_term
+    FROM margins
+    """,
+    doc="Chi-square association census between a categorical column and a "
+    "binary feature split at the (fixed-point) median — the feature-"
+    "screening statistic supervised pipelines run before training. Each "
+    "cell's (O*N - R*C)^2 / (N*R*C) term is a single fixed expression "
+    "sequence over integer margins, so every term is bit-identical "
+    "cross-engine (sum the column for the chi2 scalar; terms are "
+    "per-cell rows exactly so no order-dependent float reduction "
+    "exists). Plan shape: one scan tags the split against a 1-row "
+    "broadcast median, one groupBy builds the contingency cells, and "
+    "margins are windows over the CELL table (|types| x 2 rows), not "
+    "the data.",
+)
+def ml_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    df = canonical_events(spark, sf_dir)
+    v_fx = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    med = df.agg(
+        F.percentile(v_fx.cast("double"), F.lit(0.5)).alias("m_fx")
+    )
+    tagged = df.crossJoin(F.broadcast(med)).select(
+        "event_type",
+        F.when(v_fx > F.col("m_fx"), 1).otherwise(0).alias("high_value"),
+    )
+    cells = tagged.groupBy("event_type", "high_value").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    margins = cells.select(
+        "event_type",
+        "high_value",
+        "observed",
+        F.sum("observed").over(W.partitionBy("event_type")).cast("long").alias("row_n"),
+        F.sum("observed").over(W.partitionBy("high_value")).cast("long").alias("col_n"),
+        F.sum("observed").over(W.partitionBy()).cast("long").alias("n"),
+    )
+    dev = F.col("observed").cast("double") * F.col("n") - F.col("row_n").cast(
+        "double"
+    ) * F.col("col_n")
+    return margins.select(
+        "event_type",
+        "high_value",
+        "observed",
+        ((F.col("row_n").cast("double") * F.col("col_n")) / F.col("n")).alias("expected"),
+        (
+            (dev * dev)
+            / ((F.col("n").cast("double") * F.col("row_n")) * F.col("col_n"))
+        ).alias("chi2_term"),
+    )

@@ -1796,3 +1796,104 @@ def sim_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_cos",
         (F.col("mean_cos") <= F.lit(thr)).alias("is_outlier"),
     )
+
+
+# --- triangle census over the kNN graph --------------------------------------
+
+
+def _triangle_sql() -> str:
+    """Composes the registered sim_knn_graph spec into an oriented-edge
+    triangle + wedge census."""
+    from exact_spark.registry import REGISTRY
+
+    knn = REGISTRY["sim_knn_graph"].sql
+    return f"""
+    WITH knn AS ({knn}),
+    und AS (
+        SELECT DISTINCT LEAST(vec_id, neighbor_id) AS a,
+                        GREATEST(vec_id, neighbor_id) AS b
+        FROM knn
+        WHERE vec_id <> neighbor_id
+    ),
+    deg AS (
+        SELECT v, count(*) AS d FROM (
+            SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+        ) GROUP BY v
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM und) AS n_edges,
+           tri.n_triangles,
+           (SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) FROM deg) AS n_wedges,
+           (CAST(3 * tri.n_triangles AS DOUBLE)
+              / (SELECT SUM(d * (d - 1)) / 2 FROM deg)) AS global_clustering
+    FROM tri
+    """
+
+
+@register(
+    "sim_graph_triangles",
+    sql=_triangle_sql(),  # composes the registered sibling spec
+    doc="Triangle + wedge census of the kNN semantic graph (the global "
+    "clustering coefficient — how clique-like the embedding "
+    "neighborhoods are, the standard diagnostic separating topical "
+    "clusters from hub-and-spoke noise). Algorithm: edges orient "
+    "low-id -> high-id, so each triangle is counted ONCE by the "
+    "(e1.b = e2.a) wedge join plus closing-edge check — the classic "
+    "distributed triangle join whose intermediate size is bounded by "
+    "sum(deg^2), itself bounded by the kNN cap (deg <= 2k), never "
+    "all-pairs; wedges are a pure integer degree aggregate; the "
+    "clustering coefficient 3T/wedges is the one float divide. "
+    "Everything reduces to integers, so the census is exact on any "
+    "partitioning.",
+)
+def sim_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = sim_knn_graph(spark, sf_dir)
+    und = (
+        g.filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            F.least("vec_id", "neighbor_id").alias("a"),
+            F.greatest("vec_id", "neighbor_id").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()  # reused three times in the wedge join
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)).cast("long") / F.lit(2))
+        .cast("long")
+        .alias("n_wedges"),
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("wedges2"),
+    )
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            (
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / (F.col("wedges2") / F.lit(2))
+            ).alias("global_clustering"),
+        )
+    )

@@ -1245,3 +1245,103 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_epoch").alias("cp_epoch"),
         ((F.col("abs_d").cast("double") / F.col("n")) / F.lit(1e6)).alias("max_dev"),
     )
+
+
+# --- autocorrelation function (per-series ACF at small lags) -----------------
+
+_ACF_MAX_LAG = 5
+
+
+@register(
+    "ts_autocorrelation",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    fx AS (
+        SELECT event_type, id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_fx
+        FROM canon
+    ),
+    centered AS (
+        SELECT event_type, id,
+               v_fx - (SUM(v_fx) OVER (PARTITION BY event_type)
+                       // COUNT(*) OVER (PARTITION BY event_type)) AS d
+        FROM fx
+    ),
+    lagged AS (
+        SELECT event_type, d,
+               {", ".join(f"LAG(d, {k}) OVER (PARTITION BY event_type ORDER BY id) AS d{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+        FROM centered
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(SUM(d * d) AS BIGINT) AS s0,
+               {", ".join(f"CAST(SUM(CASE WHEN d{k} IS NULL THEN 0 ELSE d * d{k} END) AS BIGINT) AS s{k}" for k in range(1, _ACF_MAX_LAG + 1))}
+        FROM lagged
+        GROUP BY event_type
+    )
+    SELECT event_type, u.lag AS lag_k,
+           (CAST(CASE u.lag {" ".join(f"WHEN {k} THEN s{k}" for k in range(1, _ACF_MAX_LAG + 1))} END AS DOUBLE)
+              / s0) AS acf
+    FROM sums, UNNEST(range(1, {_ACF_MAX_LAG + 1})) AS u(lag)
+    """,
+    doc="Per-series autocorrelation at lags 1..{K} (the seasonality/"
+    "persistence diagnostic feeding window-size and model choices). "
+    "Exactness: values center on the INTEGER-floored fixed-point mean "
+    "(a deterministic statistic — no float mean enters the products), "
+    "so every lag-product sum is a BIGINT and the ACF is one divide. "
+    "Plan shape: one shuffle keyed on the series — the per-series mean "
+    "is an unbounded window over the same partitioning, the K lag "
+    "columns come from one ordered window pass, and all K+1 product "
+    "sums reduce in ONE groupBy (no per-lag scans); the lag fan-out to "
+    "rows happens on the K-row-per-series result, not the data.".format(
+        K=_ACF_MAX_LAG
+    ),
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    df = canonical_events(spark, sf_dir)
+    v_fx = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    wall = W.partitionBy("event_type")
+    w = W.partitionBy("event_type").orderBy("id")
+    centered = df.select(
+        "event_type",
+        "id",
+        (
+            v_fx
+            - F.expr(
+                "CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER "
+                "(PARTITION BY event_type) DIV COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)"
+            )
+        ).alias("d"),
+    )
+    lagged = centered.select(
+        "event_type",
+        "d",
+        *[F.lag("d", k).over(w).alias(f"d{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+    )
+    sums = lagged.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).alias("s0"),
+        *[
+            F.sum(
+                F.when(F.col(f"d{k}").isNull(), 0).otherwise(F.col("d") * F.col(f"d{k}"))
+            ).alias(f"s{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    lag_map = F.create_map(
+        *[x for k in range(1, _ACF_MAX_LAG + 1) for x in (F.lit(k), F.col(f"s{k}"))]
+    )
+    return (
+        sums.select(
+            "event_type",
+            F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))).alias("lag_k"),
+            lag_map.alias("m"),
+            "s0",
+        )
+        .select(
+            "event_type",
+            F.col("lag_k").cast("long").alias("lag_k"),
+            (F.col("m")[F.col("lag_k")].cast("double") / F.col("s0")).alias("acf"),
+        )
+    )
