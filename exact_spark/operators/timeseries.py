@@ -1162,6 +1162,47 @@ def ts_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- CUSUM changepoint (AMOC estimator per series) ---------------------------
 
 
+def cusum_changepoint(
+    df: DataFrame, key: str = "event_type", order: str = "id", value: str = "value"
+) -> DataFrame:
+    """AMOC changepoint per key over ``(key, order, value, ts_epoch)`` rows
+    (the reusable core; see the registered query's doc for exactness and
+    plan-shape notes)."""
+    from pyspark.sql.window import Window as W
+
+    v_fx = F.floor(F.col(value) * 1e6 + F.lit(0.5)).cast("long")
+    w = W.partitionBy(key).orderBy(order)
+    wall = W.partitionBy(key)
+    cum = df.select(
+        key,
+        order,
+        "ts_epoch",
+        F.row_number().over(w).alias("i"),
+        F.sum(v_fx).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum_fx"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum(v_fx).over(wall).alias("total_fx"),
+    )
+    abs_d = F.abs(F.col("n") * F.col("cum_fx") - F.col("i") * F.col("total_fx"))
+    dev = cum.select(
+        key,
+        "ts_epoch",
+        "i",
+        "n",
+        abs_d.alias("abs_d"),
+        F.row_number()
+        .over(W.partitionBy(key).orderBy(abs_d.desc(), F.col("i").asc()))
+        .alias("rk"),
+    )
+    return dev.filter(F.col("rk") == 1).select(
+        key,
+        F.col("n").alias("n_rows"),
+        F.col("i").alias("cp_index"),
+        F.col("ts_epoch").alias("cp_epoch"),
+        ((F.col("abs_d").cast("double") / F.col("n")) / F.lit(1e6)).alias("max_dev"),
+    )
+
+
+
 @register(
     "ts_changepoint_cusum",
     sql=f"""
@@ -1212,44 +1253,70 @@ def ts_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1e3-magnitude values, drop to cent scale.)",
 )
 def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    df = canonical_events(spark, sf_dir)
-    v_fx = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
-    w = W.partitionBy("event_type").orderBy("id")
-    wall = W.partitionBy("event_type")
-    cum = df.select(
-        "event_type",
-        "id",
-        "ts_epoch",
-        F.row_number().over(w).alias("i"),
-        F.sum(v_fx).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum_fx"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum(v_fx).over(wall).alias("total_fx"),
-    )
-    abs_d = F.abs(F.col("n") * F.col("cum_fx") - F.col("i") * F.col("total_fx"))
-    dev = cum.select(
-        "event_type",
-        "ts_epoch",
-        "i",
-        "n",
-        abs_d.alias("abs_d"),
-        F.row_number()
-        .over(W.partitionBy("event_type").orderBy(abs_d.desc(), F.col("i").asc()))
-        .alias("rk"),
-    )
-    return dev.filter(F.col("rk") == 1).select(
-        "event_type",
-        F.col("n").alias("n_rows"),
-        F.col("i").alias("cp_index"),
-        F.col("ts_epoch").alias("cp_epoch"),
-        ((F.col("abs_d").cast("double") / F.col("n")) / F.lit(1e6)).alias("max_dev"),
-    )
+    return cusum_changepoint(canonical_events(spark, sf_dir))
 
 
 # --- autocorrelation function (per-series ACF at small lags) -----------------
 
 _ACF_MAX_LAG = 5
+
+
+def autocorrelation(
+    df: DataFrame,
+    max_lag: int = _ACF_MAX_LAG,
+    key: str = "event_type",
+    order: str = "id",
+    value: str = "value",
+) -> DataFrame:
+    """Per-key ACF at lags 1..max_lag over ``(key, order, value)`` rows
+    (the reusable core; see the registered query's doc for exactness and
+    plan-shape notes)."""
+    from pyspark.sql.window import Window as W
+
+    _ACF_MAX_LAG = max_lag
+    w = W.partitionBy(key).orderBy(order)
+    centered = df.select(
+        key,
+        order,
+        (
+            F.floor(F.col(value) * 100.0 + F.lit(0.5)).cast("long")
+            - F.expr(
+                f"CAST(SUM(CAST(FLOOR({value} * 100.0 + 0.5) AS BIGINT)) OVER "
+                f"(PARTITION BY {key}) DIV COUNT(*) OVER (PARTITION BY {key}) AS BIGINT)"
+            )
+        ).alias("d"),
+    )
+    lagged = centered.select(
+        key,
+        "d",
+        *[F.lag("d", k).over(w).alias(f"d{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+    )
+    sums = lagged.groupBy(key).agg(
+        F.sum(F.col("d") * F.col("d")).alias("s0"),
+        *[
+            F.sum(
+                F.when(F.col(f"d{k}").isNull(), 0).otherwise(F.col("d") * F.col(f"d{k}"))
+            ).alias(f"s{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    lag_map = F.create_map(
+        *[x for k in range(1, _ACF_MAX_LAG + 1) for x in (F.lit(k), F.col(f"s{k}"))]
+    )
+    return (
+        sums.select(
+            key,
+            F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))).alias("lag_k"),
+            lag_map.alias("m"),
+            "s0",
+        )
+        .select(
+            key,
+            F.col("lag_k").cast("long").alias("lag_k"),
+            (F.col("m")[F.col("lag_k")].cast("double") / F.col("s0")).alias("acf"),
+        )
+    )
+
 
 
 @register(
@@ -1298,50 +1365,4 @@ _ACF_MAX_LAG = 5
     ),
 )
 def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    df = canonical_events(spark, sf_dir)
-    v_fx = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
-    wall = W.partitionBy("event_type")
-    w = W.partitionBy("event_type").orderBy("id")
-    centered = df.select(
-        "event_type",
-        "id",
-        (
-            v_fx
-            - F.expr(
-                "CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER "
-                "(PARTITION BY event_type) DIV COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)"
-            )
-        ).alias("d"),
-    )
-    lagged = centered.select(
-        "event_type",
-        "d",
-        *[F.lag("d", k).over(w).alias(f"d{k}") for k in range(1, _ACF_MAX_LAG + 1)],
-    )
-    sums = lagged.groupBy("event_type").agg(
-        F.sum(F.col("d") * F.col("d")).alias("s0"),
-        *[
-            F.sum(
-                F.when(F.col(f"d{k}").isNull(), 0).otherwise(F.col("d") * F.col(f"d{k}"))
-            ).alias(f"s{k}")
-            for k in range(1, _ACF_MAX_LAG + 1)
-        ],
-    )
-    lag_map = F.create_map(
-        *[x for k in range(1, _ACF_MAX_LAG + 1) for x in (F.lit(k), F.col(f"s{k}"))]
-    )
-    return (
-        sums.select(
-            "event_type",
-            F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))).alias("lag_k"),
-            lag_map.alias("m"),
-            "s0",
-        )
-        .select(
-            "event_type",
-            F.col("lag_k").cast("long").alias("lag_k"),
-            (F.col("m")[F.col("lag_k")].cast("double") / F.col("s0")).alias("acf"),
-        )
-    )
+    return autocorrelation(canonical_events(spark, sf_dir))
