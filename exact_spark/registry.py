@@ -113,6 +113,21 @@ DRIVER_ORDER: list[str] = [
     "dedup_ngram_jaccard",
     "decontaminate_ngram",
     # ---- position 50+: spill (rotate in next round) -----------------------
+    # continuation-session oracle additions (covered by the local record)
+    "rel_order_count_distribution",
+    "rel_disjunctive_revenue",
+    "rel_supplier_cnt_by_part",
+    "rel_important_parts",
+    "rel_top_supplier",
+    "rel_market_share",
+    "rel_sole_blame_supplier",
+    "ts_changepoint_cusum",
+    "ts_autocorrelation",
+    "text_token_diversity",
+    "sim_graph_triangles",
+    "ml_lift_table",
+    "ml_chi2_assoc",
+    "stream_stream_join",
     # late-round oracle additions (covered by the local record this round)
     "ml_drift_bins",
     "ts_value_k_corr",

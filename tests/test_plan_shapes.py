@@ -141,3 +141,49 @@ def test_forecast_revenue_pushdown(spark, sf_dir):
     rs = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "l_extendedprice" in rs and "l_discount" in rs
     assert "l_returnflag" not in rs and "l_tax" not in rs
+
+
+def test_disjunctive_revenue_pushdown(spark, sf_dir):
+    from exact_spark.operators.relational import rel_disjunctive_revenue
+
+    plan = _plan(rel_disjunctive_revenue(spark, sf_dir))
+    # the derived single-side envelopes must reach BOTH parquet scans:
+    # quantity bounds on lineitem, brand set + size bound on part
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    assert "In(p_brand" in plan
+
+
+def test_market_share_fact_never_shuffles_before_agg(spark, sf_dir):
+    from exact_spark.operators.relational import rel_market_share
+
+    plan = _plan(rel_market_share(spark, sf_dir))
+    # every dimension side broadcasts; the only exchange below the final
+    # aggregation is the agg's own hashpartitioning on o_year
+    assert plan.count("BroadcastHashJoin") >= 4
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert all(e.strip().startswith("o_year") for e in exchanges), exchanges
+
+
+def test_sole_blame_is_aggregate_not_self_join(spark, sf_dir):
+    from exact_spark.operators.relational import rel_sole_blame_supplier
+
+    plan = _plan(rel_sole_blame_supplier(spark, sf_dir))
+    # the Q21 EXISTS/NOT-EXISTS rewrite: per-order stats come from Window
+    # over the collapsed (order,supplier) frame — raw lineitem appears in
+    # exactly ONE FileScan, not three
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_lift_table_has_no_global_sort(spark, sf_dir):
+    from exact_spark.operators.metrics import ml_lift_table
+
+    plan = _plan(ml_lift_table(spark, sf_dir))
+    # decile membership is comparisons against a broadcast 1-row cut set;
+    # an ntile formulation would show a rangepartitioning exchange over
+    # the full data — the only window here runs over the 10-row result
+    assert "Exchange rangepartitioning" not in plan
