@@ -505,3 +505,83 @@ def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --- spatial tiling (ViT-style patch grid for image decode parallelism) ------
+
+_TILE = 32  # tile edge in px
+_IMG_W_MOD, _IMG_H_MOD = 193, 151  # synthesized dims: 64..256-ish px
+
+
+@register(
+    "multimodal_image_tiles",
+    sql=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(64 + (n_chars % {_IMG_W_MOD}) AS BIGINT) AS width,
+               CAST(64 + ((n_chars * 7) % {_IMG_H_MOD}) AS BIGINT) AS height
+        FROM documents
+    )
+    SELECT doc_id, width, height,
+           tx.tile_x, ty.tile_y,
+           tx.tile_x * {_TILE} AS x0,
+           ty.tile_y * {_TILE} AS y0,
+           LEAST({_TILE}, width - tx.tile_x * {_TILE}) AS tile_w,
+           LEAST({_TILE}, height - ty.tile_y * {_TILE}) AS tile_h
+    FROM dims,
+         UNNEST(range(0, CAST(CEIL(width / {_TILE}.0) AS BIGINT))) AS tx(tile_x),
+         UNNEST(range(0, CAST(CEIL(height / {_TILE}.0) AS BIGINT))) AS ty(tile_y)
+    """,
+    doc="Image tiling plan (the spatial twin of multimodal_frame_sample's "
+    "temporal split — ViT-style patch grids, map tiles, SAM crops): each "
+    "image's typed dimensions (synthesized deterministically from "
+    "n_chars here) expand to a clipped {t}x{t} tile grid via a double "
+    "explode, shifting decode parallelism from per-image to per-tile so "
+    "one gigapixel scan cannot straggle a stage. Edge tiles clip to the "
+    "image bounds (tile_w/tile_h < {t} on the last row/column) instead "
+    "of padding — the downstream decoder sees exact crop rects. Pure "
+    "integer arithmetic, zero shuffles: the grid explodes in-row.".format(
+        t=_TILE
+    ),
+)
+def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents")
+    width = (64 + F.col("n_chars") % _IMG_W_MOD).cast("long")
+    height = (64 + (F.col("n_chars") * 7) % _IMG_H_MOD).cast("long")
+    dims = docs.select("doc_id", width.alias("width"), height.alias("height"))
+    n_tx = F.ceil(F.col("width") / float(_TILE)).cast("long")
+    n_ty = F.ceil(F.col("height") / float(_TILE)).cast("long")
+    return (
+        dims.select(
+            "doc_id",
+            "width",
+            "height",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_tx - 1)).alias("tile_x"),
+            n_ty.alias("__n_ty"),
+        )
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "tile_x",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__n_ty") - 1)).alias(
+                "tile_y"
+            ),
+        )
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "tile_x",
+            "tile_y",
+            (F.col("tile_x") * _TILE).alias("x0"),
+            (F.col("tile_y") * _TILE).alias("y0"),
+            F.least(F.lit(_TILE).cast("long"), F.col("width") - F.col("tile_x") * _TILE).alias(
+                "tile_w"
+            ),
+            F.least(
+                F.lit(_TILE).cast("long"), F.col("height") - F.col("tile_y") * _TILE
+            ).alias("tile_h"),
+        )
+    )
