@@ -514,16 +514,35 @@ def ml_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"p_{name}", F.coalesce(F.col(f"p_{name}"), F.lit(0))
         )
     votes = sum(F.col(f"p_{n}") for n in _ENSEMBLE)
-    scored = scored.withColumn("p_ensemble", (votes >= 2).cast("int")).cache()
+    scored = scored.withColumn("p_ensemble", (votes >= 2).cast("int"))
+    # all four confusion matrices in ONE aggregate pass (a per-model
+    # _confusion loop would run four actions over the same frame)
+    members = list(_ENSEMBLE) + ["ensemble"]
+    aggs = []
+    for name in members:
+        p = F.col(f"p_{name}")
+        lbl = F.col("label")
+        aggs += [
+            F.sum(F.when((p == 1) & (lbl == 1), 1).otherwise(0)).cast("long").alias(f"tp_{name}"),
+            F.sum(F.when((p == 0) & (lbl == 0), 1).otherwise(0)).cast("long").alias(f"tn_{name}"),
+            F.sum(F.when((p == 1) & (lbl == 0), 1).otherwise(0)).cast("long").alias(f"fp_{name}"),
+            F.sum(F.when((p == 0) & (lbl == 1), 1).otherwise(0)).cast("long").alias(f"fn_{name}"),
+        ]
+    aggs.append(F.count(F.lit(1)).cast("long").alias("n_rows"))
     try:
-        rows = []
-        for name in list(_ENSEMBLE) + ["ensemble"]:
-            r = _confusion(
-                scored.select("label", F.col(f"p_{name}").alias("predicted"))
-            ).collect()[0]
-            rows.append({"model": name, **r.asDict()})
+        r = scored.agg(*aggs).collect()[0]
+        rows = [
+            {
+                "model": name,
+                "tp": r[f"tp_{name}"],
+                "tn": r[f"tn_{name}"],
+                "fp": r[f"fp_{name}"],
+                "fn": r[f"fn_{name}"],
+                "n_rows": r["n_rows"],
+            }
+            for name in members
+        ]
     finally:
-        scored.unpersist()
         df.unpersist()
     return spark.createDataFrame(
         rows, schema="model string, tp long, tn long, fp long, fn long, n_rows long"

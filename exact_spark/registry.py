@@ -127,6 +127,7 @@ DRIVER_ORDER: list[str] = [
     "sim_graph_triangles",
     "ml_lift_table",
     "ml_chi2_assoc",
+    "multimodal_image_tiles",
     "stream_stream_join",
     # late-round oracle additions (covered by the local record this round)
     "ml_drift_bins",
