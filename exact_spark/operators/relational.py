@@ -1711,3 +1711,87 @@ def rel_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+_Q2_PTYPE = "STANDARD"
+_Q2_REGION = "EUROPE"
+
+
+@register(
+    "rel_min_cost_supplier",
+    sql=f"""
+    WITH eligible AS (
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = '{_Q2_REGION}'
+    ),
+    cost AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS cost_fx
+        FROM lineitem l
+        JOIN eligible e ON e.s_suppkey = l.l_suppkey
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = '{_Q2_PTYPE}'
+        GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    ranked AS (
+        SELECT l_partkey, l_suppkey, cost_fx,
+               row_number() OVER (
+                   PARTITION BY l_partkey ORDER BY cost_fx, l_suppkey
+               ) AS rk
+        FROM cost
+    )
+    SELECT r.l_partkey AS p_partkey, r.l_suppkey AS s_suppkey, e.s_name,
+           (r.cost_fx / 100.0) AS min_cost
+    FROM ranked r JOIN eligible e ON e.s_suppkey = r.l_suppkey
+    WHERE r.rk = 1
+    """,
+    doc="TPC-H Q2-shaped min-cost supplier per part (correlated-minimum "
+    "selection under dimension restrictions; this schema has no partsupp, "
+    "so 'cost' is the supplier's total charged for the part — same "
+    "correlated shape): region-filtered suppliers reduce dimension-side "
+    "and broadcast into the fact scan; one (part, supplier) groupBy; the "
+    "per-part minimum is a window over the AGGREGATED frame, INTEGER "
+    "fixed-point cost so min and ties (lowest suppkey, Q2's own "
+    "tie-break rule) are cross-engine exact — never a float-ratio "
+    "ordering.",
+)
+def rel_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    supp = io.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = io.load(spark, sf_dir, "nation")
+    reg = io.load(spark, sf_dir, "region").filter(F.col("r_name") == _Q2_REGION)
+    eligible = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    part = (
+        io.load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == _Q2_PTYPE)
+        .select("p_partkey")
+    )
+    li = io.load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cost_fx = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0 + F.lit(0.5)
+    ).cast("long")
+    cost = (
+        li.join(F.broadcast(eligible.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(cost_fx).alias("cost_fx"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("cost_fx", "l_suppkey")
+    return (
+        cost.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(F.broadcast(eligible), F.col("l_suppkey") == eligible.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            (F.col("cost_fx") / 100.0).alias("min_cost"),
+        )
+    )

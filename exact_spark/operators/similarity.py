@@ -1897,3 +1897,88 @@ def sim_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+# --- embedding distribution drift (per-dimension batch comparison) -----------
+
+
+@register(
+    "emb_centroid_drift",
+    sql="""
+    WITH tagged AS (
+        SELECT vec_id % 2 AS batch, embedding FROM embeddings
+    ),
+    dims AS (
+        SELECT t.batch, u.i AS dim,
+               CAST(FLOOR(CAST(t.embedding[u.i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v_fx
+        FROM tagged t, UNNEST(range(0, len(t.embedding))) AS u(i)
+    ),
+    stats AS (
+        SELECT dim,
+               CAST(SUM(CASE WHEN batch = 0 THEN v_fx ELSE 0 END) AS BIGINT) AS s_a,
+               CAST(SUM(CASE WHEN batch = 0 THEN v_fx * v_fx ELSE 0 END) AS BIGINT) AS ss_a,
+               CAST(SUM(CASE WHEN batch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN batch = 1 THEN v_fx ELSE 0 END) AS BIGINT) AS s_b,
+               CAST(SUM(CASE WHEN batch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM dims GROUP BY dim
+    )
+    SELECT dim,
+           ((CAST(s_a AS DOUBLE) / n_a) / 1000000.0) AS mean_ref,
+           ((CAST(s_b AS DOUBLE) / n_b) / 1000000.0) AS mean_cand,
+           (((CAST(s_b AS DOUBLE) / n_b) - (CAST(s_a AS DOUBLE) / n_a)) / 1000000.0)
+               AS mean_shift,
+           sqrt((CAST(ss_a AS DOUBLE) * n_a - CAST(s_a AS DOUBLE) * s_a)
+                / (CAST(n_a AS DOUBLE) * n_a)) / 1000000.0 AS std_ref,
+           (((CAST(s_b AS DOUBLE) / n_b) - (CAST(s_a AS DOUBLE) / n_a))
+            / sqrt((CAST(ss_a AS DOUBLE) * n_a - CAST(s_a AS DOUBLE) * s_a)
+                   / (CAST(n_a AS DOUBLE) * n_a))) AS standardized_shift
+    FROM stats
+    """,
+    doc="Per-dimension embedding distribution drift between two batches "
+    "(the embedding-space health monitor: a retrained encoder or a "
+    "shifted corpus moves dimension means long before downstream "
+    "metrics catch it; batches here are the deterministic even/odd "
+    "vec_id split): reference-batch mean/std vs candidate mean per "
+    "dimension with the standardized shift. Exactness: per-dim sums "
+    "and sums-of-squares are fixed-point BIGINTs, every derived value "
+    "is a fixed single-op sequence over them (divides, one sqrt) — no "
+    "order-dependent float reduction, no cross-dim summation at all. "
+    "Plan shape: one in-row posexplode + ONE 64-key groupBy computing "
+    "both batches' moments via conditional aggregation — the frame "
+    "never splits into per-batch scans.",
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings", spread=True)
+    dims = emb.select(
+        (F.col("vec_id") % 2).alias("batch"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "batch",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * 1e6 + F.lit(0.5)).cast("long").alias("v_fx"),
+    )
+    is_a = F.col("batch") == 0
+    stats = dims.groupBy("dim").agg(
+        F.sum(F.when(is_a, F.col("v_fx")).otherwise(0)).cast("long").alias("s_a"),
+        F.sum(F.when(is_a, F.col("v_fx") * F.col("v_fx")).otherwise(0))
+        .cast("long")
+        .alias("ss_a"),
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~is_a, F.col("v_fx")).otherwise(0)).cast("long").alias("s_b"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    mean_a = F.col("s_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b")
+    var_a = (
+        F.col("ss_a").cast("double") * F.col("n_a")
+        - F.col("s_a").cast("double") * F.col("s_a")
+    ) / (F.col("n_a").cast("double") * F.col("n_a"))
+    return stats.select(
+        "dim",
+        (mean_a / F.lit(1e6)).alias("mean_ref"),
+        (mean_b / F.lit(1e6)).alias("mean_cand"),
+        ((mean_b - mean_a) / F.lit(1e6)).alias("mean_shift"),
+        (F.sqrt(var_a) / F.lit(1e6)).alias("std_ref"),
+        ((mean_b - mean_a) / F.sqrt(var_a)).alias("standardized_shift"),
+    )

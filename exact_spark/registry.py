@@ -128,6 +128,8 @@ DRIVER_ORDER: list[str] = [
     "ml_lift_table",
     "ml_chi2_assoc",
     "multimodal_image_tiles",
+    "rel_min_cost_supplier",
+    "emb_centroid_drift",
     "stream_stream_join",
     # late-round oracle additions (covered by the local record this round)
     "ml_drift_bins",
