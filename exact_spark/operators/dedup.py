@@ -1071,3 +1071,65 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contained_doc"),
         )
     )
+
+
+# --- survivorship policy over duplicate groups -------------------------------
+
+
+def _survivorship_sql() -> str:
+    """Composes the registered dedup_components spec: per duplicate group,
+    the QUALITY survivor (longest doc, lowest-id tie-break)."""
+    from exact_spark.registry import REGISTRY
+
+    comp = REGISTRY["dedup_components"].sql
+    return f"""
+    WITH comp_out AS ({comp}),
+    joined AS (
+        SELECT c.component_id, c.n_members, c.doc_id, d.n_chars,
+               row_number() OVER (
+                   PARTITION BY c.component_id
+                   ORDER BY d.n_chars DESC, c.doc_id ASC
+               ) AS rk
+        FROM comp_out c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT component_id, n_members,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS survivor_doc,
+           MAX(CASE WHEN rk = 1 THEN n_chars END) AS survivor_chars,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_dropped
+    FROM joined
+    GROUP BY component_id, n_members
+    """
+
+
+@register(
+    "dedup_survivorship",
+    sql=_survivorship_sql(),  # composes the registered sibling spec
+    doc="Survivorship policy over duplicate groups (the curation decision "
+    "AFTER clustering: which copy to keep — production dedup keeps the "
+    "highest-QUALITY member, not the arbitrary lowest id the component "
+    "label happens to be): per group from the REGISTERED "
+    "dedup_components operator, the longest document wins (doc_id "
+    "tie-break), and the group rolls up to survivor + dropped-mass "
+    "accounting (docs and chars removed — the dedup yield report). "
+    "Plan shape: groups join documents on the doc key, one window "
+    "PARTITIONED per group ranks members (groups are LSH-capped so no "
+    "group is degenerate), one groupBy emits a row per group.",
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_components(spark, sf_dir)
+    docs = io.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = j.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("component_id", "n_members").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("survivor_doc"),
+        F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias("survivor_chars"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_dropped"),
+    )

@@ -130,6 +130,8 @@ DRIVER_ORDER: list[str] = [
     "multimodal_image_tiles",
     "rel_min_cost_supplier",
     "emb_centroid_drift",
+    "dedup_survivorship",
+    "dq_schema_profile",
     "stream_stream_join",
     # late-round oracle additions (covered by the local record this round)
     "ml_drift_bins",
