@@ -1022,3 +1022,124 @@ def ml_chi2_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("n").cast("double") * F.col("row_n")) * F.col("col_n"))
         ).alias("chi2_term"),
     )
+
+
+# --- Poisson-bootstrap confidence intervals for detector metrics -------------
+
+_BOOT_B = 32  # replicates
+# cumulative Poisson(1) CDF cut points scaled to 16-bit integers; computed
+# once here, embedded as identical literals in BOTH plans, so the per-row
+# weight draw is pure integer comparison cross-engine
+_BOOT_CUTS = []
+import math as _math  # noqa: E402
+
+_acc, _fact = 0.0, 1.0
+for _k in range(5):
+    if _k:
+        _fact *= _k
+    _acc += _math.exp(-1.0) / _fact
+    _BOOT_CUTS.append(int(_acc * 65536))
+
+
+def _boot_u_sql(b: str, idc: str) -> str:
+    h = f"md5(CAST({b} AS VARCHAR) || ':' || CAST({idc} AS VARCHAR))"
+    return (
+        f"(((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 4096)"
+        f" + ((strpos('0123456789abcdef', substr({h}, 2, 1)) - 1) * 256)"
+        f" + ((strpos('0123456789abcdef', substr({h}, 3, 1)) - 1) * 16)"
+        f" + (strpos('0123456789abcdef', substr({h}, 4, 1)) - 1))"
+    )
+
+
+def _boot_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_BOOT_CUTS)
+    )
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+@register(
+    "ml_bootstrap_ci",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    thr AS (
+        SELECT quantile_cont(CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS DOUBLE),
+                             0.95) AS t_fx
+        FROM canon
+    ),
+    scored AS (
+        SELECT c.id, c.label,
+               CASE WHEN CAST(FLOOR(c.value * 100.0 + 0.5) AS BIGINT) > t.t_fx
+                    THEN 1 ELSE 0 END AS predicted
+        FROM canon c, thr t
+    ),
+    rep AS (
+        SELECT s.id, s.label, s.predicted, r.b,
+               {_boot_w_sql(_boot_u_sql("r.b", "s.id"))} AS w
+        FROM scored s, UNNEST(range(0, {_BOOT_B})) AS r(b)
+    ),
+    per AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN predicted = 1 AND label = 1 THEN w ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN predicted = 1 AND label = 0 THEN w ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN predicted = 0 AND label = 1 THEN w ELSE 0 END) AS BIGINT) AS fn
+        FROM rep GROUP BY b
+    )
+    SELECT b, tp, fp, fn,
+           (CAST(tp AS DOUBLE) / (tp + fn)) AS recall,
+           (CAST(tp AS DOUBLE) / (tp + fp)) AS precision_
+    FROM per
+    """,
+    doc="Poisson-bootstrap confidence distribution for detector precision/"
+    "recall (the uncertainty quantification point estimates hide — 'is "
+    "recall 0.41 +/- 0.02 or +/- 0.2': each of {B} replicates reweights "
+    "every row by an independent Poisson(1) count, the distributed-"
+    "friendly bootstrap — no resampling shuffle, no per-replicate scan). "
+    "Determinism: the weight is a pure integer comparison of a 16-bit "
+    "md5(replicate:id) draw against Poisson CDF cut points embedded as "
+    "identical literals in both plans — identical resamples on any "
+    "engine, partitioning, or cluster size. Plan shape: one threshold "
+    "broadcast, one in-row explode x{B}, one {B}-key groupBy of integer "
+    "conditional sums; quantile the replicate rows for the interval.".format(
+        B=_BOOT_B
+    ),
+)
+def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    v_fx = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    thr = df.agg(F.percentile(v_fx.cast("double"), F.lit(0.95)).alias("t_fx"))
+    scored = df.crossJoin(F.broadcast(thr)).select(
+        "id",
+        "label",
+        F.when(v_fx > F.col("t_fx"), 1).otherwise(0).alias("predicted"),
+    )
+    # u via conv(hex4) — identical value to the oracle's strpos arithmetic
+    u = (
+        "CAST(conv(substr(md5(CAST(b AS STRING) || ':' || CAST(id AS STRING)), 1, 4),"
+        " 16, 10) AS INT)"
+    )
+    rep = scored.select(
+        "id",
+        "label",
+        "predicted",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).withColumn("w", F.expr(_boot_w_sql(u)))
+    per = rep.groupBy("b").agg(
+        F.sum(F.when((F.col("predicted") == 1) & (F.col("label") == 1), F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("predicted") == 1) & (F.col("label") == 0), F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("predicted") == 0) & (F.col("label") == 1), F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    return per.select(
+        F.col("b").cast("long").alias("b"),
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias("recall"),
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias("precision_"),
+    )

@@ -132,6 +132,7 @@ DRIVER_ORDER: list[str] = [
     "emb_centroid_drift",
     "dedup_survivorship",
     "dq_schema_profile",
+    "ml_bootstrap_ci",
     "stream_stream_join",
     # late-round oracle additions (covered by the local record this round)
     "ml_drift_bins",
