@@ -1143,3 +1143,70 @@ def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias("recall"),
         (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias("precision_"),
     )
+
+
+# --- sliced evaluation (per-group metric breakdown) --------------------------
+
+
+@register(
+    "ml_metric_slices",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    thr AS (
+        SELECT quantile_cont(CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS DOUBLE),
+                             0.95) AS t_fx
+        FROM canon
+    ),
+    scored AS (
+        SELECT c.user_id % 4 AS cohort, c.label,
+               CASE WHEN CAST(FLOOR(c.value * 100.0 + 0.5) AS BIGINT) > t.t_fx
+                    THEN 1 ELSE 0 END AS predicted
+        FROM canon c, thr t
+    )
+    SELECT cohort,
+           count(*) AS n_rows,
+           CAST(SUM(CASE WHEN predicted = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN predicted = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN predicted = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN predicted = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           (CAST(SUM(CASE WHEN predicted = 1 AND label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / NULLIF(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END), 0)) AS recall,
+           (CAST(SUM(CASE WHEN predicted = 1 AND label = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / NULLIF(SUM(CASE WHEN predicted = 1 THEN 1 ELSE 0 END), 0)) AS precision_
+    FROM scored
+    GROUP BY cohort
+    """,
+    doc="Sliced detector evaluation (the fairness/robustness report a "
+    "single global confusion matrix hides: a detector can be 0.9-recall "
+    "overall and 0.2-recall on one user cohort): the same P95-threshold "
+    "detector as g1, broken out per user cohort (user_id % 4 — the "
+    "deterministic stand-in for a demographic/tenant slice column) with "
+    "per-slice confusion counts and recall/precision as single integer "
+    "divides. Plan shape: one threshold broadcast, one scan, one "
+    "groupBy on the slice key — adding slices never adds passes.",
+)
+def ml_metric_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    v_fx = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    thr = df.agg(F.percentile(v_fx.cast("double"), F.lit(0.95)).alias("t_fx"))
+    scored = df.crossJoin(F.broadcast(thr)).select(
+        (F.col("user_id") % 4).alias("cohort"),
+        "label",
+        F.when(v_fx > F.col("t_fx"), 1).otherwise(0).alias("predicted"),
+    )
+    p, lbl = F.col("predicted"), F.col("label")
+    tp = F.sum(F.when((p == 1) & (lbl == 1), 1).otherwise(0))
+    fp = F.sum(F.when((p == 1) & (lbl == 0), 1).otherwise(0))
+    fn = F.sum(F.when((p == 0) & (lbl == 1), 1).otherwise(0))
+    tn = F.sum(F.when((p == 0) & (lbl == 0), 1).otherwise(0))
+    pos = F.sum(F.when(lbl == 1, 1).otherwise(0))
+    pred_pos = F.sum(F.when(p == 1, 1).otherwise(0))
+    return scored.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        (tp.cast("double") / F.nullif(pos, F.lit(0))).alias("recall"),
+        (tp.cast("double") / F.nullif(pred_pos, F.lit(0))).alias("precision_"),
+    )

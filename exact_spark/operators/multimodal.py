@@ -585,3 +585,71 @@ def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tile_h"),
         )
     )
+
+
+# --- contrastive-training pair mining (caption pairs + hard negatives) -------
+
+# the composer below resolves the registered sim_knn_graph spec at import
+# time, so the similarity module must have registered first
+from exact_spark.operators import similarity as _similarity  # noqa: E402,F401
+
+
+def _hard_negative_sql() -> str:
+    """Composes the registered sim_knn_graph spec: rank-1 neighbor = the
+    hardest in-batch negative for each anchor."""
+    from exact_spark.registry import REGISTRY
+
+    knn = REGISTRY["sim_knn_graph"].sql
+    return f"""
+    WITH knn AS ({knn})
+    SELECT k.vec_id AS anchor_vec,
+           dp.doc_id AS positive_doc,
+           k.neighbor_id AS negative_vec,
+           dn.doc_id AS negative_doc,
+           k.cosine AS negative_cosine,
+           dp.n_chars AS positive_chars,
+           dn.n_chars AS negative_chars
+    FROM knn k
+    JOIN documents dp ON dp.doc_id = k.vec_id
+    JOIN documents dn ON dn.doc_id = k.neighbor_id
+    WHERE k.rank = 1
+    """
+
+
+@register(
+    "multimodal_hard_negatives",
+    sql=_hard_negative_sql(),  # composes the registered sibling spec
+    doc="Hard-negative mining for contrastive training (the CLIP-style "
+    "pair-prep step: each anchor's most-similar NON-matching item is "
+    "the negative that actually teaches the model — random negatives "
+    "are trivially separable): anchors pair with their caption document "
+    "(doc_id = vec_id in this corpus), the hardest negative is the "
+    "rank-1 neighbor from the REGISTERED capped-LSH kNN graph (never "
+    "all-pairs), and both sides' caption metadata attach for batch "
+    "construction. Plan shape: the graph's window rank already isolates "
+    "rank 1; two doc joins on the key complete the training tuple.",
+)
+def multimodal_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exact_spark.operators.similarity import sim_knn_graph
+
+    g = sim_knn_graph(spark, sf_dir).filter(F.col("rank") == 1)
+    docs = io.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    dp = docs.select(
+        F.col("doc_id").alias("positive_doc"), F.col("n_chars").alias("positive_chars")
+    )
+    dn = docs.select(
+        F.col("doc_id").alias("negative_doc"), F.col("n_chars").alias("negative_chars")
+    )
+    return (
+        g.join(dp, g.vec_id == dp.positive_doc)
+        .join(dn, g.neighbor_id == dn.negative_doc)
+        .select(
+            F.col("vec_id").alias("anchor_vec"),
+            "positive_doc",
+            F.col("neighbor_id").alias("negative_vec"),
+            "negative_doc",
+            F.col("cosine").alias("negative_cosine"),
+            "positive_chars",
+            "negative_chars",
+        )
+    )

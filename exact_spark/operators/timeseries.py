@@ -1366,3 +1366,68 @@ def autocorrelation(
 )
 def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return autocorrelation(canonical_events(spark, sf_dir))
+
+
+# --- frequent event trigrams (order-3 sequence mining) -----------------------
+
+_TRIGRAM_TOPK = 20
+
+
+@register(
+    "ts_event_trigrams",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    seq AS (
+        SELECT user_id, event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM canon
+        WINDOW w AS (PARTITION BY user_id ORDER BY id)
+    ),
+    census AS (
+        SELECT e1, e2, e3, count(*) AS n_occurrences
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY e1, e2, e3
+    ),
+    tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS n_total FROM census)
+    SELECT c.e1, c.e2, c.e3, c.n_occurrences,
+           (CAST(c.n_occurrences AS DOUBLE) / t.n_total) AS support
+    FROM census c, tot t
+    ORDER BY c.n_occurrences DESC, c.e1, c.e2, c.e3
+    LIMIT {_TRIGRAM_TOPK}
+    """,
+    doc="Frequent per-user event trigrams (order-3 sequential-pattern "
+    "mining — the behavioral-motif census one step past the Markov "
+    "transition profile: 'view->click->purchase happens N times' is a "
+    "path, not an edge). Plan shape: one shuffle keyed on the series "
+    "(two LEADs in one ordered window pass build each trigram in-row — "
+    "sequences never materialize), a map-side-combinable census over at "
+    "most |types|^3 keys, support from a 1-row broadcast total, "
+    "distributed top-K with full deterministic tie-breaks.",
+)
+def ts_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    df = canonical_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("id")
+    seq = df.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    census = seq.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    tot = census.agg(F.sum("n_occurrences").cast("long").alias("n_total"))
+    return (
+        census.crossJoin(F.broadcast(tot))
+        .select(
+            "e1",
+            "e2",
+            "e3",
+            "n_occurrences",
+            (F.col("n_occurrences").cast("double") / F.col("n_total")).alias("support"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "e1", "e2", "e3")
+        .limit(_TRIGRAM_TOPK)
+    )

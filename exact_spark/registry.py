@@ -133,7 +133,11 @@ DRIVER_ORDER: list[str] = [
     "dedup_survivorship",
     "dq_schema_profile",
     "ml_bootstrap_ci",
+    "ml_metric_slices",
+    "multimodal_hard_negatives",
+    "ts_event_trigrams",
     "stream_stream_join",
+    "stream_session_window_native",
     # late-round oracle additions (covered by the local record this round)
     "ml_drift_bins",
     "ts_value_k_corr",

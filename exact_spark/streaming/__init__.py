@@ -620,3 +620,55 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_session_window_native",
+    sql=None,  # Structured Streaming run -> rows-only check
+    doc="Native session_window aggregation, driver-visible bounded run — "
+    "the BUILT-IN gap-session operator next to the custom "
+    "applyInPandasWithState one (stream_stateful_sessions): same 3-day "
+    "slice, same 4-hour gap, but sessions merge inside Spark's own "
+    "session-window state store (dynamic-gap capable, no Python state "
+    "function, JVM-side merging) and emit in APPEND mode when the "
+    "30-minute watermark proves a session closed. Having BOTH paths "
+    "registered documents the engine decision rule: built-in windows "
+    "when gap semantics fit, custom state only when they don't. Result "
+    "is the closed-session table (user, bounds, event count).",
+)
+def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_sswn_"))
+    try:
+        base = _bounded_events(spark, sf_dir, days=3.0, user_mod=5)
+        src = str(work / "src")
+        base.repartitionByRange(2, "timestamp").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sess = (
+            stream.withWatermark("timestamp", "30 minutes")
+            .groupBy(
+                F.col("user_id"),
+                F.session_window("timestamp", "4 hours").alias("sw"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("sswn_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(work / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(
+            "SELECT user_id, CAST(sw.start AS LONG) AS session_start, "
+            "CAST(sw.end AS LONG) AS session_end, n_events "
+            "FROM sswn_out ORDER BY user_id, session_start"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
