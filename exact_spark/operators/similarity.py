@@ -1982,3 +1982,102 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sqrt(var_a) / F.lit(1e6)).alias("std_ref"),
         ((mean_b - mean_a) / F.sqrt(var_a)).alias("standardized_shift"),
     )
+
+
+# --- Matryoshka truncation fidelity ------------------------------------------
+
+_MRL_DIMS = (8, 16, 32)
+
+
+def _mrl_sql() -> str:
+    """Composes the registered sim_topk_cosine spec: how faithfully do
+    prefix-truncated embeddings preserve the exact top-k cosines."""
+    from exact_spark.registry import REGISTRY
+
+    pairs = REGISTRY["sim_topk_cosine"].sql
+
+    def cos_k(k: int, a: str, b: str) -> str:
+        dot = (
+            f"list_sum(list_transform(range(1, {k} + 1), "
+            f"i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+            f" * 1000000000.0 + 0.5) AS BIGINT)))"
+        )
+        na = (
+            f"list_sum(list_transform(range(1, {k} + 1), "
+            f"i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)"
+            f" * 1000000000.0 + 0.5) AS BIGINT)))"
+        )
+        nb = (
+            f"list_sum(list_transform(range(1, {k} + 1), "
+            f"i -> CAST(FLOOR(CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+            f" * 1000000000.0 + 0.5) AS BIGINT)))"
+        )
+        return (
+            f"((CAST({dot} AS DOUBLE) / 1000000000.0) / "
+            f"(sqrt(CAST({na} AS DOUBLE) / 1000000000.0)"
+            f" * sqrt(CAST({nb} AS DOUBLE) / 1000000000.0)))"
+        )
+
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS trunc_dim, count(*) AS n_pairs,
+               (SUM(CAST(FLOOR(abs({cos_k(k, 'eq.embedding', 'ec.embedding')} - p.cosine)
+                    * 1000000000.0 + 0.5) AS BIGINT)) * 1.0 / (1000000000.0 * count(*)))
+                   AS mean_abs_dev,
+               (CAST(MAX(CAST(FLOOR(abs({cos_k(k, 'eq.embedding', 'ec.embedding')} - p.cosine)
+                    * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0)
+                   AS max_abs_dev
+        FROM pairs p
+        JOIN embeddings eq ON eq.vec_id = p.query_id
+        JOIN embeddings ec ON ec.vec_id = p.neighbor_id"""
+        for k in _MRL_DIMS
+    )
+    return f"WITH pairs AS ({pairs})\nSELECT * FROM (\n{arms}\n)"
+
+
+@register(
+    "emb_matryoshka_fidelity",
+    sql=_mrl_sql(),  # composes the registered sibling spec
+    doc="Matryoshka truncation fidelity (the dimension-reduction "
+    "diagnostic for MRL-style embeddings: how much does keeping only "
+    "the first k dims distort the scores of the TRUE top-k pairs — the "
+    "measure-before-you-truncate companion to the int8/PQ compression "
+    "diagnostics): for the exact brute-force top-k pairs from the "
+    "REGISTERED baseline, cosine recomputed at prefix dims {d} via the "
+    "same fixed-point kernels, reported as mean/max absolute deviation "
+    "per truncation (deviations fixed-point summed — order-independent). "
+    "Plan shape: the pair set is k-per-query small; vectors re-attach by "
+    "key and every per-k statistic reduces in one pass.".format(d=_MRL_DIMS),
+)
+def emb_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    pairs = sim_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id", "cosine")
+    emb = io.load(spark, sf_dir, "embeddings")
+    eq = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    ec = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    j = pairs.join(F.broadcast(eq), pairs.query_id == eq.q_id).join(
+        F.broadcast(ec), pairs.neighbor_id == ec.c_id
+    )
+    outs = []
+    for k in _MRL_DIMS:
+        qk = F.slice(F.col("q_emb"), 1, k)
+        ck = F.slice(F.col("c_emb"), 1, k)
+        cos_k = cosine_from_fixed(
+            dot_fixed(qk, ck), dot_fixed(qk, qk), dot_fixed(ck, ck)
+        )
+        dev_fx = F.floor(F.abs(cos_k - F.col("cosine")) * F.lit(float(_SCALE9)) + F.lit(0.5)).cast(
+            "long"
+        )
+        outs.append(
+            j.agg(
+                F.lit(k).cast("long").alias("trunc_dim"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                (F.sum(dev_fx) * F.lit(1.0) / (F.lit(float(_SCALE9)) * F.count(F.lit(1)))).alias(
+                    "mean_abs_dev"
+                ),
+                (F.max(dev_fx).cast("double") / F.lit(float(_SCALE9))).alias("max_abs_dev"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1534,3 +1534,55 @@ def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("simpson_effective"),
         (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("type_token_ratio"),
     )
+
+
+# --- overlapping document chunking (RAG / pretraining segmentation) ----------
+
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 150  # 50-char overlap
+
+
+@register(
+    "text_chunk_overlap",
+    sql=f"""
+    SELECT d.doc_id,
+           u.i AS chunk_idx,
+           u.i * {_CHUNK_STRIDE} AS start_offset,
+           length(substr(d.text, u.i * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE}))
+               AS chunk_len,
+           md5(substr(d.text, u.i * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE}))
+               AS chunk_md5
+    FROM documents d,
+         UNNEST(range(0, CAST(CEIL(d.n_chars / {_CHUNK_STRIDE}.0) AS BIGINT))) AS u(i)
+    """,
+    doc="Overlapping document chunking (the RAG-index / long-context "
+    "segmentation op: fixed {s}-char windows at {t}-char stride, so "
+    "consecutive chunks share {o} chars and no boundary sentence is "
+    "lost to a hard cut): each doc explodes to ceil(n_chars/{t}) "
+    "chunks IN-ROW — zero shuffles at any corpus size, and chunk "
+    "parallelism replaces document parallelism downstream exactly like "
+    "the frame/tile samplers. Emits offsets + per-chunk md5 (the "
+    "id-stable fingerprint an index or dedup pass keys on) rather than "
+    "duplicating text.".format(s=_CHUNK_SIZE, t=_CHUNK_STRIDE, o=_CHUNK_SIZE - _CHUNK_STRIDE),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    n_chunks = F.ceil(F.col("n_chars") / float(_CHUNK_STRIDE)).cast("long")
+    chunk = F.substring(
+        F.col("text"), F.col("chunk_idx").cast("int") * _CHUNK_STRIDE + 1, _CHUNK_SIZE
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * _CHUNK_STRIDE).alias("start_offset"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

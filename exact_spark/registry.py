@@ -136,6 +136,8 @@ DRIVER_ORDER: list[str] = [
     "ml_metric_slices",
     "multimodal_hard_negatives",
     "ts_event_trigrams",
+    "text_chunk_overlap",
+    "emb_matryoshka_fidelity",
     "stream_stream_join",
     "stream_session_window_native",
     # late-round oracle additions (covered by the local record this round)
