@@ -1795,3 +1795,47 @@ def rel_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cost_fx") / 100.0).alias("min_cost"),
         )
     )
+
+
+_Q4_FROM, _Q4_TO = "1997-01-01", "1997-04-01"
+_Q4_DISC = 0.08
+
+
+@register(
+    "rel_priority_semijoin",
+    sql=f"""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q4_FROM} 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '{_Q4_TO} 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= {_Q4_DISC}
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4-shaped priority census via EXISTS (orders having at "
+    "least one deep-discount lineitem; discount stands in for Q4's "
+    "commit<receipt — this data has no commit/receipt dates). The "
+    "EXISTS is a LEFT SEMI join — each order counted ONCE however many "
+    "lineitems qualify, the defect an inner-join count silently has — "
+    "with the lineitem side reduced by the pushed discount predicate "
+    "before the join and the date range pushed to the orders scan. At "
+    "scale this is the semi variant of the Q4 fact-fact shuffle; "
+    "bucketing both sides on orderkey removes the exchange exactly as "
+    "in rel_order_priority_smj.",
+)
+def rel_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    orders = io.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{_Q4_FROM} 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{_Q4_TO} 00:00:00").cast("timestamp"))
+    )
+    li = io.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount") >= _Q4_DISC
+    ).select("l_orderkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

@@ -1431,3 +1431,92 @@ def ts_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "e1", "e2", "e3")
         .limit(_TRIGRAM_TOPK)
     )
+
+
+# --- lagged cross-correlation between two event series -----------------------
+
+_XCORR_A, _XCORR_B = "view", "purchase"
+_XCORR_MAX_LAG = 3  # hours
+
+
+@register(
+    "ts_cross_correlation",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    hourly AS (
+        SELECT CAST(FLOOR(ts_epoch / 3600.0) AS BIGINT) AS hour,
+               CAST(SUM(CASE WHEN event_type = '{_XCORR_A}' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = '{_XCORR_B}' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM canon GROUP BY CAST(FLOOR(ts_epoch / 3600.0) AS BIGINT)
+    ),
+    lagged AS (
+        SELECT a.x, b.y, u.lag AS lag_h
+        FROM UNNEST(range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG} + 1)) AS u(lag)
+        JOIN hourly a ON TRUE
+        JOIN hourly b ON b.hour = a.hour + u.lag
+    ),
+    sums AS (
+        SELECT lag_h,
+               count(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM lagged GROUP BY lag_h
+    )
+    SELECT lag_h, n,
+           ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS xcorr
+    FROM sums
+    """,
+    doc="Lagged cross-correlation between two event series ('do views "
+    "lead purchases, and by how many hours' — the lead/lag dependency "
+    "diagnostic behind attribution windows and forecasting features): "
+    "hourly counts for both types come out of ONE census pass (integer "
+    "cells), each lag in -K..K aligns the two series by a shifted "
+    "EQUI-join on the hour key (never an ordered window over history), "
+    "and Pearson r per lag derives from six BIGINT sums in a fixed "
+    "single-op sequence — cross-engine exact, no order-dependent float "
+    "reduction. Plan: one census groupBy + one 2K+1-way bounded join + "
+    "one lag-keyed reduce.",
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    hourly = df.groupBy(
+        F.floor(F.col("ts_epoch") / 3600.0).cast("long").alias("hour")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == _XCORR_A, 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == _XCORR_B, 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    lags = spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag_h")
+    )
+    a = hourly.select(F.col("hour").alias("a_hour"), "x")
+    b = hourly.select(F.col("hour").alias("b_hour"), "y")
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b_hour") == F.col("a_hour") + F.col("lag_h"))
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("long")
+    sy = F.sum("y").cast("long")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("long")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("long")
+    syy = F.sum(F.col("y") * F.col("y")).cast("long")
+    sums = lagged.groupBy("lag_h").agg(
+        n.alias("n"), sx.alias("sx"), sy.alias("sy"), sxy.alias("sxy"),
+        sxx.alias("sxx"), syy.alias("syy"),
+    )
+    r = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.sqrt(F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * F.sqrt(F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return sums.select("lag_h", "n", r.alias("xcorr"))

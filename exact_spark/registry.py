@@ -138,6 +138,8 @@ DRIVER_ORDER: list[str] = [
     "ts_event_trigrams",
     "text_chunk_overlap",
     "emb_matryoshka_fidelity",
+    "rel_priority_semijoin",
+    "ts_cross_correlation",
     "stream_stream_join",
     "stream_session_window_native",
     # late-round oracle additions (covered by the local record this round)
