@@ -153,3 +153,42 @@ def test_ground_truth_interval_matching(injected_series):
         settings, start,
     )
     assert truth[1] == {"v1"} and truth[2] == {"v1"} and truth[3] == set()
+
+
+def test_intgrad_completeness_axiom(spark, injected_series):
+    """IG's defining axiom: signed attributions sum to score(x) - score(
+    baseline) up to quadrature/finite-difference error."""
+    import numpy as np
+
+    from exact_spark.ml.explain import _extract_score_fn
+
+    df, _, _ = injected_series
+    model = get_model("pca_autoencoder")
+    train = df.filter(F.col("id") <= 390)
+    model.run(train, ["v1", "v2"])
+    score_fn = _extract_score_fn(model, ["v1", "v2"])
+
+    stats = train.agg(
+        F.avg("v1").alias("m1"), F.avg("v2").alias("m2"),
+        F.stddev("v1").alias("s1"), F.stddev("v2").alias("s2"),
+    ).collect()[0]
+    means = np.array([stats["m1"], stats["m2"]])
+    stds = np.maximum(np.array([stats["s1"], stats["s2"]]), 1e-6)
+
+    rows = df.filter(F.col("label") == 1).orderBy("id").limit(5).collect()
+    n_steps, m = 64, 2
+    h = stds * 1e-3
+    alphas = (np.arange(n_steps) + 0.5) / n_steps
+    for r in rows:
+        x = np.array([r["v1"], r["v2"]])
+        path = means[None, :] + alphas[:, None] * (x - means)[None, :]
+        plus = np.repeat(path, m, axis=0)
+        minus = plus.copy()
+        idx = np.tile(np.arange(m), n_steps)
+        plus[np.arange(n_steps * m), idx] += h[idx]
+        minus[np.arange(n_steps * m), idx] -= h[idx]
+        sc = score_fn(np.vstack([plus, minus]))
+        grads = (sc[: n_steps * m] - sc[n_steps * m :]) / (2.0 * h[idx])
+        attr = (x - means) * grads.reshape(n_steps, m).mean(axis=0)
+        total = float(score_fn(x[None])[0] - score_fn(means[None])[0])
+        assert abs(attr.sum() - total) <= max(0.05 * abs(total), 1e-4)
