@@ -2081,3 +2081,164 @@ def emb_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# --- semi-supervised label propagation over the kNN graph --------------------
+
+_LP_SEED_MOD = 5  # vec_id % 5 == 0 keeps its true label; others start unknown
+_LP_ITERS = 3
+
+
+def _label_prop_sql() -> str:
+    """Composes the registered sim_knn_graph spec; the fixed iteration
+    count unrolls to chained CTEs so the whole algorithm stays
+    oracle-checkable."""
+    from exact_spark.registry import REGISTRY
+
+    knn = REGISTRY["sim_knn_graph"].sql
+    prev = "l0"
+    steps = []
+    for t in range(1, _LP_ITERS + 1):
+        steps.append(f"""
+    votes{t} AS (
+        SELECT e.dst AS vec_id, p.lab, count(*) AS n_votes
+        FROM edges e JOIN {prev} p ON p.vec_id = e.src
+        WHERE p.lab IS NOT NULL
+        GROUP BY e.dst, p.lab
+    ),
+    win{t} AS (
+        SELECT vec_id, lab,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY n_votes DESC, lab ASC
+               ) AS rk
+        FROM votes{t}
+    ),
+    l{t} AS (
+        SELECT b.vec_id,
+               CASE WHEN b.seeded THEN b.true_lab
+                    ELSE COALESCE(w.lab, p.lab) END AS lab,
+               b.seeded, b.true_lab
+        FROM base b
+        LEFT JOIN (SELECT vec_id, lab FROM win{t} WHERE rk = 1) w
+               ON w.vec_id = b.vec_id
+        LEFT JOIN {prev} p ON p.vec_id = b.vec_id
+    )""")
+        prev = f"l{t}"
+    steps_sql = ",".join(steps)
+    return f"""
+    WITH knn AS ({knn}),
+    edges AS (
+        SELECT vec_id AS src, neighbor_id AS dst FROM knn
+        UNION
+        SELECT neighbor_id AS src, vec_id AS dst FROM knn
+    ),
+    base AS (
+        SELECT vec_id, label AS true_lab,
+               (vec_id % {_LP_SEED_MOD} = 0) AS seeded
+        FROM embeddings
+    ),
+    l0 AS (
+        SELECT vec_id,
+               CASE WHEN seeded THEN true_lab END AS lab,
+               seeded, true_lab
+        FROM base
+    ),{steps_sql}
+    SELECT CAST(SUM(CASE WHEN NOT seeded AND lab IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_propagated,
+           CAST(SUM(CASE WHEN NOT seeded THEN 1 ELSE 0 END) AS BIGINT) AS n_unlabeled,
+           CAST(SUM(CASE WHEN NOT seeded AND lab = true_lab THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           (CAST(SUM(CASE WHEN NOT seeded AND lab = true_lab THEN 1 ELSE 0 END) AS DOUBLE)
+              / NULLIF(SUM(CASE WHEN NOT seeded AND lab IS NOT NULL THEN 1 ELSE 0 END), 0))
+               AS accuracy_on_propagated
+    FROM {prev}
+    """
+
+
+@register(
+    "sim_label_propagation",
+    sql=_label_prop_sql(),  # composes the registered sibling spec
+    doc="Semi-supervised label propagation over the kNN semantic graph "
+    "(the label-efficiency workhorse: 20% seeded labels spread to "
+    "neighbors by majority vote — how weak supervision scales labels "
+    "across an embedding corpus): {it} synchronous iterations, each "
+    "one edge-join + per-vertex vote census + argmax window (votes "
+    "DESC, smallest label breaks ties — fully deterministic); seeds "
+    "are clamped, unreached vectors stay unlabeled, and the result "
+    "scores propagation accuracy against held-back truth. The FIXED "
+    "iteration count unrolls into chained CTEs, so unlike PageRank "
+    "this iterative algorithm is ORACLE-hash-checked end to end. Per "
+    "iteration cost is one edges-sized shuffle; at 100 TB the same "
+    "loop runs with localCheckpoint lineage truncation exactly like "
+    "dedup_components.".format(it=_LP_ITERS),
+)
+def sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = sim_knn_graph(spark, sf_dir)
+    edges = (
+        g.select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .unionByName(
+            g.select(F.col("neighbor_id").alias("src"), F.col("vec_id").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    emb = io.load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").alias("true_lab"),
+        (F.col("vec_id") % _LP_SEED_MOD == 0).alias("seeded"),
+    )
+    labels = emb.select(
+        "vec_id",
+        F.when(F.col("seeded"), F.col("true_lab")).alias("lab"),
+        "seeded",
+        "true_lab",
+    )
+    for _ in range(_LP_ITERS):
+        votes = (
+            edges.join(
+                labels.filter(F.col("lab").isNotNull()).select(
+                    F.col("vec_id").alias("src"), "lab"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("vec_id"), "lab")
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("n_votes").desc(), F.col("lab").asc()
+        )
+        winner = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            emb.join(winner, "vec_id", "left")
+            .join(labels.select("vec_id", F.col("lab").alias("old_lab")), "vec_id", "left")
+            .select(
+                "vec_id",
+                F.when(F.col("seeded"), F.col("true_lab"))
+                .otherwise(F.coalesce(F.col("new_lab"), F.col("old_lab")))
+                .alias("lab"),
+                "seeded",
+                "true_lab",
+            )
+        )
+    unl = ~F.col("seeded")
+    return labels.agg(
+        F.sum(F.when(unl & F.col("lab").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_propagated"),
+        F.sum(F.when(unl, 1).otherwise(0)).cast("long").alias("n_unlabeled"),
+        F.sum(F.when(unl & (F.col("lab") == F.col("true_lab")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        (
+            F.sum(F.when(unl & (F.col("lab") == F.col("true_lab")), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.nullif(
+                F.sum(F.when(unl & F.col("lab").isNotNull(), 1).otherwise(0)), F.lit(0)
+            )
+        ).alias("accuracy_on_propagated"),
+    )

@@ -140,6 +140,7 @@ DRIVER_ORDER: list[str] = [
     "emb_matryoshka_fidelity",
     "rel_priority_semijoin",
     "ts_cross_correlation",
+    "sim_label_propagation",
     "stream_stream_join",
     "stream_session_window_native",
     # late-round oracle additions (covered by the local record this round)
