@@ -1586,3 +1586,92 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+# --- cross-source contamination matrix ---------------------------------------
+
+
+@register(
+    "text_source_overlap",
+    sql=f"""
+    WITH toks AS (SELECT source, {_SQL_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT source,
+               u.s AS shingle
+        FROM toks,
+             UNNEST(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS u(s)
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b, p.n_common,
+           sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b,
+           (p.n_common * 1.0 / LEAST(sa.n_sh, sb.n_sh)) AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+    """,
+    doc="Cross-source contamination matrix (the governance view over the "
+    "corpus: which SOURCES copy each other — feed licensing, dedup "
+    "ordering, and eval-contamination decisions at source granularity "
+    "rather than doc granularity): distinct 3-gram shingles roll up "
+    "per source (one explode + distinct — map-side combinable), the "
+    "pair census self-joins ON THE SOURCE-LEVEL table whose join "
+    "fan-out is bounded by |sources|^2 (20 sources -> <=190 pairs) no "
+    "matter how many documents exist, and each pair scores containment "
+    "of the smaller source's shingle set (the asymmetric-overlap "
+    "measure, same rationale as dedup_containment).",
+)
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    t = docs.select("source", tokens_col().alias("toks")).filter(F.size("toks") >= 3)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        ),
+    )
+    sh = (
+        t.select("source", F.explode(tri).alias("shingle"))
+        .distinct()
+        .localCheckpoint()  # reused by sizes and both join sides
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("sa"), F.col("n_sh").alias("n_sh_a"))
+    sb = sizes.select(F.col("source").alias("sb"), F.col("n_sh").alias("n_sh_b"))
+    return (
+        pairs.join(F.broadcast(sa), pairs.source_a == F.col("sa"))
+        .join(F.broadcast(sb), pairs.source_b == F.col("sb"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_sh_a",
+            "n_sh_b",
+            (F.col("n_common") * 1.0 / F.least(F.col("n_sh_a"), F.col("n_sh_b"))).alias(
+                "containment"
+            ),
+        )
+    )

@@ -141,6 +141,7 @@ DRIVER_ORDER: list[str] = [
     "rel_priority_semijoin",
     "ts_cross_correlation",
     "sim_label_propagation",
+    "text_source_overlap",
     "stream_stream_join",
     "stream_session_window_native",
     # late-round oracle additions (covered by the local record this round)

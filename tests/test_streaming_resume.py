@@ -24,10 +24,14 @@ def _read_rows(spark, out_dir):
 
 
 def _run_stream(spark, src, ckpt, out):
+    # all currently-available files in ONE micro-batch: per-file triggers
+    # would consume files in modification-time order, which is not the
+    # event-time order — a late-range file processed first advances the
+    # watermark past earlier windows and (correctly!) drops them as late.
+    # The restart boundary between the two _run_stream calls is the
+    # micro-batch boundary under test.
     schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-    )
+    stream = spark.readStream.schema(schema).parquet(src)
     win = windowed_counts(stream, window="6 hours", watermark="30 minutes")
     q = (
         win.writeStream.format("parquet")

@@ -119,9 +119,9 @@ def test_listing_methods(server):
     assert _request(server, {"METHOD": "get-models"})["models"] == list(
         server.api.get_models()
     )
-    assert _request(server, {"METHOD": "get-xai-methods"})["methods"] == [
-        "occlusion", "permutation", "kernelshap", "lime", "counterfactual",
-    ]
+    from exact_spark.ml.explain import METHODS
+
+    assert _request(server, {"METHOD": "get-xai-methods"})["methods"] == list(METHODS)
     assert "spike" in _request(server, {"METHOD": "get-injection-methods"})[
         "injection_methods"
     ]
