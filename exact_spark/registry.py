@@ -144,6 +144,7 @@ DRIVER_ORDER: list[str] = [
     "text_source_overlap",
     "stream_stream_join",
     "stream_session_window_native",
+    "catalog_merge_upsert",
     # late-round oracle additions (covered by the local record this round)
     "ml_drift_bins",
     "ts_value_k_corr",

@@ -119,3 +119,25 @@ def test_restore_rolls_back_without_copying(spark, tbl):
     # no data copied: the restore manifest references v1's exact files
     assert tbl.manifest(3)["files"] == tbl.manifest(1)["files"]
     assert tbl.history()[-1]["op"] == "restore"
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    from exact_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path), "mu")
+    rows = [{"k": i, "v": float(i)} for i in range(10)]
+    t.create(spark.createDataFrame(rows))
+    batch = spark.createDataFrame(
+        [{"k": 3, "v": 30.0}, {"k": 7, "v": 70.0}, {"k": 99, "v": 99.0}]
+    )
+    v2 = t.merge_upsert(batch, "k")
+    cur = {r["k"]: r["v"] for r in t.read(v2).collect()}
+    # matched updated, unmatched inserted, untouched preserved
+    assert cur[3] == 30.0 and cur[7] == 70.0 and cur[99] == 99.0
+    assert cur[0] == 0.0 and len(cur) == 11
+    # time travel: v1 unchanged
+    old = {r["k"]: r["v"] for r in t.read(1).collect()}
+    assert old[3] == 3.0 and 99 not in old
+    # merge twice with the same batch is idempotent on content
+    v3 = t.merge_upsert(batch, "k")
+    assert {r["k"]: r["v"] for r in t.read(v3).collect()} == cur
