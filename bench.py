@@ -42,6 +42,14 @@ def main() -> None:
 
     canonical_table_path(spark, sf_dir)
 
+    # same artifact discipline for the kNN graph: five serving operators
+    # read the materialized graph; construction cost is attributed to the
+    # builder query (sim_knn_graph) via this warm, not to whichever
+    # consumer happens to run first
+    from exact_spark.operators.similarity import knn_graph_path
+
+    knn_graph_path(spark, sf_dir)
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     total = 0.0

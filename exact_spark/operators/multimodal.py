@@ -630,9 +630,9 @@ def _hard_negative_sql() -> str:
     "rank 1; two doc joins on the key complete the training tuple.",
 )
 def multimodal_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from exact_spark.operators.similarity import sim_knn_graph
+    from exact_spark.operators.similarity import knn_graph
 
-    g = sim_knn_graph(spark, sf_dir).filter(F.col("rank") == 1)
+    g = knn_graph(spark, sf_dir).filter(F.col("rank") == 1)
     docs = io.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     dp = docs.select(
         F.col("doc_id").alias("positive_doc"), F.col("n_chars").alias("positive_chars")
