@@ -1839,3 +1839,66 @@ def rel_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+_Q10_FROM, _Q10_TO = "1998-01-01", "1998-04-01"
+_Q10_TOPK = 20
+
+
+@register(
+    "rel_returned_revenue",
+    sql=f"""
+    WITH rev AS (
+        SELECT o.o_custkey,
+               SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT))
+                   AS rev_fx
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '{_Q10_FROM} 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '{_Q10_TO} 00:00:00'
+        GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           (r.rev_fx / 100.0) AS lost_revenue
+    FROM rev r
+    JOIN customer c ON c.c_custkey = r.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY r.rev_fx DESC, c.c_custkey
+    LIMIT {_Q10_TOPK}
+    """,
+    doc="TPC-H Q10-shaped returned-item revenue: customers who returned "
+    "the most value in a quarter (the churn-risk report). Scale shape: "
+    "the return flag and date range prune BOTH fact scans before their "
+    "join; revenue collapses to customer cardinality in one groupBy "
+    "BEFORE the dimension attach (customer/nation broadcast onto the "
+    "aggregated frame, never onto raw lineitems); top-K is a "
+    "distributed TakeOrderedAndProject on the integer revenue with a "
+    "custkey tie-break.",
+)
+def rel_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = io.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(f"{_Q10_FROM} 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{_Q10_TO} 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    rev_fx = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0 + F.lit(0.5)
+    ).cast("long")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev_fx).alias("rev_fx"))
+    )
+    cust = io.load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nat = io.load(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    return (
+        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .orderBy(F.col("rev_fx").desc(), "c_custkey")
+        .limit(_Q10_TOPK)
+        .select("c_custkey", "c_name", "nation", (F.col("rev_fx") / 100.0).alias("lost_revenue"))
+    )

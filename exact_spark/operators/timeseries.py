@@ -1520,3 +1520,98 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
     )
     return sums.select("lag_h", "n", r.alias("xcorr"))
+
+
+# --- concurrent-session load curve -------------------------------------------
+
+_CONC_GAP_S = 1800  # 30-minute session gap
+
+
+@register(
+    "ts_concurrent_sessions",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    flagged AS (
+        SELECT user_id, ts_epoch,
+               CASE WHEN ts_epoch - LAG(ts_epoch) OVER w > {_CONC_GAP_S}
+                         OR LAG(ts_epoch) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM canon
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch, id)
+    ),
+    sess AS (
+        SELECT user_id, grp,
+               MIN(ts_epoch) AS s_start,
+               MAX(ts_epoch) AS s_end
+        FROM (
+            SELECT user_id, ts_epoch,
+                   SUM(is_start) OVER (
+                       PARTITION BY user_id ORDER BY ts_epoch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS grp
+            FROM flagged
+        )
+        GROUP BY user_id, grp
+    ),
+    deltas AS (
+        SELECT s_start AS t, 1 AS d FROM sess
+        UNION ALL
+        SELECT s_end + 1 AS t, -1 AS d FROM sess
+    ),
+    curve AS (
+        SELECT t, SUM(SUM(d)) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS concurrent
+        FROM deltas GROUP BY t
+    )
+    SELECT CAST(FLOOR(t / 86400.0) AS BIGINT) AS day,
+           CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent
+    FROM curve
+    GROUP BY CAST(FLOOR(t / 86400.0) AS BIGINT)
+    """,
+    doc="Peak concurrent sessions per day (the capacity-planning load "
+    "curve: how many users are in an active session at once): gap "
+    "sessionization per user (one user-keyed shuffle), each session "
+    "becomes a +1/-1 stabbing pair, the census collapses the deltas to "
+    "distinct boundary instants BEFORE the cumulative window, and the "
+    "running concurrency is one ordered prefix sum over those (session-"
+    "cardinality, not event-cardinality) boundary rows. The prefix "
+    "window orders globally but over collapsed boundaries — at 100 TB "
+    "partition it by coarse time range exactly like the dense-id "
+    "two-pass scheme.",
+)
+def ts_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    df = canonical_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_epoch", "id")
+    lag_ts = F.lag("ts_epoch").over(w)
+    flagged = df.select(
+        "user_id",
+        "ts_epoch",
+        F.when(
+            lag_ts.isNull() | (F.col("ts_epoch") - lag_ts > _CONC_GAP_S), 1
+        ).otherwise(0).alias("is_start"),
+    )
+    grp = F.sum("is_start").over(
+        W.partitionBy("user_id").orderBy("ts_epoch").rowsBetween(W.unboundedPreceding, 0)
+    )
+    sess = (
+        flagged.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(F.min("ts_epoch").alias("s_start"), F.max("ts_epoch").alias("s_end"))
+    )
+    deltas = sess.select(F.col("s_start").alias("t"), F.lit(1).alias("d")).unionByName(
+        sess.select((F.col("s_end") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    curve = (
+        deltas.groupBy("t")
+        .agg(F.sum("d").alias("dd"))
+        .withColumn(
+            "concurrent",
+            F.sum("dd").over(W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return curve.groupBy(
+        F.floor(F.col("t") / 86400.0).cast("long").alias("day")
+    ).agg(F.max("concurrent").cast("long").alias("peak_concurrent"))

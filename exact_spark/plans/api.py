@@ -69,6 +69,25 @@ class EngineAPI:
             "data": [[row[c] for c in df.columns] for row in rows],
         }
 
+    def explain_query(self, name: str, sf_dir: str | None = None) -> dict:
+        """Formatted physical plan of one registered analytic — the
+        EXPLAIN surface (what PLANS.md snapshots per round, served live):
+        a client can check broadcasts / PushedFilters / exchange shapes
+        for its own data directory before paying for the run."""
+        from exact_spark.registry import REGISTRY, _load_all
+
+        _load_all()
+        if name not in REGISTRY:
+            raise KeyError(name)
+        target = sf_dir or self.analytics_dir
+        if target is None:
+            raise ValueError("no sf_dir configured for explain-query")
+        df = REGISTRY[name].fn(self.spark, target)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        return {"name": name, "plan": plan}
+
     # -- run-batch (engine.py:161-205) ---------------------------------------
     def run_batch(self, job: BatchJob) -> dict:
         if not JOB_NAME_RE.match(job.job_name):

@@ -295,6 +295,11 @@ class EngineServer:
                       "data": json.loads(json.dumps(payload["data"], default=str))})
             except (KeyError, ValueError) as e:
                 send({"error": f"unknown query or bad request: {e}"})
+        elif method == "explain-query":
+            try:
+                send(self.api.explain_query(data["name"], sf_dir=data.get("sf_dir")))
+            except (KeyError, ValueError) as e:
+                send({"error": f"unknown query or bad request: {e}"})
 
         else:
             send({"error": "method-error-response"})  # engine.py:402-404

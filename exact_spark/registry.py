@@ -142,6 +142,8 @@ DRIVER_ORDER: list[str] = [
     "ts_cross_correlation",
     "sim_label_propagation",
     "text_source_overlap",
+    "rel_returned_revenue",
+    "ts_concurrent_sessions",
     "stream_stream_join",
     "stream_session_window_native",
     "catalog_merge_upsert",

@@ -272,3 +272,18 @@ def test_get_queries_and_run_query(server):
 
     bad = _request(server, {"METHOD": "run-query", "name": "nope"})
     assert "error" in bad
+
+
+def test_explain_query_over_wire(server):
+    """The live EXPLAIN surface: a client can inspect the physical plan
+    (broadcasts, PushedFilters) of any registered analytic before running
+    it."""
+    out = _request(
+        server,
+        {"METHOD": "explain-query", "name": "rel_region_revenue",
+         "sf_dir": "/root/testdata/sf0.001"},
+    )
+    assert out["name"] == "rel_region_revenue"
+    assert "BroadcastHashJoin" in out["plan"] or "Physical Plan" in out["plan"]
+    bad = _request(server, {"METHOD": "explain-query", "name": "nope"})
+    assert "error" in bad
