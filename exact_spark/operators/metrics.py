@@ -1210,3 +1210,70 @@ def ml_metric_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         (tp.cast("double") / F.nullif(pos, F.lit(0))).alias("recall"),
         (tp.cast("double") / F.nullif(pred_pos, F.lit(0))).alias("precision_"),
     )
+
+
+# --- PR-AUC from the registered operating-point curve ------------------------
+
+_AUC_SCALE = 1_000_000_000_000
+
+
+def _pr_auc_sql() -> str:
+    """Composes the registered g9_pr_curve spec: trapezoid area under the
+    measured operating points."""
+    from exact_spark.registry import REGISTRY
+
+    pr = REGISTRY["g9_pr_curve"].sql
+    return f"""
+    WITH pr AS ({pr}),
+    seq AS (
+        SELECT recall, precision,
+               LEAD(recall) OVER w AS r2,
+               LEAD(precision) OVER w AS p2
+        FROM pr
+        WINDOW w AS (ORDER BY recall, precision)
+    ),
+    terms AS (
+        SELECT CAST(FLOOR((r2 - recall) * (precision + p2) / 2.0
+                    * {_AUC_SCALE}.0 + 0.5) AS BIGINT) AS t_fx
+        FROM seq WHERE r2 IS NOT NULL
+    )
+    SELECT count(*) AS n_segments,
+           (CAST(SUM(t_fx) AS DOUBLE) / {_AUC_SCALE}.0) AS pr_auc_est
+    FROM terms
+    """
+
+
+@register(
+    "ml_pr_auc",
+    sql=_pr_auc_sql(),  # composes the registered sibling spec
+    doc="PR-AUC estimate from the REGISTERED operating-point curve "
+    "(the single-number ranking-quality summary next to the curve "
+    "itself): trapezoid area between consecutive measured (recall, "
+    "precision) points — an estimate over the 5-point grid, stated as "
+    "such (n_segments column), not a pretend-exact AP. Each trapezoid "
+    "term is a single fixed expression then FIXED-POINT summed, so the "
+    "4-term reduction is order-independent cross-engine. Plan: the "
+    "curve's one-scan shape plus a 5-row window.",
+)
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    pr = g9_pr_curve(spark, sf_dir)
+    w = W.orderBy("recall", "precision")
+    seq = pr.select(
+        "recall",
+        "precision",
+        F.lead("recall").over(w).alias("r2"),
+        F.lead("precision").over(w).alias("p2"),
+    ).filter(F.col("r2").isNotNull())
+    t_fx = F.floor(
+        (F.col("r2") - F.col("recall"))
+        * (F.col("precision") + F.col("p2"))
+        / 2.0
+        * F.lit(float(_AUC_SCALE))
+        + F.lit(0.5)
+    ).cast("long")
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        (F.sum(t_fx).cast("double") / F.lit(float(_AUC_SCALE))).alias("pr_auc_est"),
+    )

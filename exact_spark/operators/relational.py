@@ -1902,3 +1902,111 @@ def rel_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_Q10_TOPK)
         .select("c_custkey", "c_name", "nation", (F.col("rev_fx") / 100.0).alias("lost_revenue"))
     )
+
+
+# --- measured Bloom false-positive rate --------------------------------------
+
+_FPR_BITS = 4096
+
+
+def _sql_bloom_pos(salt: str, key: str) -> str:
+    h = f"md5('{salt}:' || CAST({key} AS VARCHAR))"
+    return (
+        f"((((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 4096)"
+        f" + ((strpos('0123456789abcdef', substr({h}, 2, 1)) - 1) * 256)"
+        f" + ((strpos('0123456789abcdef', substr({h}, 3, 1)) - 1) * 16)"
+        f" + (strpos('0123456789abcdef', substr({h}, 4, 1)) - 1)) % {_FPR_BITS})"
+    )
+
+
+@register(
+    "sketch_bloom_fpr",
+    sql=f"""
+    WITH build AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    probes AS (SELECT c_custkey AS k FROM customer),
+    pos AS (
+        SELECT {_sql_bloom_pos('b0', 'k')} AS p FROM build
+        UNION
+        SELECT {_sql_bloom_pos('b1', 'k')} AS p FROM build
+    ),
+    tested AS (
+        SELECT pr.k,
+               EXISTS (SELECT 1 FROM pos WHERE pos.p = {_sql_bloom_pos('b0', 'pr.k')})
+               AND EXISTS (SELECT 1 FROM pos WHERE pos.p = {_sql_bloom_pos('b1', 'pr.k')})
+                   AS bloom_pos,
+               EXISTS (SELECT 1 FROM build b WHERE b.k = pr.k) AS actual
+        FROM probes pr
+    )
+    SELECT (SELECT count(*) FROM build) AS n_inserted,
+           CAST(SUM(CASE WHEN bloom_pos AND NOT actual THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_positive,
+           CAST(SUM(CASE WHEN NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS n_negatives,
+           CAST(SUM(CASE WHEN actual AND NOT bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_negative,
+           (CAST(SUM(CASE WHEN bloom_pos AND NOT actual THEN 1 ELSE 0 END) AS DOUBLE)
+              / NULLIF(SUM(CASE WHEN NOT actual THEN 1 ELSE 0 END), 0)) AS measured_fpr
+    FROM tested
+    """,
+    doc="Measured Bloom-filter false-positive rate (the measure-don't-"
+    "guess companion to rel_bloom_semijoin: the theoretical "
+    "(1-e^(-kn/m))^k is a model — this measures the REAL rate for this "
+    "key set and hash family, and proves zero false negatives as a "
+    "column): urgent-priority customers build a {b}-bit double-hash "
+    "filter (md5-derived positions so both engines compute identical "
+    "bits), every customer probes it, and the census separates true "
+    "members from false positives. Plan shape: the inserted-position "
+    "set is at most {b} rows — broadcast semi-joins for the membership "
+    "tests, one census aggregate; FPR is a single integer divide.".format(
+        b=_FPR_BITS
+    ),
+)
+def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+
+    def pos(salt: str, key: Column) -> Column:
+        h = F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+        return F.pmod(
+            F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(_FPR_BITS)
+        )
+
+    build = (
+        io.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    probes = io.load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    posset = (
+        build.select(pos("b0", F.col("k")).alias("p"))
+        .unionByName(build.select(pos("b1", F.col("k")).alias("p")))
+        .distinct()
+    )
+    p0 = posset.select(F.col("p").alias("p0v"))
+    p1 = posset.select(F.col("p").alias("p1v"))
+    bk = build.select(F.col("k").alias("bk"))
+    tested = (
+        probes.withColumn("pp0", pos("b0", F.col("k")))
+        .withColumn("pp1", pos("b1", F.col("k")))
+        .join(F.broadcast(p0), F.col("pp0") == F.col("p0v"), "left")
+        .join(F.broadcast(p1), F.col("pp1") == F.col("p1v"), "left")
+        .join(F.broadcast(bk), F.col("k") == F.col("bk"), "left")
+        .select(
+            (F.col("p0v").isNotNull() & F.col("p1v").isNotNull()).alias("bloom_pos"),
+            F.col("bk").isNotNull().alias("actual"),
+        )
+    )
+    n_inserted = build.count()
+    bp, ac = F.col("bloom_pos"), F.col("actual")
+    return tested.agg(
+        F.lit(n_inserted).cast("long").alias("n_inserted"),
+        F.sum(F.when(bp & ~ac, 1).otherwise(0)).cast("long").alias("n_false_positive"),
+        F.sum(F.when(~ac, 1).otherwise(0)).cast("long").alias("n_negatives"),
+        F.sum(F.when(ac & ~bp, 1).otherwise(0)).cast("long").alias("n_false_negative"),
+        (
+            F.sum(F.when(bp & ~ac, 1).otherwise(0)).cast("double")
+            / F.nullif(F.sum(F.when(~ac, 1).otherwise(0)), F.lit(0))
+        ).alias("measured_fpr"),
+    )

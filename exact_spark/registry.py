@@ -144,6 +144,8 @@ DRIVER_ORDER: list[str] = [
     "text_source_overlap",
     "rel_returned_revenue",
     "ts_concurrent_sessions",
+    "ml_pr_auc",
+    "sketch_bloom_fpr",
     "stream_stream_join",
     "stream_session_window_native",
     "catalog_merge_upsert",
