@@ -1615,3 +1615,154 @@ def ts_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curve.groupBy(
         F.floor(F.col("t") / 86400.0).cast("long").alias("day")
     ).agg(F.max("concurrent").cast("long").alias("peak_concurrent"))
+
+
+# --- missing-data / gap profile ----------------------------------------------
+
+_GAP_BUCKETS = (60, 300, 1800, 7200)  # seconds: <1m, 1-5m, 5-30m, 30m-2h, >2h
+
+
+@register(
+    "ts_gap_profile",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    gaps AS (
+        SELECT user_id,
+               ts_epoch - LAG(ts_epoch) OVER (
+                   PARTITION BY user_id ORDER BY ts_epoch, id
+               ) AS gap_s
+        FROM canon
+    ),
+    bucketed AS (
+        SELECT CASE
+                 WHEN gap_s < {_GAP_BUCKETS[0]} THEN 'a_lt_1m'
+                 WHEN gap_s < {_GAP_BUCKETS[1]} THEN 'b_1m_5m'
+                 WHEN gap_s < {_GAP_BUCKETS[2]} THEN 'c_5m_30m'
+                 WHEN gap_s < {_GAP_BUCKETS[3]} THEN 'd_30m_2h'
+                 ELSE 'e_gt_2h'
+               END AS gap_bucket,
+               gap_s
+        FROM gaps WHERE gap_s IS NOT NULL
+    )
+    SELECT gap_bucket,
+           count(*) AS n_gaps,
+           CAST(SUM(CAST(FLOOR(gap_s * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_gap_us,
+           (SUM(CAST(FLOOR(gap_s * 1000000.0 + 0.5) AS BIGINT)) * 1.0
+              / (1000000.0 * count(*))) AS mean_gap_s
+    FROM bucketed
+    GROUP BY gap_bucket
+    """,
+    doc="Inter-arrival gap profile per series key (the missing-data census "
+    "run BEFORE choosing a gap-fill or imputation policy — ts_gap_fill's "
+    "diagnostic twin: how much of the record is small jitter vs real "
+    "outage): per-user consecutive gaps from one ordered window pass, "
+    "bucketed into operational bands, census over 5 keys. Gap mass "
+    "sums in fixed-point micros so the totals are cross-engine exact.",
+)
+def ts_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    df = canonical_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_epoch", "id")
+    gap = (F.col("ts_epoch") - F.lag("ts_epoch").over(w)).alias("gap_s")
+    gaps = df.select("user_id", gap).filter(F.col("gap_s").isNotNull())
+    b = (
+        F.when(F.col("gap_s") < _GAP_BUCKETS[0], "a_lt_1m")
+        .when(F.col("gap_s") < _GAP_BUCKETS[1], "b_1m_5m")
+        .when(F.col("gap_s") < _GAP_BUCKETS[2], "c_5m_30m")
+        .when(F.col("gap_s") < _GAP_BUCKETS[3], "d_30m_2h")
+        .otherwise("e_gt_2h")
+    )
+    g_fx = F.floor(F.col("gap_s") * 1e6 + F.lit(0.5)).cast("long")
+    return gaps.groupBy(b.alias("gap_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(g_fx).cast("long").alias("total_gap_us"),
+        (F.sum(g_fx) * F.lit(1.0) / (F.lit(1e6) * F.count(F.lit(1)))).alias("mean_gap_s"),
+    )
+
+
+# --- seasonality strength (variance decomposition) ---------------------------
+
+
+@register(
+    "ts_seasonality_strength",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    fx AS (
+        SELECT event_type,
+               CAST(FLOOR(ts_epoch / 3600.0) AS BIGINT) % 24 AS hod,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_fx
+        FROM canon
+    ),
+    cells AS (
+        SELECT event_type, hod,
+               count(*) AS n_c,
+               CAST(SUM(v_fx) AS BIGINT) AS s_c
+        FROM fx GROUP BY event_type, hod
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(n_c) AS BIGINT) AS n,
+               CAST(SUM(s_c) AS BIGINT) AS s,
+               (SELECT CAST(SUM(v_fx * v_fx) AS BIGINT) FROM fx f
+                WHERE f.event_type = cells.event_type) AS ss
+        FROM cells GROUP BY event_type
+    ),
+    between_g AS (
+        SELECT event_type,
+               CAST(SUM(CAST(FLOOR((CAST(s_c AS DOUBLE) * s_c / n_c) * 100.0 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS bsum_fx
+        FROM cells
+        GROUP BY event_type
+    )
+    SELECT t.event_type,
+           t.n AS n_rows,
+           (((CAST(b.bsum_fx AS DOUBLE) / 100.0)
+             - (CAST(t.s AS DOUBLE) * t.s / t.n))
+            / (CAST(t.ss AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s / t.n))
+               AS seasonality_strength
+    FROM tot t JOIN between_g b ON b.event_type = t.event_type
+    """,
+    doc="Hour-of-day seasonality strength per series: the one-way variance "
+    "decomposition SS_between / SS_total over 24 hour-of-day cells (~1 "
+    "means the hour profile explains the series; ~0 means no diurnal "
+    "structure — the statistic that decides whether seasonal-naive or "
+    "EWMA is the right baseline). Exactness: SS_between = sum_c s_c^2/"
+    "n_c - s^2/n; each cell term is ONE divide of BIGINT cell sums then "
+    "fixed-point summed (no order-dependent float reduction), the final "
+    "ratio a fixed single-op sequence. Plan: one cell census (map-side combinable), one "
+    "sum-of-squares pass, joins over |types| rows.",
+)
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    v_fx = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    fx = df.select(
+        "event_type",
+        (F.floor(F.col("ts_epoch") / 3600.0).cast("long") % 24).alias("hod"),
+        v_fx.alias("v_fx"),
+    )
+    cells = fx.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_c"), F.sum("v_fx").cast("long").alias("s_c")
+    )
+    tot = fx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_fx").cast("long").alias("s"),
+        F.sum(F.col("v_fx") * F.col("v_fx")).cast("long").alias("ss"),
+    )
+    term_fx = F.floor(
+        (F.col("s_c").cast("double") * F.col("s_c") / F.col("n_c")) * 100.0 + F.lit(0.5)
+    ).cast("long")
+    between = cells.groupBy("event_type").agg(
+        F.sum(term_fx).cast("long").alias("bsum_fx")
+    )
+    out = tot.join(between, "event_type")
+    ssb = (F.col("bsum_fx").cast("double") / 100.0) - (
+        F.col("s").cast("double") * F.col("s") / F.col("n")
+    )
+    sst = F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    return out.select(
+        "event_type",
+        F.col("n").alias("n_rows"),
+        (ssb / sst).alias("seasonality_strength"),
+    )

@@ -146,6 +146,8 @@ DRIVER_ORDER: list[str] = [
     "ts_concurrent_sessions",
     "ml_pr_auc",
     "sketch_bloom_fpr",
+    "ts_gap_profile",
+    "ts_seasonality_strength",
     "stream_stream_join",
     "stream_session_window_native",
     "catalog_merge_upsert",
