@@ -1277,3 +1277,117 @@ def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_segments"),
         (F.sum(t_fx).cast("double") / F.lit(float(_AUC_SCALE))).alias("pr_auc_est"),
     )
+
+
+# --- Gini-gain feature screening ---------------------------------------------
+
+
+@register(
+    "ml_gini_gain",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    med AS (
+        SELECT quantile_cont(CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS DOUBLE), 0.5)
+                   AS m_v,
+               quantile_cont(CAST(user_id AS DOUBLE), 0.5) AS m_u
+        FROM canon
+    ),
+    feats AS (
+        SELECT 'value_gt_median' AS feature,
+               CASE WHEN CAST(FLOOR(c.value * 100.0 + 0.5) AS BIGINT) > m.m_v
+                    THEN 1 ELSE 0 END AS side,
+               c.label
+        FROM canon c, med m
+        UNION ALL
+        SELECT 'user_gt_median' AS feature,
+               CASE WHEN c.user_id > m.m_u THEN 1 ELSE 0 END AS side,
+               c.label
+        FROM canon c, med m
+        UNION ALL
+        SELECT 'hour_ge_12' AS feature,
+               CASE WHEN CAST(FLOOR(c.ts_epoch / 3600.0) AS BIGINT) % 24 >= 12
+                    THEN 1 ELSE 0 END AS side,
+               c.label
+        FROM canon c, med m
+    ),
+    cells AS (
+        SELECT feature, side,
+               count(*) AS n_s,
+               CAST(SUM(label) AS BIGINT) AS p_s
+        FROM feats GROUP BY feature, side
+    ),
+    agg AS (
+        SELECT feature,
+               CAST(SUM(n_s) AS BIGINT) AS n,
+               CAST(SUM(p_s) AS BIGINT) AS p,
+               SUM((CAST(p_s AS DOUBLE) * (n_s - p_s)) / n_s) AS split_term
+        FROM cells GROUP BY feature
+    )
+    SELECT feature, n AS n_rows,
+           (2.0 * ((CAST(p AS DOUBLE) * (n - p)) / n - split_term) / n) AS gini_gain
+    FROM agg
+    """,
+    doc="Gini-gain feature screening (the decision-tree split criterion "
+    "as a standalone ranking — the log-free sibling of chi-square and "
+    "mutual information: gain = Gini(parent) - weighted Gini(children) "
+    "for a binary split per candidate feature): three candidate splits "
+    "score in ONE union-scan + one (feature, side) census; with binary "
+    "labels Gini algebra collapses to p_s*(n_s - p_s)/n_s per side — "
+    "one divide of BIGINT cell counts, summed over exactly two sides "
+    "per feature (a 2-term reduction of identical-input divides, "
+    "cross-engine stable). Plan: one threshold broadcast, census over "
+    "6 cells.",
+)
+def ml_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    v_fx = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    med = df.agg(
+        F.percentile(v_fx.cast("double"), F.lit(0.5)).alias("m_v"),
+        F.percentile(F.col("user_id").cast("double"), F.lit(0.5)).alias("m_u"),
+    )
+    base = df.crossJoin(F.broadcast(med))
+    feats = (
+        base.select(
+            F.lit("value_gt_median").alias("feature"),
+            F.when(v_fx > F.col("m_v"), 1).otherwise(0).alias("side"),
+            "label",
+        )
+        .unionByName(
+            base.select(
+                F.lit("user_gt_median").alias("feature"),
+                F.when(F.col("user_id") > F.col("m_u"), 1).otherwise(0).alias("side"),
+                "label",
+            )
+        )
+        .unionByName(
+            base.select(
+                F.lit("hour_ge_12").alias("feature"),
+                F.when(
+                    F.floor(F.col("ts_epoch") / 3600.0).cast("long") % 24 >= 12, 1
+                ).otherwise(0).alias("side"),
+                "label",
+            )
+        )
+    )
+    cells = feats.groupBy("feature", "side").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("label").cast("long").alias("p_s")
+    )
+    agg = cells.groupBy("feature").agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.sum("p_s").cast("long").alias("p"),
+        F.sum(
+            (F.col("p_s").cast("double") * (F.col("n_s") - F.col("p_s"))) / F.col("n_s")
+        ).alias("split_term"),
+    )
+    return agg.select(
+        "feature",
+        F.col("n").alias("n_rows"),
+        (
+            F.lit(2.0)
+            * (
+                (F.col("p").cast("double") * (F.col("n") - F.col("p"))) / F.col("n")
+                - F.col("split_term")
+            )
+            / F.col("n")
+        ).alias("gini_gain"),
+    )

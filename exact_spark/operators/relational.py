@@ -2010,3 +2010,66 @@ def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.sum(F.when(~ac, 1).otherwise(0)), F.lit(0))
         ).alias("measured_fpr"),
     )
+
+
+@register(
+    "rel_join_cardinality_check",
+    sql="""
+    WITH stats AS (
+        SELECT (SELECT count(*) FROM lineitem) AS n_l,
+               (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS d_l,
+               (SELECT count(*) FROM orders) AS n_o,
+               (SELECT count(DISTINCT o_orderkey) FROM orders) AS d_o,
+               (SELECT count(*) FROM lineitem l JOIN orders o
+                 ON o.o_orderkey = l.l_orderkey) AS actual
+    )
+    SELECT CAST(n_l AS BIGINT) AS n_lineitem,
+           CAST(n_o AS BIGINT) AS n_orders,
+           CAST(d_l AS BIGINT) AS ndv_lineitem_key,
+           CAST(d_o AS BIGINT) AS ndv_orders_key,
+           CAST(actual AS BIGINT) AS actual_join_rows,
+           CAST((n_l * n_o) // GREATEST(d_l, d_o) AS BIGINT) AS estimated_join_rows,
+           (CAST((n_l * n_o) // GREATEST(d_l, d_o) AS DOUBLE) / actual) AS est_over_actual
+    FROM stats
+    """,
+    doc="Join-cardinality estimator audit (the statistic every cost-based "
+    "optimizer's join ordering stands on: |A JOIN B| ~ n_a*n_b/"
+    "max(ndv_a, ndv_b) under uniformity+containment): the textbook "
+    "estimate computed from exact NDVs next to the ACTUAL join "
+    "cardinality, with the over/under ratio as the data's skew "
+    "signature — ratio >> 1 means key skew that AQE/salting must "
+    "handle, =1 means uniform keys. All-integer inputs, integer "
+    "estimate (floor-div), one divide for the ratio. Plan: two count-"
+    "distinct passes + the real join count (the audit is the point — "
+    "a production engine reads NDVs from column stats instead).",
+)
+def rel_join_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = io.load(spark, sf_dir, "orders").select("o_orderkey")
+    s_l = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_l"),
+        F.count_distinct(F.col("l_orderkey")).cast("long").alias("d_l"),
+    )
+    s_o = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_o"),
+        F.count_distinct(F.col("o_orderkey")).cast("long").alias("d_o"),
+    )
+    actual = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(F.count(F.lit(1)).cast("long").alias("actual"))
+    )
+    est = F.expr("CAST((n_l * n_o) DIV GREATEST(d_l, d_o) AS BIGINT)")
+    return (
+        s_l.crossJoin(F.broadcast(s_o))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            F.col("n_l").alias("n_lineitem"),
+            F.col("n_o").alias("n_orders"),
+            F.col("d_l").alias("ndv_lineitem_key"),
+            F.col("d_o").alias("ndv_orders_key"),
+            F.col("actual").alias("actual_join_rows"),
+            est.alias("estimated_join_rows"),
+            (est.cast("double") / F.col("actual")).alias("est_over_actual"),
+        )
+    )

@@ -148,6 +148,8 @@ DRIVER_ORDER: list[str] = [
     "sketch_bloom_fpr",
     "ts_gap_profile",
     "ts_seasonality_strength",
+    "rel_join_cardinality_check",
+    "ml_gini_gain",
     "stream_stream_join",
     "stream_session_window_native",
     "catalog_merge_upsert",
