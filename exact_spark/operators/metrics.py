@@ -1391,3 +1391,100 @@ def ml_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n")
         ).alias("gini_gain"),
     )
+
+
+# --- exact two-sample KS statistic -------------------------------------------
+
+
+@register(
+    "ml_ks_statistic",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    tagged AS (
+        SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_fx,
+               CASE WHEN id <= (SELECT CAST(FLOOR(0.85 * count(*)) AS BIGINT) FROM canon)
+                    THEN 0 ELSE 1 END AS grp
+        FROM canon
+    ),
+    counts AS (
+        SELECT v_fx,
+               CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM tagged GROUP BY v_fx
+    ),
+    cum AS (
+        SELECT v_fx,
+               SUM(c0) OVER (ORDER BY v_fx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f0,
+               SUM(c1) OVER (ORDER BY v_fx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1
+        FROM counts
+    ),
+    tot AS (
+        SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+        FROM counts
+    ),
+    dev AS (
+        SELECT c.v_fx,
+               abs(c.f0 * t.n1 - c.f1 * t.n0) AS d_int,
+               row_number() OVER (
+                   ORDER BY abs(c.f0 * t.n1 - c.f1 * t.n0) DESC, c.v_fx ASC
+               ) AS rk,
+               t.n0, t.n1
+        FROM cum c, tot t
+    )
+    SELECT n0 AS n_train, n1 AS n_test,
+           (v_fx / 100.0) AS ks_at_value,
+           (CAST(d_int AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1)) AS ks_statistic
+    FROM dev WHERE rk = 1
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov statistic between the train "
+    "window's and holdout's value distributions (the distribution-shift "
+    "test ml_drift_bins approximates with bins — this is the EXACT "
+    "sup-norm ECDF distance, plus WHERE it occurs): both ECDFs evaluate "
+    "on the merged distinct fixed-point value grid via ONE ordered "
+    "cumulative window over value-cardinality rows (never raw-row "
+    "sorting); |F0 - F1| maximizes as the INTEGER |f0*n1 - f1*n0| so "
+    "argmax and tie-breaks are cross-engine exact, with the one divide "
+    "after selection. At 100 TB the cumulative window partitions by "
+    "value range exactly like the dense-id two-pass scheme.",
+)
+def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    df = canonical_events(spark, sf_dir)
+    n_total = df.count()
+    cut = int(0.85 * n_total)
+    tagged = df.select(
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("v_fx"),
+        F.when(F.col("id") <= cut, 0).otherwise(1).alias("grp"),
+    )
+    counts = tagged.groupBy("v_fx").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    w = W.orderBy("v_fx").rowsBetween(W.unboundedPreceding, 0)
+    cum = counts.select(
+        "v_fx",
+        F.sum("c0").over(w).alias("f0"),
+        F.sum("c1").over(w).alias("f1"),
+    )
+    tot = counts.agg(
+        F.sum("c0").cast("long").alias("n0"), F.sum("c1").cast("long").alias("n1")
+    )
+    d_int = F.abs(F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0"))
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        "v_fx",
+        "n0",
+        "n1",
+        d_int.alias("d_int"),
+        F.row_number().over(W.orderBy(d_int.desc(), F.col("v_fx").asc())).alias("rk"),
+    )
+    return dev.filter(F.col("rk") == 1).select(
+        F.col("n0").alias("n_train"),
+        F.col("n1").alias("n_test"),
+        (F.col("v_fx") / 100.0).alias("ks_at_value"),
+        (F.col("d_int").cast("double") / (F.col("n0").cast("double") * F.col("n1"))).alias(
+            "ks_statistic"
+        ),
+    )

@@ -2291,3 +2291,53 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays valid)."""
     tune_session(spark)
     return spark.read.parquet(knn_graph_path(spark, sf_dir))
+
+
+# --- embedding norm distribution ----------------------------------------------
+
+
+@register(
+    "emb_norm_profile",
+    sql="""
+    WITH norms AS (
+        SELECT label,
+               list_sum(list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE) * 1000000000.0 + 0.5)
+                        AS BIGINT))) AS nsq_fx
+        FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           (CAST(MIN(nsq_fx) AS DOUBLE) / 1000000000.0) AS min_norm_sq,
+           (SUM(nsq_fx) * 1.0 / (1000000000.0 * count(*))) AS mean_norm_sq,
+           (CAST(MAX(nsq_fx) AS DOUBLE) / 1000000000.0) AS max_norm_sq,
+           CAST(SUM(CASE WHEN nsq_fx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_vectors
+    FROM norms
+    GROUP BY label
+    """,
+    doc="Embedding L2-norm profile per label (the index health check run "
+    "BEFORE building an ANN index: unnormalized batches, zero vectors, "
+    "and norm drift all break cosine assumptions silently — the "
+    "degenerate inputs the LSH bucket caps exist for, counted "
+    "explicitly): squared norms through the same fixed-point kernel as "
+    "every similarity operator, min/mean/max + zero-vector census per "
+    "label in one scan + one tiny groupBy.",
+)
+def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings", spread=True)
+    nsq = dot_fixed(F.col("embedding"), F.col("embedding"))
+    norms = emb.select("label", nsq.alias("nsq_fx"))
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.min("nsq_fx").cast("double") / F.lit(float(_SCALE9))).alias("min_norm_sq"),
+        (F.sum("nsq_fx") * F.lit(1.0) / (F.lit(float(_SCALE9)) * F.count(F.lit(1)))).alias(
+            "mean_norm_sq"
+        ),
+        (F.max("nsq_fx").cast("double") / F.lit(float(_SCALE9))).alias("max_norm_sq"),
+        F.sum(F.when(F.col("nsq_fx") == 0, 1).otherwise(0)).cast("long").alias(
+            "n_zero_vectors"
+        ),
+    )

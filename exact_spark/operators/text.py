@@ -1675,3 +1675,74 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- vocabulary coverage curve -----------------------------------------------
+
+_VOCAB_KS = (10, 100, 1000)
+
+
+@register(
+    "text_vocab_coverage",
+    sql=f"""
+    WITH toks AS (
+        SELECT UNNEST({_SQL_TOKS}) AS w FROM documents
+    ),
+    tf AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk FROM tf
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok, count(*) AS n_types FROM tf)
+    SELECT u.k AS vocab_size,
+           t.n_types AS corpus_types,
+           CAST(SUM(CASE WHEN r.rnk <= u.k THEN r.c ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           t.n_tok AS total_tokens,
+           (CAST(SUM(CASE WHEN r.rnk <= u.k THEN r.c ELSE 0 END) AS DOUBLE)
+              / t.n_tok) AS coverage,
+           (1.0 - CAST(SUM(CASE WHEN r.rnk <= u.k THEN r.c ELSE 0 END) AS DOUBLE)
+              / t.n_tok) AS oov_rate
+    FROM ranked r, tot t, UNNEST(ARRAY{list(_VOCAB_KS)}) AS u(k)
+    GROUP BY u.k, t.n_tok, t.n_types
+    """,
+    doc="Vocabulary coverage curve (the tokenizer-design question: what "
+    "token mass does a top-K vocab cover, i.e. the OOV rate a K-entry "
+    "vocabulary buys): one tokenize+explode census, frequency ranking "
+    "with full tie-breaks, and the K-sweep folds into ONE conditional "
+    "aggregation over the census (the corpus is never re-scanned per "
+    "K). Coverage is a single integer divide. At corpus scale the "
+    "census is the same map-side-combinable tf pass as text_vocab_topk; "
+    "the ranking window runs over TYPES, not tokens.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    tf = (
+        docs.select(F.explode(tokens_col()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = tf.select(
+        "c", F.row_number().over(W.orderBy(F.col("c").desc(), "w")).alias("rnk")
+    )
+    tot = tf.agg(
+        F.sum("c").cast("long").alias("n_tok"), F.count(F.lit(1)).alias("n_types")
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in _VOCAB_KS])).alias("vocab_size")
+    grid = ranked.crossJoin(F.broadcast(tot)).select("c", "rnk", "n_tok", "n_types", ks)
+    return grid.groupBy("vocab_size", "n_tok", "n_types").agg(
+        F.sum(F.when(F.col("rnk") <= F.col("vocab_size"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("covered_tokens"),
+    ).select(
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("n_types").alias("corpus_types"),
+        "covered_tokens",
+        F.col("n_tok").alias("total_tokens"),
+        (F.col("covered_tokens").cast("double") / F.col("n_tok")).alias("coverage"),
+        (
+            F.lit(1.0) - F.col("covered_tokens").cast("double") / F.col("n_tok")
+        ).alias("oov_rate"),
+    )

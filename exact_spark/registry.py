@@ -150,6 +150,9 @@ DRIVER_ORDER: list[str] = [
     "ts_seasonality_strength",
     "rel_join_cardinality_check",
     "ml_gini_gain",
+    "text_vocab_coverage",
+    "emb_norm_profile",
+    "ml_ks_statistic",
     "stream_stream_join",
     "stream_session_window_native",
     "catalog_merge_upsert",
