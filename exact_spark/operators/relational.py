@@ -2073,3 +2073,65 @@ def rel_join_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est.cast("double") / F.col("actual")).alias("est_over_actual"),
         )
     )
+
+
+@register(
+    "rel_yoy_growth",
+    sql="""
+    WITH yearly AS (
+        SELECT r.r_name AS region,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS year,
+               SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
+                   AS BIGINT)) AS rev_fx
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+    )
+    SELECT region, year,
+           (rev_fx / 100.0) AS revenue,
+           (CAST(rev_fx AS DOUBLE) / LAG(rev_fx) OVER (
+               PARTITION BY region ORDER BY year) - 1.0) AS yoy_growth
+    FROM yearly
+    """,
+    doc="Year-over-year revenue growth per region (the board-deck trend "
+    "query): one fact pass collapses to (region, year) cells with all "
+    "dimensions broadcast, then LAG runs over the CELL table (|regions| "
+    "x |years| rows — the window never sees lineitems); growth is one "
+    "divide of integer-exact yearly sums, NULL for each region's first "
+    "year rather than a fake 0.",
+)
+def rel_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = io.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = io.load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = io.load(spark, sf_dir, "region")
+    rev_fx = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0 + F.lit(0.5)
+    ).cast("long")
+    yearly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").cast("long").alias("year"),
+        )
+        .agg(F.sum(rev_fx).alias("rev_fx"))
+    )
+    w = Window.partitionBy("region").orderBy("year")
+    return yearly.select(
+        "region",
+        "year",
+        (F.col("rev_fx") / 100.0).alias("revenue"),
+        (F.col("rev_fx").cast("double") / F.lag("rev_fx").over(w) - 1.0).alias(
+            "yoy_growth"
+        ),
+    )

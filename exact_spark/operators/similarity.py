@@ -2341,3 +2341,93 @@ def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_zero_vectors"
         ),
     )
+
+
+# --- label homophily of the kNN graph ----------------------------------------
+
+
+def _homophily_sql() -> str:
+    """Composes the registered sim_knn_graph spec: same-label edge rate vs
+    the label-shuffled expectation."""
+    from exact_spark.registry import REGISTRY
+
+    knn = REGISTRY["sim_knn_graph"].sql
+    return f"""
+    WITH knn AS ({knn}),
+    und AS (
+        SELECT DISTINCT LEAST(vec_id, neighbor_id) AS a,
+                        GREATEST(vec_id, neighbor_id) AS b
+        FROM knn WHERE vec_id <> neighbor_id
+    ),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    edges AS (
+        SELECT CASE WHEN la.label = lb.label THEN 1 ELSE 0 END AS same
+        FROM und
+        JOIN lab la ON la.vec_id = und.a
+        JOIN lab lb ON lb.vec_id = und.b
+    ),
+    dist AS (SELECT label, count(*) AS c FROM lab GROUP BY label),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(c * c) AS BIGINT) AS sum_c2 FROM dist)
+    SELECT (SELECT count(*) FROM und) AS n_edges,
+           CAST(SUM(e.same) AS BIGINT) AS n_same_label,
+           (CAST(SUM(e.same) AS DOUBLE) / count(*)) AS observed_homophily,
+           (SELECT CAST(sum_c2 AS DOUBLE) / (CAST(n AS DOUBLE) * n) FROM tot)
+               AS expected_under_shuffle
+    FROM edges e
+    """
+
+
+@register(
+    "sim_label_homophily",
+    sql=_homophily_sql(),  # composes the registered sibling spec
+    doc="Label homophily of the kNN semantic graph: the same-label edge "
+    "rate vs the label-shuffled expectation sum(p_i^2) — the "
+    "assortativity check that says whether embeddings carry label "
+    "structure AT ALL (it quantitatively explains "
+    "sim_label_propagation's accuracy: propagation can only beat the "
+    "label prior when observed >> expected). Integer edge and label "
+    "censuses; both rates are single divides. Plan: the materialized "
+    "graph, one broadcast label attach, one census.",
+)
+def sim_label_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = knn_graph(spark, sf_dir)
+    und = (
+        g.filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            F.least("vec_id", "neighbor_id").alias("a"),
+            F.greatest("vec_id", "neighbor_id").alias("b"),
+        )
+        .distinct()
+    )
+    lab = io.load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    la = lab.select(F.col("vec_id").alias("a_id"), F.col("label").alias("la"))
+    lb = lab.select(F.col("vec_id").alias("b_id"), F.col("label").alias("lb"))
+    edges = (
+        und.join(F.broadcast(la), und.a == la.a_id)
+        .join(F.broadcast(lb), und.b == lb.b_id)
+        .select(F.when(F.col("la") == F.col("lb"), 1).otherwise(0).alias("same"))
+    )
+    dist = lab.groupBy("label").agg(F.count(F.lit(1)).alias("c"))
+    tot = dist.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    return (
+        edges.agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum("same").cast("long").alias("n_same_label"),
+            (F.sum("same").cast("double") / F.count(F.lit(1))).alias(
+                "observed_homophily"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_edges",
+            "n_same_label",
+            "observed_homophily",
+            (
+                F.col("sum_c2").cast("double") / (F.col("n").cast("double") * F.col("n"))
+            ).alias("expected_under_shuffle"),
+        )
+    )

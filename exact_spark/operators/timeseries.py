@@ -1766,3 +1766,65 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_rows"),
         (ssb / sst).alias("seasonality_strength"),
     )
+
+
+# --- Fano factor (point-process dispersion) ----------------------------------
+
+
+@register(
+    "ts_fano_factor",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    cells AS (
+        SELECT event_type,
+               CAST(FLOOR(ts_epoch / 3600.0) AS BIGINT) AS hour,
+               count(*) AS c
+        FROM canon GROUP BY event_type, CAST(FLOOR(ts_epoch / 3600.0) AS BIGINT)
+    ),
+    stats AS (
+        SELECT event_type,
+               count(*) AS n_hours,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS ss
+        FROM cells GROUP BY event_type
+    )
+    SELECT event_type, n_hours,
+           (CAST(s AS DOUBLE) / n_hours) AS mean_per_hour,
+           ((CAST(ss AS DOUBLE) * n_hours - CAST(s AS DOUBLE) * s)
+              / (CAST(n_hours AS DOUBLE) * n_hours)) AS var_per_hour,
+           (((CAST(ss AS DOUBLE) * n_hours - CAST(s AS DOUBLE) * s)
+              / (CAST(n_hours AS DOUBLE) * n_hours))
+            / (CAST(s AS DOUBLE) / n_hours)) AS fano_factor
+    FROM stats
+    """,
+    doc="Fano factor per event stream (the point-process dispersion "
+    "diagnostic: variance/mean of hourly counts — 1 for a Poisson "
+    "process, >1 bursty/clumped, <1 regular; decides whether the "
+    "seasonal-naive Poisson spike band's distributional assumption "
+    "holds): one hourly census (map-side combinable), per-type moment "
+    "sums as BIGINTs, variance and the ratio as a fixed single-op "
+    "sequence — occupied hours only, stated as such (empty hours would "
+    "need the gap-fill grid).",
+)
+def ts_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    cells = df.groupBy(
+        "event_type", F.floor(F.col("ts_epoch") / 3600.0).cast("long").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_hours")
+    var = (
+        F.col("ss").cast("double") * F.col("n_hours")
+        - F.col("s").cast("double") * F.col("s")
+    ) / (F.col("n_hours").cast("double") * F.col("n_hours"))
+    return stats.select(
+        "event_type",
+        "n_hours",
+        mean.alias("mean_per_hour"),
+        var.alias("var_per_hour"),
+        (var / mean).alias("fano_factor"),
+    )

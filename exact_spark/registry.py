@@ -153,6 +153,9 @@ DRIVER_ORDER: list[str] = [
     "text_vocab_coverage",
     "emb_norm_profile",
     "ml_ks_statistic",
+    "rel_yoy_growth",
+    "ts_fano_factor",
+    "sim_label_homophily",
     "stream_stream_join",
     "stream_session_window_native",
     "catalog_merge_upsert",
