@@ -1488,3 +1488,145 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_statistic"
         ),
     )
+
+
+# --- exact ROC-AUC (tie-aware Mann-Whitney) -----------------------------------
+
+
+@register(
+    "ml_roc_auc",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    fx AS (
+        SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_fx, label
+        FROM canon
+    ),
+    grid AS (
+        SELECT v_fx,
+               CAST(SUM(label) AS BIGINT) AS pos_at,
+               CAST(count(*) - SUM(label) AS BIGINT) AS neg_at
+        FROM fx GROUP BY v_fx
+    ),
+    cum AS (
+        SELECT v_fx, pos_at, neg_at,
+               CAST(COALESCE(SUM(neg_at) OVER (
+                   ORDER BY v_fx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS neg_below
+        FROM grid
+    ),
+    agg AS (
+        SELECT CAST(SUM(pos_at) AS BIGINT) AS n_pos,
+               CAST(SUM(neg_at) AS BIGINT) AS n_neg,
+               CAST(SUM(pos_at * (2 * neg_below + neg_at)) AS BIGINT) AS u2
+        FROM cum
+    )
+    SELECT n_pos, n_neg, u2,
+           (CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)) AS auc
+    FROM agg
+    """,
+    doc="Exact ROC-AUC of the value-as-score detector via the tie-aware "
+    "Mann-Whitney statistic (the threshold-free companion to "
+    "g1_confusion_metrics' single operating point and ml_pr_auc's "
+    "estimate — this one is EXACT, not a curve approximation). Scale "
+    "shape: scores collapse to the distinct fixed-point value GRID "
+    "first (map-side combinable groupBy), the single-partition window "
+    "runs over grid cardinality only — never a global sort of raw rows "
+    "— and concordance is the all-integer 2U = sum(pos_at * (2*neg_below "
+    "+ neg_at)), so ties contribute exactly half. AUC is ONE divide of "
+    "two exact BIGINTs — cross-engine bit-identical.",
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    df = canonical_events(spark, sf_dir)
+    fx = df.select(
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("v_fx"),
+        "label",
+    )
+    grid = fx.groupBy("v_fx").agg(
+        F.sum("label").cast("long").alias("pos_at"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("neg_at"),
+    )
+    w = W.orderBy("v_fx").rowsBetween(W.unboundedPreceding, -1)
+    cum = grid.withColumn(
+        "neg_below", F.coalesce(F.sum("neg_at").over(w), F.lit(0)).cast("long")
+    )
+    agg = cum.agg(
+        F.sum("pos_at").cast("long").alias("n_pos"),
+        F.sum("neg_at").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos_at") * (F.lit(2) * F.col("neg_below") + F.col("neg_at"))
+        )
+        .cast("long")
+        .alias("u2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        (
+            F.col("u2").cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+# --- calibration reliability bins ---------------------------------------------
+
+_CALIB_BINS = 10
+
+
+@register(
+    "ml_calibration_bins",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    fx AS (
+        SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_fx, label
+        FROM canon
+    ),
+    span AS (
+        SELECT MIN(v_fx) AS lo, MAX(v_fx) AS hi FROM fx
+    ),
+    binned AS (
+        SELECT ((f.v_fx - s.lo) * {_CALIB_BINS}) // (s.hi - s.lo + 1) AS bin,
+               f.v_fx, f.label
+        FROM fx f, span s
+    )
+    SELECT bin,
+           count(*) AS n,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           (CAST(SUM(v_fx) AS DOUBLE) / count(*) / 100.0) AS mean_score,
+           (CAST(SUM(label) AS DOUBLE) / count(*)) AS pos_rate
+    FROM binned
+    GROUP BY bin
+    """,
+    doc="Reliability-diagram bins for the value-as-score detector: mean "
+    "score vs observed positive rate per equal-WIDTH score decile (the "
+    "calibration companion to ml/calibrate.py's isotonic fit — this is "
+    "the diagnostic that says whether calibration is needed at all). "
+    "Scale shape: the bin edge comes from one (min, max) aggregate "
+    "broadcast as a single row, membership is integer arithmetic in the "
+    "scan — (v_fx-lo)*10 DIV (hi-lo+1), no quantile pass, no window — "
+    "and the result has at most 10 rows. mean_score and pos_rate are "
+    "the same single-op divide sequence on BIGINT sums in both engines.",
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    fx = df.select(
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("v_fx"),
+        "label",
+    )
+    span = fx.agg(F.min("v_fx").alias("lo"), F.max("v_fx").alias("hi"))
+    binned = fx.crossJoin(F.broadcast(span)).select(
+        F.expr(f"(v_fx - lo) * {_CALIB_BINS} DIV (hi - lo + 1)").alias("bin"),
+        "v_fx",
+        "label",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+        (F.sum("v_fx").cast("double") / F.count(F.lit(1)) / F.lit(100.0)).alias(
+            "mean_score"
+        ),
+        (F.sum("label").cast("double") / F.count(F.lit(1))).alias("pos_rate"),
+    )

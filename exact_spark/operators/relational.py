@@ -2135,3 +2135,206 @@ def rel_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_growth"
         ),
     )
+
+
+
+_Q9_NAME_TOKEN = "red"
+
+
+@register(
+    "rel_product_profit",
+    sql=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           (CAST(SUM(
+               CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)
+               - (CAST(FLOOR(p.p_retailprice * 100.0 + 0.5) AS BIGINT) * 6 // 10)
+                 * CAST(l.l_quantity AS BIGINT)
+           ) AS BIGINT) / 100.0) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%{_Q9_NAME_TOKEN}%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+    """,
+    doc="TPC-H Q9-shaped product-type profit by supplier nation and year "
+    "(this schema has no partsupp, so supply cost is pinned at 60% of "
+    "the part's retail price — same five-table join shape). Scale "
+    "design: the selective part filter (name token, ~13% of parts) "
+    "broadcasts FIRST so the fact scan shrinks before the only big "
+    "join (orders on orderkey); supplier/nation broadcast; profit is "
+    "all-BIGINT cents (floor-scaled revenue minus integer supply cost "
+    "x whole-unit quantity) so the sum is reduction-order independent "
+    "and cross-engine exact — one divide at emit.",
+)
+def rel_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = (
+        io.load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(f"%{_Q9_NAME_TOKEN}%"))
+        .select(
+            "p_partkey",
+            F.floor(F.col("p_retailprice") * 100.0 + F.lit(0.5)).cast("long").alias("retail_fx"),
+        )
+    )
+    supp = io.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = io.load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = io.load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    rev_fx = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0 + F.lit(0.5)
+    ).cast("long")
+    profit_fx = rev_fx - F.expr("retail_fx * 6 DIV 10") * F.col("l_quantity").cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit_fx).alias("profit_fx"))
+        .select("nation", "o_year", (F.col("profit_fx") / 100.0).alias("profit"))
+    )
+
+
+_Q12_FROM, _Q12_TO = "1997-01-01", "1998-01-01"
+_Q12_LAG_DAYS = 60
+
+
+@register(
+    "rel_ship_lag_priority",
+    sql=f"""
+    SELECT l.l_returnflag AS flag_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_Q12_FROM} 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '{_Q12_TO} 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q12_LAG_DAYS} DAY
+    GROUP BY l.l_returnflag
+    """,
+    doc="TPC-H Q12-shaped late-shipment priority split (no l_shipmode / "
+    "commit/receipt dates in this schema: the mode class is the return "
+    "flag and 'late' is ship lag > 60 days after order date — same "
+    "conditional two-bucket count over a fact-fact join). Scale design: "
+    "the one-year shipdate range is pushed to the lineitem scan "
+    "(PushedFilters) BEFORE the orderkey shuffle join; the lag predicate "
+    "is a post-join filter (non-equi, cannot be pushed); counts are "
+    "conditional integer sums with map-side partial aggregation into "
+    "exactly |flags| cells.",
+)
+def rel_ship_lag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = (
+        io.load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(f"{_Q12_FROM} 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{_Q12_TO} 00:00:00").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+    )
+    orders = io.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q12_LAG_DAYS} DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("flag_class"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_Q20_PREFIX = "small"
+_Q20_FROM, _Q20_TO = "1997-01-01", "1998-01-01"
+_Q20_REGION = "ASIA"
+
+
+@register(
+    "rel_dominant_supplier",
+    sql=f"""
+    WITH shipped AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '{_Q20_PREFIX}%'
+        WHERE l.l_shipdate >= TIMESTAMP '{_Q20_FROM} 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '{_Q20_TO} 00:00:00'
+        GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    dom AS (
+        SELECT DISTINCT l_suppkey
+        FROM (
+            SELECT l_suppkey, qty,
+                   SUM(qty) OVER (PARTITION BY l_partkey) AS tot
+            FROM shipped
+        )
+        WHERE qty * 2 > tot
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = '{_Q20_REGION}'
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM dom)
+    """,
+    doc="TPC-H Q20-shaped dominant-supplier selection (no partsupp "
+    "availqty in this schema: a supplier 'dominates' a part when it "
+    "shipped more than half that part's total quantity in the year — "
+    "same correlated-aggregate semi-join shape). Scale design: the "
+    "part-name filter broadcasts into the fact scan with the pushed "
+    "one-year range, collapsing to a (part, supplier) aggregate before "
+    "any window; the per-part total is a window over the AGGREGATED "
+    "frame; the final semi-join broadcasts the small dominant-supplier "
+    "set against the region-filtered supplier dimension. All-integer "
+    "quantities — no float compare.",
+)
+def rel_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    part = (
+        io.load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(f"{_Q20_PREFIX}%"))
+        .select("p_partkey")
+    )
+    li = (
+        io.load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(f"{_Q20_FROM} 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{_Q20_TO} 00:00:00").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dom = (
+        shipped.withColumn("tot", F.sum("qty").over(w))
+        .filter(F.col("qty") * 2 > F.col("tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = io.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = io.load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = io.load(spark, sf_dir, "region").filter(F.col("r_name") == _Q20_REGION)
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .join(F.broadcast(dom), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )

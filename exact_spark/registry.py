@@ -156,6 +156,11 @@ DRIVER_ORDER: list[str] = [
     "rel_yoy_growth",
     "ts_fano_factor",
     "sim_label_homophily",
+    "rel_product_profit",
+    "rel_ship_lag_priority",
+    "rel_dominant_supplier",
+    "ml_roc_auc",
+    "ml_calibration_bins",
     "stream_stream_join",
     "stream_session_window_native",
     "catalog_merge_upsert",
