@@ -184,3 +184,131 @@ def dq_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (column_name, n_rows, n_null, n_distinct)"
         )
     )
+
+
+# --- full FK-edge referential-integrity audit ---------------------------------
+
+# (edge label, fact table, fact key, referenced table, referenced key).
+# Grouped by fact table below so each fact is scanned ONCE however many
+# of its FK edges are audited.
+_RI_EDGES = [
+    ("lineitem.l_orderkey->orders", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+
+@register(
+    "dq_referential_integrity",
+    sql="""
+    SELECT 'lineitem.l_orderkey->orders' AS edge,
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+    UNION ALL
+    SELECT 'embeddings.vec_id->documents',
+           (SELECT count(*) FROM embeddings),
+           (SELECT count(*) FROM embeddings e
+            WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+    """,
+    doc="Whole-schema foreign-key orphan audit (the referential-integrity "
+    "gate a warehouse runs before promoting a batch; extends "
+    "dq_expectations' single RI probe to every FK edge, including the "
+    "embeddings->documents lineage link a training pipeline depends "
+    "on). Scale shape: each fact table is scanned ONCE for all of its "
+    "edges — existence flags come from left joins against the "
+    "referenced tables' DISTINCT keys (dimension keys broadcast; the "
+    "one fact-fact edge, lineitem->orders, reduces orders to its key "
+    "column before the shuffle) and every edge folds into the same "
+    "conditional aggregate. Output is |edges| rows of BIGINT counts.",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+
+    def _keys(table: str, key: str, marker: str) -> DataFrame:
+        return (
+            io.load(spark, sf_dir, table).select(key).distinct().withColumn(marker, F.lit(1))
+        )
+
+    # lineitem: one scan, three edges (orders via shuffle, dims broadcast)
+    li = io.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    ok = _keys("orders", "o_orderkey", "m_ord")
+    pk = F.broadcast(_keys("part", "p_partkey", "m_part"))
+    sk = F.broadcast(_keys("supplier", "s_suppkey", "m_supp"))
+    li_audit = (
+        li.join(ok, li.l_orderkey == ok.o_orderkey, "left")
+        .join(pk, li.l_partkey == pk.p_partkey, "left")
+        .join(sk, li.l_suppkey == sk.s_suppkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("m_ord").isNull(), 1).otherwise(0)).cast("long").alias("orph_ord"),
+            F.sum(F.when(F.col("m_part").isNull(), 1).otherwise(0)).cast("long").alias("orph_part"),
+            F.sum(F.when(F.col("m_supp").isNull(), 1).otherwise(0)).cast("long").alias("orph_supp"),
+        )
+        .select(
+            F.expr(
+                "stack(3, "
+                "'lineitem.l_orderkey->orders', n, orph_ord, "
+                "'lineitem.l_partkey->part', n, orph_part, "
+                "'lineitem.l_suppkey->supplier', n, orph_supp"
+                ") AS (edge, n_rows, n_orphans)"
+            )
+        )
+    )
+
+    def _single_edge(edge: str, fact: str, fkey: str, ref: str, rkey: str) -> DataFrame:
+        f = io.load(spark, sf_dir, fact).select(fkey)
+        r = F.broadcast(_keys(ref, rkey, "m"))
+        return (
+            f.join(r, F.col(fkey) == F.col(rkey), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).cast("long").alias("n_orphans"),
+            )
+            .select(F.lit(edge).alias("edge"), "n_rows", "n_orphans")
+        )
+
+    parts = [
+        li_audit,
+        _single_edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        _single_edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        _single_edge("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        _single_edge("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        _single_edge("embeddings.vec_id->documents", "embeddings", "vec_id", "documents", "doc_id"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2338,3 +2338,51 @@ def rel_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dom), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+@register(
+    "rel_customer_percentile",
+    sql="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, n.n_name AS nation,
+               CAST(COALESCE(SUM(CAST(FLOOR(CAST(o.o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                   AS BIGINT)), 0) AS BIGINT) AS rev_fx
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, n.n_name
+    )
+    SELECT nation, c_custkey,
+           (rev_fx / 100.0) AS revenue,
+           cume_dist() OVER (PARTITION BY nation ORDER BY rev_fx) AS revenue_cume
+    FROM per_cust
+    """,
+    doc="Each customer's revenue percentile within their nation via "
+    "CUME_DIST (the segmentation standard behind 'top-decile customer' "
+    "definitions; rank-based sibling of rel_customer_rfm's absolute "
+    "scores). Scale shape: revenue collapses to CUSTOMER cardinality "
+    "(one custkey groupBy, LEFT join so orderless customers rank at the "
+    "bottom instead of vanishing) before the nation-partitioned window "
+    "— the window sorts customers, never orders; CUME_DIST is an "
+    "integer peer-count over the partition size divided once, so ties "
+    "on the fixed-point revenue are cross-engine identical.",
+)
+def rel_customer_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    cust = io.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = io.load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = io.load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    price_fx = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    per_cust = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(F.col("c_custkey"), F.col("n_name").alias("nation"))
+        .agg(F.coalesce(F.sum(price_fx), F.lit(0)).cast("long").alias("rev_fx"))
+    )
+    w = Window.partitionBy("nation").orderBy("rev_fx")
+    return per_cust.select(
+        "nation",
+        "c_custkey",
+        (F.col("rev_fx") / 100.0).alias("revenue"),
+        F.cume_dist().over(w).alias("revenue_cume"),
+    )

@@ -2431,3 +2431,35 @@ def sim_label_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expected_under_shuffle"),
         )
     )
+
+
+def _pq_recall_sql() -> str:
+    return f"""
+    WITH ex AS ({_REGISTRY['sim_topk_cosine'].sql}),
+    ap AS ({_REGISTRY['sim_topk_pq'].sql}),
+    hits AS (
+        SELECT e.query_id, count(a.neighbor_id) AS n_hits
+        FROM ex e LEFT JOIN ap a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT query_id, n_hits,
+           CAST(n_hits AS DOUBLE) / {_TOP_K} AS recall_at_k
+    FROM hits
+    """
+
+
+@register(
+    "sim_pq_recall",
+    sql=_pq_recall_sql(),  # composes the two sibling specs (already registered)
+    doc="recall@k of the PQ asymmetric-distance ranking (sim_topk_pq) "
+    "against the exact brute-force top-k — completes the "
+    "measure-don't-guess trio (IVF seed-row, IVF KMeans, PQ): every "
+    "compressed/approximate index the engine serves now publishes its "
+    "own quality number, computed from the REGISTERED operators so the "
+    "diagnostic cannot drift from what production queries return.",
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = sim_topk_cosine(spark, sf_dir)
+    ap = sim_topk_pq(spark, sf_dir)
+    return _recall_vs_exact(ex, ap)

@@ -161,6 +161,9 @@ DRIVER_ORDER: list[str] = [
     "rel_dominant_supplier",
     "ml_roc_auc",
     "ml_calibration_bins",
+    "dq_referential_integrity",
+    "sim_pq_recall",
+    "rel_customer_percentile",
     "stream_stream_join",
     "stream_session_window_native",
     "catalog_merge_upsert",
