@@ -1630,3 +1630,53 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.sum("label").cast("double") / F.count(F.lit(1))).alias("pos_rate"),
     )
+
+
+# --- F1-optimal operating point from the registered curve ---------------------
+
+
+def _best_threshold_sql() -> str:
+    from exact_spark.registry import REGISTRY
+
+    pr = REGISTRY["g9_pr_curve"].sql
+    return f"""
+    WITH pr AS ({pr}),
+    scored AS (
+        SELECT tau, threshold, tp, fp, fn, precision, recall,
+               (CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0)) AS f1
+        FROM pr
+    )
+    SELECT tau, threshold, tp, fp, fn, precision, recall, f1
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY f1 DESC, tau) AS rk FROM scored
+    ) WHERE rk = 1
+    """
+
+
+@register(
+    "ml_best_threshold",
+    sql=_best_threshold_sql(),  # composes the registered sibling spec
+    doc="F1-optimal operating point selected from the REGISTERED "
+    "g9_pr_curve grid (the threshold the detector should actually "
+    "serve with — closes the sweep-then-pick loop the reference does "
+    "by eyeball). F1 is ONE divide of exact integer confusion counts "
+    "(2tp / (2tp+fp+fn)) so the doubles are bit-identical cross-engine "
+    "and the argmax ordering (f1 desc, tau asc tie-break) cannot flip; "
+    "the window runs over the 5-row curve, nothing rescans the corpus.",
+)
+def ml_best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    pr = g9_pr_curve(spark, sf_dir)
+    scored = pr.withColumn(
+        "f1",
+        (F.lit(2) * F.col("tp")).cast("double")
+        / F.nullif(F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)),
+    )
+    return (
+        scored.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.col("f1").desc(), F.col("tau")))
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )

@@ -2463,3 +2463,80 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sim_topk_cosine(spark, sf_dir)
     ap = sim_topk_pq(spark, sf_dir)
     return _recall_vs_exact(ex, ap)
+
+
+@register(
+    "emb_dim_stats",
+    sql="""
+    WITH el AS (
+        SELECT t.i - 1 AS dim,
+               CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * 1000000.0 + 0.5)
+                    AS BIGINT) AS v6
+        FROM embeddings e,
+             LATERAL UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+    ),
+    per AS (
+        SELECT dim,
+               count(*) AS n_vectors,
+               CAST(SUM(v6) AS BIGINT) AS s1,
+               CAST(SUM(v6 * v6) AS BIGINT) AS s2,
+               CAST(MIN(v6) AS BIGINT) AS mn,
+               CAST(MAX(v6) AS BIGINT) AS mx
+        FROM el GROUP BY dim
+    )
+    SELECT dim, n_vectors,
+           (CAST(s1 AS DOUBLE) / (1000000.0 * n_vectors)) AS mean_value,
+           (mn / 1000000.0) AS min_value,
+           (mx / 1000000.0) AS max_value,
+           (CAST(s2 * n_vectors - s1 * s1 AS DOUBLE)
+            / (1000000000000.0 * CAST(n_vectors AS DOUBLE) * n_vectors)) AS variance
+    FROM per
+    """,
+    doc="Per-dimension embedding statistics census (mean/min/max/variance "
+    "for every coordinate — the whitening/PCA precursor diagnostic that "
+    "tells you which dimensions are dead, dominant, or off-center "
+    "before emb_pca_whiten or any Matryoshka truncation is trusted; "
+    "complements emb_norm_profile's per-VECTOR view with the per-AXIS "
+    "one). Scale shape: posexplode then ONE groupBy on |dims| keys — "
+    "map-side combine collapses every partition to |dims| cells, so the "
+    "shuffle moves |dims| x partitions rows regardless of corpus size. "
+    "Moments are fixed-point BIGINT sums (s2 headroom: ~9e6 vectors per "
+    "dim at unit scale before the kernel must widen to DECIMAL(38) — "
+    "documented bound, not a silent overflow) and the variance is the "
+    "all-integer (n*s2 - s1^2) divided once.",
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings", spread=True)
+    el = emb.select(
+        F.posexplode("embedding").alias("dim", "e")
+    ).select(
+        "dim",
+        F.floor(F.col("e").cast("double") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("v6"),
+    )
+    per = el.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("v6").cast("long").alias("s1"),
+        F.sum(F.col("v6") * F.col("v6")).cast("long").alias("s2"),
+        F.min("v6").cast("long").alias("mn"),
+        F.max("v6").cast("long").alias("mx"),
+    )
+    return per.select(
+        "dim",
+        "n_vectors",
+        (F.col("s1").cast("double") / (F.lit(1000000.0) * F.col("n_vectors"))).alias(
+            "mean_value"
+        ),
+        (F.col("mn") / 1000000.0).alias("min_value"),
+        (F.col("mx") / 1000000.0).alias("max_value"),
+        (
+            (F.col("s2") * F.col("n_vectors") - F.col("s1") * F.col("s1")).cast("double")
+            / (
+                F.lit(1000000000000.0)
+                * F.col("n_vectors").cast("double")
+                * F.col("n_vectors")
+            )
+        ).alias("variance"),
+    )

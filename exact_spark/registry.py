@@ -164,6 +164,8 @@ DRIVER_ORDER: list[str] = [
     "dq_referential_integrity",
     "sim_pq_recall",
     "rel_customer_percentile",
+    "emb_dim_stats",
+    "ml_best_threshold",
     "stream_stream_join",
     "stream_session_window_native",
     "catalog_merge_upsert",
