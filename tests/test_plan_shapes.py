@@ -187,3 +187,74 @@ def test_lift_table_has_no_global_sort(spark, sf_dir):
     # an ntile formulation would show a rangepartitioning exchange over
     # the full data — the only window here runs over the 10-row result
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_product_profit_dims_broadcast(spark, sf_dir):
+    from exact_spark.operators.relational import rel_product_profit
+
+    plan = _plan(rel_product_profit(spark, sf_dir))
+    # part/supplier/nation must all ride broadcasts; profit needs no sort
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_ship_lag_priority_range_pushed(spark, sf_dir):
+    from exact_spark.operators.relational import rel_ship_lag_priority
+
+    plan = _plan(rel_ship_lag_priority(spark, sf_dir))
+    # the one-year shipdate range must reach the lineitem parquet scan —
+    # the non-equi lag predicate is post-join, but the range is not
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+
+
+def test_dominant_supplier_window_and_semijoin(spark, sf_dir):
+    from exact_spark.operators.relational import rel_dominant_supplier
+
+    plan = _plan(rel_dominant_supplier(spark, sf_dir))
+    # per-part total is a window over the AGGREGATED (part, supplier)
+    # frame, keyed on the part — never an empty partition spec
+    assert "hashpartitioning(l_partkey" in plan
+    assert "partitionBy()" not in plan.replace(" ", "")
+    # the dominant set attaches as a semi join (supplier rows never dup)
+    assert "LeftSemi" in plan
+
+
+def test_roc_auc_grid_before_window(spark, sf_dir):
+    from exact_spark.operators.metrics import ml_roc_auc
+
+    plan = _plan(ml_roc_auc(spark, sf_dir))
+    # scores must collapse to the distinct-value grid (a v_fx groupBy)
+    # before any window: the single-partition window is then bounded by
+    # grid cardinality, not raw row count
+    assert "hashpartitioning(v_fx" in plan
+    assert plan.index("HashAggregate") < plan.index("Window")
+
+
+def test_referential_integrity_scans_lineitem_once(spark, sf_dir):
+    from exact_spark.operators.dq import dq_referential_integrity
+
+    plan = _plan(dq_referential_integrity(spark, sf_dir))
+    # all three lineitem FK edges must fold into ONE scan of the fact
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_dim_stats_partial_agg(spark, sf_dir):
+    from exact_spark.operators.similarity import emb_dim_stats
+
+    plan = _plan(emb_dim_stats(spark, sf_dir))
+    # the per-dim census must partial-aggregate map-side so the shuffle
+    # moves |dims| cells per partition, not every exploded element
+    assert "partial_sum" in plan
+    assert "hashpartitioning(dim" in plan
+
+
+def test_customer_percentile_window_partitioned(spark, sf_dir):
+    from exact_spark.operators.relational import rel_customer_percentile
+
+    plan = _plan(rel_customer_percentile(spark, sf_dir))
+    # CUME_DIST must run per-nation over the customer-cardinality
+    # aggregate — never an empty partition spec over raw orders
+    assert "Window" in plan
+    assert "partitionBy()" not in plan.replace(" ", "")
+    assert "hashpartitioning(nation" in plan

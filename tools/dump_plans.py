@@ -46,6 +46,10 @@ HEADLINERS = [
     ("ml_lift_table", "decile membership as comparisons against a broadcast 1-row quantile cut set — no ntile rangepartitioning of the data"),
     ("ml_bootstrap_ci", "replicate explode in-row (no resampling shuffle); one 32-key integer groupBy"),
     ("sim_graph_triangles", "wedge join bounded by the kNN degree cap; all-integer census reduces before the single float divide"),
+    ("rel_dominant_supplier", "fact collapses to a (part, supplier) aggregate BEFORE the per-part window; dominant set broadcast-semi-joins the dimension"),
+    ("ml_roc_auc", "scores collapse to the distinct-value grid first; the single-partition window runs over grid cardinality, never raw rows"),
+    ("dq_referential_integrity", "lineitem scanned ONCE for all three of its FK edges — dims broadcast, the one fact-fact edge reduced to its key column"),
+    ("emb_dim_stats", "posexplode then one groupBy on |dims| keys — map-side combine collapses every partition to |dims| cells"),
 ]
 
 
