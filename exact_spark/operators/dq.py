@@ -188,15 +188,6 @@ def dq_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- full FK-edge referential-integrity audit ---------------------------------
 
-# (edge label, fact table, fact key, referenced table, referenced key).
-# Grouped by fact table below so each fact is scanned ONCE however many
-# of its FK edges are audited.
-_RI_EDGES = [
-    ("lineitem.l_orderkey->orders", "l_orderkey", "orders", "o_orderkey"),
-    ("lineitem.l_partkey->part", "l_partkey", "part", "p_partkey"),
-    ("lineitem.l_suppkey->supplier", "l_suppkey", "supplier", "s_suppkey"),
-]
-
 
 @register(
     "dq_referential_integrity",
