@@ -2540,3 +2540,84 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("variance"),
     )
+
+
+def _index_manifest_sql() -> str:
+    """Composes the registered sim_neardup_lsh and dedup_semantic specs plus
+    the norm-profile zero-vector test into the per-vector index decision."""
+    lsh = _REGISTRY["sim_neardup_lsh"].sql
+    sem = _REGISTRY["dedup_semantic"].sql
+    return f"""
+    WITH lshp AS ({lsh}),
+    semp AS ({sem}),
+    nz AS (
+        SELECT vec_id, label,
+               list_sum(list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE) * 1000000000.0 + 0.5)
+                        AS BIGINT))) AS nsq_fx
+        FROM embeddings
+    ),
+    lsh_drop AS (SELECT DISTINCT vec_b AS vec_id FROM lshp),
+    sem_drop AS (SELECT DISTINCT vec_id FROM semp)
+    SELECT n.vec_id, n.label,
+           (n.nsq_fx > 0) AS norm_ok,
+           (l.vec_id IS NULL) AS lsh_unique,
+           (s.vec_id IS NULL) AS sem_unique,
+           ((n.nsq_fx > 0) AND l.vec_id IS NULL AND s.vec_id IS NULL) AS indexed
+    FROM nz n
+    LEFT JOIN lsh_drop l ON l.vec_id = n.vec_id
+    LEFT JOIN sem_drop s ON s.vec_id = n.vec_id
+    """
+
+
+@register(
+    "emb_index_manifest",
+    sql=_index_manifest_sql(),  # composes two sibling specs (already registered)
+    doc="The end-to-end ANN-index admission decision, per vector — the "
+    "embedding-side counterpart of text_curation_manifest: zero-vector "
+    "health (emb_norm_profile's test), LSH near-dup survival "
+    "(sim_neardup_lsh: the higher id of each capped-bucket pair is the "
+    "duplicate), and semantic-dedup survival (dedup_semantic's "
+    "keep-the-first-representative rule), AND-ed into the final indexed "
+    "flag so every excluded vector stays attributable to the stage that "
+    "dropped it. Composed from the REGISTERED stage operators and their "
+    "oracle SQL, so the manifest cannot drift from the stages it "
+    "audits. Plan: the two drop-sets are tiny and broadcast into one "
+    "pass over the corpus.",
+)
+def emb_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings", spread=True)
+    nz = emb.select(
+        "vec_id",
+        "label",
+        dot_fixed(F.col("embedding"), F.col("embedding")).alias("nsq_fx"),
+    )
+    lsh_drop = (
+        sim_neardup_lsh(spark, sf_dir)
+        .select(F.col("vec_b").alias("l_id"))
+        .distinct()
+        .withColumn("l_hit", F.lit(True))
+    )
+    sem_drop = (
+        dedup_semantic(spark, sf_dir)
+        .select(F.col("vec_id").alias("s_id"))
+        .distinct()
+        .withColumn("s_hit", F.lit(True))
+    )
+    out = (
+        nz.join(F.broadcast(lsh_drop), nz.vec_id == F.col("l_id"), "left")
+        .join(F.broadcast(sem_drop), nz.vec_id == F.col("s_id"), "left")
+    )
+    norm_ok = F.col("nsq_fx") > 0
+    lsh_unique = F.col("l_hit").isNull()
+    sem_unique = F.col("s_hit").isNull()
+    return out.select(
+        "vec_id",
+        "label",
+        norm_ok.alias("norm_ok"),
+        lsh_unique.alias("lsh_unique"),
+        sem_unique.alias("sem_unique"),
+        (norm_ok & lsh_unique & sem_unique).alias("indexed"),
+    )

@@ -166,6 +166,7 @@ DRIVER_ORDER: list[str] = [
     "rel_customer_percentile",
     "emb_dim_stats",
     "ml_best_threshold",
+    "emb_index_manifest",
     "stream_stream_join",
     "stream_session_window_native",
     "catalog_merge_upsert",
