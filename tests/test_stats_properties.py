@@ -63,3 +63,106 @@ def test_norm_profile_all_vectors_counted(spark, sf_dir):
     for r in rows:
         assert r["min_norm_sq"] <= r["mean_norm_sq"] <= r["max_norm_sq"]
         assert r["n_zero_vectors"] >= 0
+
+
+def test_roc_auc_semantics(spark, sf_dir):
+    """AUC invariants: bounds, the Mann-Whitney identity on the recorded
+    integer sums, and the constant-score degenerate case (all ties ->
+    exactly 0.5 by the half-credit rule)."""
+    from exact_spark.operators.metrics import ml_roc_auc
+
+    r = ml_roc_auc(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["auc"] <= 1.0
+    # u2 is 2U; U is bounded by n_pos * n_neg
+    assert 0 <= r["u2"] <= 2 * r["n_pos"] * r["n_neg"]
+    assert r["auc"] == r["u2"] / (2 * r["n_pos"] * r["n_neg"])
+
+    # constant-score frame: every pair is a tie -> AUC exactly 0.5
+    from exact_spark.registry import REGISTRY
+    import re
+
+    sql = REGISTRY["ml_roc_auc"].sql
+    # same grid/cum/agg pipeline, driven by a 6-row constant-score input
+    const_sql = re.sub(
+        r"WITH canon AS \(.*?\),\n\s*fx AS \(\n.*?\n\s*\),",
+        "WITH fx AS (SELECT 7 AS v_fx, (i % 2) AS label FROM (SELECT unnest(range(6)) AS i)),",
+        sql,
+        flags=re.S,
+    )
+    import duckdb
+
+    got = duckdb.sql(const_sql).fetchall()[0]
+    assert got[3] == 0.5
+
+
+def test_calibration_bins_partition_the_corpus(spark, sf_dir):
+    from exact_spark.operators.metrics import ml_calibration_bins
+    from exact_spark.operators.timeseries import canonical_events
+
+    rows = ml_calibration_bins(spark, sf_dir).collect()
+    n_total = canonical_events(spark, sf_dir).count()
+    assert sum(r["n"] for r in rows) == n_total  # bins partition, never drop
+    assert all(0 <= r["bin"] <= 9 for r in rows)
+    for r in rows:
+        assert 0.0 <= r["pos_rate"] <= 1.0
+        assert r["n_pos"] <= r["n"]
+
+
+def test_best_threshold_dominates_curve(spark, sf_dir):
+    """The selected operating point's F1 must be >= the F1 of every point
+    on the registered curve (it IS the argmax)."""
+    from exact_spark.operators.metrics import g9_pr_curve, ml_best_threshold
+
+    best = ml_best_threshold(spark, sf_dir).collect()[0]
+    for r in g9_pr_curve(spark, sf_dir).collect():
+        f1 = (2 * r["tp"]) / (2 * r["tp"] + r["fp"] + r["fn"]) if (2 * r["tp"] + r["fp"] + r["fn"]) else 0.0
+        assert best["f1"] >= f1 - 1e-15
+
+
+def test_referential_integrity_clean_testdata(spark, sf_dir):
+    """The generated star schema is referentially intact — every edge
+    audits to zero orphans, and each edge's row count matches its fact."""
+    from exact_spark import io
+    from exact_spark.operators.dq import dq_referential_integrity
+
+    rows = {r["edge"]: r for r in dq_referential_integrity(spark, sf_dir).collect()}
+    assert len(rows) == 8
+    assert all(r["n_orphans"] == 0 for r in rows.values())
+    n_li = io.load(spark, sf_dir, "lineitem").count()
+    for e in ("lineitem.l_orderkey->orders", "lineitem.l_partkey->part",
+              "lineitem.l_suppkey->supplier"):
+        assert rows[e]["n_rows"] == n_li
+
+
+def test_index_manifest_consistency(spark, sf_dir):
+    """Stage flags must reproduce their source operators: the number of
+    non-lsh-unique vectors equals the distinct vec_b census of the
+    registered pair query, and indexed == AND of the stages."""
+    from exact_spark.operators.similarity import (
+        emb_index_manifest,
+        sim_neardup_lsh,
+        dedup_semantic,
+    )
+
+    rows = emb_index_manifest(spark, sf_dir).collect()
+    n_lsh_dropped = sum(1 for r in rows if not r["lsh_unique"])
+    n_sem_dropped = sum(1 for r in rows if not r["sem_unique"])
+    lsh_b = {r["vec_b"] for r in sim_neardup_lsh(spark, sf_dir).collect()}
+    sem_ids = {r["vec_id"] for r in dedup_semantic(spark, sf_dir).collect()}
+    assert n_lsh_dropped == len(lsh_b)
+    assert n_sem_dropped == len(sem_ids)
+    for r in rows:
+        assert r["indexed"] == (r["norm_ok"] and r["lsh_unique"] and r["sem_unique"])
+
+
+def test_dim_stats_variance_nonnegative_and_complete(spark, sf_dir):
+    from exact_spark import io
+    from exact_spark.operators.similarity import emb_dim_stats
+
+    rows = emb_dim_stats(spark, sf_dir).collect()
+    n_vec = io.load(spark, sf_dir, "embeddings").count()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["n_vectors"] == n_vec
+        assert r["variance"] >= 0.0
+        assert r["min_value"] <= r["mean_value"] <= r["max_value"]
