@@ -303,3 +303,49 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "dq_crossmodal_consistency",
+    sql="""
+    WITH j AS (
+        SELECT d.lang, e.label
+        FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    cell AS (SELECT lang, label, count(*) AS n FROM j GROUP BY lang, label)
+    SELECT lang, label, n,
+           (CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE))
+               AS lang_share
+    FROM cell
+    """,
+    doc="Cross-modal metadata consistency audit: the documents.lang x "
+    "embeddings.label contingency over the vec_id=doc_id lineage join "
+    "(the companion check to dq_referential_integrity's orphan count — "
+    "RI says every embedding HAS a document; this says the two sides' "
+    "metadata AGREE in distribution, the drift a mismatched "
+    "re-embedding run introduces silently). Scale shape: one equi-join "
+    "on the shared key collapses straight into a tiny (lang, label) "
+    "cell census; the share window runs over the CELL table. Counts "
+    "integer; the share is one divide.",
+)
+def dq_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = io.load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cell = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("lang", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang")
+    return cell.select(
+        "lang",
+        "label",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias(
+            "lang_share"
+        ),
+    )

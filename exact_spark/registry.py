@@ -167,6 +167,8 @@ DRIVER_ORDER: list[str] = [
     "emb_dim_stats",
     "ml_best_threshold",
     "emb_index_manifest",
+    "dq_crossmodal_consistency",
+    "catalog_partition_stats",
     "stream_stream_join",
     "stream_session_window_native",
     "catalog_merge_upsert",

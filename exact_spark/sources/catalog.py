@@ -513,3 +513,68 @@ def catalog_lifecycle(spark: SparkSession, sf_dir: str):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "catalog_partition_stats",
+    sql=None,  # file-layout introspection has no SQL-visible oracle surface
+    doc="Partition-level small-files report over the materialized canonical "
+    "table — the measured INPUT to compact_table's decision (the report "
+    "states, per date partition, exactly what the compactor would do "
+    "with its default target, using the same ceil(bytes/target) "
+    "bin-packing rule — the two can never disagree). Scale shape: "
+    "per-file row counts come from ONE distributed scan grouped by "
+    "input_file_name(); file sizes are a driver-side listing of "
+    "filesystem metadata (names+bytes only — never data) broadcast into "
+    "the join. Output is |partitions| rows.",
+)
+def catalog_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import pathlib
+
+    from exact_spark.operators.timeseries import canonical_table_path
+    from exact_spark.session import tune_session
+
+    tune_session(spark)
+    target_file_bytes = 128 * 1024 * 1024  # compact_table's default
+    base = pathlib.Path(canonical_table_path(spark, sf_dir))
+
+    # driver-side FS metadata (the same listing compact_table plans from)
+    sizes = [
+        (f"file://{p}", p.stat().st_size)  # input_file_name() URI form; as_uri() would %-encode '='
+        for p in base.rglob("*.parquet")
+        if not any(part.startswith(("_", ".")) and "=" not in part for part in p.parts)
+    ]
+    sizes_df = spark.createDataFrame(sizes, "file_name string, file_bytes long")
+
+    per_file = (
+        spark.read.parquet(str(base))
+        .select("__date", F.input_file_name().alias("file_name"))
+        .groupBy("__date", "file_name")
+        .agg(F.count(F.lit(1)).alias("file_rows"))
+    )
+    per_part = (
+        per_file.join(F.broadcast(sizes_df), "file_name", "left")
+        .groupBy(F.col("__date").cast("string").alias("partition"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("file_rows").cast("long").alias("n_rows"),
+            F.sum("file_bytes").cast("long").alias("total_bytes"),
+            F.min("file_rows").cast("long").alias("min_file_rows"),
+            F.max("file_rows").cast("long").alias("max_file_rows"),
+        )
+    )
+    target_files = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("total_bytes").cast("double") / F.lit(float(target_file_bytes))).cast("long"),
+    )
+    return per_part.select(
+        "partition",
+        "n_files",
+        "n_rows",
+        "total_bytes",
+        "min_file_rows",
+        "max_file_rows",
+        target_files.alias("target_files"),
+        (F.col("n_files") > target_files).alias("needs_compaction"),
+    )
