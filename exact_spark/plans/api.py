@@ -69,6 +69,42 @@ class EngineAPI:
             "data": [[row[c] for c in df.columns] for row in rows],
         }
 
+    #: single read-only statement only — coarse keyword guard appropriate
+    #: for the trusted-LAN control plane this wire serves (the reference's
+    #: own protocol has no auth at all, engine.py:134-155); statement
+    #: splitting and DDL/DML are rejected outright
+    _SQL_WRITE_RE = re.compile(
+        r"(?i)\b(insert|update|delete|drop|create|alter|merge|truncate|grant|revoke|set|refresh|cache|uncache|analyze|msck|load)\b"
+    )
+
+    def run_sql(self, sql: str, sf_dir: str | None = None,
+                limit: int = 1000) -> dict:
+        """Ad-hoc READ-ONLY SQL over the engine's tables (the surface every
+        query engine owes its users beyond the registered analytics): the
+        testdata tables register as temp views, the statement runs through
+        spark.sql — full Catalyst optimization, same pushdown/broadcast
+        behavior as the DataFrame plans — and the result returns under the
+        same bounded-collect contract as run_query/get-data."""
+        if ";" in sql:
+            raise ValueError("one statement per request")
+        if self._SQL_WRITE_RE.search(sql):
+            raise ValueError("read-only surface: DDL/DML rejected")
+        target = sf_dir or self.analytics_dir
+        if target is None:
+            raise ValueError("no sf_dir configured for run-sql")
+        from exact_spark import io as _io
+        from exact_spark.session import tune_session
+
+        tune_session(self.spark)
+        for t in _io.TABLES:
+            _io.load(self.spark, target, t).createOrReplaceTempView(t)
+        df = self.spark.sql(sql).limit(int(limit))
+        rows = df.collect()
+        return {
+            "columns": list(df.columns),
+            "data": [[row[c] for c in df.columns] for row in rows],
+        }
+
     def explain_query(self, name: str, sf_dir: str | None = None) -> dict:
         """Formatted physical plan of one registered analytic — the
         EXPLAIN surface (what PLANS.md snapshots per round, served live):

@@ -300,6 +300,18 @@ class EngineServer:
                 send(self.api.explain_query(data["name"], sf_dir=data.get("sf_dir")))
             except (KeyError, ValueError) as e:
                 send({"error": f"unknown query or bad request: {e}"})
+        elif method == "run-sql":
+            try:
+                payload = self.api.run_sql(
+                    data["sql"], sf_dir=data.get("sf_dir"),
+                    limit=int(data.get("limit", 1000)),
+                )
+                send({"columns": payload["columns"],
+                      "data": json.loads(json.dumps(payload["data"], default=str))})
+            except (KeyError, ValueError) as e:
+                send({"error": f"bad request: {e}"})
+            except Exception as e:  # analysis errors (bad SQL) stay JSON
+                send({"error": f"sql error: {e}"[:500]})
 
         else:
             send({"error": "method-error-response"})  # engine.py:402-404

@@ -287,3 +287,43 @@ def test_explain_query_over_wire(server):
     assert "BroadcastHashJoin" in out["plan"] or "Physical Plan" in out["plan"]
     bad = _request(server, {"METHOD": "explain-query", "name": "nope"})
     assert "error" in bad
+
+
+def test_run_sql_over_the_wire(server):
+    """Ad-hoc read-only SQL surface: a join aggregate runs through
+    spark.sql over the registered views; DDL/DML and statement splitting
+    are rejected; bad SQL returns a JSON error, not a dropped connection."""
+    out = _request(server, {
+        "METHOD": "run-sql",
+        "sql": "SELECT r_name, count(*) AS n FROM region GROUP BY r_name",
+        "sf_dir": "/root/testdata/sf0.001",
+    })
+    assert out["columns"] == ["r_name", "n"]
+    assert len(out["data"]) == 5
+
+    joined = _request(server, {
+        "METHOD": "run-sql",
+        "sql": "SELECT n.n_name, count(*) AS cnt FROM customer c "
+               "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+               "GROUP BY n.n_name",
+        "sf_dir": "/root/testdata/sf0.001",
+        "limit": 3,
+    })
+    assert joined["columns"] == ["n_name", "cnt"] and len(joined["data"]) <= 3
+
+    for bad_sql in (
+        "DROP TABLE region",
+        "SELECT 1; SELECT 2",
+        "INSERT INTO region VALUES (9, 'X')",
+    ):
+        bad = _request(server, {
+            "METHOD": "run-sql", "sql": bad_sql,
+            "sf_dir": "/root/testdata/sf0.001",
+        })
+        assert "error" in bad
+
+    broken = _request(server, {
+        "METHOD": "run-sql", "sql": "SELECT nope FROM region",
+        "sf_dir": "/root/testdata/sf0.001",
+    })
+    assert "error" in broken
