@@ -2386,3 +2386,61 @@ def rel_customer_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_fx") / 100.0).alias("revenue"),
         F.cume_dist().over(w).alias("revenue_cume"),
     )
+
+
+_SLA_PCTS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "rel_ship_latency_percentiles",
+    sql=f"""
+    WITH lag AS (
+        SELECT o.o_orderpriority,
+               (CAST(FLOOR(epoch(l.l_shipdate)) AS BIGINT)
+                - CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT)) // 86400 AS lag_days
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           {", ".join(
+               f"quantile_cont(CAST(lag_days AS DOUBLE), {p!r}) AS p{int(p * 100)}_days"
+               for p in _SLA_PCTS
+           )}
+    FROM lag
+    GROUP BY o_orderpriority
+    """,
+    doc="Order-to-ship latency SLA profile: exact interpolated "
+    "p50/p90/p99 of the ship lag in whole days, per order priority (the "
+    "fulfillment dashboard every priority tier is judged on — and the "
+    "quantitative check that urgent orders actually ship faster). Scale "
+    "shape: the lag collapses to an INTEGER day count in the scan "
+    "(epoch-difference DIV 86400 — immune to the two engines' "
+    "date_diff boundary conventions), one orderkey join, and the "
+    "distributed exact percentile runs per priority group; integer "
+    "inputs make every interpolated cut cross-engine exact.",
+)
+def rel_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = io.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    # testdata ships NTZ timestamps; the session is pinned UTC
+    # (tune_session) so the NTZ->LTZ cast is exact micros
+    lag_days = F.expr(
+        "(unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 1000000"
+        " - unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000000) DIV 86400"
+    )
+    lag = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority", lag_days.alias("lag_days")
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        *[
+            F.percentile(F.col("lag_days").cast("double"), F.lit(p)).alias(
+                f"p{int(p * 100)}_days"
+            )
+            for p in _SLA_PCTS
+        ],
+    )

@@ -2621,3 +2621,48 @@ def emb_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         sem_unique.alias("sem_unique"),
         (norm_ok & lsh_unique & sem_unique).alias("indexed"),
     )
+
+
+@register(
+    "emb_pq_distortion",
+    sql=f"""
+    WITH {_SQL_PQ_CODES},
+    win AS (SELECT vec_id, m, d FROM best WHERE rk = 1)
+    SELECT m AS subspace,
+           count(*) AS n_vectors,
+           CAST(SUM(d) AS BIGINT) AS total_d_fx,
+           (CAST(SUM(d) AS BIGINT) / (1000000000.0 * count(*))) AS mean_distortion,
+           (CAST(MAX(d) AS BIGINT) / 1000000000.0) AS max_distortion
+    FROM win
+    GROUP BY m
+    """,
+    doc="Per-SUBSPACE PQ quantization-error census (emb_pq_encode's "
+    "recon_err_fx localized to the subspace that caused it — the "
+    "codebook-improvement signal: a subspace with outsized distortion "
+    "needs more codewords or a rotation, and fixing it is what moves "
+    "sim_pq_recall). Scale shape: the same zero-shuffle encode scan, "
+    "then one groupBy on |subspaces| keys — map-side combine collapses "
+    "each partition to M cells; distortions stay fixed-point BIGINT "
+    "until the final per-cell divides.",
+)
+def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    cb = _pq_codebook(spark, sf_dir)
+    emb = io.load(spark, sf_dir, "embeddings", spread=True)
+    staged = emb.select(
+        "vec_id", _pq_best(F.col("embedding"), _codebook_col(cb)).alias("best")
+    )
+    per = staged.select(
+        F.posexplode(
+            F.transform(F.col("best"), lambda b: b["d"])
+        ).alias("subspace", "d")
+    )
+    return per.groupBy(F.col("subspace").cast("bigint").alias("subspace")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("d").cast("long").alias("total_d_fx"),
+        (
+            F.sum("d").cast("long")
+            / (F.lit(float(_SCALE9)) * F.count(F.lit(1)))
+        ).alias("mean_distortion"),
+        (F.max("d").cast("long") / F.lit(float(_SCALE9))).alias("max_distortion"),
+    )

@@ -169,6 +169,9 @@ DRIVER_ORDER: list[str] = [
     "emb_index_manifest",
     "dq_crossmodal_consistency",
     "catalog_partition_stats",
+    "emb_pq_distortion",
+    "rel_ship_latency_percentiles",
+    "catalog_retention_expire",
     "stream_stream_join",
     "stream_session_window_native",
     "catalog_merge_upsert",

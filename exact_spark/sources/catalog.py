@@ -354,6 +354,38 @@ class JobCatalog:
                 removed["temporary"] += 1
         return removed
 
+    # -- maintenance: retention / TTL expiry (extension) ---------------------
+    def expire_partitions(self, table_name: str, older_than_date: str) -> dict:
+        """Drop every date partition strictly OLDER than
+        ``older_than_date`` (``YYYY-MM-DD``) — the retention-policy
+        operator a time-series warehouse runs on schedule (TimescaleDB's
+        ``drop_chunks`` analog; the reference has no retention at all and
+        grows forever). Deletion is per-partition-directory: each dir is
+        renamed to a dot-prefixed tombstone FIRST (invisible to Spark's
+        listing at that instant, same trick as _swap_partitions) and then
+        removed, so a reader never sees a half-deleted partition, and a
+        crash strands only invisible tombstones that vacuum() reclaims.
+        Hot partitions are never listed, opened, or rewritten — expiring
+        a year from a 100 TB table touches only the expired dirs'
+        metadata. Idempotent: re-running with the same cutoff is a no-op.
+        Returns ``{partitions_dropped, cutoff}``."""
+        path = self._path(table_name)
+        dropped = 0
+        for part_dir in sorted(path.glob("__date=*")):
+            d = part_dir.name.split("=", 1)[1]
+            if d < older_than_date:
+                tomb = path / ("." + part_dir.name + ".expired")
+                shutil.rmtree(tomb, ignore_errors=True)
+                part_dir.rename(tomb)
+                shutil.rmtree(tomb, ignore_errors=True)
+                dropped += 1
+        # expired data must leave the rollup sidecar too: stale hourly
+        # cells would resurrect dropped days in aggregate reads
+        rollup = self.warehouse / f"_rollup_hour_{table_name}"
+        if dropped and rollup.exists():
+            shutil.rmtree(rollup, ignore_errors=True)
+        return {"partitions_dropped": dropped, "cutoff": older_than_date}
+
     # -- S9: drop ------------------------------------------------------------
     def drop_table(self, table_name: str) -> bool:
         p = self._path(table_name)
@@ -578,3 +610,67 @@ def catalog_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_files.alias("target_files"),
         (F.col("n_files") > target_files).alias("needs_compaction"),
     )
+
+
+@register(
+    "catalog_retention_expire",
+    sql=None,
+    doc="Retention/TTL lifecycle e2e: create a bounded date-partitioned "
+    "demo table, expire partitions older than a cutoff via the "
+    "tombstone-rename path (TimescaleDB drop_chunks analog — the "
+    "reference grows forever), and prove the post-expiry read serves "
+    "exactly the retained rows with the expired dirs gone and a second "
+    "expire a no-op (idempotence). Summary row only — bounded demo "
+    "volume, the lifecycle is what is under test.",
+)
+def catalog_retention_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pathlib
+    import tempfile
+
+    from exact_spark.operators.timeseries import canonical_events
+
+    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_retention_"))
+    try:
+        cat = JobCatalog(spark, str(work))
+        table = cat.table_name("retention_demo")
+        canon = canonical_events(spark, sf_dir)
+        t_lo = canon.agg(F.min("ts_epoch")).collect()[0][0]
+        df = canon.filter(F.col("ts_epoch") < t_lo + 4 * 86400.0).select(
+            "id",
+            F.timestamp_seconds(F.col("ts_epoch")).alias("timestamp"),
+            "value",
+            "label",
+            F.lit(False).alias("injected_anomaly"),
+            F.lit(False).alias("is_anomaly"),
+        )
+        cat.create_table(table, df)
+        n_before = cat.read_data(table).count()
+
+        import datetime as _dt
+
+        cutoff = (
+            _dt.datetime.fromtimestamp(t_lo, _dt.timezone.utc) + _dt.timedelta(days=2)
+        ).strftime("%Y-%m-%d")
+        first = cat.expire_partitions(table, cutoff)
+        n_after = cat.read_data(table).count()
+        n_expected = df.filter(
+            F.to_date("timestamp") >= F.lit(cutoff).cast("date")
+        ).count()
+        again = cat.expire_partitions(table, cutoff)  # idempotence
+        return spark.createDataFrame(
+            [
+                (
+                    int(n_before),
+                    int(first["partitions_dropped"]),
+                    int(n_after),
+                    bool(n_after == n_expected),
+                    int(again["partitions_dropped"]),
+                )
+            ],
+            "n_rows_before long, n_partitions_dropped long, n_rows_after long, "
+            "retained_rows_exact boolean, second_expire_dropped long",
+        )
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(work, ignore_errors=True)

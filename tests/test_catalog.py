@@ -299,3 +299,39 @@ def test_vacuum_removes_crash_leftovers(spark, catalog):
         "old_backups": 0,
         "temporary": 0,
     }
+
+
+def test_expire_partitions_retention(spark, catalog):
+    # 4 rows/day across 25 days
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 21600).alias("timestamp"),
+        (F.col("id") * 1.5).alias("v1"),
+        F.lit(0).alias("label"),
+        F.lit(False).alias("injected_anomaly"),
+        F.lit(False).alias("is_anomaly"),
+    )
+    name = catalog.table_name("ttl")
+    catalog.create_table(name, df)
+    dates = sorted(
+        r["d"] for r in
+        df.select(F.to_date("timestamp").alias("d")).distinct().collect()
+    )
+    cutoff = str(dates[10])
+
+    out = catalog.expire_partitions(name, cutoff)
+    assert out["partitions_dropped"] == 10
+    kept = catalog.read_data(name)
+    # exactly the rows at/after the cutoff survive; expired dates are gone
+    expected = df.filter(F.to_date("timestamp") >= F.lit(cutoff).cast("date"))
+    assert kept.count() == expected.count()
+    assert sorted(r["id"] for r in kept.select("id").collect()) == sorted(
+        r["id"] for r in expected.select("id").collect()
+    )
+    min_left = kept.agg(F.min(F.to_date("timestamp")).alias("d")).collect()[0]["d"]
+    assert str(min_left) == cutoff
+
+    # idempotent; no tombstones left behind for vacuum to chase
+    assert catalog.expire_partitions(name, cutoff)["partitions_dropped"] == 0
+    p = catalog._path(name)
+    assert not list(p.glob(".__date=*.expired"))
