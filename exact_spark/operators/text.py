@@ -1746,3 +1746,209 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("covered_tokens").cast("double") / F.col("n_tok")
         ).alias("oov_rate"),
     )
+
+
+# --- BPE merge-rule learning --------------------------------------------------
+#
+# Byte-pair-encoding vocabulary training (Sennrich et al. 2016), the
+# tokenizer-training operator every LLM data pipeline runs before
+# text_tokenize_ids can exist: starting from characters, repeatedly find the
+# most frequent adjacent symbol pair (weighted by word frequency) and merge
+# it everywhere. _BPE_MERGES iterations are unrolled, so the whole training
+# run is oracle-HASH-checked (same fixed-iteration trick as
+# sim_label_propagation).
+#
+# Scale shape: the ONE corpus-sized pass is the word-frequency census
+# (map-side combinable groupBy); every iteration then runs over the
+# VOCABULARY table (|vocab| x word-length symbol rows — millions at web
+# scale, never corpus-sized), which is exactly how production BPE trainers
+# scale. The winning pair is a 1-row frame joined back broadcast — the
+# Spark plan has no driver-side collect at all. The merge itself is GREEDY
+# LEFT-TO-RIGHT non-overlapping (the standard BPE rule, which matters for
+# runs like "aaaa"): matches group into consecutive runs (run id = position
+# minus rank) and odd-ranked matches within each run are selected — a pure
+# set-based formulation identical in both engines, no sequential fold.
+
+_BPE_MERGES = 3
+
+
+def _bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = io.load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+
+
+def _bpe_iteration(state: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """One BPE merge: returns (next state, 1-row rule frame for rank k)."""
+    ex = state.select(
+        "word",
+        "freq",
+        "sym",
+        F.posexplode(F.split("sym", " ")).alias("i", "s"),
+    )
+    w_word = Window.partitionBy("word").orderBy("i")
+    pairs = ex.withColumn("s2", F.lead("s").over(w_word)).filter(
+        F.col("s2").isNotNull()
+    )
+    census = pairs.groupBy(
+        F.col("s").alias("pair_a"), F.col("s2").alias("pair_b")
+    ).agg(F.sum("freq").cast("long").alias("cnt"))
+    top1 = census.orderBy(
+        F.col("cnt").desc(), F.col("pair_a").asc(), F.col("pair_b").asc()
+    ).limit(1)
+
+    matched = pairs.join(
+        F.broadcast(top1),
+        (pairs.s == top1.pair_a) & (pairs.s2 == top1.pair_b),
+    ).select("word", "i")
+    run = matched.withColumn(
+        "run_id", F.col("i") - F.row_number().over(w_word)
+    )
+    w_run = Window.partitionBy("word", "run_id").orderBy("i")
+    selected = (
+        run.withColumn("rn", F.row_number().over(w_run))
+        .filter(F.col("rn") % 2 == 1)
+        .select(F.col("word").alias("sel_w"), F.col("i").alias("sel_i"))
+    )
+    skip = selected.select(
+        F.col("sel_w").alias("skip_w"), (F.col("sel_i") + 1).alias("skip_i")
+    )
+
+    rebuilt = (
+        ex.join(
+            selected,
+            (ex.word == F.col("sel_w")) & (ex.i == F.col("sel_i")),
+            "left",
+        )
+        .join(
+            skip,
+            (ex.word == F.col("skip_w")) & (ex.i == F.col("skip_i")),
+            "left",
+        )
+        .filter(F.col("skip_i").isNull())
+        .crossJoin(F.broadcast(top1.select("pair_a", "pair_b")))
+        .select(
+            "word",
+            "freq",
+            "i",
+            F.when(
+                F.col("sel_i").isNotNull(), F.concat("pair_a", "pair_b")
+            ).otherwise(F.col("s")).alias("out"),
+        )
+    )
+    next_state = rebuilt.groupBy("word", "freq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "out"))),
+                lambda x: x["out"],
+            ),
+            " ",
+        ).alias("sym")
+    )
+    rule = top1.select(
+        F.lit(k).cast("long").alias("merge_rank"),
+        "pair_a",
+        "pair_b",
+        F.concat("pair_a", "pair_b").alias("merged"),
+        "cnt",
+    )
+    return next_state, rule
+
+
+def _bpe_sql() -> str:
+    """Oracle: the same census -> greedy merge, unrolled _BPE_MERGES times."""
+    base = """
+    wf AS (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ),
+    s0 AS (
+        SELECT word, freq,
+               rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+        FROM wf
+    )"""
+    blocks, outs = [base], []
+    for k in range(1, _BPE_MERGES + 1):
+        p, n = k - 1, k
+        blocks.append(f"""
+    ex{n} AS (
+        SELECT word, freq, t.i,
+               string_split(sym, ' ')[t.i] AS s
+        FROM s{p}, LATERAL UNNEST(range(1, len(string_split(sym, ' ')) + 1)) AS t(i)
+    ),
+    pr{n} AS (
+        SELECT word, freq, i, s,
+               lead(s) OVER (PARTITION BY word ORDER BY i) AS s2
+        FROM ex{n}
+    ),
+    c{n} AS (
+        SELECT s AS pair_a, s2 AS pair_b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM pr{n} WHERE s2 IS NOT NULL GROUP BY s, s2
+    ),
+    t{n} AS (SELECT * FROM c{n} ORDER BY cnt DESC, pair_a, pair_b LIMIT 1),
+    m{n} AS (
+        SELECT p.word, p.i
+        FROM pr{n} p JOIN t{n} t ON p.s = t.pair_a AND p.s2 = t.pair_b
+    ),
+    g{n} AS (
+        SELECT word, i,
+               i - row_number() OVER (PARTITION BY word ORDER BY i) AS run_id
+        FROM m{n}
+    ),
+    sel{n} AS (
+        SELECT word, i AS sel_i FROM (
+            SELECT word, i,
+                   row_number() OVER (PARTITION BY word, run_id ORDER BY i) AS rn
+            FROM g{n}
+        ) WHERE rn % 2 = 1
+    ),
+    s{n} AS (
+        SELECT e.word, e.freq,
+               string_agg(
+                   CASE WHEN s.sel_i IS NOT NULL
+                        THEN t.pair_a || t.pair_b ELSE e.s END,
+                   ' ' ORDER BY e.i) AS sym
+        FROM ex{n} e
+        CROSS JOIN t{n} t
+        LEFT JOIN sel{n} s ON s.word = e.word AND s.sel_i = e.i
+        LEFT JOIN sel{n} sk ON sk.word = e.word AND sk.sel_i = e.i - 1
+        WHERE sk.sel_i IS NULL
+        GROUP BY e.word, e.freq
+    )""")
+        outs.append(
+            f"SELECT CAST({n} AS BIGINT) AS merge_rank, pair_a, pair_b, "
+            f"pair_a || pair_b AS merged, cnt FROM t{n}"
+        )
+    return "WITH " + ",".join(blocks) + "\n" + "\nUNION ALL\n".join(outs)
+
+
+@register(
+    "text_bpe_merges",
+    sql=_bpe_sql(),
+    doc="Distributed BPE vocabulary training (see block comment): the "
+    "first 3 learned merge rules with their selection-time weighted "
+    "pair counts. One corpus-sized word-frequency census; every "
+    "iteration runs over the vocabulary only; greedy non-overlapping "
+    "merge as a set-based run-parity selection; the winning pair joins "
+    "back as a broadcast 1-row frame (no driver collect). The fixed "
+    "iteration count unrolls into chained CTEs, so tokenizer TRAINING "
+    "— not just application — is oracle-hash-checked.",
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    state = _bpe_word_freq(spark, sf_dir).select(
+        "word",
+        "freq",
+        F.rtrim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"),
+    )
+    rules = []
+    for k in range(1, _BPE_MERGES + 1):
+        state, rule = _bpe_iteration(state, k)
+        rules.append(rule)
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out

@@ -172,6 +172,7 @@ DRIVER_ORDER: list[str] = [
     "emb_pq_distortion",
     "rel_ship_latency_percentiles",
     "catalog_retention_expire",
+    "text_bpe_merges",
     "stream_stream_join",
     "stream_session_window_native",
     "catalog_merge_upsert",

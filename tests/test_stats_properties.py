@@ -166,3 +166,41 @@ def test_dim_stats_variance_nonnegative_and_complete(spark, sf_dir):
         assert r["n_vectors"] == n_vec
         assert r["variance"] >= 0.0
         assert r["min_value"] <= r["mean_value"] <= r["max_value"]
+
+
+def test_bpe_greedy_merge_run_parity(spark):
+    """The one subtle BPE semantic: a run of identical symbols merges
+    greedily left-to-right non-overlapping — 'aaaa' under merge (a,a)
+    becomes 'aa aa' (2 merges), 'aaaaa' becomes 'aa aa a'. A naive
+    string replace would under-merge; the run-parity selection must not."""
+    from exact_spark.operators.text import _bpe_iteration
+
+    state = spark.createDataFrame(
+        [("aaaa", 1, "a a a a"), ("aaaaa", 1, "a a a a a")],
+        "word string, freq long, sym string",
+    )
+    nxt, rule = _bpe_iteration(state, 1)
+    r = rule.collect()[0]
+    assert (r["pair_a"], r["pair_b"], r["merged"]) == ("a", "a", "aa")
+    # pair census counts ALL adjacent pairs (overlapping): 3 + 4
+    assert r["cnt"] == 7
+    syms = {row["word"]: row["sym"] for row in nxt.collect()}
+    assert syms["aaaa"] == "aa aa"
+    assert syms["aaaaa"] == "aa aa a"
+
+
+def test_bpe_merges_are_reapplied_in_later_iterations(spark, sf_dir):
+    """Learned symbols must compound: after merging (e,r), a later
+    census sees 'er' as ONE symbol (pairs like ('t','er') become
+    possible). Verified on the real corpus output: no later rule can
+    re-learn a pair that an earlier merge already fused."""
+    from exact_spark.operators.text import text_bpe_merges
+
+    rules = text_bpe_merges(spark, sf_dir).collect()
+    assert len(rules) == 3
+    seen = set()
+    for r in sorted(rules, key=lambda r: r["merge_rank"]):
+        assert (r["pair_a"], r["pair_b"]) not in seen
+        seen.add((r["pair_a"], r["pair_b"]))
+        assert r["merged"] == r["pair_a"] + r["pair_b"]
+        assert r["cnt"] > 0
