@@ -1857,8 +1857,9 @@ def _bpe_iteration(state: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
     return next_state, rule
 
 
-def _bpe_sql() -> str:
-    """Oracle: the same census -> greedy merge, unrolled _BPE_MERGES times."""
+def _bpe_blocks() -> tuple[str, list[str]]:
+    """Shared oracle CTE chain: census -> greedy merge, unrolled
+    _BPE_MERGES times. Returns (WITH-body, per-rank rule selects)."""
     base = """
     wf AS (
         SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
@@ -1922,7 +1923,12 @@ def _bpe_sql() -> str:
             f"SELECT CAST({n} AS BIGINT) AS merge_rank, pair_a, pair_b, "
             f"pair_a || pair_b AS merged, cnt FROM t{n}"
         )
-    return "WITH " + ",".join(blocks) + "\n" + "\nUNION ALL\n".join(outs)
+    return ",".join(blocks), outs
+
+
+def _bpe_sql() -> str:
+    body, outs = _bpe_blocks()
+    return "WITH " + body + "\n" + "\nUNION ALL\n".join(outs)
 
 
 @register(
@@ -1952,3 +1958,59 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rules[1:]:
         out = out.unionByName(r)
     return out
+
+
+def _bpe_apply_sql() -> str:
+    body, _ = _bpe_blocks()
+    last = _BPE_MERGES
+    return f"""
+    WITH {body}
+    SELECT CAST(count(*) AS BIGINT) AS n_vocab_words,
+           CAST(SUM(freq) AS BIGINT) AS corpus_tokens,
+           CAST(SUM(freq * len(word)) AS BIGINT) AS corpus_symbols_initial,
+           CAST(SUM(freq * len(string_split(sym, ' '))) AS BIGINT)
+               AS corpus_symbols_after,
+           (CAST(SUM(freq * len(word))
+                 - SUM(freq * len(string_split(sym, ' '))) AS BIGINT)
+            / CAST(SUM(freq) AS DOUBLE)) AS symbols_saved_per_token
+    FROM s{last}
+    """
+
+
+@register(
+    "text_bpe_apply",
+    sql=_bpe_apply_sql(),  # extends the shared unrolled training chain
+    doc="BPE compression census after applying the 3 learned merges "
+    "corpus-wide: total symbols before (characters) vs after, weighted "
+    "by word frequency — the measure-don't-guess companion to "
+    "text_bpe_merges (a merge table is only worth shipping if it "
+    "shortens real sequences; this is the number that says by how "
+    "much). Same scale shape as training: the census is corpus-sized "
+    "once, the applied state is vocabulary-sized; the saving is an "
+    "all-integer subtraction divided once by the exact token count.",
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    state = _bpe_word_freq(spark, sf_dir).select(
+        "word",
+        "freq",
+        F.rtrim(F.regexp_replace("word", "(.)", "$1 ")).alias("sym"),
+    )
+    for k in range(1, _BPE_MERGES + 1):
+        state, _ = _bpe_iteration(state, k)
+    saved = F.sum(F.col("freq") * F.length("word")) - F.sum(
+        F.col("freq") * F.size(F.split("sym", " "))
+    )
+    return state.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab_words"),
+        F.sum("freq").cast("long").alias("corpus_tokens"),
+        F.sum(F.col("freq") * F.length("word")).cast("long").alias(
+            "corpus_symbols_initial"
+        ),
+        F.sum(F.col("freq") * F.size(F.split("sym", " "))).cast("long").alias(
+            "corpus_symbols_after"
+        ),
+        (saved.cast("long") / F.sum("freq").cast("double")).alias(
+            "symbols_saved_per_token"
+        ),
+    )

@@ -173,6 +173,7 @@ DRIVER_ORDER: list[str] = [
     "rel_ship_latency_percentiles",
     "catalog_retention_expire",
     "text_bpe_merges",
+    "text_bpe_apply",
     "stream_stream_join",
     "stream_session_window_native",
     "catalog_merge_upsert",
