@@ -1953,7 +1953,12 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = []
     for k in range(1, _BPE_MERGES + 1):
         state, rule = _bpe_iteration(state, k)
-        rules.append(rule)
+        # truncate lineage between iterations (vocabulary-sized frame —
+        # cheap to materialize; without it iteration k re-executes every
+        # previous iteration's DAG, tripling the work by round 3): the
+        # same localCheckpoint discipline as dedup_components
+        state = state.localCheckpoint(eager=True)
+        rules.append(rule.localCheckpoint(eager=True))
     out = rules[0]
     for r in rules[1:]:
         out = out.unionByName(r)
@@ -1998,6 +2003,7 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for k in range(1, _BPE_MERGES + 1):
         state, _ = _bpe_iteration(state, k)
+        state = state.localCheckpoint(eager=True)  # see text_bpe_merges
     saved = F.sum(F.col("freq") * F.length("word")) - F.sum(
         F.col("freq") * F.size(F.split("sym", " "))
     )
