@@ -1133,3 +1133,74 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_dropped"),
     )
+
+
+# Fuzzy edit-distance dedup: length-band blocking + capped in-block pair
+# expansion + Levenshtein on a bounded prefix. The band cap reuses the LSH
+# degenerate-bucket rationale; the 256-char prefix bounds the O(m*n)
+# distance kernel per pair regardless of document length.
+_FUZZY_BAND_WIDTH = 32  # docs within the same n_chars // 32 band are candidates
+_FUZZY_BAND_CAP = 200
+_FUZZY_PREFIX = 256
+_FUZZY_MAX_DIST = 32
+
+
+@register(
+    "dedup_fuzzy_edit",
+    sql=f"""
+    WITH blocked AS (
+        SELECT doc_id, n_chars // {_FUZZY_BAND_WIDTH} AS band,
+               substr(text, 1, {_FUZZY_PREFIX}) AS pre
+        FROM documents
+    ),
+    ok_bands AS (
+        SELECT band FROM blocked
+        GROUP BY band HAVING count(*) BETWEEN 2 AND {_FUZZY_BAND_CAP}
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(a.pre, b.pre) AS edit_dist
+        FROM blocked a
+        JOIN blocked b USING (band)
+        JOIN ok_bands USING (band)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(edit_dist AS BIGINT) AS edit_dist
+    FROM cand WHERE edit_dist <= {_FUZZY_MAX_DIST}
+    """,
+    doc="Fuzzy near-dup via bounded edit distance — the character-level "
+    "sibling of the shingle/MinHash/SimHash family (catches small in-place "
+    "edits that shift every word 3-gram). Blocking key = n_chars DIV "
+    f"{_FUZZY_BAND_WIDTH} (near-identical docs land in the same or an "
+    "adjacent length band; the boundary-straddle miss is the standard "
+    "blocking trade-off, documented not hidden). Plan shape: ONE groupBy "
+    "shuffle on the band, bands above _FUZZY_BAND_CAP dropped (mass "
+    "duplication belongs to exact dedup), pair expansion in place via the "
+    "collect-expand shape, and the Levenshtein kernel runs on a "
+    f"{_FUZZY_PREFIX}-char prefix with Spark's threshold-pruned variant "
+    "(early exit past _FUZZY_MAX_DIST) — per-pair cost is a constant, so "
+    "a band's work is bounded by cap^2 * prefix^2 no matter the corpus.",
+)
+def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    blocked = docs.select(
+        "doc_id",
+        F.expr(f"n_chars DIV {_FUZZY_BAND_WIDTH}").alias("band"),
+        F.substring("text", 1, _FUZZY_PREFIX).alias("pre"),
+    )
+    grouped = (
+        blocked.groupBy("band")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "pre"))).alias("items"))
+        .filter((F.size("items") >= 2) & (F.size("items") <= _FUZZY_BAND_CAP))
+    )
+    pairs = grouped.select(F.explode(_self_pairs("items", "a", "b")).alias("p"))
+    dist = F.levenshtein(F.col("p.a.pre"), F.col("p.b.pre"), _FUZZY_MAX_DIST)
+    return (
+        pairs.select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _FUZZY_MAX_DIST))
+    )

@@ -122,6 +122,60 @@ def g1_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ml_mcc",
+    sql=f"""
+    {_CONFUSION_BASE}
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(tn AS BIGINT) AS tn,
+           CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+           CASE WHEN (tp + fp) * (tp + fn) = 0 OR (tn + fp) * (tn + fn) = 0
+                THEN 0.0
+                ELSE CAST(tp * tn - fp * fn AS DOUBLE)
+                     / SQRT(CAST((tp + fp) * (tp + fn) AS DOUBLE)
+                            * CAST((tn + fp) * (tn + fn) AS DOUBLE))
+           END AS mcc
+    FROM cm
+    """,
+    doc="Matthews correlation coefficient of the P95-threshold detector — "
+    "the single-number confusion summary robust to class imbalance (the "
+    "reference's metric block, execute_calls.py:811-839, stops at F1; MCC "
+    "is the standard completion). Same one-pass conditional aggregate as "
+    "G1; the numerator tp*tn-fp*fn stays an exact BIGINT, the denominator "
+    "multiplies two exact pairwise BIGINT products as doubles before ONE "
+    "sqrt, so both engines execute the identical float op sequence. Scale: "
+    "one scan, one 4-cell reduce — nothing grows with data volume.",
+)
+def ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    thr = df.agg(F.percentile(F.col("value"), F.lit(_P)).alias("t"))
+    scored = df.crossJoin(F.broadcast(thr)).select(
+        F.col("label").alias("actual"),
+        F.when(F.col("value") > F.col("t"), F.lit(1)).otherwise(F.lit(0)).alias("predicted"),
+    )
+    cm = scored.agg(
+        F.sum(F.when((F.col("predicted") == 1) & (F.col("actual") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("predicted") == 0) & (F.col("actual") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+        F.sum(F.when((F.col("predicted") == 1) & (F.col("actual") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("predicted") == 0) & (F.col("actual") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    tp, tn, fp, fn = (F.col(c) for c in ("tp", "tn", "fp", "fn"))
+    den = F.sqrt(
+        ((tp + fp) * (tp + fn)).cast("double") * ((tn + fp) * (tn + fn)).cast("double")
+    )
+    mcc = F.when(
+        ((tp + fp) * (tp + fn) == 0) | ((tn + fp) * (tn + fn) == 0), F.lit(0.0)
+    ).otherwise((tp * tn - fp * fn).cast("double") / den)
+    return cm.select("tp", "tn", "fp", "fn", mcc.alias("mcc"))
+
+
 _NDCG_TERM_SCALE = 1_000_000_000_000  # fixed-point for the tiny dcg sums
 
 
@@ -648,6 +702,94 @@ def ts_value_k_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_k",
         "sum_vk_fx",
         (num / den).alias("pearson_r"),
+    )
+
+
+@register(
+    "ts_spearman_corr",
+    sql="""
+    WITH ext AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vx,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type,
+               2 * RANK() OVER (PARTITION BY event_type ORDER BY vx)
+                 + COUNT(*) OVER (PARTITION BY event_type, vx) - 1 AS rx2,
+               2 * RANK() OVER (PARTITION BY event_type ORDER BY k)
+                 + COUNT(*) OVER (PARTITION BY event_type, k) - 1 AS ry2
+        FROM ext WHERE k IS NOT NULL
+    ),
+    agg AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(SUM(rx2) AS BIGINT) AS sum_x,
+               CAST(SUM(ry2) AS BIGINT) AS sum_y,
+               CAST(SUM(rx2 * ry2) AS BIGINT) AS sum_xy,
+               CAST(SUM(rx2 * rx2) AS BIGINT) AS sum_xx,
+               CAST(SUM(ry2 * ry2) AS BIGINT) AS sum_yy
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n, sum_x, sum_y, sum_xy,
+           ((n * CAST(sum_xy AS DOUBLE) - CAST(sum_x AS DOUBLE) * sum_y)
+            / (SQRT(n * CAST(sum_xx AS DOUBLE) - CAST(sum_x AS DOUBLE) * sum_x)
+             * SQRT(n * CAST(sum_yy AS DOUBLE) - CAST(sum_y AS DOUBLE) * sum_y))) AS spearman_rho
+    FROM agg
+    """,
+    doc="Spearman rank correlation between value and props.k per event type "
+    "— the monotonic (outlier-robust) companion to ts_value_k_corr's "
+    "Pearson screen; diverging rho vs r flags a nonlinear-but-monotone "
+    "relation a linear detector would miss. Ties use textbook average "
+    "ranks kept INTEGER by doubling (rx2 = 2*RANK + tie_count - 1), so "
+    "every moment sum is an exact BIGINT and the final rho is the same "
+    "fixed float-op sequence on both engines. Plan: ranking is one sort "
+    "per (small-cardinality) event_type partition — the inherent cost of "
+    "any rank statistic — then a 6-cell groupBy; nothing else shuffles.",
+)
+def ts_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune_session(spark)
+    ev = io.load(spark, sf_dir, "events")
+    ext = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("vx"),
+        F.from_json(F.col("props"), "k BIGINT")["k"].alias("k"),
+    ).filter(F.col("k").isNotNull())
+    rx2 = (
+        2 * F.rank().over(Window.partitionBy("event_type").orderBy("vx"))
+        + F.count(F.lit(1)).over(Window.partitionBy("event_type", "vx"))
+        - 1
+    ).cast("long")
+    ry2 = (
+        2 * F.rank().over(Window.partitionBy("event_type").orderBy("k"))
+        + F.count(F.lit(1)).over(Window.partitionBy("event_type", "k"))
+        - 1
+    ).cast("long")
+    ranked = ext.select("event_type", rx2.alias("rx2"), ry2.alias("ry2"))
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").cast("long").alias("sum_x"),
+        F.sum("ry2").cast("long").alias("sum_y"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sum_xy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sum_xx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("sum_yy"),
+    )
+    num = (
+        F.col("n") * F.col("sum_xy").cast("double")
+        - F.col("sum_x").cast("double") * F.col("sum_y")
+    )
+    den = F.sqrt(
+        F.col("n") * F.col("sum_xx").cast("double")
+        - F.col("sum_x").cast("double") * F.col("sum_x")
+    ) * F.sqrt(
+        F.col("n") * F.col("sum_yy").cast("double")
+        - F.col("sum_y").cast("double") * F.col("sum_y")
+    )
+    return agg.select(
+        "event_type", "n", "sum_x", "sum_y", "sum_xy", (num / den).alias("spearman_rho")
     )
 
 

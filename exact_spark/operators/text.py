@@ -2020,3 +2020,105 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "symbols_saved_per_token"
         ),
     )
+
+
+# Winnowing (Schleimer, Schmidt & Aiken, SIGMOD 2003 — the MOSS algorithm):
+# per-position shingle hashes, a sliding window of _WINNOW_W positions, the
+# window MIN selected at every position; the distinct selected hashes are
+# the document's fingerprint set. Guarantees any shared run of
+# _WINNOW_W + 2 consecutive tokens yields at least one shared fingerprint.
+_WINNOW_W = 4
+
+
+def _sql_hex32(h: str) -> str:
+    """First 8 md5 hex chars of expr ``h`` -> BIGINT, via the engine-exact
+    strpos polynomial (the oracle's spelling of Spark's conv(..,16,10))."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+
+
+@register(
+    "text_winnow_fingerprints",
+    sql=f"""
+    WITH tokens AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    shingled AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - 1),
+                   i -> struct_pack(pos := i,
+                        sh := toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS ss
+        FROM tokens WHERE len(toks) >= 3
+    ),
+    pos_sh AS (
+        SELECT doc_id, x.pos AS pos,
+               CAST({_sql_hex32("md5(x.sh)")} AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(ss) AS x FROM shingled)
+    ),
+    winmin AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS fp
+        FROM pos_sh
+    ),
+    selected AS (
+        SELECT doc_id, fp, count(*) AS c
+        FROM winmin WHERE pos >= {_WINNOW_W}
+        GROUP BY doc_id, fp
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_windows,
+           count(*) AS n_fingerprints,
+           CAST(MIN(fp) AS BIGINT) AS min_fp,
+           CAST(MAX(fp) AS BIGINT) AS max_fp,
+           CAST(SUM(fp) AS BIGINT) AS sum_fp
+    FROM selected GROUP BY doc_id
+    """,
+    doc="Winnowing document fingerprints (Schleimer et al. 2003, the MOSS "
+    "plagiarism-detection selection rule): positional 3-gram shingle "
+    "hashes, window-of-4 running MIN, distinct selected mins = the "
+    "fingerprint set — position-robust local sampling with a guaranteed "
+    "match on any shared window-plus-shingle-length token run, unlike a "
+    "global MinHash which samples per-document. Hashes are 32-bit "
+    "md5-prefix integers identical on both engines. Plan shape: the only "
+    "shuffle is the per-doc window sort (keyed on doc_id, embarrassingly "
+    "parallel across docs); selection then collapses doc-locally through "
+    "two map-side-combinable groupBys. Per-doc state is O(text), never "
+    "O(corpus) — the fingerprint census at 100 TB is one linear pass.",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    t = docs.select("doc_id", tokens_col().alias("toks")).filter(F.size("toks") >= 3)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        ),
+    )
+    pos_sh = t.select(
+        "doc_id", F.posexplode(tri).alias("pos0", "sh")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WINNOW_W - 1), Window.currentRow)
+    )
+    winmin = pos_sh.select(
+        "doc_id", "pos", F.min("h").over(w).alias("fp")
+    ).filter(F.col("pos") >= _WINNOW_W)
+    selected = winmin.groupBy("doc_id", "fp").agg(F.count(F.lit(1)).alias("c"))
+    return selected.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_windows"),
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fp").cast("long").alias("min_fp"),
+        F.max("fp").cast("long").alias("max_fp"),
+        F.sum("fp").cast("long").alias("sum_fp"),
+    )

@@ -210,6 +210,10 @@ DRIVER_ORDER: list[str] = [
     "ml_ensemble_vote",
     "stream_drift_monitor",
     "ts_dau_wau",
+    "ml_mcc",
+    "ts_spearman_corr",
+    "dedup_fuzzy_edit",
+    "text_winnow_fingerprints",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
