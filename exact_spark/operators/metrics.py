@@ -1822,3 +1822,99 @@ def ml_best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+@register(
+    "ml_detector_kappa",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    thr AS (SELECT quantile_cont(value, 0.95) AS t FROM canon),
+    med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM canon GROUP BY event_type
+    ),
+    dev AS (
+        SELECT c.event_type, c.value, ABS(c.value - m.med) AS adev
+        FROM canon c JOIN med m ON m.event_type = c.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    ),
+    flags AS (
+        SELECT CASE WHEN d.value > t.t THEN 1 ELSE 0 END AS fa,
+               CASE WHEN d.adev > {_MAD_K} * m.mad THEN 1 ELSE 0 END AS fb
+        FROM dev d JOIN mad m ON m.event_type = d.event_type, thr t
+    ),
+    cm AS (
+        SELECT CAST(SUM(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS both_flag,
+               CAST(SUM(CASE WHEN fa = 1 AND fb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+               CAST(SUM(CASE WHEN fa = 0 AND fb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+               CAST(SUM(CASE WHEN fa = 0 AND fb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neither
+        FROM flags
+    )
+    SELECT both_flag, a_only, b_only, neither,
+           CAST(both_flag + a_only + b_only + neither AS BIGINT) AS n,
+           (CAST((both_flag + a_only + b_only + neither) * (both_flag + neither)
+                 - ((both_flag + a_only) * (both_flag + b_only)
+                    + (b_only + neither) * (a_only + neither)) AS DOUBLE)
+            / CAST((both_flag + a_only + b_only + neither)
+                   * (both_flag + a_only + b_only + neither)
+                 - ((both_flag + a_only) * (both_flag + b_only)
+                    + (b_only + neither) * (a_only + neither)) AS DOUBLE)) AS kappa
+    FROM cm
+    """,
+    doc="Cohen's kappa agreement between two REGISTERED detector families "
+    "— the global-P95 threshold (G5) and the per-type 3-MAD robust "
+    "detector (ts_outlier_mad) — chance-corrected, so high raw overlap "
+    "on a mostly-normal corpus cannot masquerade as agreement. The "
+    "ensemble-design signal: low kappa means the detectors disagree on "
+    "WHICH rows are anomalous and voting (ml_ensemble_vote) adds "
+    "information; kappa near 1 means a second detector is redundant. "
+    "Exactness: the 2x2 agreement table is four BIGINT counts from one "
+    "conditional aggregate; kappa collapses to one divide of two exact "
+    "BIGINTs (n*po_count - pe_sum over n^2 - pe_sum). Plan shape: the "
+    "two quantile passes the component detectors already pay, then one "
+    "flagging scan with both thresholds broadcast — no new shuffle.",
+)
+def ml_detector_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    thr = df.agg(F.percentile(F.col("value"), F.lit(_P)).alias("t"))
+    med = df.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    dev = df.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    flags = (
+        dev.join(F.broadcast(mad), "event_type")
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.when(F.col("value") > F.col("t"), 1).otherwise(0).alias("fa"),
+            F.when(F.col("adev") > _MAD_K * F.col("mad"), 1).otherwise(0).alias("fb"),
+        )
+    )
+    cm = flags.agg(
+        F.sum(F.when((F.col("fa") == 1) & (F.col("fb") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("both_flag"),
+        F.sum(F.when((F.col("fa") == 1) & (F.col("fb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("a_only"),
+        F.sum(F.when((F.col("fa") == 0) & (F.col("fb") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("b_only"),
+        F.sum(F.when((F.col("fa") == 0) & (F.col("fb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("neither"),
+    )
+    a, b, c, d = (F.col(x) for x in ("both_flag", "a_only", "b_only", "neither"))
+    n = (a + b + c + d).cast("long")
+    pe_sum = ((a + b) * (a + c) + (c + d) * (b + d)).cast("long")
+    kappa = (n * (a + d) - pe_sum).cast("double") / (n * n - pe_sum).cast("double")
+    return cm.select(
+        "both_flag", "a_only", "b_only", "neither", n.alias("n"), kappa.alias("kappa")
+    )

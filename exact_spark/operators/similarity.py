@@ -1677,9 +1677,54 @@ _PR_SCALE = 1_000_000  # rank mass in integer micro-units
 _PR_TOPK = 20
 
 
+def _pagerank_sql() -> str:
+    """Composes the registered sim_knn_graph spec; the fixed power-iteration
+    count unrolls into chained CTEs (the sim_label_propagation technique),
+    so the all-integer PageRank is oracle-HASH-checkable end to end."""
+    from exact_spark.registry import REGISTRY
+
+    knn = REGISTRY["sim_knn_graph"].sql
+    steps = []
+    prev = "r0"
+    for t in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+    c{t} AS (
+        SELECT e.dst AS v,
+               CAST(SUM((r.r_fx * {_PR_DAMP_NUM}) // ({_PR_DAMP_DEN} * e.deg)) AS BIGINT) AS in_fx
+        FROM edeg e JOIN {prev} r ON r.v = e.src
+        GROUP BY e.dst
+    ),
+    r{t} AS (
+        SELECT n.v, CAST(k.base_fx + COALESCE(c.in_fx, 0) AS BIGINT) AS r_fx
+        FROM nodes n LEFT JOIN c{t} c ON c.v = n.v, consts k
+    )""")
+        prev = f"r{t}"
+    return f"""
+    WITH knn AS MATERIALIZED ({knn}),
+    edges AS MATERIALIZED (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    edeg AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    nodes AS MATERIALIZED (
+        SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges
+    ),
+    consts AS (
+        SELECT count(*) AS n,
+               ({(_PR_DAMP_DEN - _PR_DAMP_NUM) * _PR_SCALE} // ({_PR_DAMP_DEN} * count(*))) AS base_fx,
+               ({_PR_SCALE} // count(*)) AS r0_fx
+        FROM nodes
+    ),
+    r0 AS (SELECT n.v, CAST(k.r0_fx AS BIGINT) AS r_fx FROM nodes n, consts k),{",".join(steps)}
+    SELECT rank, vec_id, pagerank_fx FROM (
+        SELECT row_number() OVER (ORDER BY r_fx DESC, v) AS rank,
+               v AS vec_id, r_fx AS pagerank_fx
+        FROM {prev}
+    ) WHERE rank <= {_PR_TOPK}
+    """
+
+
 @register(
     "sim_graph_pagerank",
-    sql=None,  # iterative power method — not SQL-expressible
+    sql=_pagerank_sql(),  # composes the registered sim_knn_graph spec
     doc="PageRank centrality over the kNN semantic graph (the second "
     "iterative graph algorithm next to dedup_components' connected "
     "components; centrality picks REPRESENTATIVE docs inside near-dup "
@@ -1690,9 +1735,10 @@ _PR_TOPK = 20
     "on any partitioning — a float groupBy-sum would not be), dangling "
     "and truncated mass is implicitly dropped (ranks are a lower bound, "
     "ordering-faithful), {it} fixed iterations with lineage truncated "
-    "per step exactly like dedup_components. Output: the top-{k} hubs.".format(
-        it=_PR_ITERS, k=_PR_TOPK
-    ),
+    "per step exactly like dedup_components. Because every step is "
+    "integer arithmetic, the {it} iterations UNROLL into chained oracle "
+    "CTEs — the power method is hash-checked, not rows-only. "
+    "Output: the top-{k} hubs.".format(it=_PR_ITERS, k=_PR_TOPK),
 )
 def sim_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)

@@ -211,6 +211,7 @@ DRIVER_ORDER: list[str] = [
     "stream_drift_monitor",
     "ts_dau_wau",
     "ml_mcc",
+    "ml_detector_kappa",
     "ts_spearman_corr",
     "dedup_fuzzy_edit",
     "text_winnow_fingerprints",

@@ -84,3 +84,30 @@ def test_capped_semantics_match_oracle(spark, adversarial_dir, name):
     sp = spec.fn(spark, adversarial_dir)
     oc = con.execute(spec.sql).fetchdf()
     assert compare(sp, oc, name) == []
+
+
+def test_fuzzy_edit_cap_drops_degenerate_band(spark, adversarial_dir):
+    """dedup_fuzzy_edit's length-band cap: the over-cap identical block all
+    shares one n_chars band — without the cap that band alone expands to
+    B^2/2 Levenshtein calls in one task. The band must be dropped while the
+    genuine near-dup pair (same band, small edit) still surfaces."""
+    from exact_spark.operators.dedup import _FUZZY_BAND_CAP, dedup_fuzzy_edit
+
+    assert _FUZZY_BAND_CAP <= _LSH_BUCKET_CAP + 20  # fixture is over-cap
+    got = dedup_fuzzy_edit(spark, adversarial_dir).toPandas()
+    hot_ids = set(range(_LSH_BUCKET_CAP + 20))
+    assert not any(a in hot_ids and b in hot_ids for a, b in zip(got.doc_a, got.doc_b))
+    assert ((got.doc_a == 10_000) & (got.doc_b == 10_001)).any()
+
+
+def test_fuzzy_edit_capped_semantics_match_oracle(spark, adversarial_dir):
+    _load_all()
+    spec = REGISTRY["dedup_fuzzy_edit"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{adversarial_dir}/documents.parquet')"
+    )
+    sp = spec.fn(spark, adversarial_dir)
+    oc = con.execute(spec.sql).fetchdf()
+    assert compare(sp, oc, "dedup_fuzzy_edit") == []
