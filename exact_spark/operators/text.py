@@ -2039,10 +2039,12 @@ def _sql_hex32(h: str) -> str:
     )
 
 
-@register(
-    "text_winnow_fingerprints",
-    sql=f"""
-    WITH tokens AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+# Shared winnow-selection base: (doc_id, fp, c) — the distinct selected
+# fingerprints per doc with their in-doc multiplicity. Used by both the
+# per-doc census and the cross-doc candidate-pair generator so the two
+# cannot drift.
+_SQL_WINNOW_SELECTED = f"""
+    tokens AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
     shingled AS (
         SELECT doc_id,
                list_transform(range(1, len(toks) - 1),
@@ -2066,27 +2068,11 @@ def _sql_hex32(h: str) -> str:
         FROM winmin WHERE pos >= {_WINNOW_W}
         GROUP BY doc_id, fp
     )
-    SELECT doc_id,
-           CAST(SUM(c) AS BIGINT) AS n_windows,
-           count(*) AS n_fingerprints,
-           CAST(MIN(fp) AS BIGINT) AS min_fp,
-           CAST(MAX(fp) AS BIGINT) AS max_fp,
-           CAST(SUM(fp) AS BIGINT) AS sum_fp
-    FROM selected GROUP BY doc_id
-    """,
-    doc="Winnowing document fingerprints (Schleimer et al. 2003, the MOSS "
-    "plagiarism-detection selection rule): positional 3-gram shingle "
-    "hashes, window-of-4 running MIN, distinct selected mins = the "
-    "fingerprint set — position-robust local sampling with a guaranteed "
-    "match on any shared window-plus-shingle-length token run, unlike a "
-    "global MinHash which samples per-document. Hashes are 32-bit "
-    "md5-prefix integers identical on both engines. Plan shape: the only "
-    "shuffle is the per-doc window sort (keyed on doc_id, embarrassingly "
-    "parallel across docs); selection then collapses doc-locally through "
-    "two map-side-combinable groupBys. Per-doc state is O(text), never "
-    "O(corpus) — the fingerprint census at 100 TB is one linear pass.",
-)
-def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp, c): distinct winnow-selected fingerprints per doc."""
     tune_session(spark)
     docs = io.load(spark, sf_dir, "documents", spread=True)
     t = docs.select("doc_id", tokens_col().alias("toks")).filter(F.size("toks") >= 3)
@@ -2114,11 +2100,104 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     winmin = pos_sh.select(
         "doc_id", "pos", F.min("h").over(w).alias("fp")
     ).filter(F.col("pos") >= _WINNOW_W)
-    selected = winmin.groupBy("doc_id", "fp").agg(F.count(F.lit(1)).alias("c"))
+    return winmin.groupBy("doc_id", "fp").agg(F.count(F.lit(1)).alias("c"))
+
+
+@register(
+    "text_winnow_fingerprints",
+    sql=f"""
+    WITH {_SQL_WINNOW_SELECTED}
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_windows,
+           count(*) AS n_fingerprints,
+           CAST(MIN(fp) AS BIGINT) AS min_fp,
+           CAST(MAX(fp) AS BIGINT) AS max_fp,
+           CAST(SUM(fp) AS BIGINT) AS sum_fp
+    FROM selected GROUP BY doc_id
+    """,
+    doc="Winnowing document fingerprints (Schleimer et al. 2003, the MOSS "
+    "plagiarism-detection selection rule): positional 3-gram shingle "
+    "hashes, window-of-4 running MIN, distinct selected mins = the "
+    "fingerprint set — position-robust local sampling with a guaranteed "
+    "match on any shared window-plus-shingle-length token run, unlike a "
+    "global MinHash which samples per-document. Hashes are 32-bit "
+    "md5-prefix integers identical on both engines. Plan shape: the only "
+    "shuffle is the per-doc window sort (keyed on doc_id, embarrassingly "
+    "parallel across docs); selection then collapses doc-locally through "
+    "two map-side-combinable groupBys. Per-doc state is O(text), never "
+    "O(corpus) — the fingerprint census at 100 TB is one linear pass.",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    selected = _winnow_selected(spark, sf_dir)
     return selected.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_windows"),
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("fp").cast("long").alias("min_fp"),
         F.max("fp").cast("long").alias("max_fp"),
         F.sum("fp").cast("long").alias("sum_fp"),
+    )
+
+
+_WINNOW_HOT_CAP = 50  # fingerprints shared by more docs are boilerplate
+_WINNOW_MIN_SHARED = 2
+
+
+@register(
+    "text_winnow_pairs",
+    sql=f"""
+    WITH {_SQL_WINNOW_SELECTED},
+    posting AS (SELECT DISTINCT doc_id, fp FROM selected),
+    grouped AS (
+        SELECT fp, list_sort(list(doc_id)) AS ids
+        FROM posting GROUP BY fp
+        HAVING count(*) BETWEEN 2 AND {_WINNOW_HOT_CAP}
+    ),
+    pairs AS (
+        SELECT p.ids[i] AS doc_a, p.ids[j] AS doc_b
+        FROM grouped p,
+             unnest(range(1, len(p.ids) + 1)) AS t1(i),
+             unnest(range(1, len(p.ids) + 1)) AS t2(j)
+        WHERE i < j
+    )
+    SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared_fp
+    FROM pairs GROUP BY doc_a, doc_b
+    HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+    doc="Near-dup candidate pairs from shared winnow fingerprints — the "
+    "serving half of text_winnow_fingerprints (MOSS matches documents by "
+    "fingerprint overlap, not by comparing texts): docs sharing >= "
+    f"{_WINNOW_MIN_SHARED} selected fingerprints, the fourth candidate "
+    "generator next to Jaccard-shingle, MinHash-band and SimHash-probe. "
+    "Winnowing needs no banding tune and guarantees recall on shared "
+    "token runs of window+shingle length. Same scale guards as the "
+    "siblings: fingerprints shared by more than _WINNOW_HOT_CAP docs are "
+    "dropped (boilerplate belongs to exact dedup), candidate expansion "
+    "uses the capped collect-expand shape — ONE shuffle keyed on the "
+    "fingerprint, in-place pair expansion, a small pair-count groupBy.",
+)
+def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    posting = _winnow_selected(spark, sf_dir).select("doc_id", "fp")
+    grouped = (
+        posting.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _WINNOW_HOT_CAP))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= _WINNOW_MIN_SHARED)
+        .select("doc_a", "doc_b", "n_shared_fp")
     )

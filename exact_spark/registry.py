@@ -215,6 +215,7 @@ DRIVER_ORDER: list[str] = [
     "ts_spearman_corr",
     "dedup_fuzzy_edit",
     "text_winnow_fingerprints",
+    "text_winnow_pairs",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
