@@ -349,3 +349,81 @@ def dq_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_share"
         ),
     )
+
+
+# Benford first-digit expectations log10(1 + 1/d), embedded as fixed-point
+# 1e-9 literals so neither engine evaluates a log (identical constants by
+# construction — the PAPERS.md rational-form rule for log-based statistics).
+_BENFORD_P_FX = {
+    1: 301029996, 2: 176091259, 3: 124938737, 4: 96910013, 5: 79181246,
+    6: 66946790, 7: 57991947, 8: 51152522, 9: 45757491,
+}
+_BENFORD_SCALE = 1_000_000_000
+
+
+@register(
+    "dq_benford_audit",
+    sql=f"""
+    WITH cents AS (
+        SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+        FROM lineitem
+    ),
+    digits AS (
+        SELECT c // CAST(POWER(10, LEN(CAST(c AS VARCHAR)) - 1) AS BIGINT) AS digit
+        FROM cents
+    ),
+    census AS (SELECT digit, count(*) AS n_obs FROM digits GROUP BY digit),
+    tot AS (SELECT count(*) AS n FROM digits),
+    expected(digit, p_fx) AS (VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD_P_FX.items())})
+    SELECT e.digit,
+           CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+           e.p_fx AS benford_p_fx,
+           (CAST(COALESCE(c.n_obs, 0) AS DOUBLE) / t.n) AS observed_share,
+           (CAST(COALESCE(c.n_obs, 0) * {_BENFORD_SCALE} AS DOUBLE)
+              / CAST(t.n * e.p_fx AS DOUBLE)) AS excess_ratio
+    FROM expected e
+    LEFT JOIN census c ON c.digit = e.digit, tot t
+    """,
+    doc="Benford first-digit audit of the price column — the classic "
+    "fabricated-data screen (synthetic or truncated monetary values "
+    "betray themselves by a flat first-digit histogram; natural "
+    "multiplicative data follows log10(1+1/d)). First digit extracted "
+    "in INTEGER arithmetic on exact cents (string-length power-of-ten "
+    "division — no float log10), Benford expectations embedded as "
+    "identical fixed-point literals in both engines, and the per-digit "
+    "excess ratio is one divide of exact BIGINT products. Plan shape: "
+    "one scan to a 9-cell census; the 9-row expectation table joins "
+    "broadcast. The audit is a constant-size result at any corpus size.",
+)
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long").alias("c")
+    )
+    digit = F.expr(
+        "CAST(c DIV CAST(POWER(10, LENGTH(CAST(c AS STRING)) - 1) AS BIGINT) AS BIGINT)"
+    )
+    census = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    tot = li.agg(F.count(F.lit(1)).alias("n"))
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P_FX.items()], "digit bigint, p_fx bigint"
+    )
+    j = (
+        expected.join(census, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.col("p_fx").alias("benford_p_fx"),
+            (
+                F.coalesce(F.col("n_obs"), F.lit(0)).cast("double") / F.col("n")
+            ).alias("observed_share"),
+            (
+                (F.coalesce(F.col("n_obs"), F.lit(0)) * _BENFORD_SCALE).cast("double")
+                / (F.col("n") * F.col("p_fx")).cast("double")
+            ).alias("excess_ratio"),
+        )
+    )
+    return j

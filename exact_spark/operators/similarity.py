@@ -2712,3 +2712,84 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_distortion"),
         (F.max("d").cast("long") / F.lit(float(_SCALE9))).alias("max_distortion"),
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_sql() -> str:
+    """Composes the registered sim_knn_graph spec; the fixed peel count
+    unrolls into chained CTEs (the sim_label_propagation / pagerank
+    technique) so iterative k-core stays oracle-hash-checked."""
+    from exact_spark.registry import REGISTRY
+
+    knn = REGISTRY["sim_knn_graph"].sql
+    steps = []
+    prev = "e0"
+    rounds = []
+    for t in range(1, _KCORE_ROUNDS + 1):
+        steps.append(f"""
+    d{t} AS (SELECT a, count(*) AS deg FROM {prev} GROUP BY a),
+    s{t} AS MATERIALIZED (SELECT a AS v FROM d{t} WHERE deg >= {_KCORE_K}),
+    e{t} AS MATERIALIZED (
+        SELECT e.a, e.b FROM {prev} e
+        JOIN s{t} x ON e.a = x.v JOIN s{t} y ON e.b = y.v
+    )""")
+        rounds.append(
+            f"SELECT {t} AS round, (SELECT count(*) FROM s{t}) AS n_nodes,"
+            f" CAST((SELECT count(*) FROM e{t}) // 2 AS BIGINT) AS n_edges"
+        )
+        prev = f"e{t}"
+    return f"""
+    WITH knn AS MATERIALIZED ({knn}),
+    e0 AS MATERIALIZED (
+        SELECT vec_id AS a, neighbor_id AS b FROM knn
+        UNION
+        SELECT neighbor_id AS a, vec_id AS b FROM knn
+    ),{",".join(steps)}
+    {" UNION ALL ".join(rounds)}
+    """
+
+
+@register(
+    "sim_kcore_peel",
+    sql=_kcore_sql(),  # composes the registered sim_knn_graph spec
+    doc="Iterative {k}-core peeling of the kNN semantic graph — the "
+    "density filter that separates genuinely clustered regions from "
+    "chain-connected noise (a near-dup CLUSTER keeps its members' "
+    "degrees after peeling; a thin path through accidental neighbors "
+    "does not — the refinement signal on top of dedup_components, which "
+    "keeps any connected chain). Each round drops vertices with "
+    "surviving degree < {k} and restricts edges to survivors; {r} fixed "
+    "rounds emit the shrinking (n_nodes, n_edges) trajectory. All "
+    "integer counts, so the rounds UNROLL into chained oracle CTEs like "
+    "label propagation and PageRank. Per round cost is one degree "
+    "groupBy + one semi-join pair on the current edge set — each at "
+    "most edge-sized shuffles, shrinking monotonically; at 100 TB the "
+    "loop runs with localCheckpoint lineage truncation like "
+    "dedup_components.".format(k=_KCORE_K, r=_KCORE_ROUNDS),
+)
+def sim_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    g = knn_graph(spark, sf_dir)
+    e = (
+        g.select(F.col("vec_id").alias("a"), F.col("neighbor_id").alias("b"))
+        .unionByName(
+            g.select(F.col("neighbor_id").alias("a"), F.col("vec_id").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    rows = []
+    for t in range(1, _KCORE_ROUNDS + 1):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        surv = deg.filter(F.col("deg") >= _KCORE_K).select(F.col("a").alias("v"))
+        e = (
+            e.join(surv.withColumnRenamed("v", "a"), "a")
+            .join(surv.withColumnRenamed("v", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint()  # truncate the peel lineage
+        )
+        rows.append((t, surv.count(), e.count() // 2))
+    return spark.createDataFrame(rows, "round int, n_nodes bigint, n_edges bigint")

@@ -216,6 +216,8 @@ DRIVER_ORDER: list[str] = [
     "dedup_fuzzy_edit",
     "text_winnow_fingerprints",
     "text_winnow_pairs",
+    "dq_benford_audit",
+    "sim_kcore_peel",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
