@@ -1204,3 +1204,57 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _FUZZY_MAX_DIST))
     )
+
+
+def _winnow_recall_sql() -> str:
+    """Composes the registered dedup_ngram_jaccard (truth) and
+    text_winnow_pairs (candidate) specs into the same banded-recall shape
+    as dedup_lsh_recall, so all generator diagnostics read identically."""
+    from exact_spark.registry import REGISTRY
+
+    truth = REGISTRY["dedup_ngram_jaccard"].sql
+    cand = REGISTRY["text_winnow_pairs"].sql
+    return f"""
+    WITH truth AS MATERIALIZED ({truth}),
+    cand AS MATERIALIZED (SELECT doc_a, doc_b FROM ({cand})),
+    hits AS (
+        SELECT CAST(FLOOR(t.jaccard * 10) AS BIGINT) AS jac_band,
+               CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM truth t
+        LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT jac_band, COUNT(*) AS n_true, CAST(SUM(hit) AS BIGINT) AS n_cand_hit,
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+    FROM hits GROUP BY jac_band
+    """
+
+
+@register(
+    "dedup_winnow_recall",
+    sql=_winnow_recall_sql(),  # composes the registered sibling specs
+    doc="Winnow-pair candidate recall vs the exact shingle-Jaccard truth "
+    "set, per 0.1-wide Jaccard band — the same S-curve diagnostic "
+    "dedup_lsh_recall publishes for MinHash, for the fourth generator. "
+    "Winnowing trades MinHash's tunable banding for a guaranteed-match "
+    "window property; this query shows what that guarantee buys AT EACH "
+    "similarity level on the engine's own corpus, so choosing between "
+    "generators at 100 TB is a measured decision, not a guessed one. "
+    "Composed from the two REGISTERED operators (plan and SQL) — the "
+    "diagnostic cannot drift from what ships.",
+)
+def dedup_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exact_spark.operators.text import text_winnow_pairs
+
+    truth = dedup_ngram_jaccard(spark, sf_dir)
+    cand = text_winnow_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    joined = truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.floor(F.col("jaccard") * 10).cast("long").alias("jac_band"),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+    )
+    return joined.groupBy("jac_band").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum("hit").cast("long").alias("n_cand_hit"),
+        (F.sum("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+    )

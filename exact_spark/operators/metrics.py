@@ -1918,3 +1918,80 @@ def ml_detector_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm.select(
         "both_flag", "a_only", "b_only", "neither", n.alias("n"), kappa.alias("kappa")
     )
+
+
+@register(
+    "ml_brier_rank_score",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    fx AS (
+        SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vx, label
+        FROM canon
+    ),
+    grid AS (
+        SELECT vx, count(*) AS cnt,
+               CAST(SUM(count(*)) OVER (ORDER BY vx) AS BIGINT) AS cum
+        FROM fx GROUP BY vx
+    ),
+    cells AS (
+        SELECT f.vx, f.label, count(*) AS c_cell, g.cum - g.cnt + 1 AS rnk
+        FROM fx f JOIN grid g ON g.vx = f.vx
+        GROUP BY f.vx, f.label, g.cum, g.cnt
+    ),
+    tot AS (SELECT count(*) AS n FROM fx)
+    SELECT t.n,
+           CAST(SUM(c.c_cell * (c.rnk - c.label * t.n) * (c.rnk - c.label * t.n)) AS BIGINT)
+               AS sum_sq_fx,
+           (CAST(SUM(c.c_cell * (c.rnk - c.label * t.n) * (c.rnk - c.label * t.n)) AS DOUBLE)
+              / CAST(t.n * t.n * t.n AS DOUBLE)) AS brier_score
+    FROM cells c, tot t
+    GROUP BY t.n
+    """,
+    doc="Brier score of the rank-probability detector — mean squared error "
+    "between label and p = rank/n, the threshold-free CALIBRATION "
+    "companion to ml_roc_auc's threshold-free discrimination (AUC says "
+    "the ordering is right; Brier says the probabilities themselves are "
+    "usable — the decision input for ml/calibrate.py). Exactness: rank "
+    "collapses to the distinct-value grid (min-rank = cum - cnt + 1), "
+    "each (value, label) cell contributes cnt * (rank - label*n)^2 as an "
+    "exact BIGINT, and the score is ONE divide by n^3. Plan shape: one "
+    "grid groupBy + a grid-sized cumulative window + one cell groupBy — "
+    "the corpus is scanned once and no window ever sees row cardinality.",
+)
+def ml_brier_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = canonical_events(spark, sf_dir)
+    fx = df.select(
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("vx"), "label"
+    )
+    grid = (
+        fx.groupBy("vx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(Window.orderBy("vx")).cast("long"),
+        )
+    )
+    cells = (
+        fx.groupBy("vx", "label")
+        .agg(F.count(F.lit(1)).alias("c_cell"))
+        .join(grid, "vx")
+        .select(
+            "label", "c_cell", (F.col("cum") - F.col("cnt") + 1).alias("rnk")
+        )
+    )
+    tot = fx.agg(F.count(F.lit(1)).alias("n"))
+    j = cells.crossJoin(F.broadcast(tot))
+    diff = F.col("rnk") - F.col("label") * F.col("n")
+    agg = j.groupBy("n").agg(
+        F.sum(F.col("c_cell") * diff * diff).cast("long").alias("sum_sq_fx")
+    )
+    return agg.select(
+        "n",
+        "sum_sq_fx",
+        (
+            F.col("sum_sq_fx").cast("double")
+            / (F.col("n") * F.col("n") * F.col("n")).cast("double")
+        ).alias("brier_score"),
+    )

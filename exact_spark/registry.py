@@ -218,6 +218,8 @@ DRIVER_ORDER: list[str] = [
     "text_winnow_pairs",
     "dq_benford_audit",
     "sim_kcore_peel",
+    "dedup_winnow_recall",
+    "ml_brier_rank_score",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
