@@ -1202,7 +1202,9 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.b.doc_id").alias("doc_b"),
             dist.cast("long").alias("edit_dist"),
         )
-        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _FUZZY_MAX_DIST))
+        # the threshold form returns -1 past _FUZZY_MAX_DIST, so >= 0 alone
+        # keeps exactly dist <= max (one fewer pushed-down re-evaluation)
+        .filter(F.col("edit_dist") >= 0)
     )
 
 

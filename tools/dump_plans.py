@@ -50,6 +50,10 @@ HEADLINERS = [
     ("ml_roc_auc", "scores collapse to the distinct-value grid first; the single-partition window runs over grid cardinality, never raw rows"),
     ("dq_referential_integrity", "lineitem scanned ONCE for all three of its FK edges — dims broadcast, the one fact-fact edge reduced to its key column"),
     ("emb_dim_stats", "posexplode then one groupBy on |dims| keys — map-side combine collapses every partition to |dims| cells"),
+    ("dedup_fuzzy_edit", "ONE exchange keyed on the length band; capped in-place pair expansion; Levenshtein on a bounded prefix inside codegen"),
+    ("text_winnow_fingerprints", "the only exchange keys doc_id (per-doc window sort); both census groupBys ride that same partitioning"),
+    ("ts_spearman_corr", "rank windows partitioned per event_type (no global sort); moment sums reduce to one cell per type"),
+    ("ml_brier_rank_score", "single-partition window over DISTINCT-VALUE grid cardinality only; cells crossJoin a broadcast 1-row total"),
 ]
 
 
