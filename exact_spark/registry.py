@@ -220,6 +220,7 @@ DRIVER_ORDER: list[str] = [
     "sim_kcore_peel",
     "dedup_winnow_recall",
     "ml_brier_rank_score",
+    "catalog_schema_evolution",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",

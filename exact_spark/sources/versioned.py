@@ -143,6 +143,13 @@ class VersionedTable:
         files = self._stage(survivors) + self._stage(df)
         return self._commit(files, "merge", note)
 
+    def overwrite(self, df: DataFrame, note: str = "") -> int:
+        """Commit ``df`` as the complete next snapshot (CTAS-style REPLACE
+        TABLE — the schema-changing rewrite path, e.g. a logical column
+        drop via projection). History stays time-travelable: prior
+        versions keep their own files and their own schema."""
+        return self._commit(self._stage(df), "overwrite", note)
+
     def compact(self, target_files: int = 1, note: str = "") -> int:
         """Bin-pack the current snapshot into ``target_files`` files —
         logically a no-op (same rows, new layout), committed like any
@@ -422,5 +429,66 @@ def catalog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
         return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "catalog_schema_evolution",
+    sql=None,  # filesystem lifecycle — rows-only check
+    doc="Schema evolution across commits (the lakehouse ALTER TABLE ADD "
+    "COLUMN discipline, without rewriting a byte of old data): v1 "
+    "commits (event_id, value); v2 APPENDS rows that carry a new label "
+    "column — the current snapshot serves the UNION schema with nulls "
+    "backfilled for pre-evolution files (mergeSchema), while a TIME "
+    "TRAVEL read of v1 still sees exactly the original two columns; v3 "
+    "drops the column logically by committing a projection (old files "
+    "remain for older versions — drop is a metadata-level rewrite of "
+    "the SURVIVING rows only, never of history). Emits per-version "
+    "(op, n_rows, n_cols, n_label_nulls) — the null count is the "
+    "backfill evidence. At scale the evolution cost is zero for old "
+    "files: the union schema is resolved at read, which is exactly why "
+    "columnar formats make additive evolution free.",
+)
+def catalog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from exact_spark import io
+    from exact_spark.session import tune_session
+
+    tune_session(spark)
+    work = tempfile.mkdtemp(prefix="exact_spark_se_")
+    try:
+        ev = (
+            io.load(spark, sf_dir, "events")
+            .filter(F.col("event_id") <= 4000)  # deterministic bounded slice
+            .select("event_id", "value")
+        )
+        old = ev.filter(F.col("event_id") % 2 == 0)
+        new = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "label", (F.col("value") > 100.0).cast("int")
+        )
+        t = VersionedTable(spark, work, "events_se")
+        t.create(old, note="pre-evolution schema")
+        t.append(new, note="append with added label column")
+        # logical column drop: overwrite with the projected snapshot; old
+        # files stay readable for v1/v2 time travel
+        t.overwrite(
+            t.read().select("event_id", "value"),
+            note="column drop via projection commit",
+        )
+
+        rows = []
+        for v in t.versions():
+            df = t.read(v)
+            cols = df.columns
+            n_label_nulls = (
+                df.filter(F.col("label").isNull()).count() if "label" in cols else -1
+            )
+            rows.append((v, len(cols), int(df.count()), int(n_label_nulls)))
+        return spark.createDataFrame(
+            rows, "version int, n_cols int, n_rows long, n_label_nulls long"
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)

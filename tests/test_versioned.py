@@ -141,3 +141,17 @@ def test_merge_upsert_semantics(spark, tmp_path):
     # merge twice with the same batch is idempotent on content
     v3 = t.merge_upsert(batch, "k")
     assert {r["k"]: r["v"] for r in t.read(v3).collect()} == cur
+
+
+def test_overwrite_projection_drop(spark, tbl):
+    """overwrite() commits a complete replacement snapshot (CTAS-style
+    REPLACE): the column-drop-by-projection path. Prior versions keep
+    their own schema AND their own rows."""
+    tbl.create(_df(spark, 0, 10))
+    tbl.append(_df(spark, 10, 20).withColumn("score", F.col("k") * 2))
+    tbl.overwrite(tbl.read().select("k", "flag"), note="drop score")
+    assert tbl.read().columns == ["k", "flag"]  # dropped in v3
+    assert tbl.read().count() == 20  # rows preserved
+    assert "score" in tbl.read(2).columns  # history schema intact
+    assert tbl.read(2).filter(F.col("score").isNotNull()).count() == 10
+    assert [h["op"] for h in tbl.history()][-1] == "overwrite"
