@@ -2201,3 +2201,60 @@ def text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared_fp") >= _WINNOW_MIN_SHARED)
         .select("doc_a", "doc_b", "n_shared_fp")
     )
+
+
+_ZIPF_K = 30
+
+
+@register(
+    "text_zipf_profile",
+    sql=f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_tokens FROM counts),
+    ranked AS (
+        SELECT tok, tf, row_number() OVER (ORDER BY tf DESC, tok) AS rank
+        FROM counts
+    )
+    SELECT r.rank, r.tok, CAST(r.tf AS BIGINT) AS tf,
+           CAST(r.rank * r.tf AS BIGINT) AS zipf_mass,
+           (CAST(r.rank * r.tf AS DOUBLE) / t.n_tokens) AS zipf_const
+    FROM ranked r, tot t WHERE r.rank <= {_ZIPF_K}
+    """,
+    doc="Zipf-law profile of the vocabulary head: rank x frequency for the "
+    "top-{k} types. Under Zipf, rank*tf is roughly constant — a flat "
+    "zipf_const column means natural language statistics; a sharply "
+    "decaying one means templated/synthetic text, and the curve's knee "
+    "is where a frequency-vocab stops paying (the diagnostic BEHIND "
+    "text_vocab_coverage's OOV curve, log-free by using the rank*tf "
+    "product instead of the log-log slope). All-integer mass, one "
+    "divide by the exact token total; same distributed top-K shape as "
+    "text_vocab_topk — the ranking never sees the corpus, only the "
+    "aggregated vocabulary.".format(k=_ZIPF_K),
+)
+def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    counts = (
+        docs.select(F.explode(tokens_col()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tot = counts.agg(F.sum("tf").cast("long").alias("n_tokens"))
+    top = counts.orderBy(F.col("tf").desc(), "tok").limit(_ZIPF_K)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.col("tf").desc(), "tok"))
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "tok",
+        F.col("tf").cast("long").alias("tf"),
+        (F.col("rank") * F.col("tf")).cast("long").alias("zipf_mass"),
+        (
+            (F.col("rank") * F.col("tf")).cast("double") / F.col("n_tokens")
+        ).alias("zipf_const"),
+    )

@@ -221,6 +221,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_winnow_recall",
     "ml_brier_rank_score",
     "catalog_schema_evolution",
+    "text_zipf_profile",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
