@@ -1828,3 +1828,65 @@ def ts_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_per_hour"),
         (var / mean).alias("fano_factor"),
     )
+
+
+def _forecast_backtest_sql() -> str:
+    """Composes the registered ts_seasonal_naive spec into its corpus-level
+    scorecard, so forecaster and scorecard cannot drift."""
+    from exact_spark.registry import REGISTRY
+
+    sn = REGISTRY["ts_seasonal_naive"].sql
+    return f"""
+    WITH scored AS ({sn})
+    SELECT count(*) AS n_hours,
+           CAST(SUM(n_events) AS BIGINT) AS sum_actual,
+           CAST(SUM(abs_err_seasonal) AS BIGINT) AS sum_abs_err_seasonal,
+           CAST(SUM(abs_err_persistence) AS BIGINT) AS sum_abs_err_persistence,
+           (CAST(SUM(abs_err_seasonal) AS DOUBLE) / SUM(n_events)) AS wape_seasonal,
+           (CAST(SUM(abs_err_persistence) AS DOUBLE) / SUM(n_events)) AS wape_persistence,
+           CASE WHEN SUM(abs_err_seasonal) < SUM(abs_err_persistence)
+                THEN 'seasonal' ELSE 'persistence' END AS winner
+    FROM scored
+    """
+
+
+@register(
+    "ts_forecast_backtest",
+    sql=_forecast_backtest_sql(),  # composes the registered sibling spec
+    doc="Backtest scorecard of the two registered forecasting baselines — "
+    "WAPE (weighted absolute percentage error) of seasonal-naive vs "
+    "1-hour persistence over the full hourly series, and which one wins "
+    "(the model-selection read the ts_seasonality_strength diagnostic "
+    "predicts; this MEASURES it — the same train-measure loop closure "
+    "as text_bpe_apply and sim_ivf_recall). Composed from the "
+    "REGISTERED ts_seasonal_naive spec in both plan and SQL. All-BIGINT "
+    "absolute-error sums, WAPE one divide each; the scorecard reduces "
+    "the span-bounded hourly grid to a single row — constant output at "
+    "any history length.",
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = ts_seasonal_naive(spark, sf_dir)
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_events").cast("long").alias("sum_actual"),
+        F.sum("abs_err_seasonal").cast("long").alias("sum_abs_err_seasonal"),
+        F.sum("abs_err_persistence").cast("long").alias("sum_abs_err_persistence"),
+    )
+    return agg.select(
+        "n_hours",
+        "sum_actual",
+        "sum_abs_err_seasonal",
+        "sum_abs_err_persistence",
+        (
+            F.col("sum_abs_err_seasonal").cast("double") / F.col("sum_actual")
+        ).alias("wape_seasonal"),
+        (
+            F.col("sum_abs_err_persistence").cast("double") / F.col("sum_actual")
+        ).alias("wape_persistence"),
+        F.when(
+            F.col("sum_abs_err_seasonal") < F.col("sum_abs_err_persistence"),
+            F.lit("seasonal"),
+        )
+        .otherwise(F.lit("persistence"))
+        .alias("winner"),
+    )

@@ -222,6 +222,8 @@ DRIVER_ORDER: list[str] = [
     "ml_brier_rank_score",
     "catalog_schema_evolution",
     "text_zipf_profile",
+    "ts_forecast_backtest",
+    "dq_key_uniqueness",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
