@@ -1260,3 +1260,77 @@ def dedup_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hit").cast("long").alias("n_cand_hit"),
         (F.sum("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
     )
+
+
+def _cluster_purity_sql() -> str:
+    """Composes the registered dedup_components spec: metadata homogeneity
+    of each duplicate group."""
+    from exact_spark.registry import REGISTRY
+
+    comp = REGISTRY["dedup_components"].sql
+    return f"""
+    WITH comp_out AS ({comp}),
+    joined AS (
+        SELECT c.component_id, c.n_members, c.doc_id, d.lang, d.source
+        FROM comp_out c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    lang_cells AS (
+        SELECT component_id, n_members, lang, count(*) AS n_lang
+        FROM joined GROUP BY component_id, n_members, lang
+    ),
+    agg AS (
+        SELECT component_id, n_members,
+               count(*) AS n_langs,
+               MAX(n_lang) AS majority_n
+        FROM lang_cells GROUP BY component_id, n_members
+    ),
+    src AS (
+        SELECT component_id, count(DISTINCT source) AS n_sources
+        FROM joined GROUP BY component_id
+    )
+    SELECT a.component_id,
+           CAST(a.n_members AS BIGINT) AS n_members,
+           CAST(a.n_langs AS BIGINT) AS n_langs,
+           CAST(s.n_sources AS BIGINT) AS n_sources,
+           CAST(a.majority_n AS BIGINT) AS majority_n,
+           (CAST(a.majority_n AS DOUBLE) / a.n_members) AS lang_purity
+    FROM agg a JOIN src s ON s.component_id = a.component_id
+    """
+
+
+@register(
+    "dedup_cluster_purity",
+    sql=_cluster_purity_sql(),  # composes the registered sibling spec
+    doc="Metadata homogeneity of each duplicate group — the governance "
+    "read on dedup_components' output (a pure group is routine "
+    "duplication; a MIXED-source group is content copied across "
+    "corpora, the provenance signal text_source_overlap measures "
+    "corpus-wide, here localized to the exact cluster; a mixed-LANG "
+    "group usually means the near-dup threshold caught translations or "
+    "boilerplate). Per group: distinct langs/sources, majority-language "
+    "mass, purity as one divide of exact counts. Plan shape: groups "
+    "join documents on the doc key, two small keyed groupBys over "
+    "LSH-capped group sizes — nothing quadratic, nothing corpus-wide.",
+)
+def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_components(spark, sf_dir)
+    docs = io.load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    j = comp.join(docs, "doc_id")
+    lang_cells = j.groupBy("component_id", "n_members", "lang").agg(
+        F.count(F.lit(1)).alias("n_lang")
+    )
+    agg = lang_cells.groupBy("component_id", "n_members").agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        F.max("n_lang").alias("majority_n"),
+    )
+    src = j.groupBy("component_id").agg(
+        F.countDistinct("source").alias("n_sources")
+    )
+    return agg.join(src, "component_id").select(
+        "component_id",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.col("majority_n").cast("long").alias("majority_n"),
+        (F.col("majority_n").cast("double") / F.col("n_members")).alias("lang_purity"),
+    )

@@ -1995,3 +1995,86 @@ def ml_brier_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("n") * F.col("n")).cast("double")
         ).alias("brier_score"),
     )
+
+
+_OVL_BINS = 20
+
+
+@register(
+    "ml_score_overlap",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    fx AS (
+        SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vx, label
+        FROM canon
+    ),
+    bounds AS (SELECT MIN(vx) AS lo, MAX(vx) AS hi FROM fx),
+    binned AS (
+        SELECT LEAST({_OVL_BINS - 1},
+                     CAST(((f.vx - b.lo) * {_OVL_BINS}) // (b.hi - b.lo + 1) AS BIGINT)) AS bin,
+               f.label
+        FROM fx f, bounds b
+    ),
+    cells AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_pos) AS BIGINT) AS np, CAST(SUM(n_neg) AS BIGINT) AS nn
+        FROM cells
+    )
+    SELECT t.np AS n_pos, t.nn AS n_neg,
+           CAST(SUM(LEAST(c.n_pos * t.nn, c.n_neg * t.np)) AS BIGINT) AS overlap_num_fx,
+           (CAST(SUM(LEAST(c.n_pos * t.nn, c.n_neg * t.np)) AS DOUBLE)
+              / CAST(t.np * t.nn AS DOUBLE)) AS overlap_coefficient
+    FROM cells c, tot t
+    GROUP BY t.np, t.nn
+    """,
+    doc="Overlap coefficient of the score distributions (positive vs "
+    "negative class over a {b}-bin histogram) — the separability "
+    "statistic in PROBABILITY-MASS terms: 0 = perfectly separable, 1 = "
+    "indistinguishable; 1 - overlap bounds the achievable balanced "
+    "accuracy, making it the honest ceiling next to ml_roc_auc's "
+    "ordering view and ml_ks_statistic's sup-norm view. Exactness: the "
+    "per-bin min of the two class fractions avoids any float fraction "
+    "by cross-multiplying to INTEGER products (min(n_pos*N_neg, "
+    "n_neg*N_pos)), so the whole sum is one exact BIGINT and the "
+    "coefficient is ONE divide. Plan shape: one scan to {b} cells with "
+    "a broadcast bounds row; constant-size result at any volume.".format(
+        b=_OVL_BINS
+    ),
+)
+def ml_score_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    fx = df.select(
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("vx"), "label"
+    )
+    bounds = fx.agg(F.min("vx").alias("lo"), F.max("vx").alias("hi"))
+    binned = fx.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(_OVL_BINS - 1),
+            F.expr(f"CAST(((vx - lo) * {_OVL_BINS}) DIV (hi - lo + 1) AS BIGINT)"),
+        ).alias("bin"),
+        "label",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).cast("long").alias("n_neg"),
+    )
+    tot = cells.agg(
+        F.sum("n_pos").cast("long").alias("np"), F.sum("n_neg").cast("long").alias("nn")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    term = F.least(F.col("n_pos") * F.col("nn"), F.col("n_neg") * F.col("np"))
+    agg = j.groupBy("np", "nn").agg(F.sum(term).cast("long").alias("overlap_num_fx"))
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        "overlap_num_fx",
+        (
+            F.col("overlap_num_fx").cast("double")
+            / (F.col("np") * F.col("nn")).cast("double")
+        ).alias("overlap_coefficient"),
+    )

@@ -224,6 +224,8 @@ DRIVER_ORDER: list[str] = [
     "text_zipf_profile",
     "ts_forecast_backtest",
     "dq_key_uniqueness",
+    "dedup_cluster_purity",
+    "ml_score_overlap",
     # never-recorded rows-only
     "text_quality_classifier",
     "stream_cms_maintain",
