@@ -204,3 +204,33 @@ def test_bpe_merges_are_reapplied_in_later_iterations(spark, sf_dir):
         seen.add((r["pair_a"], r["pair_b"]))
         assert r["merged"] == r["pair_a"] + r["pair_b"]
         assert r["cnt"] > 0
+
+
+def test_winnow_guarantee_shared_run_yields_shared_fingerprint(spark, tmp_path):
+    """The MOSS winnowing guarantee: any shared run of w + k - 1 = 6
+    consecutive tokens contains one complete window of k-gram positions,
+    and the min of an identical hash multiset is identical — so the two
+    docs MUST share at least one selected fingerprint, wherever the run
+    sits and whatever surrounds it."""
+    import pandas as pd
+
+    from exact_spark.operators.text import _winnow_selected
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token planted run
+    rows = [
+        (1, f"one two three four five six seven {shared} tail1 tail2 tail3"),
+        (2, f"{shared} completely different suffix tokens here nine ten eleven"),
+        (3, "no planted run at all just unrelated filler words going on and on"),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["lang"] = "en"
+    df["source"] = "t"
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    sel = _winnow_selected(spark, str(tmp_path)).toPandas()
+    fp1 = set(sel[sel.doc_id == 1].fp)
+    fp2 = set(sel[sel.doc_id == 2].fp)
+    fp3 = set(sel[sel.doc_id == 3].fp)
+    assert fp1 & fp2, "shared 6-token run must yield a shared fingerprint"
+    assert not (fp1 & fp3) and not (fp2 & fp3)  # unrelated doc stays disjoint
