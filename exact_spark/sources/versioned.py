@@ -221,9 +221,38 @@ from pyspark.sql import functions as F  # noqa: E402
 from exact_spark.registry import register  # noqa: E402
 
 
+# The lifecycle queries' outputs are deterministic functions of the events
+# table (the filesystem is an implementation detail the result must not
+# leak), so each gets a real DuckDB oracle computing the EXPECTED version
+# history from the source data — the commit protocol is hash-checked, not
+# just rows-counted.
+_SQL_DAYNO = """
+    ep AS (SELECT epoch_us(ts) AS e, event_id, value FROM events),
+    lo AS (SELECT MIN(e) AS lo FROM ep),
+    d AS (
+        SELECT (ep.e - lo.lo) // 86400000000 AS day_no, event_id, value
+        FROM ep, lo
+    )
+"""
+
+
 @register(
     "catalog_time_travel",
-    sql=None,  # filesystem lifecycle — rows-only check
+    sql=f"""
+    WITH {_SQL_DAYNO},
+    c AS (
+        SELECT CAST(SUM(CASE WHEN day_no = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN day_no = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN day_no = 0 AND value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS f0
+        FROM d
+    )
+    SELECT 1 AS version, 'create' AS op, n0 AS n_rows,
+           CAST(0 AS BIGINT) AS n_flagged, FALSE AS retained FROM c
+    UNION ALL SELECT 2, 'append', n0 + n1, 0, FALSE FROM c
+    UNION ALL SELECT 3, 'replace', n0 + n1, f0, TRUE FROM c
+    UNION ALL SELECT 4, 'compact', n0 + n1, f0, TRUE FROM c
+    UNION ALL SELECT 5, 'post_vacuum_latest', n0 + n1, -1, TRUE FROM c
+    """,
     doc="Snapshot-versioned table lifecycle, driver-visible bounded run: "
     "create (v1, day-1 events) -> append (v2, day-2) -> MERGE-style "
     "replace of day-1 with flagged rows (v3) -> compact (v4). Every "
@@ -371,7 +400,19 @@ def catalog_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "catalog_merge_upsert",
-    sql=None,  # manifest-commit lifecycle -> rows-only check
+    sql=f"""
+    WITH {_SQL_DAYNO},
+    c AS (
+        SELECT CAST(SUM(CASE WHEN day_no = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN day_no = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN day_no = 0 AND event_id % 2 = 0
+                              AND value <> 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nup
+        FROM d
+    )
+    SELECT n0 AS v1_rows, n0 + n1 AS v2_rows, nup AS n_updated,
+           n1 AS n_inserted, TRUE AS v1_stable
+    FROM c
+    """,
     doc="CDC MERGE-upsert into the snapshot-versioned table, driver-"
     "visible bounded run: day-1 events commit as v1; a change batch "
     "(half of day 1 re-scored + day 2 inserts) merges by event_id — "
@@ -435,7 +476,17 @@ def catalog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "catalog_schema_evolution",
-    sql=None,  # filesystem lifecycle — rows-only check
+    sql="""
+    WITH c AS (
+        SELECT CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+               CAST(COUNT(*) AS BIGINT) AS n_all
+        FROM events WHERE event_id <= 4000
+    )
+    SELECT 1 AS version, 2 AS n_cols, n_even AS n_rows,
+           CAST(-1 AS BIGINT) AS n_label_nulls FROM c
+    UNION ALL SELECT 2, 3, n_all, n_even FROM c
+    UNION ALL SELECT 3, 2, n_all, -1 FROM c
+    """,
     doc="Schema evolution across commits (the lakehouse ALTER TABLE ADD "
     "COLUMN discipline, without rewriting a byte of old data): v1 "
     "commits (event_id, value); v2 APPENDS rows that carry a new label "

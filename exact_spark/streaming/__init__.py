@@ -1,8 +1,16 @@
 """Structured Streaming operators (SURVEY.md §2.9, T1-T5).
 
 ``replay`` holds the building blocks; ``stream_replay_e2e`` below is the
-driver-visible bounded end-to-end run (rows-only check: streaming is not
-SQL-expressible for the DuckDB oracle).
+driver-visible bounded end-to-end run.
+
+A bounded availableNow replay is a DETERMINISTIC function of the source
+table, so where the streaming semantics are themselves data-determined
+(dedup by key, stateless enrich join, watermark-finalized windows) the
+query carries a real DuckDB oracle computing the EXPECTED result —
+including the watermark emission rule (a window appears iff its end <=
+max event time - watermark delay), which the oracle states explicitly.
+Queries whose results depend on model state or micro-batch boundaries
+(foreachBatch scoring, drift monitor, CMS maintenance) stay rows-only.
 """
 
 from __future__ import annotations
@@ -15,6 +23,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from exact_spark.registry import register
+
+
+def _sql_bounded(days: float, mod: int) -> str:
+    """The oracle's spelling of ``_bounded_events``: first ``days`` of the
+    series, every ``mod``-th user (epoch_us exactly matches Spark's
+    dtype-driven epoch_micros on the same parquet)."""
+    horizon = int(days * 86400) * 1_000_000
+    return f"""
+    ep AS (SELECT epoch_us(ts) AS e, event_id, user_id, value FROM events),
+    lo AS (SELECT MIN(e) AS lo FROM ep),
+    b AS (SELECT e, event_id, user_id, value FROM ep, lo
+          WHERE e < lo.lo + CAST({horizon} AS BIGINT) AND user_id % {mod} = 0)
+    """
 
 
 def _bounded_events(
@@ -48,7 +69,9 @@ def _bounded_events(
 
 @register(
     "stream_watermark_dedup",
-    sql=None,  # Structured Streaming run -> rows-only check
+    sql=f"""WITH {_sql_bounded(2.0, 5)}
+    SELECT user_id, count(*) AS n_unique_events FROM b GROUP BY user_id
+    """,  # expected result: duplicates all fall inside the watermark
     doc="Streaming exact dedup for the ingest path, driver-visible bounded "
     "run: a 2-day events slice with every 5th event duplicated replays as "
     "a 2-chunk file stream; dropDuplicatesWithinWatermark keys state on "
@@ -350,7 +373,14 @@ def stream_cms_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_windowed_counts",
-    sql=None,  # Structured Streaming run -> rows-only check
+    sql=f"""WITH {_sql_bounded(3.0, 5)},
+    w AS (SELECT (e // 21600000000) * 21600 AS ws, count(*) AS n FROM b GROUP BY 1),
+    wm AS (SELECT MAX(e) AS mx FROM b)
+    SELECT ws AS window_start_epoch, CAST(n AS BIGINT) AS n_events,
+           CAST(0 AS BIGINT) AS n_anomalies
+    FROM w, wm
+    WHERE (ws + 21600) * CAST(1000000 AS BIGINT) <= mx - 1800000000
+    """,  # the APPEND-mode finality rule: window end <= max event time - 30min
     doc="T5 watermarked tumbling-window aggregation as a driver-visible "
     "bounded run: a 3-day events slice replays as a 2-chunk time-ordered "
     "file stream; 6-hour windows with a 30-minute watermark emit in "
@@ -396,7 +426,18 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_static_enrich",
-    sql=None,  # Structured Streaming run -> rows-only check
+    sql=f"""WITH {_sql_bounded(4.0, 5)},
+    prof AS (
+        SELECT user_id,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / (100.0 * count(*)) AS hist_mean
+        FROM b GROUP BY user_id
+    )
+    SELECT b.user_id, count(*) AS n_events,
+           CAST(SUM(CASE WHEN b.value > 1.5 * p.hist_mean THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged
+    FROM b JOIN prof p ON p.user_id = b.user_id GROUP BY b.user_id
+    """,  # stateless join: expected = batch semantics on the bounded slice
     doc="Stream-static join, driver-visible bounded run (the enrichment "
     "shape every scoring stream needs: micro-batches joined against a "
     "slowly-changing dimension without restarting the query): a per-user "
