@@ -195,14 +195,28 @@ def feature_columns(df: DataFrame) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
-# Driver-visible ingest demo (rows-only: reads a file staged at run time,
-# which the DuckDB oracle views cannot see).
+# Driver-visible ingest demo. It reads a file staged at run time, which the
+# DuckDB oracle views cannot see — but its output invariants are a pure
+# function of the canonical series, so the oracle computes the EXPECTED
+# shape from CANON_SQL (timeseries imports from this module only inside
+# functions, so the top-level import is cycle-free).
+from exact_spark.operators.timeseries import CANON_SQL as _CANON_SQL_REF  # noqa: E402
 from exact_spark.registry import register  # noqa: E402
 
 
 @register(
     "ingest_json_e2e",
-    sql=None,
+    # The roundtrip's invariants are a deterministic function of the
+    # canonical series: the 2000-row sample re-canonicalizes to dense ids
+    # 1..2000 with the same label mass, so the oracle computes the expected
+    # shape directly from CANON_SQL — the ingest path is hash-checked.
+    sql="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(min(id) AS BIGINT) AS min_id,
+           CAST(max(id) AS BIGINT) AS max_id,
+           CAST(count(DISTINCT id) AS BIGINT) AS n_distinct_ids,
+           CAST(SUM(label) AS BIGINT) AS n_labeled, 'v' AS feature_cols
+    FROM ({canon}) WHERE id <= 2000
+    """.format(canon=_CANON_SQL_REF),
     doc="S3 + P1-P5 e2e: stage the canonical events sample as "
     "record-oriented JSON (read_json.py:7-15 input shape), ingest with "
     "header-inferred schema, canonicalize (timestamp coercion, label "
