@@ -1334,3 +1334,87 @@ def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("majority_n").cast("long").alias("majority_n"),
         (F.col("majority_n").cast("double") / F.col("n_members")).alias("lang_purity"),
     )
+
+
+# --- leakage-safe train/val/test split ---------------------------------------
+# Assigning splits per DOCUMENT leaks near-duplicates across the boundary: a
+# test document whose near-copy sits in train inflates every benchmark. The
+# fix every serious pretraining pipeline applies is to split per duplicate
+# GROUP — hash the group root, not the doc id — so all members of a
+# component land on the same side. Thresholds are out of 256 on the first
+# two hex chars of a salted md5: test < 26 (~10%), val < 51 (next ~10%),
+# train otherwise.
+
+_SPLIT_SALT = "lsplit:"
+_SPLIT_TEST_LT = 26
+_SPLIT_VAL_LT = 51
+
+
+def _leakage_split_sql() -> str:
+    """Composes the registered dedup_components spec: every document joins
+    its duplicate group (or itself when unique), and the SPLIT hash keys on
+    the group root."""
+    from exact_spark.registry import REGISTRY
+
+    comp = REGISTRY["dedup_components"].sql
+    h = f"md5('{_SPLIT_SALT}' || CAST(group_root AS VARCHAR))"
+    bucket = (
+        f"((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({h}, 2, 1)) - 1))"
+    )
+    return f"""
+    WITH comp_out AS ({comp}),
+    rooted AS (
+        SELECT d.doc_id,
+               COALESCE(c.component_id, d.doc_id) AS group_root,
+               CAST(COALESCE(c.n_members, 1) AS BIGINT) AS n_members
+        FROM documents d LEFT JOIN comp_out c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, group_root, n_members,
+           CASE WHEN {bucket} < {_SPLIT_TEST_LT} THEN 'test'
+                WHEN {bucket} < {_SPLIT_VAL_LT} THEN 'val'
+                ELSE 'train' END AS split
+    FROM rooted
+    """
+
+
+@register(
+    "dedup_leakage_safe_split",
+    sql=_leakage_split_sql(),  # composes the registered dedup_components spec
+    doc="Leakage-safe train/val/test split: documents are assigned by "
+    "hashing their duplicate-GROUP root (from the REGISTERED "
+    "dedup_components operator — LSH near-dups UNION exact-dup stars, "
+    "distributed connected components), so a near-duplicate pair can "
+    "never straddle the train/eval boundary — the contamination mode a "
+    "per-document hash split silently permits. Unique documents root at "
+    "themselves. ~10% test / ~10% val / ~80% train out of 256 hash "
+    "buckets, salted so the split is independent of every other "
+    "md5-derived sample in the suite. Plan shape: the components "
+    "fixpoint (pointer-jumping CC over capped LSH candidates), then ONE "
+    "left join of the full corpus against the (tiny) component map and a "
+    "pure hash projection — no extra shuffle beyond the join, and the "
+    "assignment is reproducible row-locally at any scale. Reference "
+    "analog: the engine's deterministic split posture "
+    "(Backend/execute_calls.py train/test split), extended to the "
+    "near-dup-aware form a 100 TB corpus needs.",
+)
+def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    comp = dedup_components(spark, sf_dir)
+    docs = io.load(spark, sf_dir, "documents").select("doc_id")
+    rooted = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias("group_root"),
+        F.coalesce(F.col("n_members"), F.lit(1)).cast("long").alias("n_members"),
+    )
+    h = F.md5(F.concat(F.lit(_SPLIT_SALT), F.col("group_root").cast("string")))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    return rooted.select(
+        "doc_id",
+        "group_root",
+        "n_members",
+        F.when(bucket < _SPLIT_TEST_LT, F.lit("test"))
+        .when(bucket < _SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

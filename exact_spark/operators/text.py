@@ -2258,3 +2258,174 @@ def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rank") * F.col("tf")).cast("double") / F.col("n_tokens")
         ).alias("zipf_const"),
     )
+
+
+# --- temperature-based language mixing ---------------------------------------
+# Multilingual pretraining corpora are not sampled at their natural language
+# frequencies: raw sampling drowns low-resource languages, uniform sampling
+# starves the head. The standard fix (mBERT/XLM-R style) samples language l
+# with probability proportional to p_l^alpha. alpha=0.5 here. All shares
+# are fixed-point (1e-6) integers so the per-language target counts are
+# EXACT integer arithmetic in both engines — no float drift at the floor
+# boundary.
+
+_TMIX_ALPHA_SQRT = True  # alpha = 0.5 == sqrt
+_TMIX_BUDGET = 200  # documents drawn across all languages
+_TMIX_SEED = "tmix:"
+
+
+@register(
+    "text_temperature_mix",
+    sql=f"""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_group FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_group) AS BIGINT) AS n_total FROM counts),
+    weighted AS (
+        SELECT lang, n_group,
+               CAST(FLOOR(sqrt(n_group * 1.0 / n_total) * 1000000 + 0.5) AS BIGINT) AS w_fixed
+        FROM counts, tot
+    ),
+    targets AS (
+        SELECT lang, n_group, w_fixed,
+               ({_TMIX_BUDGET} * w_fixed) // (SELECT SUM(w_fixed) FROM weighted) AS k_target
+        FROM weighted
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.lang, t.n_group, t.k_target,
+               row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY md5('{_TMIX_SEED}' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rk
+        FROM documents d JOIN targets t ON d.lang = t.lang
+    )
+    SELECT doc_id, lang, n_group, CAST(k_target AS BIGINT) AS k_target
+    FROM ranked WHERE rk <= k_target
+    """,
+    doc="Temperature-based language mixing (the XLM-R/mBERT sampling rule): "
+    "language l is sampled proportional to p_l^0.5, flattening the "
+    "natural-frequency skew so low-resource languages keep signal without "
+    "starving the head. Shares are fixed-point 1e-6 integers and the "
+    "per-language target count is pure INTEGER arithmetic "
+    "(budget*w // W), so both engines agree exactly at the floor "
+    "boundary; the draw itself is the salted-md5 rank (partition-count "
+    "invariant, reproducible at any scale). Plan shape: the language "
+    "census is a handful of rows, so it is collected and the target "
+    "arithmetic runs on the driver (the text_weighted_sample pattern) — "
+    "the corpus scans exactly twice (map-side-combined census + rank) "
+    "and the ONLY exchange is the per-language rank window, with "
+    "targets shipped as a literal map instead of a join.",
+)
+def text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents")
+    # The language census is a handful of rows — collect it and do the
+    # fixed-point share math on the driver (the text_weighted_sample
+    # pattern), so the corpus scans exactly TWICE (census + rank) instead
+    # of once per chained crossJoin. Python doubles are IEEE-754 like both
+    # engines and sqrt is correctly rounded, so floor(sqrt(n/N)*1e6+0.5)
+    # and the all-integer target arithmetic match the oracle bit-for-bit.
+    counts = {
+        r["lang"]: int(r["n"])
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    w_fixed = {
+        k: int(math.floor(math.sqrt(n * 1.0 / n_total) * 1_000_000 + 0.5))
+        for k, n in counts.items()
+    }
+    w_sum = sum(w_fixed.values())
+    k_target = {k: (_TMIX_BUDGET * w) // w_sum for k, w in w_fixed.items()}
+    n_map = F.create_map(
+        *[x for k, n in sorted(counts.items()) for x in (F.lit(k), F.lit(n))]
+    )
+    k_map = F.create_map(
+        *[x for k, v in sorted(k_target.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit(_TMIX_SEED), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    ranked = docs.select("doc_id", "lang").withColumn("rk", F.row_number().over(w))
+    return ranked.filter(F.col("rk") <= k_map[F.col("lang")]).select(
+        "doc_id",
+        "lang",
+        n_map[F.col("lang")].cast("long").alias("n_group"),
+        k_map[F.col("lang")].cast("long").alias("k_target"),
+    )
+
+
+# --- token-budget corpus selection -------------------------------------------
+# The dual of sampling by rate: a training run has a TOKEN budget per
+# source, and curation fills it best-quality-first. Rank each source's
+# documents by the registered quality score, take the running-token prefix
+# that fits.
+
+_TBUDGET_TOKENS = 600  # per-source token budget
+
+
+def _token_budget_sql() -> str:
+    """Composes the registered text_profile spec: per source, the
+    best-quality document prefix whose running token sum fits the budget."""
+    from exact_spark.registry import REGISTRY
+
+    prof = REGISTRY["text_profile"].sql
+    return f"""
+    WITH prof AS ({prof}),
+    ranked AS (
+        SELECT p.doc_id, d.source, p.n_tokens, p.quality_score,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY p.quality_score DESC, p.doc_id ASC
+               ) AS rk,
+               SUM(p.n_tokens) OVER (
+                   PARTITION BY d.source
+                   ORDER BY p.quality_score DESC, p.doc_id ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens
+        FROM prof p JOIN documents d ON d.doc_id = p.doc_id
+    )
+    SELECT doc_id, source, n_tokens, quality_score,
+           CAST(rk AS BIGINT) AS rk, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_tokens <= {_TBUDGET_TOKENS}
+    """
+
+
+@register(
+    "text_token_budget_select",
+    sql=_token_budget_sql(),  # composes the registered text_profile spec
+    doc="Token-budget corpus selection: every training run is sized in "
+    "TOKENS, not documents — per source, rank documents by the "
+    "REGISTERED text_profile quality score (plan and SQL compose the "
+    "same spec, so the signal cannot drift), accumulate token counts in "
+    "rank order, and keep the best-quality prefix that fits the budget. "
+    "quality_score is an exact 1e-4 multiple (fround 10000) with doc_id "
+    "tie-break, so the rank order — and therefore the cut — is "
+    "deterministic cross-engine. Plan shape: the one-scan profile, one "
+    "join to recover source, ONE window shuffle keyed source for "
+    "rank + running sum; selection never rescans the corpus. At 100 TB "
+    "the budget cut means only each source's quality head flows "
+    "downstream — the shuffle carries (id, tokens, score), never text.",
+)
+def text_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    prof = _text_profile_frame(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    docs = io.load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = prof.join(docs, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    ranked = j.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "quality_score",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_tokens"),
+    )
+    return ranked.filter(F.col("cum_tokens") <= _TBUDGET_TOKENS)

@@ -88,11 +88,8 @@ DRIVER_ORDER: list[str] = [
     "rel_shipping_priority",
     "sketch_quantile_rollup",
     "sketch_heavy_hitters",
-    "rel_promo_revenue",
     "ts_ewma_band",
     "rel_local_supplier_volume",
-    "rel_large_orders",
-    "rel_small_qty_revenue",
     "rel_bloom_semijoin",
     "dedup_chunk_exact",
     "ts_seasonal_naive",
@@ -112,8 +109,17 @@ DRIVER_ORDER: list[str] = [
     "sim_neardup_lsh",
     "dedup_ngram_jaccard",
     "decontaminate_ngram",
+    # (d) corpus-selection operators added late in round 4 (never recorded)
+    "dedup_leakage_safe_split",
+    "text_temperature_mix",
+    "text_token_budget_select",
     # ---- position 50+: spill (rotate in next round) -----------------------
     # continuation-session oracle additions (covered by the local record)
+    # (three single-agg TPC-H analogs displaced by the (d) block — simplest
+    # oracle shapes in the registry, lowest value for a scarce record slot)
+    "rel_promo_revenue",
+    "rel_large_orders",
+    "rel_small_qty_revenue",
     "rel_order_count_distribution",
     "rel_disjunctive_revenue",
     "rel_supplier_cnt_by_part",

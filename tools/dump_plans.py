@@ -54,6 +54,9 @@ HEADLINERS = [
     ("text_winnow_fingerprints", "the only exchange keys doc_id (per-doc window sort); both census groupBys ride that same partitioning"),
     ("ts_spearman_corr", "rank windows partitioned per event_type (no global sort); moment sums reduce to one cell per type"),
     ("ml_brier_rank_score", "single-partition window over DISTINCT-VALUE grid cardinality only; cells crossJoin a broadcast 1-row total"),
+    ("dedup_leakage_safe_split", "split hash projects off the component map — one left join beyond the CC fixpoint, assignment row-local"),
+    ("text_temperature_mix", "5-row language census broadcast back onto the corpus; ONE exchange (the per-language rank window)"),
+    ("text_token_budget_select", "rank + running token sum share ONE source-keyed window sort; the shuffle carries (id, tokens, score), never text"),
 ]
 
 
