@@ -1418,3 +1418,77 @@ def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+# --- corpus novelty / saturation curve --------------------------------------
+# As a crawl grows, each new batch contributes fewer never-seen-before
+# shingles; the decay of that novelty rate is the signal that tells a data
+# team when more of the same source stops adding content. First-occurrence
+# attribution is by doc_id order (ingestion order in this corpus).
+
+_NOVELTY_BATCH = 50  # docs per curve point
+
+
+@register(
+    "text_novelty_curve",
+    sql=f"""
+    WITH {_SQL_SHINGLES},
+    doc_tot AS (
+        SELECT doc_id, len(shingles) AS n_sh FROM shingled
+    ),
+    posting AS (
+        SELECT doc_id, unnest(shingles) AS sh FROM shingled
+    ),
+    firsts AS (
+        SELECT sh, min(doc_id) AS first_doc FROM posting GROUP BY sh
+    ),
+    novel_per_doc AS (
+        SELECT first_doc AS doc_id, count(*) AS n_novel
+        FROM firsts GROUP BY first_doc
+    )
+    SELECT d.doc_id // {_NOVELTY_BATCH} AS batch,
+           count(*) AS n_docs,
+           CAST(SUM(d.n_sh) AS BIGINT) AS total_shingles,
+           CAST(SUM(COALESCE(n.n_novel, 0)) AS BIGINT) AS novel_shingles,
+           (CAST(SUM(COALESCE(n.n_novel, 0)) AS DOUBLE) / SUM(d.n_sh))
+               AS novelty_rate
+    FROM doc_tot d LEFT JOIN novel_per_doc n ON n.doc_id = d.doc_id
+    GROUP BY d.doc_id // {_NOVELTY_BATCH}
+    """,
+    doc="Corpus novelty / saturation curve: per ingestion batch (doc_id "
+    "order), the fraction of its distinct 3-gram shingles never seen in "
+    "any earlier document — the decay curve that says when another crawl "
+    "of the same source stops adding content (the data-mixture dual of "
+    "dedup: dedup drops what repeats, this measures how fast repetition "
+    "is taking over). Plan shape: the standard inverted-index posting "
+    "explode, ONE groupBy keyed shingle taking min(doc_id) (linear "
+    "map-side-combinable min — no pair expansion, so no bucket cap "
+    "needed), novel counts re-keyed per doc and joined back to per-doc "
+    "totals, final aggregate over |corpus|/batch rows. At 100 TB "
+    "first-occurrence order would key on an explicit ingestion sequence "
+    "column rather than doc_id.",
+)
+def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    sh = _shingled(spark, sf_dir)
+    doc_tot = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    posting = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    firsts = posting.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    j = doc_tot.join(novel, "doc_id", "left")
+    return (
+        j.groupBy(F.expr(f"doc_id DIV {_NOVELTY_BATCH}").alias("batch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sh").cast("long").alias("total_shingles"),
+            F.sum(F.coalesce(F.col("n_novel"), F.lit(0)))
+            .cast("long")
+            .alias("novel_shingles"),
+            (
+                F.sum(F.coalesce(F.col("n_novel"), F.lit(0))).cast("double")
+                / F.sum("n_sh")
+            ).alias("novelty_rate"),
+        )
+    )

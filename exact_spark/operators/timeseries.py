@@ -1890,3 +1890,137 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("persistence"))
         .alias("winner"),
     )
+
+
+# --- classical additive decomposition ---------------------------------------
+# y = trend + seasonal + residual at hourly grain: trend is a centered
+# +/-12h moving average over the hourly means, seasonal the hour-of-day
+# mean of the detrended series, residual the remainder. Every intermediate
+# is fixed-point integer (1e-2) before any cross-row reduction, so window
+# sums and cell means are exact integer arithmetic in both engines — the
+# only doubles are single final divides, each a deterministic IEEE op.
+
+_DECOMP_HALF_WIN = 12  # hours each side of the centered trend window
+
+
+@register(
+    "ts_classical_decompose",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    cells AS (
+        SELECT event_type,
+               CAST(FLOOR(ts_epoch / 3600.0) AS BIGINT) AS hour,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_fx,
+               count(*) AS n_c
+        FROM canon GROUP BY event_type, CAST(FLOOR(ts_epoch / 3600.0) AS BIGINT)
+    ),
+    hourly AS (
+        SELECT event_type, hour,
+               CAST(FLOOR(CAST(s_fx AS DOUBLE) / n_c + 0.5) AS BIGINT) AS m_fx
+        FROM cells
+    ),
+    trended AS (
+        SELECT event_type, hour, m_fx,
+               CAST(SUM(m_fx) OVER w AS BIGINT) AS w_sum,
+               CAST(COUNT(*) OVER w AS BIGINT) AS w_cnt
+        FROM hourly
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY hour
+            RANGE BETWEEN {_DECOMP_HALF_WIN} PRECEDING
+                      AND {_DECOMP_HALF_WIN} FOLLOWING
+        )
+    ),
+    det AS (
+        SELECT event_type, hour, m_fx, w_sum, w_cnt,
+               CAST(FLOOR((CAST(m_fx AS DOUBLE) - CAST(w_sum AS DOUBLE) / w_cnt)
+                          + 0.5) AS BIGINT) AS det_fx
+        FROM trended
+    ),
+    seasonal AS (
+        SELECT event_type, hour % 24 AS hod,
+               CAST(SUM(det_fx) AS BIGINT) AS sd, count(*) AS nd
+        FROM det GROUP BY event_type, hour % 24
+    )
+    SELECT d.event_type, d.hour,
+           CAST(d.m_fx AS DOUBLE) / 100.0 AS y_mean,
+           (CAST(d.w_sum AS DOUBLE) / d.w_cnt) / 100.0 AS trend,
+           (CAST(s.sd AS DOUBLE) / s.nd) / 100.0 AS seasonal,
+           (CAST(d.det_fx AS DOUBLE) - CAST(s.sd AS DOUBLE) / s.nd) / 100.0
+               AS residual
+    FROM det d JOIN seasonal s
+      ON s.event_type = d.event_type AND s.hod = d.hour % 24
+    """,
+    doc="Classical additive seasonal decomposition per event stream "
+    "(y = trend + seasonal + residual — the decomposition behind "
+    "ts_seasonality_strength's summary number, materialized as columns): "
+    "trend is the centered +/-12h moving average over HOURLY MEANS (the "
+    "RANGE frame keeps gap hours from shrinking the window silently), "
+    "seasonal the hour-of-day mean of the detrended series, residual the "
+    "remainder the anomaly detectors should be fed. Exactness: hourly "
+    "means, the detrended series, and seasonal cells are all fixed-point "
+    "1e-2 BIGINTs before any cross-row reduction, so window sums are "
+    "integer (no float summation-order drift); each output column is a "
+    "deterministic single divide, and y = trend + seasonal + residual "
+    "reconstructs to within HALF an fx unit (0.005 — one rounding, "
+    "never accumulated; property-tested). Plan: the corpus collapses to "
+    "(type, hour) cells in ONE map-side-combinable groupBy — the window, "
+    "the seasonal census, and the join all run over series-length rows, "
+    "never raw events; the only raw-data shuffle is the cell groupBy.",
+)
+def ts_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    v_fx = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    cells = (
+        df.select(
+            "event_type",
+            F.floor(F.col("ts_epoch") / 3600.0).cast("long").alias("hour"),
+            v_fx.alias("v_fx"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("v_fx").cast("long").alias("s_fx"), F.count(F.lit(1)).alias("n_c"))
+    )
+    hourly = cells.select(
+        "event_type",
+        "hour",
+        F.floor(F.col("s_fx").cast("double") / F.col("n_c") + F.lit(0.5))
+        .cast("long")
+        .alias("m_fx"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rangeBetween(-_DECOMP_HALF_WIN, _DECOMP_HALF_WIN)
+    )
+    trended = hourly.select(
+        "event_type",
+        "hour",
+        "m_fx",
+        F.sum("m_fx").over(w).cast("long").alias("w_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("w_cnt"),
+    )
+    det = trended.withColumn(
+        "det_fx",
+        F.floor(
+            (F.col("m_fx").cast("double") - F.col("w_sum").cast("double") / F.col("w_cnt"))
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    seasonal = (
+        det.groupBy(
+            F.col("event_type").alias("s_type"), (F.col("hour") % 24).alias("hod")
+        )
+        .agg(F.sum("det_fx").cast("long").alias("sd"), F.count(F.lit(1)).alias("nd"))
+    )
+    j = det.join(
+        F.broadcast(seasonal),
+        (F.col("event_type") == F.col("s_type")) & (F.col("hod") == F.col("hour") % 24),
+    )
+    s_mean = F.col("sd").cast("double") / F.col("nd")
+    return j.select(
+        "event_type",
+        "hour",
+        (F.col("m_fx").cast("double") / 100.0).alias("y_mean"),
+        ((F.col("w_sum").cast("double") / F.col("w_cnt")) / 100.0).alias("trend"),
+        (s_mean / 100.0).alias("seasonal"),
+        ((F.col("det_fx").cast("double") - s_mean) / 100.0).alias("residual"),
+    )

@@ -85,7 +85,6 @@ DRIVER_ORDER: list[str] = [
     "text_tokenize_ids",
     "text_source_mix",
     "dedup_incremental",
-    "rel_shipping_priority",
     "sketch_quantile_rollup",
     "sketch_heavy_hitters",
     "ts_ewma_band",
@@ -96,7 +95,6 @@ DRIVER_ORDER: list[str] = [
     "text_weighted_sample",
     "ts_props_extract",
     "sim_cluster_profile",
-    "rel_pivot_priority_year",
     "rel_top_parts_per_type",
     "ts_funnel",
     "ts_retention_cohorts",
@@ -109,14 +107,19 @@ DRIVER_ORDER: list[str] = [
     "sim_neardup_lsh",
     "dedup_ngram_jaccard",
     "decontaminate_ngram",
-    # (d) corpus-selection operators added late in round 4 (never recorded)
+    # (d) operators added late in round 4 (never recorded)
     "dedup_leakage_safe_split",
     "text_temperature_mix",
     "text_token_budget_select",
+    "ts_classical_decompose",
+    "text_novelty_curve",
     # ---- position 50+: spill (rotate in next round) -----------------------
     # continuation-session oracle additions (covered by the local record)
-    # (three single-agg TPC-H analogs displaced by the (d) block — simplest
-    # oracle shapes in the registry, lowest value for a scarce record slot)
+    # (five queries displaced by the (d) block: three single-agg TPC-H
+    # analogs and a pivot — the simplest oracle shapes in the registry —
+    # and the Q3 analog whose plan shape is separately pinned in tests)
+    "rel_shipping_priority",
+    "rel_pivot_priority_year",
     "rel_promo_revenue",
     "rel_large_orders",
     "rel_small_qty_revenue",

@@ -153,3 +153,34 @@ class TestTokenBudgetSelect:
         # every existing next-rank row must overflow the budget
         fits = nxt.filter(F.col("cum_tokens") <= _TBUDGET_TOKENS)
         assert fits.count() == 0
+
+
+class TestNoveltyCurve:
+    def test_first_batch_maximal_and_rates_bounded(self, spark):
+        from exact_spark.operators.dedup import text_novelty_curve
+
+        rows = text_novelty_curve(spark, SF_DIR).collect()
+        by_batch = sorted(rows, key=lambda r: r["batch"])
+        rates = [r["novelty_rate"] for r in by_batch]
+        assert all(0.0 < x <= 1.0 for x in rates)
+        # the first batch has no history, so it is the novelty maximum
+        assert rates[0] == max(rates)
+        # saturation: the curve's back half is on average less novel than
+        # the front half
+        mid = len(rates) // 2
+        assert sum(rates[mid:]) / (len(rates) - mid) < sum(rates[:mid]) / mid
+
+    def test_novel_mass_equals_distinct_shingles(self, spark):
+        """Every distinct shingle is attributed to exactly ONE batch: the
+        novel counts sum to the corpus' distinct shingle count."""
+        from exact_spark.operators.dedup import _shingled, text_novelty_curve
+
+        out = text_novelty_curve(spark, SF_DIR)
+        total_novel = out.agg(F.sum("novel_shingles")).collect()[0][0]
+        distinct_sh = (
+            _shingled(spark, SF_DIR)
+            .select(F.explode("shingles").alias("sh"))
+            .distinct()
+            .count()
+        )
+        assert total_novel == distinct_sh
