@@ -2444,3 +2444,116 @@ def rel_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in _SLA_PCTS
         ],
     )
+
+
+# --- Pareto / ABC inventory classification ----------------------------------
+# The classic warehouse curve: rank suppliers by revenue, accumulate the
+# share of total revenue, and label the head that carries 80% "A", the next
+# 15% "B", the long tail "C". The interesting part at scale is the EXACT
+# cumulative sum in revenue order without a single-partition global sort —
+# the same two-pass quantile-bucket scheme as ingest.with_dense_id, applied
+# to prefix SUMS instead of prefix counts.
+
+
+@register(
+    "rel_pareto_abc",
+    sql="""
+    WITH srev AS (
+        SELECT l_suppkey,
+               SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS rev_fx
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    cum AS (
+        SELECT l_suppkey, rev_fx,
+               SUM(rev_fx) OVER (ORDER BY rev_fx DESC, l_suppkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_fx,
+               SUM(rev_fx) OVER () AS total_fx,
+               row_number() OVER (ORDER BY rev_fx DESC, l_suppkey) AS rnk
+        FROM srev
+    )
+    SELECT l_suppkey AS s_suppkey,
+           rnk,
+           (rev_fx / 100.0) AS revenue,
+           (CAST(cum_fx AS DOUBLE) / total_fx) AS cum_share,
+           CASE WHEN cum_fx * 5 <= total_fx * 4 THEN 'A'
+                WHEN cum_fx * 20 <= total_fx * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+    """,
+    doc="Pareto / ABC classification of suppliers by revenue share: "
+    "cumulative revenue in descending order, class A while the running "
+    "share is within 80% of total, B to 95%, C after — the inventory-"
+    "control curve behind 'which 20% of suppliers carry 80% of the "
+    "business'. Exactness: revenues are fixed-point BIGINT cents, the "
+    "running total is an integer prefix sum over a TOTAL order (rev "
+    "desc, suppkey asc), and class boundaries are integer cross-"
+    "multiplications (cum*5<=total*4), so no float threshold can "
+    "disagree between engines. Plan shape: the fact groupBy reduces to "
+    "supplier cardinality; the prefix sum then runs as the two-pass "
+    "quantile-bucket scheme (ingest.with_dense_id's pattern): bucket "
+    "boundaries baked as literals, per-bucket subtotal rows collected "
+    "once (driver state = one row per bucket), intra-bucket running "
+    "sums under a partitioned window — no single-partition sort at any "
+    "cardinality. Tail buckets holding equal-revenue runs stay within "
+    "one bucket by construction (boundaries are value cut points).",
+)
+def rel_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem")
+    rev_fx = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0 + F.lit(0.5)
+    ).cast("long")
+    srev = li.groupBy("l_suppkey").agg(F.sum(rev_fx).alias("rev_fx"))
+
+    parts = spark.sparkContext.defaultParallelism
+    qs = [i / parts for i in range(1, parts)]
+    bounds = (
+        sorted(set(srev.stat.approxQuantile(srev.columns[1], qs, 0.001))) if qs else []
+    )
+    if bounds:
+        bucket = sum(
+            ((F.col("rev_fx").cast("double") > F.lit(b)).cast("int") for b in bounds),
+            F.lit(0),
+        )
+    else:
+        bucket = F.lit(0)
+    keyed = srev.withColumn("__bkt", bucket)
+    sub = {
+        r["__bkt"]: (r["s"], r["c"])
+        for r in keyed.groupBy("__bkt")
+        .agg(F.sum("rev_fx").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    # descending revenue order => buckets consumed from HIGHEST to lowest
+    off_sum, off_cnt, acc_s, acc_c = {}, {}, 0, 0
+    for b in sorted(sub, reverse=True):
+        off_sum[b], off_cnt[b] = acc_s, acc_c
+        acc_s += sub[b][0]
+        acc_c += sub[b][1]
+    total_fx = acc_s
+    sum_off = F.element_at(
+        F.create_map(*[F.lit(x) for b, (s, _) in sub.items() for x in (b, off_sum[b])]),
+        F.col("__bkt"),
+    )
+    cnt_off = F.element_at(
+        F.create_map(*[F.lit(x) for b, (_, c) in sub.items() for x in (b, off_cnt[b])]),
+        F.col("__bkt"),
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col("rev_fx").desc(), F.col("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("__bkt").orderBy(F.col("rev_fx").desc(), F.col("l_suppkey"))
+    cum_fx = (sum_off + F.sum("rev_fx").over(w)).cast("long")
+    return keyed.select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        (cnt_off + F.row_number().over(wr)).cast("long").alias("rnk"),
+        (F.col("rev_fx") / 100.0).alias("revenue"),
+        (cum_fx.cast("double") / F.lit(float(total_fx))).alias("cum_share"),
+        F.when(cum_fx * 5 <= F.lit(total_fx * 4), F.lit("A"))
+        .when(cum_fx * 20 <= F.lit(total_fx * 19), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

@@ -114,6 +114,10 @@ DRIVER_ORDER: list[str] = [
     "ts_classical_decompose",
     "text_novelty_curve",
     # ---- position 50+: spill (rotate in next round) -----------------------
+    # continuation-session additions (never recorded; front of the r05
+    # rotation behind the verdict-flagged window above)
+    "ml_ab_welch",
+    "rel_pareto_abc",
     # continuation-session oracle additions (covered by the local record)
     # (five queries displaced by the (d) block: three single-agg TPC-H
     # analogs and a pivot — the simplest oracle shapes in the registry —
