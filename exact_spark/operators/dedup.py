@@ -1492,3 +1492,127 @@ def text_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+# --- chunk-level scrub: REMOVE duplicated chunks, keep the doc ---------------
+# dedup_chunk_exact PROFILES duplicated-chunk mass and drops whole docs past
+# a threshold; real curation pipelines (CCNet / RefinedWeb line dedup) also
+# run the gentler stage first: strip only the chunks that repeat across the
+# corpus (boilerplate, banners, licence blocks) and keep the unique
+# remainder. Same registered chunk spec (_CHUNK_TOKENS tokens, md5 key), so
+# the two stages cannot drift.
+
+
+@register(
+    "text_chunk_scrub",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    ch AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(t[(i*{_CHUNK_TOKENS}+1):(i*{_CHUNK_TOKENS}+{_CHUNK_TOKENS})], ' ') AS chtext,
+               md5(array_to_string(t[(i*{_CHUNK_TOKENS}+1):(i*{_CHUNK_TOKENS}+{_CHUNK_TOKENS})], ' ')) AS h
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(0, len(t)//{_CHUNK_TOKENS} - 1)) AS i
+            FROM toks WHERE len(t) >= {_CHUNK_TOKENS}
+        )
+    ),
+    census AS (SELECT h, count(*) AS c FROM ch GROUP BY h),
+    stats AS (
+        SELECT doc_id, count(*) AS n_chunks,
+               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        FROM ch JOIN census USING (h) GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT doc_id, pos, chtext FROM ch JOIN census USING (h) WHERE c = 1
+        UNION ALL
+        SELECT doc_id, len(t)//{_CHUNK_TOKENS} AS pos,
+               array_to_string(t[((len(t)//{_CHUNK_TOKENS})*{_CHUNK_TOKENS}+1):len(t)], ' ')
+        FROM toks WHERE len(t) > (len(t)//{_CHUNK_TOKENS})*{_CHUNK_TOKENS}
+    ),
+    clean AS (
+        SELECT doc_id, string_agg(chtext, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_chunks, 0) AS n_chunks,
+           COALESCE(s.n_removed, 0) AS n_removed,
+           COALESCE(c.clean_text, '') AS clean_text
+    FROM documents d
+    LEFT JOIN stats s USING (doc_id)
+    LEFT JOIN clean c USING (doc_id)
+    """,
+    doc="Chunk-level scrub — the REMOVAL stage of CCNet/RefinedWeb-style "
+    "line dedup on this newline-free corpus: every {n}-token chunk whose "
+    "md5 repeats ANYWHERE in the corpus (boilerplate, banners, licence "
+    "blocks) is stripped, the unique chunks plus the sub-chunk tail are "
+    "reassembled in original order, and the doc survives with "
+    "clean_text (dedup_chunk_exact is the sibling that DROPS docs past "
+    "a duplicated-mass threshold; both consume the identical registered "
+    "chunk spec so the stages cannot drift). Plan shape: one scan "
+    "builds chunk rows from an array expression, the corpus census is "
+    "ONE map-side-combinable groupBy on the chunk hash, the census "
+    "joins back on the same hash partitioning, and reassembly is a "
+    "per-doc groupBy of struct(pos, text) sorted inside the array — "
+    "order restored without any window or global sort. No pairwise "
+    "work at any corpus size; skew-safe because a hot chunk hash "
+    "collapses map-side to one census row per partition.".format(
+        n=_CHUNK_TOKENS
+    ),
+)
+def text_chunk_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col().alias("t"))
+    # filter BEFORE chunking: Spark's sequence(1, 0) descends instead of
+    # being empty, so a short doc would fabricate phantom chunks
+    chunks = toks.filter(F.size("t") >= _CHUNK_TOKENS).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, CAST(floor(size(t)/{_CHUNK_TOKENS}) AS INT)),"
+                f" i -> struct(i - 1 AS pos,"
+                f" concat_ws(' ', slice(t, (i-1)*{_CHUNK_TOKENS}+1, {_CHUNK_TOKENS})) AS chtext))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.chtext").alias("chtext"))
+    chunks = chunks.withColumn("h", F.md5("chtext"))
+    census = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    j = chunks.join(census, "h")
+    stats = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias("n_removed"),
+    )
+    tail = toks.select(
+        "doc_id",
+        F.expr(f"CAST(floor(size(t)/{_CHUNK_TOKENS}) AS INT)").alias("pos"),
+        F.expr(
+            f"concat_ws(' ', slice(t, CAST(floor(size(t)/{_CHUNK_TOKENS}) AS INT)*{_CHUNK_TOKENS}+1,"
+            f" size(t) - CAST(floor(size(t)/{_CHUNK_TOKENS}) AS INT)*{_CHUNK_TOKENS}))"
+        ).alias("chtext"),
+    ).filter(F.expr(f"size(t) > CAST(floor(size(t)/{_CHUNK_TOKENS}) AS INT)*{_CHUNK_TOKENS}"))
+    kept = (
+        j.filter(F.col("c") == 1)
+        .select("doc_id", "pos", "chtext")
+        .unionByName(tail)
+    )
+    clean = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chtext"))),
+                lambda x: x["chtext"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -2793,3 +2793,343 @@ def sim_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append((t, surv.count(), e.count() // 2))
     return spark.createDataFrame(rows, "round int, n_nodes bigint, n_edges bigint")
+
+
+# --- Johnson-Lindenstrauss random projection --------------------------------
+# The dimensionality-reduction scale path for ANN: project 64-dim float
+# embeddings onto _RP_DIMS +/-1 hyperplane sums (Achlioptas' database-
+# friendly JL variant — signs, not gaussians, so the projection is integer-
+# exact in fixed point) and AUDIT the distortion by comparing original vs
+# projected cosine on a fixed pair sample. Searching in the projected space
+# cuts the per-pair kernel cost ~4x; the audit is the measure-don't-guess
+# step that says whether the saved flops cost recall.
+
+_RP_DIMS = 16
+_RP_SCALE = 1_000_000  # 1e6: |proj_j| <= 64 * 1e6 * max|x|, dots fit BIGINT
+_RP_SAMPLE = 20  # vectors 0..19 -> 190 audited pairs
+
+
+def _rp_signs(j: int, dims: int = 64) -> list[float]:
+    """Constant +/-1 sign row j of the projection matrix, derived from
+    md5('rp{j}:{i}') parity — same digest both engines, shipped as
+    literals (the matrix is constant; hashing per row would be waste)."""
+    import hashlib
+
+    return [
+        1.0 if hashlib.md5(f"rp{j}:{i}".encode()).hexdigest()[0] in "89abcdef" else -1.0
+        for i in range(1, dims + 1)
+    ]
+
+
+def _rp_sql_proj() -> str:
+    """DuckDB list expression: the _RP_DIMS projected BIGINT components."""
+    rows = []
+    for j in range(_RP_DIMS):
+        lits = "[" + ", ".join(str(s) for s in _rp_signs(j)) + "]"
+        rows.append(
+            f"list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * ({lits})[i] "
+            f"* {_RP_SCALE}.0 + 0.5) AS BIGINT)))"
+        )
+    return "[" + ", ".join(rows) + "]"
+
+
+@register(
+    "emb_random_projection",
+    sql=f"""
+    WITH proj AS (
+        SELECT vec_id, embedding,
+               {_sql_dot('embedding', 'embedding')} AS norm_fx,
+               {_rp_sql_proj()} AS p
+        FROM embeddings WHERE vec_id < {_RP_SAMPLE}
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               {_SQL_COS.format(dot=_sql_dot('a.embedding', 'b.embedding'), na='a.norm_fx', nb='b.norm_fx')} AS cos_orig,
+               CAST(list_sum(list_transform(range(1, {_RP_DIMS} + 1),
+                        j -> a.p[j] * b.p[j])) AS DOUBLE)
+                 / (sqrt(CAST(list_sum(list_transform(range(1, {_RP_DIMS} + 1),
+                        j -> a.p[j] * a.p[j])) AS DOUBLE))
+                    * sqrt(CAST(list_sum(list_transform(range(1, {_RP_DIMS} + 1),
+                        j -> b.p[j] * b.p[j])) AS DOUBLE))) AS cos_proj
+        FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, cos_orig, cos_proj, abs(cos_proj - cos_orig) AS abs_err
+    FROM pairs
+    """,
+    doc="Johnson-Lindenstrauss random projection fidelity audit: project "
+    "64-dim embeddings to {d} dims with a constant +/-1 sign matrix "
+    "(Achlioptas' JL variant — a seeded md5-parity matrix, no RNG state "
+    "to ship) and report original vs projected cosine for every pair of "
+    "the first {n} vectors. This is the cheap-search scale path's "
+    "entrance exam: if abs_err is small the ANN stack can run its "
+    "candidate kernels in the {d}-dim space ({d}/64 of the flops and "
+    "bytes) and only re-rank survivors at full width. Exactness: "
+    "projected components are integer sums of per-element fixed-point "
+    "products (1e6 scale keeps the {d}-dim dot far inside BIGINT), "
+    "so both engines compare literally identical integers; cosines are "
+    "a fixed tree of IEEE divides/sqrts. Plan shape: ONE scan computes "
+    "all {d} components inside a single array expression (no explode, "
+    "no shuffle); the audit self-join is over a {n}-row broadcast "
+    "frame. At 100 TB the projection is a pure map stage appended to "
+    "any scan; only the audit sample is pairwise.".format(
+        d=_RP_DIMS, n=_RP_SAMPLE
+    ),
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _RP_SAMPLE)
+
+    def proj_component(j: int):
+        signs = F.array(*[F.lit(s) for s in _rp_signs(j)])
+        prods = F.zip_with(
+            F.col("embedding"),
+            signs,
+            lambda x, s: F.floor(
+                x.cast("double") * s * F.lit(float(_RP_SCALE)) + F.lit(0.5)
+            ).cast("long"),
+        )
+        return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    proj = emb.select(
+        "vec_id",
+        "embedding",
+        dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
+        F.array(*[proj_component(j) for j in range(_RP_DIMS)]).alias("p"),
+    )
+    a = proj.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm_fx").alias("a_norm"),
+        F.col("p").alias("a_p"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm_fx").alias("b_norm"),
+        F.col("p").alias("b_p"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+    pdot = F.aggregate(
+        F.zip_with(F.col("a_p"), F.col("b_p"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pna = F.aggregate(
+        F.zip_with(F.col("a_p"), F.col("a_p"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pnb = F.aggregate(
+        F.zip_with(F.col("b_p"), F.col("b_p"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos_orig = cosine_from_fixed(
+        dot_fixed(F.col("a_emb"), F.col("b_emb")), F.col("a_norm"), F.col("b_norm")
+    )
+    cos_proj = pdot.cast("double") / (
+        F.sqrt(pna.cast("double")) * F.sqrt(pnb.cast("double"))
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        cos_orig.alias("cos_orig"),
+        cos_proj.alias("cos_proj"),
+        F.abs(cos_proj - cos_orig).alias("abs_err"),
+    )
+
+
+# --- maximal marginal relevance selection ------------------------------------
+# Diversity-aware top-k: greedily pick the candidate maximizing
+# lambda*rel(q,d) - (1-lambda)*max_{s in S} sim(d,s) (Carbonell & Goldstein
+# 1998) — the retrieval/curation primitive that keeps a result list (or a
+# training-data sample) from being k copies of the same thing. The greedy
+# loop is sequential in k but k is a constant; everything per-step is a
+# bounded join over the per-query candidate POOL.
+
+_MMR_POOL = 20  # relevance pool per query feeding the greedy re-rank
+_MMR_K = 5  # selections per query
+_MMR_LAMBDA = 0.5  # relevance/diversity balance; 0.5 keeps the math dyadic
+
+
+def _mmr_pool_sql() -> str:
+    cos = _SQL_COS.format(
+        dot=_sql_dot("q.embedding", "c.embedding"), na="q.norm_fx", nb="c.norm_fx"
+    )
+    return f"""
+    norms AS (
+        SELECT vec_id, embedding, label,
+               {_sql_dot('embedding', 'embedding')} AS norm_fx
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM norms WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               c.embedding AS ce, c.norm_fx AS cn,
+               {cos} AS rel,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) AS rn
+        FROM q JOIN norms c ON c.vec_id <> q.vec_id
+    ),
+    pool AS (
+        SELECT query_id, cand_id, ce, cn, rel FROM scored WHERE rn <= {_MMR_POOL}
+    ),
+    pp AS (
+        SELECT p1.query_id, p1.cand_id AS a, p2.cand_id AS b,
+               {_SQL_COS.format(dot=_sql_dot('p1.ce', 'p2.ce'), na='p1.cn', nb='p2.cn')} AS sim
+        FROM pool p1 JOIN pool p2
+          ON p2.query_id = p1.query_id AND p2.cand_id <> p1.cand_id
+    )"""
+
+
+@register(
+    "sim_mmr_select",
+    sql=f"""
+    WITH RECURSIVE {_mmr_pool_sql()},
+    sel AS (
+        SELECT query_id, 1 AS step, cand_id, rel,
+               {_MMR_LAMBDA} * rel AS mmr_score,
+               [cand_id] AS chosen
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+            FROM pool
+        ) WHERE rn = 1
+        UNION ALL
+        SELECT query_id, step + 1, cand_id, rel, score, list_append(chosen, cand_id)
+        FROM (
+            SELECT s.query_id, s.step, p.cand_id, p.rel, s.chosen,
+                   {_MMR_LAMBDA} * p.rel - {1 - _MMR_LAMBDA} * COALESCE(
+                       (SELECT max(pp.sim) FROM pp
+                        WHERE pp.query_id = s.query_id AND pp.a = p.cand_id
+                          AND list_contains(s.chosen, pp.b)), 0.0) AS score,
+                   row_number() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY {_MMR_LAMBDA} * p.rel - {1 - _MMR_LAMBDA} * COALESCE(
+                           (SELECT max(pp.sim) FROM pp
+                            WHERE pp.query_id = s.query_id AND pp.a = p.cand_id
+                              AND list_contains(s.chosen, pp.b)), 0.0) DESC,
+                           p.cand_id) AS rn
+            FROM sel s JOIN pool p
+              ON p.query_id = s.query_id AND NOT list_contains(s.chosen, p.cand_id)
+            WHERE s.step < {_MMR_K}
+        ) WHERE rn = 1
+    )
+    SELECT query_id, step, cand_id AS selected_id, rel AS relevance, mmr_score
+    FROM sel
+    """,
+    doc="Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein): "
+    "per query, greedily select {k} of the {p} most-relevant candidates, "
+    "each step maximizing lambda*relevance - (1-lambda)*max-similarity-"
+    "to-already-selected — the anti-redundancy re-rank that stops a "
+    "top-k (or a curated training sample) from being {k} near-"
+    "duplicates; the diversity dual of sim_topk_cosine, which this "
+    "composes (same fixed-point cosine kernels, same pool ranking). "
+    "Exactness: relevance and pool-pairwise similarities come from the "
+    "integer dot/norm kernels, lambda = 1/2 keeps each score one exact "
+    "halving, and ties break on cand_id — both engines walk the "
+    "identical greedy path (oracle = recursive CTE carrying the chosen "
+    "list). Plan shape: ONE candidate scan builds the per-query pool "
+    "(broadcast queries, window top-{p}); pairwise sims exist only "
+    "WITHIN pools ({p}^2 per query, never corpus-pairwise); each of "
+    "the {k} greedy steps is a bounded join over pool-sized frames, "
+    "localCheckpointed so step t+1 does not replay step t's lineage. "
+    "At 100 TB only the pool-building scan sees the data.".format(
+        k=_MMR_K, p=_MMR_POOL
+    ),
+)
+def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id",
+        "embedding",
+        dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
+    )
+    q = norms.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_fx").alias("q_norm"),
+    )
+    rel = cosine_from_fixed(
+        dot_fixed(F.col("q_emb"), F.col("embedding")), F.col("q_norm"), F.col("norm_fx")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(norms, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("ce"),
+            F.col("norm_fx").alias("cn"),
+            rel.alias("rel"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("cand_id"))
+    pool = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    p1 = pool.select("query_id", F.col("cand_id").alias("a"), F.col("ce").alias("ae"), F.col("cn").alias("an"))
+    p2 = pool.select(F.col("query_id").alias("q2"), F.col("cand_id").alias("b"), F.col("ce").alias("be"), F.col("cn").alias("bn"))
+    pp = (
+        p1.join(p2, (F.col("q2") == F.col("query_id")) & (F.col("b") != F.col("a")))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            cosine_from_fixed(
+                dot_fixed(F.col("ae"), F.col("be")), F.col("an"), F.col("bn")
+            ).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    lam = _MMR_LAMBDA
+    slim = pool.select("query_id", "cand_id", "rel")
+    first = (
+        slim.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("step"),
+            "cand_id",
+            "rel",
+            (F.lit(lam) * F.col("rel")).alias("mmr_score"),
+        )
+    )
+    sel = first
+    for t in range(2, _MMR_K + 1):
+        chosen = sel.select("query_id", F.col("cand_id").alias("b"))
+        remaining = slim.join(
+            sel.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
+        )
+        mx = (
+            pp.join(chosen, ["query_id", "b"])
+            .groupBy("query_id", F.col("a").alias("cand_id"))
+            .agg(F.max("sim").alias("mx"))
+        )
+        cand = remaining.join(mx, ["query_id", "cand_id"], "left").withColumn(
+            "score",
+            F.lit(lam) * F.col("rel")
+            - F.lit(1 - lam) * F.coalesce(F.col("mx"), F.lit(0.0)),
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("cand_id")
+        )
+        pick = (
+            cand.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(t).alias("step"),
+                "cand_id",
+                "rel",
+                F.col("score").alias("mmr_score"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        "query_id", "step", F.col("cand_id").alias("selected_id"),
+        F.col("rel").alias("relevance"), "mmr_score",
+    )

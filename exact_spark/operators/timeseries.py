@@ -2024,3 +2024,126 @@ def ts_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s_mean / 100.0).alias("seasonal"),
         ((F.col("det_fx").cast("double") - s_mean) / 100.0).alias("residual"),
     )
+
+
+# --- Holt double exponential smoothing ---------------------------------------
+# Level+trend forecasting one notch above ts_seasonal_naive / ts_ewma_band:
+# l_t = a*y_t + (1-a)*(l_{t-1}+b_{t-1}); b_t = g*(l_t-l_{t-1}) + (1-g)*b_{t-1}.
+# The recurrence is inherently sequential IN t but embarrassingly parallel
+# ACROSS series, so the Spark plan is applyInPandas per event_type over the
+# hourly-mean series (bounded: one row per hour — a YEAR is 8760 rows/series)
+# while the corpus-sized work stays in the cell groupBy. a = g = 1/2: halving
+# is exact in binary, and both engines evaluate the identical IEEE op tree,
+# so level/trend are bit-identical to the oracle's recursive CTE.
+
+_HOLT_ALPHA = 0.5  # both smoothing constants; 1/2 keeps every op exact-dyadic
+
+
+@register(
+    "ts_holt_linear",
+    sql=f"""
+    WITH RECURSIVE canon AS ({CANON_SQL}),
+    cells AS (
+        SELECT event_type,
+               CAST(FLOOR(ts_epoch / 3600.0) AS BIGINT) AS hour,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_fx,
+               count(*) AS n_c
+        FROM canon GROUP BY event_type, CAST(FLOOR(ts_epoch / 3600.0) AS BIGINT)
+    ),
+    hourly AS (
+        SELECT event_type, hour,
+               CAST(FLOOR(CAST(s_fx AS DOUBLE) / n_c + 0.5) AS BIGINT) AS m_fx,
+               row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+        FROM cells
+    ),
+    rec AS (
+        SELECT event_type, rn, hour, m_fx,
+               CAST(m_fx AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        FROM hourly WHERE rn = 1
+        UNION ALL
+        SELECT h.event_type, h.rn, h.hour, h.m_fx,
+               0.5 * CAST(h.m_fx AS DOUBLE) + 0.5 * (r.l + r.b),
+               0.5 * ((0.5 * CAST(h.m_fx AS DOUBLE) + 0.5 * (r.l + r.b)) - r.l)
+                 + 0.5 * r.b
+        FROM rec r JOIN hourly h
+          ON h.event_type = r.event_type AND h.rn = r.rn + 1
+    )
+    SELECT event_type, rn, hour,
+           CAST(m_fx AS DOUBLE) / 100.0 AS y_mean,
+           l / 100.0 AS level,
+           b / 100.0 AS trend,
+           (l + b) / 100.0 AS forecast_next
+    FROM rec
+    """,
+    doc="Holt double exponential smoothing (level + trend) per event "
+    "stream over the hourly-mean series: the classical forecaster one "
+    "step above persistence/seasonal-naive when a series actually "
+    "drifts — forecast_next = level + trend is the 1-hour-ahead "
+    "prediction ts_forecast_backtest-style scorecards can consume. "
+    "Exactness: the input series is the same fixed-point 1e-2 hourly "
+    "mean as ts_classical_decompose; alpha = gamma = 1/2 makes every "
+    "recurrence step a halving (exact in binary floating point), and "
+    "both engines evaluate the literally identical IEEE expression "
+    "tree in the same sequential order, so level/trend match the "
+    "oracle's recursive CTE bit for bit. Plan shape: the corpus "
+    "collapses to (type, hour) cells in ONE map-side-combinable "
+    "groupBy; the recurrence then runs per-series in an Arrow "
+    "applyInPandas over series-length rows (sequential in t by "
+    "definition — this is case (b) of the custom-operator ladder: "
+    "composition can't express a coupled recurrence), parallel across "
+    "series/executors, driver untouched. A year of hours is 8760 "
+    "rows per group — bounded state however large the raw corpus.",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    df = canonical_events(spark, sf_dir)
+    v_fx = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    cells = (
+        df.select(
+            "event_type",
+            F.floor(F.col("ts_epoch") / 3600.0).cast("long").alias("hour"),
+            v_fx.alias("v_fx"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("v_fx").cast("long").alias("s_fx"), F.count(F.lit(1)).alias("n_c"))
+    )
+    hourly = cells.select(
+        "event_type",
+        "hour",
+        F.floor(F.col("s_fx").cast("double") / F.col("n_c") + F.lit(0.5))
+        .cast("long")
+        .alias("m_fx"),
+    )
+
+    schema = (
+        "event_type string, rn long, hour long, y_mean double, "
+        "level double, trend double, forecast_next double"
+    )
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        m = [int(x) for x in pdf["m_fx"]]
+        n = len(m)
+        levels, trends = [0.0] * n, [0.0] * n
+        l, b = float(m[0]), 0.0
+        levels[0], trends[0] = l, b
+        for t in range(1, n):
+            y = float(m[t])
+            l_new = 0.5 * y + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+            levels[t], trends[t] = l, b
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "rn": range(1, n + 1),
+                "hour": pdf["hour"],
+                "y_mean": [float(x) / 100.0 for x in m],
+                "level": [x / 100.0 for x in levels],
+                "trend": [x / 100.0 for x in trends],
+                "forecast_next": [(levels[i] + trends[i]) / 100.0 for i in range(n)],
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(holt, schema=schema)

@@ -118,6 +118,10 @@ DRIVER_ORDER: list[str] = [
     # rotation behind the verdict-flagged window above)
     "ml_ab_welch",
     "rel_pareto_abc",
+    "emb_random_projection",
+    "ts_holt_linear",
+    "text_chunk_scrub",
+    "sim_mmr_select",
     # continuation-session oracle additions (covered by the local record)
     # (five queries displaced by the (d) block: three single-agg TPC-H
     # analogs and a pivot — the simplest oracle shapes in the registry —
