@@ -3133,3 +3133,276 @@ def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "step", F.col("cand_id").alias("selected_id"),
         F.col("rel").alias("relevance"), "mmr_score",
     )
+
+
+# --- 1-bit sign quantization + Hamming search --------------------------------
+# The most aggressive embedding compression short of dropping the vector:
+# one SIGN bit per dimension, 64 dims -> two 32-bit words in BIGINTs (a
+# d-dim vector needs ceil(d/32) words; two words keep every op inside
+# signed-BIGINT territory with no ANSI overflow edge at bit 63). Hamming
+# distance between codes approximates angle (Charikar's SimHash bound:
+# E[hamming]/d = theta/pi), so a 256x smaller index can pre-rank candidates
+# and the float kernels only re-rank survivors. emb_quantize_int8 (8 bit)
+# and emb_pq_encode (codebooks) are the gentler siblings; the recall query
+# below measures what the last factor of 8 costs.
+
+_HAM_K = 5
+
+
+def _sql_sign_word(lo: int, hi: int) -> str:
+    # bits for dims lo..hi (1-indexed), bit j-lo set when embedding[j] >= 0
+    return (
+        f"list_sum(list_transform(range({lo}, {hi} + 1), "
+        f"j -> CASE WHEN embedding[j] >= 0 THEN (1::BIGINT << (j - {lo})) "
+        f"ELSE 0::BIGINT END))"
+    )
+
+
+def _sign_word(lo: int, hi: int):
+    # Spark mirror: transform index i is 0-based within the slice
+    n = hi - lo + 1
+    return F.expr(
+        f"aggregate(transform(slice(embedding, {lo}, {n}), "
+        f"(x, i) -> IF(x >= CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i), "
+        f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+
+
+_SQL_HAM_CODES = f"""
+    codes AS (
+        SELECT vec_id,
+               {_sql_sign_word(1, 32)} AS w_lo,
+               {_sql_sign_word(33, 64)} AS w_hi
+        FROM embeddings
+    )"""
+
+
+@register(
+    "emb_hamming_topk",
+    sql=f"""
+    WITH {_SQL_HAM_CODES},
+    q AS (SELECT * FROM codes WHERE vec_id < {_N_QUERIES}),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               bit_count(xor(q.w_lo, c.w_lo)) + bit_count(xor(q.w_hi, c.w_hi)) AS hamming
+        FROM q JOIN codes c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, hamming,
+               row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming, rank
+    FROM ranked WHERE rank <= {_HAM_K}
+    """,
+    doc="1-bit sign-quantized ANN: embeddings collapse to one sign bit "
+    "per dimension packed into two BIGINT words, candidates rank by "
+    "Hamming distance (two XOR+popcount ops per pair — SimHash's angle "
+    "estimator, 256x less index than float32). The final compression "
+    "rung under emb_quantize_int8 and emb_pq_encode; "
+    "emb_hamming_recall measures what it costs. Exactness: the packed "
+    "words are integer bit patterns both engines derive from the same "
+    "x >= 0 predicate, Hamming is integer, ties break on neighbor_id. "
+    "Plan shape: packing is a pure map expression in the scan (no "
+    "shuffle); the query side broadcasts; per-query top-k is the only "
+    "exchange. At 100 TB the code table is the thing that fits in "
+    "memory when the float table cannot — 16 GB per billion vectors.",
+)
+def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id", _sign_word(1, 32).alias("w_lo"), _sign_word(33, 64).alias("w_hi")
+    )
+    q = codes.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w_lo").alias("q_lo"),
+        F.col("w_hi").alias("q_hi"),
+    )
+    pairs = F.broadcast(q).join(codes, F.col("vec_id") != F.col("query_id"))
+    ham = F.expr("bit_count(q_lo ^ w_lo) + bit_count(q_hi ^ w_hi)")
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), ham.cast("long").alias("hamming")
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _HAM_K
+    )
+
+
+def _hamming_recall_sql() -> str:
+    from exact_spark.registry import REGISTRY
+
+    return f"""
+    WITH ham AS ({REGISTRY["emb_hamming_topk"].sql}),
+    exact AS ({REGISTRY["sim_topk_cosine"].sql})
+    SELECT h.query_id,
+           CAST(count(e.neighbor_id) AS BIGINT) AS n_overlap,
+           {_HAM_K} AS k,
+           (CAST(count(e.neighbor_id) AS DOUBLE) / {_HAM_K}) AS recall_at_k
+    FROM ham h
+    LEFT JOIN exact e
+      ON e.query_id = h.query_id AND e.neighbor_id = h.neighbor_id
+    GROUP BY h.query_id
+    """
+
+
+@register(
+    "emb_hamming_recall",
+    sql=_hamming_recall_sql(),
+    doc="Recall@k of the 1-bit Hamming pre-rank against the exact cosine "
+    "top-k — the measure-don't-guess diagnostic for the sign-"
+    "quantization rung, sibling of sim_ivf_recall / sim_pq_recall / "
+    "dedup_lsh_recall: both rankings are the REGISTERED sibling specs "
+    "embedded verbatim (SQL) / called directly (plan), so the measured "
+    "index can never drift from the measured baseline. One number per "
+    "query says whether two XOR+popcounts per pair retain enough of "
+    "the angle ordering to gate the expensive float re-rank. Plan "
+    "shape: both sides are per-query top-{k} frames (rows = queries x "
+    "{k}); the overlap join and rollup are trivial at any scale.".format(
+        k=_HAM_K
+    ),
+)
+def emb_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ham = emb_hamming_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = sim_topk_cosine(spark, sf_dir).select(
+        F.col("query_id").alias("e_qid"), F.col("neighbor_id").alias("e_nid")
+    )
+    j = ham.join(
+        exact,
+        (F.col("e_qid") == F.col("query_id")) & (F.col("e_nid") == F.col("neighbor_id")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("e_nid").cast("long").alias("n_overlap"),
+        F.lit(_HAM_K).cast("int").alias("k"),
+        (F.count("e_nid").cast("double") / _HAM_K).alias("recall_at_k"),
+    )
+
+
+def _diversity_gain_sql() -> str:
+    from exact_spark.registry import REGISTRY
+
+    cos = _SQL_COS.format(
+        dot=_sql_dot("x.embedding", "y.embedding"), na="x.norm_fx", nb="y.norm_fx"
+    )
+    return f"""
+    WITH topk AS ({REGISTRY["sim_topk_cosine"].sql}),
+    mmr AS ({REGISTRY["sim_mmr_select"].sql}),
+    norms AS (
+        SELECT vec_id, embedding,
+               {_sql_dot('embedding', 'embedding')} AS norm_fx
+        FROM embeddings
+    ),
+    pick AS (
+        SELECT 'topk' AS method, query_id, neighbor_id AS sel_id FROM topk
+        UNION ALL
+        SELECT 'mmr' AS method, query_id, selected_id AS sel_id FROM mmr
+    ),
+    pairsim AS (
+        SELECT p1.method, p1.query_id,
+               CAST(SUM(CAST(FLOOR(({cos}) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_fx,
+               count(*) AS n_pairs
+        FROM pick p1
+        JOIN pick p2
+          ON p2.method = p1.method AND p2.query_id = p1.query_id
+         AND p2.sel_id > p1.sel_id
+        JOIN norms x ON x.vec_id = p1.sel_id
+        JOIN norms y ON y.vec_id = p2.sel_id
+        GROUP BY p1.method, p1.query_id
+    )
+    SELECT t.query_id,
+           (CAST(t.s_fx AS DOUBLE) / t.n_pairs) / 1000000.0 AS mean_pairsim_topk,
+           (CAST(m.s_fx AS DOUBLE) / m.n_pairs) / 1000000.0 AS mean_pairsim_mmr,
+           ((CAST(t.s_fx AS DOUBLE) / t.n_pairs) - (CAST(m.s_fx AS DOUBLE) / m.n_pairs))
+               / 1000000.0 AS diversity_gain
+    FROM pairsim t JOIN pairsim m
+      ON m.query_id = t.query_id AND t.method = 'topk' AND m.method = 'mmr'
+    """
+
+
+@register(
+    "sim_diversity_gain",
+    sql=_diversity_gain_sql(),
+    doc="What did MMR buy? Per query, the mean pairwise cosine among the "
+    "plain cosine top-k versus among sim_mmr_select's picks, and the "
+    "drop between them — the redundancy actually removed by the "
+    "diversity re-rank, in cosine units. Positive gain = the MMR set "
+    "is more spread out than the pure-relevance set; a ~0 gain says "
+    "the pool was already diverse and the re-rank is free to skip. "
+    "Composition of THREE registered specs (top-k, MMR, and the "
+    "fixed-point cosine kernel) embedded verbatim so the measurement "
+    "can never drift from the thing measured — the same "
+    "measure-don't-guess closure as sim_ivf_recall and "
+    "emb_hamming_recall. Exactness: each pairwise cosine re-rounds to "
+    "a 1e6 fixed-point BIGINT before the per-set sum, so the sums are "
+    "exact integers and each mean is one divide. Plan shape: both "
+    "selections are queries x k rows; the pairwise stage is k^2 per "
+    "query over broadcast-joined vectors — constant work per query at "
+    "any corpus size.",
+)
+def sim_diversity_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id",
+        "embedding",
+        dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
+    )
+    topk = sim_topk_cosine(spark, sf_dir).select(
+        F.lit("topk").alias("method"), "query_id", F.col("neighbor_id").alias("sel_id")
+    )
+    mmr = sim_mmr_select(spark, sf_dir).select(
+        F.lit("mmr").alias("method"), "query_id", F.col("selected_id").alias("sel_id")
+    )
+    pick = topk.unionByName(mmr)
+    p1 = pick
+    p2 = pick.select(
+        F.col("method").alias("m2"), F.col("query_id").alias("q2"), F.col("sel_id").alias("s2")
+    )
+    pairs = p1.join(
+        p2,
+        (F.col("m2") == F.col("method"))
+        & (F.col("q2") == F.col("query_id"))
+        & (F.col("s2") > F.col("sel_id")),
+    )
+    x = norms.select(
+        F.col("vec_id").alias("xv"), F.col("embedding").alias("xe"), F.col("norm_fx").alias("xn")
+    )
+    y = norms.select(
+        F.col("vec_id").alias("yv"), F.col("embedding").alias("ye"), F.col("norm_fx").alias("yn")
+    )
+    jp = pairs.join(F.broadcast(x), F.col("xv") == F.col("sel_id")).join(
+        F.broadcast(y), F.col("yv") == F.col("s2")
+    )
+    cos = cosine_from_fixed(
+        dot_fixed(F.col("xe"), F.col("ye")), F.col("xn"), F.col("yn")
+    )
+    cos_fx = F.floor(cos * 1000000.0 + F.lit(0.5)).cast("long")
+    ps = jp.groupBy("method", "query_id").agg(
+        F.sum(cos_fx).cast("long").alias("s_fx"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    t = ps.filter(F.col("method") == "topk").select(
+        "query_id",
+        (F.col("s_fx").cast("double") / F.col("n_pairs") / 1000000.0).alias(
+            "mean_pairsim_topk"
+        ),
+        (F.col("s_fx").cast("double") / F.col("n_pairs")).alias("t_raw"),
+    )
+    m = ps.filter(F.col("method") == "mmr").select(
+        F.col("query_id").alias("mq"),
+        (F.col("s_fx").cast("double") / F.col("n_pairs") / 1000000.0).alias(
+            "mean_pairsim_mmr"
+        ),
+        (F.col("s_fx").cast("double") / F.col("n_pairs")).alias("m_raw"),
+    )
+    return (
+        t.join(m, F.col("mq") == F.col("query_id"))
+        .select(
+            "query_id",
+            "mean_pairsim_topk",
+            "mean_pairsim_mmr",
+            ((F.col("t_raw") - F.col("m_raw")) / 1000000.0).alias("diversity_gain"),
+        )
+    )

@@ -40,7 +40,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from exact_spark import io
-from exact_spark.functions import epoch_micros, epoch_seconds, favg, fsum, sql_favg, sql_fsum
+from exact_spark.functions import (
+    epoch_micros,
+    epoch_seconds,
+    favg,
+    fround,
+    fsum,
+    sql_favg,
+    sql_fround,
+    sql_fsum,
+)
 from exact_spark.registry import register
 from exact_spark.session import tune_session
 
@@ -2147,3 +2156,90 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return hourly.groupBy("event_type").applyInPandas(holt, schema=schema)
+
+
+# --- anomaly detection on the DESEASONALIZED series --------------------------
+# ts_outlier_mad (metrics.py) flags raw values, which conflates "anomalous"
+# with "it is rush hour"; the production pattern is decompose-then-detect:
+# remove trend and daily seasonality first, then flag hours whose RESIDUAL
+# deviates. Both stages are registered sibling specs — the residual is
+# ts_classical_decompose's (the SQL below embeds the registered spec string
+# itself), the MAD rule mirrors ts_outlier_mad's normal-consistency
+# constant — so none of the three can drift.
+
+_RES_MAD_K = 3.0 * 1.4826  # parity with metrics.ts_outlier_mad's _MAD_K
+
+from exact_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@register(
+    "ts_residual_outliers",
+    sql=f"""
+    WITH dec AS ({_REGISTRY["ts_classical_decompose"].sql}),
+    med AS (
+        SELECT event_type, quantile_cont(residual, 0.5) AS med
+        FROM dec GROUP BY event_type
+    ),
+    dev AS (
+        SELECT d.event_type, d.hour, d.residual, m.med,
+               ABS(d.residual - m.med) AS adev
+        FROM dec d JOIN med m ON m.event_type = d.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n_hours,
+           {sql_fround('d.med')} AS median_residual,
+           {sql_fround('m.mad')} AS mad_residual,
+           CAST(SUM(CASE WHEN d.adev > {_RES_MAD_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outlier_hours
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type, d.med, m.mad
+    """,
+    doc="Decompose-then-detect anomaly scan: the MAD outlier rule of "
+    "ts_outlier_mad applied to ts_classical_decompose's RESIDUAL series "
+    "instead of raw values — removing trend and hour-of-day seasonality "
+    "first so 'rush hour' stops masquerading as an anomaly and genuinely "
+    "deviant hours stand out at 3 normal-consistent MADs. Pure "
+    "composition of two registered specs (the oracle embeds the "
+    "decompose SQL verbatim; the plan calls the registered operator), "
+    "so the detector can never drift from the decomposition it claims "
+    "to consume. Exactness: residuals are the decompose spec's "
+    "deterministic doubles, medians are exact interpolated percentiles "
+    "over identical multisets, and the flag threshold is one double "
+    "multiply both engines share. Plan shape: everything downstream of "
+    "the decompose cell-groupBy runs on series-length rows (hours, not "
+    "events); two percentile passes keyed on the low-cardinality type "
+    "with broadcast joins back — the raw corpus is scanned exactly "
+    "once, by the decompose stage itself.",
+)
+def ts_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = ts_classical_decompose(spark, sf_dir).select("event_type", "hour", "residual")
+    med = res.groupBy("event_type").agg(
+        F.percentile(F.col("residual"), F.lit(0.5)).alias("med")
+    )
+    dev = res.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("residual") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), "event_type")
+    return (
+        j.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.when(F.col("adev") > _RES_MAD_K * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outlier_hours"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            fround(F.col("med")).alias("median_residual"),
+            fround(F.col("mad")).alias("mad_residual"),
+            "n_outlier_hours",
+        )
+    )

@@ -122,6 +122,10 @@ DRIVER_ORDER: list[str] = [
     "ts_holt_linear",
     "text_chunk_scrub",
     "sim_mmr_select",
+    "ts_residual_outliers",
+    "emb_hamming_topk",
+    "emb_hamming_recall",
+    "sim_diversity_gain",
     # continuation-session oracle additions (covered by the local record)
     # (five queries displaced by the (d) block: three single-agg TPC-H
     # analogs and a pivot — the simplest oracle shapes in the registry —

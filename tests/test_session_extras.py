@@ -60,21 +60,21 @@ def test_holt_linear_recurrence_invariants(spark, sf_dir):
     for r in rows:
         by_series.setdefault(r["event_type"], []).append(r)
     assert by_series
-    for _, série in by_series.items():
-        série.sort(key=lambda r: r["rn"])
+    for _, series in by_series.items():
+        series.sort(key=lambda r: r["rn"])
         # rn contiguous from 1, hours strictly increasing
-        assert [r["rn"] for r in série] == list(range(1, len(série) + 1))
-        hours = [r["hour"] for r in série]
+        assert [r["rn"] for r in series] == list(range(1, len(series) + 1))
+        hours = [r["hour"] for r in series]
         assert all(b > a for a, b in zip(hours, hours[1:]))
         # seed: level = first observation, trend = 0
-        assert série[0]["level"] == série[0]["y_mean"]
-        assert série[0]["trend"] == 0.0
+        assert series[0]["level"] == series[0]["y_mean"]
+        assert series[0]["trend"] == 0.0
         # recurrence replay: alpha = gamma = 1/2 in the same op order.
         # y must be rebuilt as the INTEGER fx value (y_mean * 100.0 is a
         # lossy double round-trip and would drift the replay).
-        l, b = float(round(série[0]["y_mean"] * 100.0)), 0.0
-        assert série[0]["forecast_next"] == (l + b) / 100.0
-        for r in série[1:]:
+        l, b = float(round(series[0]["y_mean"] * 100.0)), 0.0
+        assert series[0]["forecast_next"] == (l + b) / 100.0
+        for r in series[1:]:
             y = float(round(r["y_mean"] * 100.0))
             l_new = 0.5 * y + 0.5 * (l + b)
             b = 0.5 * (l_new - l) + 0.5 * b
@@ -130,3 +130,50 @@ def test_chunk_scrub_reconstruction_arithmetic(spark, sf_dir):
         expect = r["n_toks"] - r["n_removed"] * _CHUNK_TOKENS
         got = 0 if r["empty"] else r["n_clean"]
         assert got == expect, (r["doc_id"], got, expect)
+
+
+def test_residual_outliers_composes_decompose(spark, sf_dir):
+    rows = REGISTRY["ts_residual_outliers"].fn(spark, sf_dir).collect()
+    dec = REGISTRY["ts_classical_decompose"].fn(spark, sf_dir)
+    hours = {
+        r["event_type"]: r["n"] for r in
+        dec.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r["event_type"] for r in rows} == set(hours)
+    for r in rows:
+        assert r["n_hours"] == hours[r["event_type"]]
+        assert r["mad_residual"] >= 0
+        assert 0 <= r["n_outlier_hours"] < r["n_hours"]
+
+
+def test_hamming_codes_pack_every_dimension(spark, sf_dir):
+    rows = REGISTRY["emb_hamming_topk"].fn(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 10
+    for _, lst in by_q.items():
+        lst.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in lst] == [1, 2, 3, 4, 5]
+        hams = [r["hamming"] for r in lst]
+        assert all(0 <= h <= 64 for h in hams)
+        assert hams == sorted(hams)
+    # recall against exact cosine must beat random pairing: expected
+    # random overlap of two 5-sets in ~500 candidates is ~0.05
+    rec = REGISTRY["emb_hamming_recall"].fn(spark, sf_dir).collect()
+    assert len(rec) == 10
+    mean_rec = sum(r["recall_at_k"] for r in rec) / len(rec)
+    assert 0.0 <= mean_rec <= 1.0
+    assert mean_rec > 0.1, mean_rec
+
+
+def test_diversity_gain_mmr_no_more_redundant(spark, sf_dir):
+    rows = REGISTRY["sim_diversity_gain"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    # MMR explicitly penalizes intra-set similarity; on average its set
+    # must not be MORE redundant than the pure-relevance set
+    mean_gain = sum(r["diversity_gain"] for r in rows) / len(rows)
+    assert mean_gain > -1e-9, mean_gain
+    for r in rows:
+        assert -1.0 <= r["mean_pairsim_mmr"] <= 1.0
+        assert -1.0 <= r["mean_pairsim_topk"] <= 1.0
