@@ -57,6 +57,12 @@ HEADLINERS = [
     ("dedup_leakage_safe_split", "split hash projects off the component map — one left join beyond the CC fixpoint, assignment row-local"),
     ("text_temperature_mix", "5-row language census broadcast back onto the corpus; ONE exchange (the per-language rank window)"),
     ("text_token_budget_select", "rank + running token sum share ONE source-keyed window sort; the shuffle carries (id, tokens, score), never text"),
+    ("ml_ab_welch", "two map-side-combinable groupBys (user, then cohort) collapse the corpus to 2 rows; Welch algebra on a 1-row frame"),
+    ("rel_pareto_abc", "cumulative revenue share via literal quantile buckets + per-bucket windows — no single-partition running total"),
+    ("text_chunk_scrub", "census groupBy and join-back share the chunk-hash partitioning; reassembly sorts inside per-doc collected arrays, no window"),
+    ("emb_hamming_topk", "sign packing folds to two BIGINT words inside the scan (zero exchanges); XOR+popcount pairs against a broadcast query side"),
+    ("ts_holt_linear", "corpus collapses to hourly cells in ONE map-side-combinable groupBy; the coupled recurrence runs per-series in Arrow (FlatMapGroupsInPandas), never on the driver"),
+    ("sim_mmr_select", "relevance pool from one broadcast-join scan + per-query top-N window; each greedy step joins checkpointed pool-sized frames only"),
 ]
 
 
