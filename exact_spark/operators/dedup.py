@@ -1616,3 +1616,100 @@ def text_chunk_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+# --- Jaccard dedup threshold sweep -------------------------------------------
+# sim_threshold_sweep answers "what cosine cutoff should embedding dedup
+# use"; this is the same decision curve for TEXT dedup: pair counts and
+# docs-affected at each Jaccard cutoff, computed once from the registered
+# dedup_ngram_jaccard pair table (never a corpus rescan per threshold).
+
+
+def _jaccard_sweep_sql() -> str:
+    from exact_spark.registry import REGISTRY
+
+    return f"""
+    WITH pr AS ({REGISTRY["dedup_ngram_jaccard"].sql}),
+    prd AS (
+        SELECT doc_a, doc_b, n_common,
+               CAST(ROUND(n_common / jaccard) AS BIGINT) AS denom
+        FROM pr
+    ),
+    taus AS (SELECT unnest(range(1, 10)) AS tau10),
+    hits AS (
+        SELECT t.tau10, p.doc_a, p.doc_b
+        FROM taus t JOIN prd p ON p.n_common * 10 >= t.tau10 * p.denom
+    ),
+    np AS (SELECT tau10, count(*) AS n_pairs FROM hits GROUP BY tau10),
+    docs AS (
+        SELECT tau10, doc_a AS d FROM hits
+        UNION
+        SELECT tau10, doc_b AS d FROM hits
+    ),
+    nd AS (SELECT tau10, count(DISTINCT d) AS n_docs FROM docs GROUP BY tau10),
+    tot AS (SELECT count(*) AS n_total FROM documents)
+    SELECT CAST(t.tau10 AS DOUBLE) / 10.0 AS tau,
+           COALESCE(np.n_pairs, 0) AS n_pairs,
+           COALESCE(nd.n_docs, 0) AS n_docs_affected,
+           CAST(COALESCE(nd.n_docs, 0) AS DOUBLE) / tot.n_total AS frac_docs
+    FROM taus t
+    LEFT JOIN np ON np.tau10 = t.tau10
+    LEFT JOIN nd ON nd.tau10 = t.tau10
+    CROSS JOIN tot
+    """
+
+
+@register(
+    "text_jaccard_sweep",
+    sql=_jaccard_sweep_sql(),
+    doc="Duplicate-rate-vs-Jaccard-threshold curve for text dedup — "
+    "sim_threshold_sweep's decision curve, for the shingle-Jaccard "
+    "pipeline: at each cutoff tau in 0.1..0.9, how many candidate "
+    "pairs survive and how many distinct docs would be touched. "
+    "Computed ONCE from the REGISTERED dedup_ngram_jaccard pair table "
+    "(embedded verbatim in the SQL, called directly in the plan), so "
+    "the sweep can never drift from what the dedup stage actually "
+    "serves, and sweeping costs O(pairs x taus), never a corpus "
+    "rescan. Exactness: each threshold test is the INTEGER cross-"
+    "multiplication n_common*10 >= tau10*denom (denom recovered "
+    "exactly from the pair's own fields), immune to decimal-vs-double "
+    "boundary drift at knife-edge Jaccard values. Plan shape: the "
+    "pair table is the capped candidate set (thousands of rows per "
+    "million docs); the tau expansion is a 9-row broadcast.",
+)
+def text_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    pr = dedup_ngram_jaccard(spark, sf_dir)
+    prd = pr.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.round(F.col("n_common") / F.col("jaccard")).cast("long").alias("denom"),
+    )
+    taus = spark.range(1, 10).select(F.col("id").cast("long").alias("tau10"))
+    hits = F.broadcast(taus).join(
+        prd, F.col("n_common") * 10 >= F.col("tau10") * F.col("denom")
+    )
+    np_ = hits.groupBy("tau10").agg(F.count(F.lit(1)).alias("n_pairs"))
+    docs = (
+        hits.select("tau10", F.col("doc_a").alias("d"))
+        .unionByName(hits.select("tau10", F.col("doc_b").alias("d")))
+        .distinct()
+    )
+    nd = docs.groupBy("tau10").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = io.load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    out = (
+        taus.join(np_, "tau10", "left")
+        .join(nd, "tau10", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        (F.col("tau10").cast("double") / 10.0).alias("tau"),
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs_affected"),
+        (
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("double") / F.col("n_total")
+        ).alias("frac_docs"),
+    )

@@ -3031,8 +3031,11 @@ def _mmr_pool_sql() -> str:
     "list). Plan shape: ONE candidate scan builds the per-query pool "
     "(broadcast queries, window top-{p}); pairwise sims exist only "
     "WITHIN pools ({p}^2 per query, never corpus-pairwise); each of "
-    "the {k} greedy steps is a bounded join over pool-sized frames, "
-    "localCheckpointed so step t+1 does not replay step t's lineage. "
+    "the {k} greedy steps is a bounded join over pool-sized frames "
+    "(pool and pairwise sims localCheckpointed ONCE, so no greedy step "
+    "replays the scan; the selection frame itself stays lazy — "
+    "queries x {k} rows with K-join-deep lineage is cheaper to carry "
+    "than 4 eager checkpoint jobs). "
     "At 100 TB only the pool-building scan sees the data.".format(
         k=_MMR_K, p=_MMR_POOL
     ),
@@ -3128,7 +3131,7 @@ def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("score").alias("mmr_score"),
             )
         )
-        sel = sel.unionByName(pick).localCheckpoint()
+        sel = sel.unionByName(pick)
     return sel.select(
         "query_id", "step", F.col("cand_id").alias("selected_id"),
         F.col("rel").alias("relevance"), "mmr_score",

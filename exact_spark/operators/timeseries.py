@@ -2243,3 +2243,200 @@ def ts_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outlier_hours",
         )
     )
+
+
+# --- split-half rate-shift test ----------------------------------------------
+# Count-data inference to ml_ab_welch's value-data inference: did the event
+# RATE (events/hour) change between the first and second half of the span?
+# Poisson rate comparison with a normal-approximation z (var of n/t is n/t^2)
+# — the volume-drift alarm a pipeline runs before blaming a detector for a
+# precision change.
+
+
+@register(
+    "ts_rate_shift",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    hrs AS (SELECT event_type, CAST(FLOOR(ts_epoch / 3600.0) AS BIGINT) AS hour FROM canon),
+    bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hrs),
+    mid AS (SELECT h0, h1, (h0 + h1 + 1) // 2 AS hm FROM bounds),
+    cnt AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN hour < hm THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN hour >= hm THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM hrs CROSS JOIN mid GROUP BY event_type
+    )
+    SELECT c.event_type,
+           (hm - h0) AS hours_a, (h1 - hm + 1) AS hours_b, n_a, n_b,
+           CAST(n_a AS DOUBLE) / (hm - h0) AS rate_a,
+           CAST(n_b AS DOUBLE) / (h1 - hm + 1) AS rate_b,
+           (CAST(n_a AS DOUBLE) / (hm - h0) - CAST(n_b AS DOUBLE) / (h1 - hm + 1))
+             / sqrt(CAST(n_a AS DOUBLE) / ((hm - h0) * (hm - h0))
+                    + CAST(n_b AS DOUBLE) / ((h1 - hm + 1) * (h1 - hm + 1))) AS z_stat
+    FROM cnt c CROSS JOIN mid
+    """,
+    doc="Split-half event-rate shift test per stream: the span divides at "
+    "its midpoint hour, each half's event count becomes a Poisson rate "
+    "over its GRID-hour exposure, and the z statistic compares the two "
+    "rates under the normal approximation (var(n/t) = n/t^2) — the "
+    "count-data companion to ml_ab_welch's value-data t-test, and the "
+    "volume-drift alarm to run before blaming a detector for a "
+    "precision change. Exactness: half counts and exposures are exact "
+    "integers (midpoint = (h0+h1+1) DIV 2 integer arithmetic), so "
+    "rates and z are one fixed IEEE tree per row. Plan shape: ONE "
+    "map-side-combinable conditional-count groupBy over the hour-"
+    "tagged scan with a broadcast 1-row bounds frame on either side — "
+    "constant output at any volume.",
+)
+def ts_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    hrs = df.select(
+        "event_type", F.floor(F.col("ts_epoch") / 3600.0).cast("long").alias("hour")
+    )
+    bounds = hrs.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    mid = bounds.select(
+        "h0", "h1", F.expr("(h0 + h1 + 1) DIV 2").alias("hm")
+    )
+    cnt = (
+        hrs.crossJoin(F.broadcast(mid))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("hour") < F.col("hm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("hour") >= F.col("hm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    j = cnt.crossJoin(F.broadcast(mid))
+    t_a = (F.col("hm") - F.col("h0")).cast("long")
+    t_b = (F.col("h1") - F.col("hm") + 1).cast("long")
+    rate_a = F.col("n_a").cast("double") / t_a
+    rate_b = F.col("n_b").cast("double") / t_b
+    z = (rate_a - rate_b) / F.sqrt(
+        F.col("n_a").cast("double") / (t_a * t_a)
+        + F.col("n_b").cast("double") / (t_b * t_b)
+    )
+    return j.select(
+        "event_type",
+        t_a.alias("hours_a"),
+        t_b.alias("hours_b"),
+        "n_a",
+        "n_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        z.alias("z_stat"),
+    )
+
+
+# --- local-maximum peak scan -------------------------------------------------
+# Which hours ARE the spikes? ts_anomaly_spans reports flagged episodes and
+# ts_residual_outliers counts deviant hours; this returns the local maxima
+# themselves: hours strictly above every neighbor within +/-3 grid hours
+# (two one-sided RANGE windows — strictness without EXCLUDE CURRENT ROW,
+# which Spark lacks), with the hour's excess over its +/-3h window mean.
+
+_PEAK_HALF_WIN = 3
+
+
+@register(
+    "ts_peaks",
+    sql=f"""
+    WITH canon AS ({CANON_SQL}),
+    cells AS (
+        SELECT event_type,
+               CAST(FLOOR(ts_epoch / 3600.0) AS BIGINT) AS hour,
+               CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_fx,
+               count(*) AS n_c
+        FROM canon GROUP BY event_type, CAST(FLOOR(ts_epoch / 3600.0) AS BIGINT)
+    ),
+    hourly AS (
+        SELECT event_type, hour,
+               CAST(FLOOR(CAST(s_fx AS DOUBLE) / n_c + 0.5) AS BIGINT) AS m_fx
+        FROM cells
+    ),
+    win AS (
+        SELECT event_type, hour, m_fx,
+               MAX(m_fx) OVER (PARTITION BY event_type ORDER BY hour
+                               RANGE BETWEEN {_PEAK_HALF_WIN} PRECEDING
+                                         AND 1 PRECEDING) AS wl,
+               MAX(m_fx) OVER (PARTITION BY event_type ORDER BY hour
+                               RANGE BETWEEN 1 FOLLOWING
+                                         AND {_PEAK_HALF_WIN} FOLLOWING) AS wr,
+               CAST(SUM(m_fx) OVER w AS BIGINT) AS wsum,
+               CAST(COUNT(*) OVER w AS BIGINT) AS wcnt
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     RANGE BETWEEN {_PEAK_HALF_WIN} PRECEDING
+                               AND {_PEAK_HALF_WIN} FOLLOWING)
+    )
+    SELECT event_type, hour,
+           CAST(m_fx AS DOUBLE) / 100.0 AS y_mean,
+           (CAST(wsum AS DOUBLE) / wcnt) / 100.0 AS win_mean,
+           (CAST(m_fx AS DOUBLE) - CAST(wsum AS DOUBLE) / wcnt) / 100.0 AS excess
+    FROM win
+    WHERE wcnt > 1 AND m_fx > COALESCE(wl, -1) AND m_fx > COALESCE(wr, -1)
+    """,
+    doc="Local-maximum peak scan over the hourly-mean series: an hour is a "
+    "peak when it is STRICTLY above every neighbor within +/-{w} grid "
+    "hours — strictness via two one-sided RANGE windows (max of the "
+    "left neighbors, max of the right), because Spark has no EXCLUDE "
+    "CURRENT ROW; isolated hours with no neighbor in range are not "
+    "peaks (wcnt > 1). Reports each peak's excess over its +/-{w}h "
+    "window mean — the ready-to-rank spike list next to "
+    "ts_anomaly_spans' episodes and ts_residual_outliers' counts. "
+    "Exactness: the comparisons and window sums are all on fixed-point "
+    "1e-2 BIGINTs (RANGE frames on the integer hour key, so gap hours "
+    "never silently shrink the window); the two output divides are "
+    "single IEEE ops. Plan shape: the corpus collapses to (type, hour) "
+    "cells in ONE map-side-combinable groupBy; all four windows share "
+    "one series-keyed sort over series-length rows.".format(
+        w=_PEAK_HALF_WIN
+    ),
+)
+def ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    v_fx = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    cells = (
+        df.select(
+            "event_type",
+            F.floor(F.col("ts_epoch") / 3600.0).cast("long").alias("hour"),
+            v_fx.alias("v_fx"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("v_fx").cast("long").alias("s_fx"), F.count(F.lit(1)).alias("n_c"))
+    )
+    hourly = cells.select(
+        "event_type",
+        "hour",
+        F.floor(F.col("s_fx").cast("double") / F.col("n_c") + F.lit(0.5))
+        .cast("long")
+        .alias("m_fx"),
+    )
+    base = Window.partitionBy("event_type").orderBy("hour")
+    wl = base.rangeBetween(-_PEAK_HALF_WIN, -1)
+    wr = base.rangeBetween(1, _PEAK_HALF_WIN)
+    wc = base.rangeBetween(-_PEAK_HALF_WIN, _PEAK_HALF_WIN)
+    win = hourly.select(
+        "event_type",
+        "hour",
+        "m_fx",
+        F.max("m_fx").over(wl).alias("wl"),
+        F.max("m_fx").over(wr).alias("wr"),
+        F.sum("m_fx").over(wc).cast("long").alias("wsum"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("wcnt"),
+    )
+    peaks = win.filter(
+        (F.col("wcnt") > 1)
+        & (F.col("m_fx") > F.coalesce(F.col("wl"), F.lit(-1)))
+        & (F.col("m_fx") > F.coalesce(F.col("wr"), F.lit(-1)))
+    )
+    wmean = F.col("wsum").cast("double") / F.col("wcnt")
+    return peaks.select(
+        "event_type",
+        "hour",
+        (F.col("m_fx").cast("double") / 100.0).alias("y_mean"),
+        (wmean / 100.0).alias("win_mean"),
+        ((F.col("m_fx").cast("double") - wmean) / 100.0).alias("excess"),
+    )

@@ -126,6 +126,9 @@ DRIVER_ORDER: list[str] = [
     "emb_hamming_topk",
     "emb_hamming_recall",
     "sim_diversity_gain",
+    "ts_rate_shift",
+    "ts_peaks",
+    "text_jaccard_sweep",
     # continuation-session oracle additions (covered by the local record)
     # (five queries displaced by the (d) block: three single-agg TPC-H
     # analogs and a pivot — the simplest oracle shapes in the registry —

@@ -177,3 +177,74 @@ def test_diversity_gain_mmr_no_more_redundant(spark, sf_dir):
     for r in rows:
         assert -1.0 <= r["mean_pairsim_mmr"] <= 1.0
         assert -1.0 <= r["mean_pairsim_topk"] <= 1.0
+
+
+def test_rate_shift_halves_partition_events(spark, sf_dir):
+    rows = REGISTRY["ts_rate_shift"].fn(spark, sf_dir).collect()
+    from exact_spark.operators.timeseries import canonical_events
+
+    per_type = {
+        r["event_type"]: r["n"] for r in
+        canonical_events(spark, sf_dir)
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r["event_type"] for r in rows} == set(per_type)
+    for r in rows:
+        assert r["n_a"] + r["n_b"] == per_type[r["event_type"]]
+        assert r["hours_a"] > 0 and r["hours_b"] > 0
+        # grid exposures differ by at most one hour between the halves
+        assert abs(r["hours_a"] - r["hours_b"]) <= 1
+        assert r["rate_a"] == r["n_a"] / r["hours_a"]
+
+
+def test_peaks_are_strict_local_maxima(spark, sf_dir):
+    from exact_spark.operators.timeseries import _PEAK_HALF_WIN, ts_peaks
+
+    peaks = REGISTRY["ts_peaks"].fn(spark, sf_dir).collect()
+    assert peaks
+    # rebuild the hourly series and check each reported peak dominates
+    # its +/-win neighborhood strictly
+    from exact_spark.operators.timeseries import canonical_events
+
+    df = canonical_events(spark, sf_dir)
+    cells = (
+        df.select(
+            "event_type",
+            F.floor(F.col("ts_epoch") / 3600.0).cast("long").alias("hour"),
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.floor(F.sum("v").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+             .cast("long").alias("m"))
+    ).collect()
+    series: dict[str, dict[int, int]] = {}
+    for r in cells:
+        series.setdefault(r["event_type"], {})[r["hour"]] = r["m"]
+    for p in peaks:
+        s = series[p["event_type"]]
+        h = p["hour"]
+        me = s[h]
+        neigh = [
+            s[h + d]
+            for d in range(-_PEAK_HALF_WIN, _PEAK_HALF_WIN + 1)
+            if d != 0 and (h + d) in s
+        ]
+        assert neigh, "isolated hour must not be a peak"
+        assert all(me > v for v in neigh)
+        assert p["excess"] >= 0
+
+
+def test_jaccard_sweep_monotone_and_anchored(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["text_jaccard_sweep"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["tau"],
+    )
+    assert [round(r["tau"], 1) for r in rows] == [x / 10 for x in range(1, 10)]
+    pairs = [r["n_pairs"] for r in rows]
+    docs = [r["n_docs_affected"] for r in rows]
+    # raising the cutoff can only shrink the surviving set
+    assert all(a >= b for a, b in zip(pairs, pairs[1:]))
+    assert all(a >= b for a, b in zip(docs, docs[1:]))
+    # tau = the registered candidate floor keeps EVERY candidate pair
+    n_all = REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).count()
+    assert pairs[0] == n_all
