@@ -1713,3 +1713,60 @@ def text_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_docs"), F.lit(0)).cast("double") / F.col("n_total")
         ).alias("frac_docs"),
     )
+
+
+@register(
+    "dedup_coverage",
+    sql=f"""
+    WITH {_SQL_SHINGLES},
+    posting AS (SELECT doc_id, unnest(shingles) AS sh FROM shingled),
+    dfc AS (SELECT sh, count(*) AS df FROM posting GROUP BY sh),
+    dup AS (
+        SELECT p.doc_id, count(*) AS n_dup
+        FROM posting p JOIN dfc ON p.sh = dfc.sh
+        WHERE dfc.df >= 2
+        GROUP BY p.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.shingles) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup,
+           CAST(COALESCE(d.n_dup, 0) AS BIGINT) * 1.0
+               / CAST(len(s.shingles) AS BIGINT) AS dup_coverage
+    FROM shingled s LEFT JOIN dup d USING (doc_id)
+    """,
+    doc="Per-document duplication coverage: the fraction of a doc's "
+    "distinct 3-gram shingles that occur in at least one OTHER document "
+    "corpus-wide — the doc-grain duplication-rate profile used to rank "
+    "documents for span-level dedup (which docs are mostly boilerplate "
+    "vs. mostly novel), complementing the pairwise dedup_* ops which "
+    "only see docs that happen to collide. Shares _SQL_SHINGLES with "
+    "dedup_ngram_jaccard so the shingle spec cannot drift. Plan shape: "
+    "ONE posting shuffle keyed on the shingle builds corpus document "
+    "frequencies; the df>=2 semi-join back to the posting is "
+    "co-partitioned on the same key (no second posting shuffle); the "
+    "doc rollup is map-side combinable. Deliberately NO hot-shingle cap "
+    "here: unlike pair generation (quadratic per bucket), coverage is "
+    "LINEAR in posting size — a boilerplate shingle in B docs costs B "
+    "rows, not B^2 pairs — and dropping hot shingles would undercount "
+    "exactly the boilerplate mass this metric exists to expose. The "
+    "single int/int division is IEEE-correctly-rounded (cross-engine "
+    "exact).",
+)
+def dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    sh = _shingled(spark, sf_dir).cache()
+    posting = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    dfc = posting.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    dup = (
+        posting.join(dfc.filter(F.col("df") >= 2), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("n_shingles"))
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+    return sizes.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_dup.alias("n_dup"),
+        (n_dup * F.lit(1.0) / F.col("n_shingles")).alias("dup_coverage"),
+    )

@@ -653,3 +653,99 @@ def multimodal_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "negative_chars",
         )
     )
+
+
+# --- aspect-ratio bucketing (batched image-training data layout) --------------
+
+# SDXL-style resolution ladder: every image trains at the bucket resolution
+# nearest its native aspect ratio, so a micro-batch holds one uniform shape.
+_AR_BUCKETS: list[tuple[int, int]] = [
+    (1024, 1024),
+    (1152, 896),
+    (896, 1152),
+    (1216, 832),
+    (832, 1216),
+    (1344, 768),
+    (768, 1344),
+]
+_AR_BATCH = 64  # images per micro-batch within a bucket
+
+import math as _math  # noqa: E402
+
+# |w/h - bw/bh| comparisons kept in EXACT integer space: the common scale
+# D = lcm(bh_i) makes d_i = |w*bh_i - h*bw_i| * (D/bh_i) proportional to the
+# true ratio distance for a fixed image (shared 1/(h*D) factor), so argmin
+# over buckets needs no floating point. Encoding key = d_i*8 + i makes one
+# integer MIN both pick the winner and break ties toward the earlier bucket.
+_AR_D = _math.lcm(*[bh for _, bh in _AR_BUCKETS])
+
+
+def _ar_keys_sql() -> str:
+    ks = []
+    for i, (bw, bh) in enumerate(_AR_BUCKETS):
+        m = _AR_D // bh
+        ks.append(f"ABS(w * {bh} - h * {bw}) * {m} * 8 + {i}")
+    return "LEAST(" + ", ".join(ks) + ")"
+
+
+def _ar_case(expr: str, vals: list[int]) -> str:
+    arms = " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(vals))
+    return f"CAST(CASE {expr} {arms} END AS BIGINT)"
+
+
+@register(
+    "multimodal_aspect_bucket",
+    sql=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(64 + (n_chars % {_IMG_W_MOD}) AS BIGINT) AS w,
+               CAST(64 + ((n_chars * 7) % {_IMG_H_MOD}) AS BIGINT) AS h
+        FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id, CAST({_ar_keys_sql()} % 8 AS BIGINT) AS bucket_idx
+        FROM dims
+    )
+    SELECT bucket_idx,
+           {_ar_case("bucket_idx", [bw for bw, _ in _AR_BUCKETS])} AS bucket_w,
+           {_ar_case("bucket_idx", [bh for _, bh in _AR_BUCKETS])} AS bucket_h,
+           count(*) AS n_images,
+           (count(*) + {_AR_BATCH - 1}) // {_AR_BATCH} AS n_microbatches
+    FROM assigned GROUP BY bucket_idx
+    """,
+    doc="Aspect-ratio bucketing of the image corpus (SDXL-style resolution "
+    "ladder): each image (typed dims synthesized from n_chars, the same "
+    "derivation as multimodal_image_tiles) is assigned to the ladder "
+    "resolution with the nearest aspect ratio, and the output is the "
+    "bucket census plus the micro-batch count at batch={batch} — the "
+    "shuffle-planning table a multimodal training loader needs so every "
+    "GPU batch holds one uniform shape instead of padding to the max. "
+    "Cross-engine exactness: the argmin over buckets runs entirely in "
+    "integer space (|w*bh - h*bw| cross-multiplication scaled to the "
+    "lcm of bucket heights, winner+tie-break packed into one MIN key), "
+    "so no float ratio ever materializes. Plan shape: the assignment is "
+    "a per-row expression inside the scan projection (whole-stage "
+    "codegen, zero shuffles); the census is ONE map-side-combinable "
+    "groupBy on a 7-value key.".format(batch=_AR_BATCH),
+)
+def multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents")
+    w = (64 + F.col("n_chars") % _IMG_W_MOD).cast("long")
+    h = (64 + (F.col("n_chars") * 7) % _IMG_H_MOD).cast("long")
+    keys = [
+        (F.abs(w * bh - h * bw) * (_AR_D // bh) * 8 + F.lit(i)).cast("long")
+        for i, (bw, bh) in enumerate(_AR_BUCKETS)
+    ]
+    bidx = (F.least(*keys) % 8).cast("long")
+    w_arr = F.array(*[F.lit(bw).cast("long") for bw, _ in _AR_BUCKETS])
+    h_arr = F.array(*[F.lit(bh).cast("long") for _, bh in _AR_BUCKETS])
+    assigned = docs.select(
+        bidx.alias("bucket_idx"),
+        F.element_at(w_arr, bidx.cast("int") + 1).alias("bucket_w"),
+        F.element_at(h_arr, bidx.cast("int") + 1).alias("bucket_h"),
+    )
+    return assigned.groupBy("bucket_idx", "bucket_w", "bucket_h").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.expr(f"(count(*) + {_AR_BATCH - 1}) DIV {_AR_BATCH}").alias("n_microbatches"),
+    )

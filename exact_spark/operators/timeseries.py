@@ -2440,3 +2440,91 @@ def ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (wmean / 100.0).alias("win_mean"),
         ((F.col("m_fx").cast("double") - wmean) / 100.0).alias("excess"),
     )
+
+
+# --- SAX symbolization (symbolic aggregate approximation) ---------------------
+
+_SAX_ALPHABET = "abcd"  # 4 symbols
+_SAX_CARD = len(_SAX_ALPHABET)
+
+
+@register(
+    "ts_sax_symbolize",
+    sql=f"""
+    WITH canon AS ({{canon}}),
+    fx AS (
+        SELECT event_type,
+               CAST(FLOOR(ts_epoch / 3600.0) AS BIGINT) AS hour_bucket,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_fx
+        FROM canon
+    ),
+    paa AS (
+        SELECT event_type, hour_bucket,
+               count(*) AS n_events,
+               CAST(SUM(value_fx) AS BIGINT) // count(*) AS paa_fx
+        FROM fx GROUP BY event_type, hour_bucket
+    ),
+    bounds AS (
+        SELECT event_type, min(paa_fx) AS lo, max(paa_fx) AS hi
+        FROM paa GROUP BY event_type
+    )
+    SELECT p.event_type, p.hour_bucket, p.n_events, p.paa_fx,
+           CAST(LEAST({_SAX_CARD - 1},
+                (p.paa_fx - b.lo) * {_SAX_CARD} // (b.hi - b.lo + 1)) AS BIGINT)
+               AS symbol,
+           substr('{_SAX_ALPHABET}',
+                CAST(LEAST({_SAX_CARD - 1},
+                     (p.paa_fx - b.lo) * {_SAX_CARD} // (b.hi - b.lo + 1)) AS INT) + 1,
+                1) AS sym_char
+    FROM paa p JOIN bounds b USING (event_type)
+    """.format(canon=CANON_SQL),
+    doc="SAX symbolization of each event-type value series (Lin et al.'s "
+    "Symbolic Aggregate approXimation — the standard discretization "
+    "behind time-series motif mining, HOT SAX anomaly discovery, and "
+    "symbolic indexing): piecewise-aggregate approximation over hourly "
+    "frames, then each frame mean mapped to a {card}-letter alphabet. "
+    "Two deliberate Spark-first deviations from the textbook recipe, "
+    "both for scale + cross-engine exactness: (1) TIME-aligned PAA "
+    "frames (hour buckets) instead of count-based frames — frames "
+    "become ONE map-side-combinable groupBy instead of a per-series "
+    "row_number, so no single-partition series sort exists at any "
+    "history length; (2) min-max equi-width breakpoints in fixed-point "
+    "INTEGER space instead of Gaussian z-breakpoints — the frame mean "
+    "(integer floor-div of the exact fixed-point sum), the per-series "
+    "bounds, and the symbol assignment ((paa-lo)*{card} DIV (hi-lo+1), "
+    "clamped) are all integer arithmetic, bit-identical in both "
+    "engines, where a z-normalized mean/std would hit order-dependent "
+    "double summation. Plan shape: two map-side-combinable groupBys "
+    "(frame census, per-series bounds) + one broadcast join of the "
+    "tiny per-series bounds dim back onto the frames.".format(
+        card=_SAX_CARD
+    ),
+)
+def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = canonical_events(spark, sf_dir)
+    fx = df.select(
+        "event_type",
+        F.floor(F.col("ts_epoch") / 3600.0).cast("long").alias("hour_bucket"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("value_fx"),
+    )
+    paa = fx.groupBy("event_type", "hour_bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("sum(value_fx) DIV count(*)").alias("paa_fx"),
+    )
+    bounds = paa.groupBy("event_type").agg(
+        F.min("paa_fx").alias("lo"), F.max("paa_fx").alias("hi")
+    )
+    j = paa.join(F.broadcast(bounds), "event_type")
+    sym = F.least(
+        F.lit(_SAX_CARD - 1).cast("long"),
+        F.expr(f"(paa_fx - lo) * {_SAX_CARD} DIV (hi - lo + 1)"),
+    ).cast("long")
+    chars = F.array(*[F.lit(c) for c in _SAX_ALPHABET])
+    return j.select(
+        "event_type",
+        "hour_bucket",
+        "n_events",
+        "paa_fx",
+        sym.alias("symbol"),
+        F.element_at(chars, sym.cast("int") + 1).alias("sym_char"),
+    )

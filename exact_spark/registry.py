@@ -121,6 +121,9 @@ DRIVER_ORDER: list[str] = [
     "emb_random_projection",
     "ts_holt_linear",
     "text_chunk_scrub",
+    "dedup_coverage",
+    "multimodal_aspect_bucket",
+    "ts_sax_symbolize",
     "sim_mmr_select",
     "ts_residual_outliers",
     "emb_hamming_topk",
