@@ -1,0 +1,65 @@
+"""Per-corpus materialized artifacts.
+
+A production engine builds expensive derived structures ONCE per corpus
+version and serves them for months: the canonical job table, the kNN
+graph, duplicate-group components, staged stream-replay sources. This
+module holds the shared mechanics: a content fingerprint of the source
+parquet (file names + sizes + mtimes — cheap, no data read), a
+/tmp-scoped artifact directory keyed by that fingerprint, and a
+race-safe build protocol (build into a staging dir, atomic rename, the
+loser of a concurrent race discards its copy). On a cluster the same
+protocol targets a shared object-store prefix instead of tempfile.
+
+Consumers re-read the artifact as plain parquet, so Catalyst still gets
+column pruning and predicate pushdown on every serve-side read.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pathlib
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+
+def source_fingerprint(source: str | pathlib.Path) -> str:
+    """Cheap content fingerprint of a parquet file/dir: relative names,
+    sizes, and mtimes of every file under it."""
+    src = pathlib.Path(source).resolve()
+    files = sorted(src.rglob("*")) if src.is_dir() else [src]
+    parts = [
+        f"{p.name}:{p.stat().st_size}:{p.stat().st_mtime_ns}"
+        for p in files
+        if p.is_file()
+    ]
+    return hashlib.md5((str(src) + "|" + "|".join(parts)).encode()).hexdigest()[:12]
+
+
+def materialize(
+    source: str | pathlib.Path,
+    tag: str,
+    build: Callable[[str], None],
+) -> str:
+    """Return the path of the ``tag`` artifact derived from ``source``,
+    building it once per source fingerprint.
+
+    ``build(staging_path)`` must write a parquet dataset (with _SUCCESS)
+    at ``staging_path``; it runs only on a cache miss. Concurrent
+    builders race safely: both build, one rename wins, the loser's
+    staging dir is discarded.
+    """
+    fp = source_fingerprint(source)
+    base = pathlib.Path(tempfile.gettempdir()) / f"exact_spark_{tag}_{fp}"
+    if (base / "_SUCCESS").exists():
+        return str(base)
+    staging = base.with_name(base.name + "." + uuid.uuid4().hex[:8] + ".tmp")
+    build(str(staging))
+    if (base / "_SUCCESS").exists():  # concurrent builder won the race
+        shutil.rmtree(staging, ignore_errors=True)
+    else:
+        shutil.rmtree(base, ignore_errors=True)
+        os.rename(staging, base)
+    return str(base)

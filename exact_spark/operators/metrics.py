@@ -2121,19 +2121,22 @@ _AB_SALT = "ab1:"
         FROM cs
     )
     SELECT n_a, n_b,
-           (CAST(s_a AS DOUBLE) / n_a) / 10000.0 AS mean_a,
-           (CAST(s_b AS DOUBLE) / n_b) / 10000.0 AS mean_b,
-           ((CAST(q_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / n_a)
-               / (n_a - 1)) / 100000000.0 AS var_a,
-           ((CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / n_b)
-               / (n_b - 1)) / 100000000.0 AS var_b,
-           ((CAST(s_a AS DOUBLE) / n_a) / 10000.0 - (CAST(s_b AS DOUBLE) / n_b) / 10000.0)
-             / sqrt(
-                 (((CAST(q_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / n_a)
-                     / (n_a - 1)) / 100000000.0) / n_a
-                 + (((CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / n_b)
-                     / (n_b - 1)) / 100000000.0) / n_b
-               ) AS t_stat
+           CASE WHEN n_a >= 1 THEN (CAST(s_a AS DOUBLE) / n_a) / 10000.0 END AS mean_a,
+           CASE WHEN n_b >= 1 THEN (CAST(s_b AS DOUBLE) / n_b) / 10000.0 END AS mean_b,
+           CASE WHEN n_a > 1 THEN
+             ((CAST(q_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / n_a)
+                 / (n_a - 1)) / 100000000.0 END AS var_a,
+           CASE WHEN n_b > 1 THEN
+             ((CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / n_b)
+                 / (n_b - 1)) / 100000000.0 END AS var_b,
+           CASE WHEN n_a > 1 AND n_b > 1 THEN
+             ((CAST(s_a AS DOUBLE) / n_a) / 10000.0 - (CAST(s_b AS DOUBLE) / n_b) / 10000.0)
+               / sqrt(
+                   (((CAST(q_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / n_a)
+                       / (n_a - 1)) / 100000000.0) / n_a
+                   + (((CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / n_b)
+                       / (n_b - 1)) / 100000000.0) / n_b
+                 ) END AS t_stat
     FROM wide
     """,
     doc="A/B cohort comparison with Welch's unequal-variance t-test: "
@@ -2191,11 +2194,23 @@ def ml_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("cohort") == "A", F.col("q"))).alias("q_a"),
         F.max(F.when(F.col("cohort") == "B", F.col("q"))).alias("q_b"),
     )
-    mean = lambda s, n: (F.col(s).cast("double") / F.col(n)) / 10000.0  # noqa: E731
-    var = lambda q, s, n: (  # noqa: E731
-        (F.col(q).cast("double") - (F.col(s).cast("double") * F.col(s).cast("double")) / F.col(n))
-        / (F.col(n) - 1)
-    ) / 100000000.0
+    # Degenerate cohorts (size 0 or 1) must yield NULL — not a 0-division
+    # whose NULL/inf propagation differs between Spark and DuckDB. The
+    # guards mirror the CASE WHEN tree in the oracle SQL exactly.
+    mean = lambda s, n: F.when(  # noqa: E731
+        F.col(n) >= 1, (F.col(s).cast("double") / F.col(n)) / 10000.0
+    )
+    var = lambda q, s, n: F.when(  # noqa: E731
+        F.col(n) > 1,
+        (
+            (
+                F.col(q).cast("double")
+                - (F.col(s).cast("double") * F.col(s).cast("double")) / F.col(n)
+            )
+            / (F.col(n) - 1)
+        )
+        / 100000000.0,
+    )
     se = F.sqrt(var("q_a", "s_a", "n_a") / F.col("n_a") + var("q_b", "s_b", "n_b") / F.col("n_b"))
     return wide.select(
         "n_a",
@@ -2204,5 +2219,8 @@ def ml_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean("s_b", "n_b").alias("mean_b"),
         var("q_a", "s_a", "n_a").alias("var_a"),
         var("q_b", "s_b", "n_b").alias("var_b"),
-        ((mean("s_a", "n_a") - mean("s_b", "n_b")) / se).alias("t_stat"),
+        F.when(
+            (F.col("n_a") > 1) & (F.col("n_b") > 1),
+            (mean("s_a", "n_a") - mean("s_b", "n_b")) / se,
+        ).alias("t_stat"),
     )

@@ -2525,6 +2525,15 @@ def rel_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("rev_fx").alias("s"), F.count(F.lit(1)).alias("c"))
         .collect()
     }
+    # Empty fact table => no bucket subtotals; short-circuit with the
+    # declared schema rather than build a /0 cum_share expression (the SQL
+    # oracle returns zero rows cleanly in the same case).
+    if not sub:
+        return spark.createDataFrame(
+            [],
+            "s_suppkey bigint, rnk bigint, revenue double, "
+            "cum_share double, abc_class string",
+        )
     # descending revenue order => buckets consumed from HIGHEST to lowest
     off_sum, off_cnt, acc_s, acc_c = {}, {}, 0, 0
     for b in sorted(sub, reverse=True):

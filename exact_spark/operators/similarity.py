@@ -2303,32 +2303,17 @@ def sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_graph_path(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
-    import os
     import pathlib
-    import shutil
-    import tempfile
-    import uuid
 
-    src = pathlib.Path(sf_dir).resolve() / "embeddings.parquet"
-    files = sorted(src.rglob("*")) if src.is_dir() else [src]
-    parts = [
-        f"{p.name}:{p.stat().st_size}:{p.stat().st_mtime_ns}"
-        for p in files
-        if p.is_file()
-    ]
-    fp = hashlib.md5((str(src) + "|" + "|".join(parts)).encode()).hexdigest()[:12]
-    base = pathlib.Path(tempfile.gettempdir()) / ("exact_spark_knng_" + fp)
-    if (base / "_SUCCESS").exists():
-        return str(base)
-    staging = base.with_name(base.name + "." + uuid.uuid4().hex[:8] + ".tmp")
-    sim_knn_graph(spark, sf_dir).write.mode("overwrite").parquet(str(staging))
-    if (base / "_SUCCESS").exists():  # concurrent builder won the race
-        shutil.rmtree(staging, ignore_errors=True)
-    else:
-        shutil.rmtree(base, ignore_errors=True)
-        os.rename(staging, base)
-    return str(base)
+    from exact_spark.artifacts import materialize
+
+    return materialize(
+        pathlib.Path(sf_dir).resolve() / "embeddings.parquet",
+        "knng",
+        lambda staging: sim_knn_graph(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(staging),
+    )
 
 
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:

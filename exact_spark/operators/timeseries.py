@@ -2376,7 +2376,7 @@ _PEAK_HALF_WIN = 3
            (CAST(wsum AS DOUBLE) / wcnt) / 100.0 AS win_mean,
            (CAST(m_fx AS DOUBLE) - CAST(wsum AS DOUBLE) / wcnt) / 100.0 AS excess
     FROM win
-    WHERE wcnt > 1 AND m_fx > COALESCE(wl, -1) AND m_fx > COALESCE(wr, -1)
+    WHERE wcnt > 1 AND (wl IS NULL OR m_fx > wl) AND (wr IS NULL OR m_fx > wr)
     """,
     doc="Local-maximum peak scan over the hourly-mean series: an hour is a "
     "peak when it is STRICTLY above every neighbor within +/-{w} grid "
@@ -2427,10 +2427,13 @@ def ts_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m_fx").over(wc).cast("long").alias("wsum"),
         F.count(F.lit(1)).over(wc).cast("long").alias("wcnt"),
     )
+    # A NULL one-sided max means NO neighbor on that side (boundary hour):
+    # the comparison is vacuously true. A magnitude sentinel like -1 would
+    # silently suppress boundary peaks on series with values <= -0.01.
     peaks = win.filter(
         (F.col("wcnt") > 1)
-        & (F.col("m_fx") > F.coalesce(F.col("wl"), F.lit(-1)))
-        & (F.col("m_fx") > F.coalesce(F.col("wr"), F.lit(-1)))
+        & (F.col("wl").isNull() | (F.col("m_fx") > F.col("wl")))
+        & (F.col("wr").isNull() | (F.col("m_fx") > F.col("wr")))
     )
     wmean = F.col("wsum").cast("double") / F.col("wcnt")
     return peaks.select(

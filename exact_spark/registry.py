@@ -39,253 +39,266 @@ def register(name: str, sql: str | None, doc: str = ""):
 
 
 # The round driver records correctness for the FIRST 50 entries of
-# ``queries()`` (observed count cap: exactly 50 rows in CORRECTNESS_r01-r03
-# across three different query sets). With more than 50 registered queries,
-# iteration order decides which get a driver record, so it is managed
-# explicitly: least-recently-recorded first. DRIVER_ORDER lists the queries
-# that most need a record THIS round — never-recorded, new, or changed since
-# their last record — followed by single-record ones; queries absent from
-# the list (multiply-verified in past rounds, unchanged) fall to the back in
-# registration order and rotate in next round. The full set is always
-# covered locally: tools/record_correctness.py runs the driver-identical
-# compare over EVERY query at sf0.01 and the result is committed as
-# CORRECTNESS_LOCAL_r{N}.json.
+# ``queries()`` (observed count cap: exactly 50 rows in CORRECTNESS_r01-r04).
+# With 239 registered queries, iteration order decides which get a driver
+# record, so it is managed explicitly. r05 policy (VERDICT r04 item 2): the
+# window is drawn EXCLUSIVELY from the 123 oracle-backed queries that have
+# never had a driver record in r01-r04 — no re-records, no rows-only entries
+# (they cannot hash-match and would waste a slot). Family priority follows
+# the verdict: rel_* TPC-H analogs, dq_* gates, emb_*, graph/sim_*
+# diagnostics, plus the four never-recorded queries whose code changed this
+# round. The 73-query backlog after this window rotates into r06. The full
+# registry is still covered every round by tools/record_correctness.py
+# (driver-identical compare, sf0.01) committed as CORRECTNESS_LOCAL_r{N}.json.
 DRIVER_ORDER: list[str] = [
-    # --- the driver records the FIRST 50 only; window composition for r05:
-    # (a) the 15 queries unrecorded for 3+ rounds (VERDICT r03 item 1),
-    # (b) every never-recorded ORACLE-backed query (hash evidence beats a
-    #     rows-only record when slots are scarce),
-    # (c) the three capped/reworked-in-r4 oracle queries needing a fresh
-    #     record. Never-recorded ROWS-ONLY queries spill past 50 (their
-    #     runtime behavior is still covered by CORRECTNESS_LOCAL_r04 and
-    #     the pytest gate) and rotate in next round.
-    # (a) unrecorded for 3+ rounds
-    "w1_sliding_features",
-    "w3_sampling_strategies",
-    "ts_sessionize",
-    "ts_interval_join",
-    "api_get_data",
-    "catalog_lifecycle",
-    "ingest_json_e2e",
-    "ml_cv_stratified",
-    "ml_sequence_window_e2e",
-    "stream_replay_e2e",
-    "xai_methods_ndcg",
-    "ml_supervised_e2e",
-    "ml_unsupervised_e2e",
-    "ml_param_search",
-    "ml_isotonic_calibration",
-    # (b) never-recorded oracle-backed (registration order within round 4)
-    "text_repetition_profile",
-    "emb_pq_encode",
-    "sim_topk_pq",
-    "text_pack_sequences",
-    "text_shard_assign",
-    "dedup_lsh_recall",
-    "text_tokenize_ids",
-    "text_source_mix",
-    "dedup_incremental",
-    "sketch_quantile_rollup",
-    "sketch_heavy_hitters",
-    "ts_ewma_band",
-    "rel_local_supplier_volume",
-    "rel_bloom_semijoin",
-    "dedup_chunk_exact",
-    "ts_seasonal_naive",
-    "text_weighted_sample",
-    "ts_props_extract",
-    "sim_cluster_profile",
-    "rel_top_parts_per_type",
-    "ts_funnel",
-    "ts_retention_cohorts",
-    "rel_inactive_customers",
-    "text_lm_score",
-    "sim_range_search",
-    "ts_anomaly_spans",
-    "dedup_semantic",
-    # (c) capped/reworked in round 4 — fresh oracle record needed
-    "sim_neardup_lsh",
-    "dedup_ngram_jaccard",
-    "decontaminate_ngram",
-    # (d) operators added late in round 4 (never recorded)
-    "dedup_leakage_safe_split",
-    "text_temperature_mix",
-    "text_token_budget_select",
-    "ts_classical_decompose",
-    "text_novelty_curve",
-    # ---- position 50+: spill (rotate in next round) -----------------------
-    # continuation-session additions (never recorded; front of the r05
-    # rotation behind the verdict-flagged window above)
-    "ml_ab_welch",
-    "rel_pareto_abc",
-    "emb_random_projection",
-    "ts_holt_linear",
-    "text_chunk_scrub",
-    "dedup_coverage",
-    "multimodal_aspect_bucket",
-    "ts_sax_symbolize",
-    "sim_mmr_select",
-    "ts_residual_outliers",
-    "emb_hamming_topk",
-    "emb_hamming_recall",
-    "sim_diversity_gain",
-    "ts_rate_shift",
-    "ts_peaks",
-    "text_jaccard_sweep",
-    # continuation-session oracle additions (covered by the local record)
-    # (five queries displaced by the (d) block: three single-agg TPC-H
-    # analogs and a pivot — the simplest oracle shapes in the registry —
-    # and the Q3 analog whose plan shape is separately pinned in tests)
-    "rel_shipping_priority",
-    "rel_pivot_priority_year",
-    "rel_promo_revenue",
-    "rel_large_orders",
-    "rel_small_qty_revenue",
-    "rel_order_count_distribution",
-    "rel_disjunctive_revenue",
-    "rel_supplier_cnt_by_part",
-    "rel_important_parts",
-    "rel_top_supplier",
-    "rel_market_share",
-    "rel_sole_blame_supplier",
-    "ts_changepoint_cusum",
-    "ts_autocorrelation",
-    "text_token_diversity",
-    "sim_graph_triangles",
-    "ml_lift_table",
-    "ml_chi2_assoc",
-    "multimodal_image_tiles",
-    "rel_min_cost_supplier",
-    "emb_centroid_drift",
-    "dedup_survivorship",
-    "dq_schema_profile",
-    "ml_bootstrap_ci",
-    "ml_metric_slices",
-    "multimodal_hard_negatives",
-    "ts_event_trigrams",
-    "text_chunk_overlap",
-    "emb_matryoshka_fidelity",
-    "rel_priority_semijoin",
-    "ts_cross_correlation",
-    "sim_label_propagation",
-    "text_source_overlap",
-    "rel_returned_revenue",
-    "ts_concurrent_sessions",
-    "ml_pr_auc",
-    "sketch_bloom_fpr",
-    "ts_gap_profile",
-    "ts_seasonality_strength",
-    "rel_join_cardinality_check",
-    "ml_gini_gain",
-    "text_vocab_coverage",
-    "emb_norm_profile",
-    "ml_ks_statistic",
-    "rel_yoy_growth",
-    "ts_fano_factor",
-    "sim_label_homophily",
-    "rel_product_profit",
-    "rel_ship_lag_priority",
-    "rel_dominant_supplier",
-    "ml_roc_auc",
-    "ml_calibration_bins",
-    "dq_referential_integrity",
-    "sim_pq_recall",
-    "rel_customer_percentile",
-    "emb_dim_stats",
-    "ml_best_threshold",
-    "emb_index_manifest",
-    "dq_crossmodal_consistency",
-    "catalog_partition_stats",
-    "emb_pq_distortion",
-    "rel_ship_latency_percentiles",
-    "catalog_retention_expire",
-    "text_bpe_merges",
-    "text_bpe_apply",
-    "stream_stream_join",
-    "stream_session_window_native",
-    "catalog_merge_upsert",
-    # late-round oracle additions (covered by the local record this round)
-    "ml_drift_bins",
-    "ts_value_k_corr",
-    "sim_threshold_sweep",
-    "catalog_time_travel",
-    "dq_expectations",
-    "text_idf_keywords",
+    # --- r05 window (slots 1-50): 100% never-driver-recorded ORACLE-backed
+    # (a) rel_* TPC-H analogs (29, incl. changed-this-round rel_pareto_abc)
     "rel_bilateral_trade",
-    "multimodal_audio_windows",
-    "text_compression_ratio",
-    "ts_user_growth",
+    "rel_customer_percentile",
+    "rel_customer_rfm",
+    "rel_disjunctive_revenue",
+    "rel_dominant_supplier",
+    "rel_forecast_revenue",
+    "rel_grouping_sets",
+    "rel_important_parts",
+    "rel_join_cardinality_check",
+    "rel_large_orders",
+    "rel_market_basket",
+    "rel_market_share",
+    "rel_min_cost_supplier",
+    "rel_order_count_distribution",
+    "rel_pareto_abc",
+    "rel_pivot_priority_year",
+    "rel_priority_semijoin",
+    "rel_product_profit",
+    "rel_promo_revenue",
+    "rel_returned_revenue",
+    "rel_rolling_revenue",
+    "rel_ship_lag_priority",
+    "rel_ship_latency_percentiles",
+    "rel_shipping_priority",
+    "rel_small_qty_revenue",
+    "rel_sole_blame_supplier",
+    "rel_supplier_cnt_by_part",
+    "rel_top_supplier",
+    "rel_yoy_growth",
+    # (b) dq_* gates (6)
+    "dq_benford_audit",
+    "dq_crossmodal_consistency",
+    "dq_expectations",
+    "dq_key_uniqueness",
+    "dq_referential_integrity",
+    "dq_schema_profile",
+    # (c) changed this round, never recorded (4)
+    "ml_ab_welch",
+    "ts_peaks",
+    "dedup_cluster_purity",
+    "dedup_survivorship",
+    # (d) emb_* (9)
+    "emb_centroid_drift",
+    "emb_dim_stats",
+    "emb_hamming_recall",
+    "emb_hamming_topk",
+    "emb_index_manifest",
+    "emb_matryoshka_fidelity",
+    "emb_norm_profile",
+    "emb_pq_distortion",
+    "emb_random_projection",
+    # (e) sim graph builders (2)
     "sim_knn_graph",
     "sim_graph_pagerank",
-    "g9_pr_curve",
-    "stream_static_enrich",
-    "multimodal_binaryfile_ingest",
-    "catalog_snapshot_diff",
-    "text_feature_hashing",
-    "rel_rolling_revenue",
-    "rel_grouping_sets",
-    "sketch_hll_intersection",
-    "ts_outlier_mad",
-    "ml_learning_curve",
-    "text_cooccurrence_pmi",
-    "rel_forecast_revenue",
-    "ts_event_type_markov",
-    "sim_knn_outliers",
+    # ---- position 50+: remaining never-recorded oracle-backed backlog (73, rotate to the r06 window)
+    "catalog_merge_upsert",
+    "catalog_schema_evolution",
+    "catalog_time_travel",
     "dedup_containment",
-    "rel_market_basket",
-    "rel_customer_rfm",
-    "ml_ensemble_vote",
-    "stream_drift_monitor",
-    "ts_dau_wau",
-    "ml_mcc",
-    "ml_detector_kappa",
-    "ts_spearman_corr",
+    "dedup_coverage",
     "dedup_fuzzy_edit",
+    "dedup_winnow_recall",
+    "g9_pr_curve",
+    "ml_best_threshold",
+    "ml_bootstrap_ci",
+    "ml_brier_rank_score",
+    "ml_calibration_bins",
+    "ml_chi2_assoc",
+    "ml_detector_kappa",
+    "ml_drift_bins",
+    "ml_gini_gain",
+    "ml_ks_statistic",
+    "ml_lift_table",
+    "ml_mcc",
+    "ml_metric_slices",
+    "ml_pr_auc",
+    "ml_roc_auc",
+    "ml_score_overlap",
+    "multimodal_aspect_bucket",
+    "multimodal_audio_windows",
+    "multimodal_hard_negatives",
+    "multimodal_image_tiles",
+    "sim_diversity_gain",
+    "sim_graph_triangles",
+    "sim_kcore_peel",
+    "sim_knn_outliers",
+    "sim_label_homophily",
+    "sim_label_propagation",
+    "sim_mmr_select",
+    "sim_pq_recall",
+    "sim_threshold_sweep",
+    "sketch_bloom_fpr",
+    "stream_static_enrich",
+    "stream_watermark_dedup",
+    "stream_windowed_counts",
+    "text_bpe_apply",
+    "text_bpe_merges",
+    "text_chunk_overlap",
+    "text_chunk_scrub",
+    "text_cooccurrence_pmi",
+    "text_feature_hashing",
+    "text_idf_keywords",
+    "text_jaccard_sweep",
+    "text_source_overlap",
+    "text_token_diversity",
+    "text_vocab_coverage",
     "text_winnow_fingerprints",
     "text_winnow_pairs",
-    "dq_benford_audit",
-    "sim_kcore_peel",
-    "dedup_winnow_recall",
-    "ml_brier_rank_score",
-    "catalog_schema_evolution",
     "text_zipf_profile",
+    "ts_autocorrelation",
+    "ts_changepoint_cusum",
+    "ts_concurrent_sessions",
+    "ts_cross_correlation",
+    "ts_dau_wau",
+    "ts_event_trigrams",
+    "ts_event_type_markov",
+    "ts_fano_factor",
     "ts_forecast_backtest",
-    "dq_key_uniqueness",
-    "dedup_cluster_purity",
-    "ml_score_overlap",
-    # never-recorded rows-only
-    "text_quality_classifier",
-    "stream_cms_maintain",
+    "ts_gap_profile",
+    "ts_holt_linear",
+    "ts_outlier_mad",
+    "ts_rate_shift",
+    "ts_residual_outliers",
+    "ts_sax_symbolize",
+    "ts_seasonality_strength",
+    "ts_spearman_corr",
+    "ts_user_growth",
+    "ts_value_k_corr",
+    # never-recorded rows-only (no hash evidence possible; covered locally + pytest)
+    "catalog_partition_stats",
+    "catalog_retention_expire",
+    "catalog_snapshot_diff",
     "dedup_semantic_kmeans",
-    "sim_topk_ivf_kmeans",
-    "sim_ivf_kmeans_recall",
-    "stream_watermark_dedup",
-    "stream_stateful_sessions",
-    "stream_online_zscore",
-    "stream_windowed_counts",
     "emb_pca_whiten",
-    # changed-in-r4 oracle queries with past green records
+    "ml_ensemble_vote",
+    "ml_learning_curve",
+    "multimodal_binaryfile_ingest",
+    "sim_ivf_kmeans_recall",
+    "sim_topk_ivf_kmeans",
+    "sketch_hll_intersection",
+    "stream_cms_maintain",
+    "stream_drift_monitor",
+    "stream_online_zscore",
+    "stream_session_window_native",
+    "stream_stateful_sessions",
+    "stream_stream_join",
+    "text_compression_ratio",
+    "text_quality_classifier",
+    # previously driver-recorded, oldest record first
+    "canon_materialize",
+    "dedup_components",
+    "dedup_exact",
     "dedup_minhash_lsh",
-    "text_curation_manifest",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "emb_quantize_int8",
+    "g1_confusion_metrics",
+    "g5_percentile_threshold",
+    "g6_ndcg",
+    "g8_class_counts",
+    "inject_methods",
+    "j1_flag_writeback",
+    "ml_per_key_threshold",
+    "multimodal_binary_meta",
     "multimodal_decode_features",
     "multimodal_frame_features",
-    # single driver record so far (green in r03 only)
-    "text_profile",
+    "multimodal_frame_sample",
+    "p13_alignment",
+    "p7_impute",
+    "rel_distinct_two_phase",
+    "rel_order_priority_smj",
+    "rel_pricing_summary",
+    "rel_region_revenue",
+    "rel_revenue_rollup",
+    "rel_top_customers",
+    "sim_ivf_recall",
+    "sim_knn_classify",
+    "sim_topk_cosine",
+    "sim_topk_ivf",
+    "sketch_approx_stats",
+    "sketch_mergeable_rollup",
+    "text_curation_manifest",
     "text_filter_pipeline",
+    "text_profile",
     "text_sample_stratified",
     "text_vocab_topk",
-    "dedup_components",
-    "canon_materialize",
+    "ts_asof_join",
+    "ts_balanced_sample",
+    "ts_canonicalize",
+    "ts_column_stats",
     "ts_downsample_m4",
     "ts_gap_fill",
-    "inject_methods",
-    "ml_per_key_threshold",
-    "sketch_mergeable_rollup",
-    "multimodal_frame_sample",
-    "p7_impute",
-    "rel_revenue_rollup",
-    "sim_ivf_recall",
-    "emb_quantize_int8",
+    "ts_hourly_rollup",
+    "ts_interarrival",
+    "ts_time_range_scan",
+    "ts_train_test_split",
+    "api_get_data",
+    "catalog_lifecycle",
+    "decontaminate_ngram",
+    "dedup_chunk_exact",
+    "dedup_incremental",
+    "dedup_leakage_safe_split",
+    "dedup_lsh_recall",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "emb_pq_encode",
+    "ingest_json_e2e",
+    "ml_cv_stratified",
+    "ml_isotonic_calibration",
+    "ml_param_search",
+    "ml_sequence_window_e2e",
+    "ml_supervised_e2e",
+    "ml_unsupervised_e2e",
+    "rel_bloom_semijoin",
+    "rel_inactive_customers",
+    "rel_local_supplier_volume",
+    "rel_top_parts_per_type",
+    "sim_cluster_profile",
+    "sim_neardup_lsh",
+    "sim_range_search",
+    "sim_topk_pq",
+    "sketch_heavy_hitters",
+    "sketch_quantile_rollup",
+    "stream_replay_e2e",
+    "text_lm_score",
+    "text_novelty_curve",
+    "text_pack_sequences",
+    "text_repetition_profile",
+    "text_shard_assign",
+    "text_source_mix",
+    "text_temperature_mix",
+    "text_token_budget_select",
+    "text_tokenize_ids",
+    "text_weighted_sample",
+    "ts_anomaly_spans",
+    "ts_classical_decompose",
+    "ts_ewma_band",
+    "ts_funnel",
+    "ts_interval_join",
+    "ts_props_extract",
+    "ts_retention_cohorts",
+    "ts_seasonal_naive",
+    "ts_sessionize",
+    "w1_sliding_features",
+    "w3_sampling_strategies",
+    "xai_methods_ndcg",
 ]
 
 
