@@ -15,9 +15,11 @@ two extra baselines:
   draw in the engine).
 - ``lime``: LIME (Ribeiro et al. 2016) — locality-kernel-weighted ridge
   surrogate over std-scaled perturbations, id-seeded draw.
-- ``counterfactual``: DiCE-style (Mothilal et al. 2020) greedy
-  counterfactual search — importance = standardized movement each
-  feature needs before the decision flips.
+- ``counterfactual``: DiCE-style (Mothilal et al. 2020) restarted greedy
+  counterfactual search — total_CFs=4 diverse counterfactuals per
+  instance via per-restart feature-subset masks; importance = count of
+  CFs in which the feature changed (xai_runner.py:261-308's exact
+  aggregation).
 - ``occlusion``: perturb one feature to its training mean, measure the
   model-score delta — the single-feature slice of the masking fan-out.
 - ``permutation``: permutation feature importance — break one feature's
@@ -215,20 +217,78 @@ def _coalition_masks(m: int, instance_id: int) -> tuple[np.ndarray, np.ndarray]:
     return z, np.ones(_SHAP_N_SAMPLES)
 
 
-def _kernelshap_single(score_fn, x: np.ndarray, bg: np.ndarray, instance_id: int) -> np.ndarray:
-    """Exact KernelSHAP for one instance against a single background point
-    (the k-means k=1 summary the reference feeds KernelExplainer,
-    ShapExplainer.py:151-157): weighted least squares over coalition
-    evaluations with the efficiency constraint eliminated by substituting
-    the last feature (the same reduction shap's KernelExplainer solves)."""
+_SHAP_BG_K = 50  # k-means background summary size (ShapExplainer.py:151)
+_SHAP_BG_SAMPLE = 2048  # driver-side raw-background cap before summarizing
+
+
+def _kmeans_background(
+    rows: np.ndarray, k: int = _SHAP_BG_K, seed: int = 42
+) -> tuple[np.ndarray, np.ndarray]:
+    """The reference's background summary (ShapExplainer.py:148-176):
+    ``shap.kmeans(bg, k=min(50, n), round_values=False)`` — cluster
+    centers weighted by cluster mass. Implemented as seeded numpy Lloyd
+    iterations (sklearn is absent; the fixpoint is not). Mirrors the
+    reference's gate: only summarize when n > 2k, else use the raw rows
+    with uniform weights."""
+    n = len(rows)
+    k = min(k, n)
+    if n <= 2 * k:
+        return rows.astype(np.float64), np.full(n, 1.0 / max(n, 1))
+    x = rows.astype(np.float64)
+    rng = np.random.RandomState(seed)
+    centers = x[rng.choice(n, size=k, replace=False)]
+    assign = np.zeros(n, dtype=np.int64)
+    for _ in range(25):
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        new_assign = d.argmin(axis=1)
+        if (new_assign == assign).all():
+            break
+        assign = new_assign
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                centers[j] = x[mask].mean(axis=0)
+    counts = np.bincount(assign, minlength=k).astype(np.float64)
+    keep = counts > 0
+    return centers[keep], counts[keep] / counts[keep].sum()
+
+
+def _kernelshap_single(
+    score_fn,
+    x: np.ndarray,
+    bg: np.ndarray,
+    instance_id: int,
+    bg_weights: np.ndarray | None = None,
+) -> np.ndarray:
+    """Exact KernelSHAP for one instance against a WEIGHTED background
+    distribution (the reference's k-means summary, ShapExplainer.py:151-157
+    — a (K, M) center matrix with cluster-mass weights; a 1-D bg is the
+    K=1 degenerate case): for every coalition the masked value is the
+    weighted mean of the model over the K background completions, then
+    weighted least squares over coalition evaluations with the efficiency
+    constraint eliminated by substituting the last feature (the same
+    reduction shap's KernelExplainer solves). Efficiency becomes
+    sum(phi) = f(x) - E_bg[f]."""
     m = len(x)
-    f0 = float(score_fn(bg[None, :])[0])
+    bg2 = bg[None, :] if bg.ndim == 1 else bg
+    k = bg2.shape[0]
+    bw = (
+        np.full(k, 1.0 / k)
+        if bg_weights is None
+        else np.asarray(bg_weights, dtype=np.float64) / float(np.sum(bg_weights))
+    )
+    f0 = float(score_fn(bg2) @ bw)
     fx = float(score_fn(x[None, :])[0])
     if m == 1:
         return np.array([fx - f0])
     z, w = _coalition_masks(m, instance_id)
-    h = z * x[None, :] + (1.0 - z) * bg[None, :]
-    y = score_fn(h) - f0
+    # masked evals: each coalition completes with ALL K background rows
+    # in one (C*K, M) batch; y(z) = weighted mean over the K completions
+    c = z.shape[0]
+    h = (
+        z[:, None, :] * x[None, None, :] + (1.0 - z[:, None, :]) * bg2[None, :, :]
+    ).reshape(c * k, m)
+    y = score_fn(h).reshape(c, k) @ bw - f0
     # eliminate phi_m via sum(phi) = fx - f0
     z_adj = z[:, :-1] - z[:, -1:]
     y_adj = y - z[:, -1] * (fx - f0)
@@ -238,21 +298,33 @@ def _kernelshap_single(score_fn, x: np.ndarray, bg: np.ndarray, instance_id: int
 
 
 def kernelshap_importances(
-    model, instances: DataFrame, feature_cols: list[str], train_means: dict[str, float]
+    model,
+    instances: DataFrame,
+    feature_cols: list[str],
+    train_means: dict[str, float],
+    background: np.ndarray | None = None,
+    bg_weights: np.ndarray | None = None,
 ) -> DataFrame:
     """X1: KernelSHAP (Lundberg & Lee 2017), implemented natively — the
     shap library is absent from this environment but the algorithm is not:
     per instance, evaluate the model on masked feature coalitions (absent
-    features replaced by the training-mean background, the reference's
-    k-means summary collapsed to k=1) and solve the Shapley-kernel-weighted
-    regression for per-feature attributions. Exact (full enumeration) up
-    to 11 features; id-seeded kernel-mass sampling beyond. Output
-    importance is |phi_j| to match the sibling explainers' magnitude
-    contract; the per-coalition model evals batch through ONE vectorized
-    score_fn call per instance.
+    features completed from the k<=50 cluster-mass-weighted k-means
+    background summary, ShapExplainer.py:148-176's shap.kmeans posture)
+    and solve the Shapley-kernel-weighted regression for per-feature
+    attributions. Exact (full enumeration) up to 11 features; id-seeded
+    kernel-mass sampling beyond. Output importance is |phi_j| to match the
+    sibling explainers' magnitude contract; the per-coalition model evals
+    batch through ONE vectorized score_fn call per instance. When no
+    background matrix is supplied, falls back to the training-mean single
+    point (k=1).
     """
     score_fn = _extract_score_fn(model, feature_cols)
-    bg = np.array([train_means[c] for c in feature_cols], dtype=np.float64)
+    if background is None:
+        bg = np.array([train_means[c] for c in feature_cols], dtype=np.float64)
+        bgw = None
+    else:
+        bg = np.asarray(background, dtype=np.float64)
+        bgw = None if bg_weights is None else np.asarray(bg_weights, dtype=np.float64)
     cols = list(feature_cols)
 
     schema = T.StructType(
@@ -271,7 +343,7 @@ def kernelshap_importances(
             ids = pdf["id"].astype("int64").to_numpy()
             out_ids, out_feats, out_imps = [], [], []
             for i in range(len(pdf)):
-                phi = _kernelshap_single(score_fn, x[i], bg, int(ids[i]))
+                phi = _kernelshap_single(score_fn, x[i], bg, int(ids[i]), bgw)
                 out_ids.extend([ids[i]] * len(cols))
                 out_feats.extend(cols)
                 out_imps.extend(np.abs(phi))
@@ -344,6 +416,43 @@ def lime_importances(
 
 _CF_MAX_STEPS = 60
 _CF_STEP = 0.25  # fraction of the remaining gap to the mean per move
+_CF_TOTAL = 4  # counterfactuals per instance (the reference's total_CFs=4,
+#                execute_calls.py:716 / xai_runner.py:476)
+_CF_VARY_P = 0.7  # per-restart feature-subset inclusion probability
+
+
+def _greedy_flip(
+    score_fn,
+    x_start: np.ndarray,
+    means: np.ndarray,
+    stds: np.ndarray,
+    thr: float,
+    allowed: np.ndarray,
+    above0: bool,
+) -> tuple[np.ndarray, bool]:
+    """One greedy coordinate walk from ``x_start`` toward the training
+    mean, restricted to the ``allowed`` feature mask, until the model's
+    decision differs from ``above0``. Returns (endpoint, flipped)."""
+    m_feats = len(x_start)
+    x = x_start.copy()
+    flipped = False
+    for _ in range(_CF_MAX_STEPS):
+        s = float(score_fn(x[None])[0])
+        if (s > thr) != above0:
+            flipped = True
+            break
+        cand = np.tile(x, (m_feats, 1))
+        step = _CF_STEP * (means - x) * allowed
+        cand[np.arange(m_feats), np.arange(m_feats)] += step
+        sc = score_fn(cand)
+        gain = (sc - s) * (-1.0 if above0 else 1.0)
+        denom = np.abs(step) / stds + 1e-12
+        gain = np.where(allowed > 0, gain, -np.inf)
+        j = int(np.argmax(gain / denom))
+        if not np.isfinite(gain[j]) or step[j] == 0.0 or gain[j] <= 0.0:
+            break  # no allowed move helps; stop early
+        x[j] += step[j]
+    return x, flipped
 
 
 def counterfactual_importances(
@@ -353,16 +462,22 @@ def counterfactual_importances(
     train_means: dict[str, float],
     train_stds: dict[str, float],
 ) -> DataFrame:
-    """X3: DiCE-style counterfactual attribution (Mothilal et al. 2020's
-    contract reduced to one greedy counterfactual per instance — dice_ml
-    is absent, the search is implementable): walk the instance toward the
-    training mean one best-coordinate step at a time until the model's
-    decision flips (score crosses the trained threshold), then attribute
-    each feature the STANDARDIZED magnitude of its total move —
-    counterfactual importance is "how much did this feature have to
-    change". Greedy coordinate choice = the step with the largest score
-    movement per unit standardized change; instances that never flip
-    report the accumulated per-feature movement of the full budget."""
+    """X3: DiCE-style counterfactual attribution (Mothilal et al. 2020 —
+    dice_ml is absent, the search is not): per instance, generate up to
+    ``total_CFs=4`` DIVERSE counterfactuals (DiceExplainer.py:243-321's
+    runtime contract) via restarted greedy walks toward the training mean
+    — restart 0 searches over ALL features; each later restart may vary
+    only an instance+restart-seeded ~70% feature subset (the
+    ``features_to_vary`` expansion, DiceExplainer.py:259-283, used here
+    as the diversity mechanism: different allowed sets force different
+    flips; walks start AT the instance so a counterfactual differs from
+    it exactly in the features the walk moved). Importance aggregates
+    exactly as the reference does
+    (xai_runner.py:261-308): per feature, the COUNT of counterfactuals in
+    which that feature changed (``~np.isclose`` vs the original), so
+    scores live in {0..4}. Instances where no restart flips fall back to
+    the full-budget walk's standardized movement (scaled below 1 so a
+    no-flip instance never outranks a real counterfactual's count)."""
     score_fn = _extract_score_fn(model, feature_cols)
     thr = float(getattr(model, "thr", 0.0) or 0.0)
     means = np.array([train_means[c] for c in feature_cols], dtype=np.float64)
@@ -386,27 +501,39 @@ def counterfactual_importances(
             ids = pdf["id"].astype("int64").to_numpy()
             out_ids, out_feats, out_imps = [], [], []
             for i in range(len(pdf)):
-                x = x0[i].copy()
-                above0 = float(score_fn(x[None])[0]) > thr
-                for _ in range(_CF_MAX_STEPS):
-                    s = float(score_fn(x[None])[0])
-                    if (s > thr) != above0:
-                        break
-                    # candidate: move each feature toward its mean
-                    cand = np.tile(x, (m_feats, 1))
-                    step = _CF_STEP * (means - x)
-                    cand[np.arange(m_feats), np.arange(m_feats)] += step
-                    sc = score_fn(cand)
-                    gain = (sc - s) * (-1.0 if above0 else 1.0)
-                    denom = np.abs(step) / stds + 1e-12
-                    j = int(np.argmax(gain / denom))
-                    if step[j] == 0.0 or gain[j] <= 0.0:
-                        break  # no move helps; stop early
-                    x[j] += step[j]
-                delta = np.abs(x - x0[i]) / stds
+                orig = x0[i]
+                above0 = float(score_fn(orig[None])[0]) > thr
+                counts = np.zeros(m_feats)
+                fallback = None
+                n_flips = 0
+                for r in range(_CF_TOTAL):
+                    rng = np.random.RandomState(
+                        (int(ids[i]) * 2654435761 + 101 * r + 13) % (2**32)
+                    )
+                    if r == 0:
+                        allowed = np.ones(m_feats)
+                    else:
+                        allowed = (rng.rand(m_feats) < _CF_VARY_P).astype(np.float64)
+                        if allowed.sum() == 0:
+                            allowed[rng.randint(m_feats)] = 1.0
+                    end, flipped = _greedy_flip(
+                        score_fn, orig, means, stds, thr, allowed, above0
+                    )
+                    if flipped:
+                        n_flips += 1
+                        counts += (~np.isclose(end, orig)).astype(np.float64)
+                    elif r == 0:
+                        fallback = np.abs(end - orig) / stds
+                if n_flips > 0:
+                    imp = counts
+                else:
+                    # never flipped: rank by required movement, bounded
+                    # under 1.0 so it cannot outrank any real CF count
+                    fb = fallback if fallback is not None else np.zeros(m_feats)
+                    imp = 0.99 * fb / (fb.max() + 1e-12)
                 out_ids.extend([ids[i]] * m_feats)
                 out_feats.extend(cols)
-                out_imps.extend(delta)
+                out_imps.extend(imp)
             yield pd.DataFrame({"id": out_ids, "feature": out_feats, "importance": out_imps})
 
     return instances.select("id", *cols).mapInPandas(explain, schema=schema)
@@ -479,22 +606,27 @@ def intgrad_importances(
 
 
 _IMPORTANCE_FNS = {
-    "occlusion": lambda model, inst, cols, means, stds: occlusion_importances(
+    "occlusion": lambda model, inst, cols, means, stds, bg=None: occlusion_importances(
         model, inst, cols, means
     ),
-    "permutation": lambda model, inst, cols, means, stds: permutation_importances(
+    "permutation": lambda model, inst, cols, means, stds, bg=None: permutation_importances(
         model, inst, cols
     ),
-    "kernelshap": lambda model, inst, cols, means, stds: kernelshap_importances(
-        model, inst, cols, means
+    "kernelshap": lambda model, inst, cols, means, stds, bg=None: kernelshap_importances(
+        model,
+        inst,
+        cols,
+        means,
+        background=None if bg is None else bg[0],
+        bg_weights=None if bg is None else bg[1],
     ),
-    "lime": lambda model, inst, cols, means, stds: lime_importances(
+    "lime": lambda model, inst, cols, means, stds, bg=None: lime_importances(
         model, inst, cols, means, stds
     ),
-    "counterfactual": lambda model, inst, cols, means, stds: counterfactual_importances(
+    "counterfactual": lambda model, inst, cols, means, stds, bg=None: counterfactual_importances(
         model, inst, cols, means, stds
     ),
-    "intgrad": lambda model, inst, cols, means, stds: intgrad_importances(
+    "intgrad": lambda model, inst, cols, means, stds, bg=None: intgrad_importances(
         model, inst, cols, means, stds
     ),
 }
@@ -686,6 +818,27 @@ def run_explanations(
     train_stds = {
         c: (stat_row[f"s_{c}"] if stat_row[f"s_{c}"] else 1.0) for c in feature_cols
     }
+    # KernelSHAP background: a bounded id-seeded uniform sample of the
+    # training frame (the reference caps raw background at MAX_BG_SAMPLES
+    # uniform rows, xai_runner.py:20,356-363; this driver-side sample is
+    # the same posture at explainer scale) summarized to k<=50 cluster
+    # centers weighted by cluster mass (shap.kmeans, ShapExplainer.py:
+    # 148-176).
+    bg_sample = np.array(
+        [
+            [r[c] for c in feature_cols]
+            for r in df.select("id", *feature_cols)
+            .withColumn(
+                "__rk",
+                F.md5(F.concat(F.lit(f"shapbg{seed}:"), F.col("id").cast("string"))),
+            )
+            .orderBy("__rk")
+            .limit(_SHAP_BG_SAMPLE)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    bg = _kmeans_background(bg_sample, seed=seed) if len(bg_sample) else None
     instances = select_instances(df, strategy, n_instances, seed=seed).cache()
     inst_rows = instances.select("id", F.col("timestamp").cast("double").alias("ep")).collect()
     truth = ndcg_ground_truth({r["id"]: r["ep"] for r in inst_rows}, settings, start_epoch)
@@ -696,7 +849,9 @@ def run_explanations(
         if m not in _IMPORTANCE_FNS:
             raise KeyError(f"unknown XAI method {m!r}; implemented: {METHODS}")
         t0 = time.perf_counter()
-        imps = _IMPORTANCE_FNS[m](model, instances, feature_cols, train_means, train_stds)
+        imps = _IMPORTANCE_FNS[m](
+            model, instances, feature_cols, train_means, train_stds, bg
+        )
         agg = aggregate_importances(imps).collect()
         ranking = [r["feature"] for r in agg]
         per_method[m] = {

@@ -614,7 +614,28 @@ def catalog_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "catalog_retention_expire",
-    sql=None,
+    # the retained set is a PURE function of the canonical series: the demo
+    # table holds the first 4 x 86400 s of canon, partitions are UTC dates
+    # (day_idx = floor(ts_epoch/86400)), the cutoff is date(min)+2 days —
+    # so before/dropped/after are all SQL-expressible, and the two
+    # invariant columns (exactness, idempotence) are literal TRUE/0
+    sql=f"""
+    WITH canon AS ({{canon}}),
+    lo AS (SELECT MIN(ts_epoch) AS lo FROM canon),
+    b AS (
+        SELECT CAST(FLOOR(ts_epoch / 86400.0) AS BIGINT) AS day_idx
+        FROM canon, lo WHERE ts_epoch < lo.lo + 4 * 86400.0
+    ),
+    cut AS (SELECT CAST(FLOOR(lo.lo / 86400.0) AS BIGINT) + 2 AS cut_day FROM lo)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows_before,
+           CAST((SELECT count(DISTINCT day_idx) FROM b, cut
+                 WHERE day_idx < cut_day) AS BIGINT) AS n_partitions_dropped,
+           CAST((SELECT count(*) FROM b, cut
+                 WHERE day_idx >= cut_day) AS BIGINT) AS n_rows_after,
+           TRUE AS retained_rows_exact,
+           CAST(0 AS BIGINT) AS second_expire_dropped
+    FROM b
+    """.format(canon=__import__("exact_spark.operators.timeseries", fromlist=["CANON_SQL"]).CANON_SQL),
     doc="Retention/TTL lifecycle e2e: create a bounded date-partitioned "
     "demo table, expire partitions older than a cutoff via the "
     "tombstone-rename path (TimescaleDB drop_chunks analog — the "

@@ -327,7 +327,28 @@ def catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "catalog_snapshot_diff",
-    sql=None,  # versioned-table lifecycle — rows-only check
+    # the diff of two committed versions is a PURE function of the source
+    # events (v1 = day<=1, v2 = day 1-2 with values doubled for user%3==0),
+    # so the verdict census is SQL-expressible: day 0 -> removed, day 2 ->
+    # added, day 1 -> changed iff the mutation changed the hashed value
+    # (value*2 <> value <=> value <> 0), else unchanged
+    sql="""
+    WITH ep AS (SELECT epoch_us(ts) AS e, event_id, user_id, value FROM events),
+    lo AS (SELECT MIN(e) AS lo FROM ep),
+    d AS (
+        SELECT (ep.e - lo.lo) // 86400000000 AS day_no, event_id, user_id, value
+        FROM ep, lo
+    ),
+    v AS (
+        SELECT CASE WHEN day_no = 0 THEN 'removed'
+                    WHEN day_no = 2 THEN 'added'
+                    WHEN user_id % 3 = 0 AND value <> 0.0 THEN 'changed'
+                    ELSE 'unchanged' END AS verdict
+        FROM d WHERE day_no <= 2
+    )
+    SELECT verdict, CAST(count(*) AS BIGINT) AS n_rows
+    FROM v GROUP BY verdict ORDER BY verdict
+    """,
     doc="Snapshot reconciliation (the CDC/audit read the versioned layer "
     "enables): diff two committed versions of a table by FULL OUTER join "
     "on the primary key comparing content hashes — rows classified "

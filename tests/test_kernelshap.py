@@ -126,3 +126,130 @@ def test_advertised_models_all_resolve(spark):
     for name in MODELS:
         assert get_model(name) is not None
     assert "xgboost" in MODELS and "rnn_autoencoder" in MODELS
+
+
+# --- weighted k-means background (ShapExplainer.py:148-176 parity) ----------
+
+
+def test_linear_model_exact_weighted_background():
+    # for f(x) = w.x + b against a background DISTRIBUTION, Shapley values
+    # are exactly w_j * (x_j - E_bg[x_j]) with E under the cluster weights
+    rng = np.random.RandomState(5)
+    w = np.array([2.0, -1.0, 0.5, 3.0])
+    fn = lambda X: X @ w + 7.0  # noqa: E731
+    x = np.array([1.0, 2.0, -1.0, 0.5])
+    bg = rng.randn(6, 4)
+    bw = np.array([1.0, 2.0, 3.0, 1.0, 0.5, 0.5])
+    phi = _kernelshap_single(fn, x, bg, instance_id=1, bg_weights=bw)
+    mu = (bg * (bw / bw.sum())[:, None]).sum(axis=0)
+    np.testing.assert_allclose(phi, w * (x - mu), atol=1e-10)
+
+
+def test_efficiency_axiom_weighted_background_nonlinear():
+    # sum(phi) == f(x) - E_bg[f] must hold exactly for any model
+    rng = np.random.RandomState(7)
+    fn = lambda X: X[:, 0] * X[:, 1] + np.sin(X[:, 2])  # noqa: E731
+    x = np.array([1.5, -2.0, 0.7])
+    bg = rng.randn(9, 3)
+    bw = rng.rand(9) + 0.1
+    phi = _kernelshap_single(fn, x, bg, instance_id=9, bg_weights=bw)
+    e_bg = float(fn(bg) @ (bw / bw.sum()))
+    assert abs(phi.sum() - (fn(x[None])[0] - e_bg)) < 1e-10
+
+
+def test_single_point_background_unchanged():
+    # the K=1 path must match the historical single-point behavior exactly
+    w = np.array([2.0, -1.0, 0.5])
+    fn = lambda X: X @ w  # noqa: E731
+    x = np.array([1.0, 2.0, -1.0])
+    bg = np.array([0.5, 0.0, 1.0])
+    p1 = _kernelshap_single(fn, x, bg, instance_id=3)
+    p2 = _kernelshap_single(fn, x, bg[None, :], instance_id=3, bg_weights=np.array([1.0]))
+    np.testing.assert_allclose(p1, p2, atol=1e-12)
+
+
+def test_kmeans_background_summary():
+    from exact_spark.ml.explain import _kmeans_background
+
+    rng = np.random.RandomState(11)
+    # two well-separated blobs, 3:1 mass ratio
+    a = rng.randn(300, 2) * 0.1 + np.array([10.0, 10.0])
+    b = rng.randn(100, 2) * 0.1 + np.array([-10.0, -10.0])
+    rows = np.vstack([a, b])
+    centers, weights = _kmeans_background(rows, k=2, seed=1)
+    assert centers.shape == (2, 2) and abs(weights.sum() - 1.0) < 1e-12
+    # the two centers land on the blob means with 0.75/0.25 masses
+    order = np.argsort(centers[:, 0])
+    np.testing.assert_allclose(centers[order][0], [-10.0, -10.0], atol=0.2)
+    np.testing.assert_allclose(centers[order][1], [10.0, 10.0], atol=0.2)
+    np.testing.assert_allclose(sorted(weights), [0.25, 0.75], atol=1e-12)
+    # small-n gate: n <= 2k returns the raw rows uniformly weighted
+    small = rng.randn(8, 2)
+    c2, w2 = _kmeans_background(small, k=5, seed=1)
+    assert c2.shape == (8, 2) and np.allclose(w2, 1.0 / 8)
+    # determinism
+    c3, w3 = _kmeans_background(rows, k=2, seed=1)
+    np.testing.assert_allclose(centers, c3)
+
+
+# --- DiCE-style multi-counterfactual diversity (total_CFs=4) -----------------
+
+
+class _LinearThresholdModel:
+    """score = x @ w; anomaly when score > thr — a picklable stand-in the
+    counterfactual walk can flip."""
+
+    def __init__(self, w, thr):
+        self.w = np.asarray(w, dtype=np.float64)
+        self.thr = thr
+
+    def _score_fn(self):
+        w = self.w
+        return lambda X: X @ w
+
+
+def test_counterfactual_four_diverse_cfs(spark, monkeypatch):
+    from exact_spark.ml import explain as ex
+    from exact_spark.ml.models import EncoderOneClassDetector
+
+    model = _LinearThresholdModel([1.0, 1.0, 0.0], thr=1.0)
+    monkeypatch.setattr(
+        ex, "_extract_score_fn", lambda m, cols: model._score_fn()
+    )
+    # anomalous instances: both v1 and v2 can independently flip the
+    # decision (score = v1 + v2 > 1); v3 is irrelevant
+    rows = [(i, 2.0, 2.0, 5.0) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "id long, v1 double, v2 double, v3 double")
+    imps = ex.counterfactual_importances(
+        model,
+        df,
+        ["v1", "v2", "v3"],
+        {"v1": 0.0, "v2": 0.0, "v3": 5.0},
+        {"v1": 1.0, "v2": 1.0, "v3": 1.0},
+    ).toPandas()
+    piv = imps.pivot(index="id", columns="feature", values="importance")
+    # counts are integers in {0..4}: at least one CF flips per instance,
+    # and the irrelevant feature never changes (its gap to the mean is 0)
+    assert (piv[["v1", "v2"]].to_numpy() == piv[["v1", "v2"]].to_numpy().round()).all()
+    assert ((piv["v1"] + piv["v2"]) >= 1).all()
+    assert (piv["v1"] <= 4).all() and (piv["v2"] <= 4).all()
+    assert (piv["v3"] == 0).all()
+    # DIVERSITY: across the instance set, restarts with different
+    # features_to_vary subsets must produce CFs that differ in WHICH
+    # feature flipped — both v1-only and v2-involving counterfactuals
+    # exist somewhere (a single-CF implementation reports one constant
+    # pattern per instance)
+    assert piv["v1"].sum() > 0 and piv["v2"].sum() > 0
+
+
+def test_counterfactual_no_flip_fallback(spark, monkeypatch):
+    from exact_spark.ml import explain as ex
+
+    # score is constant: nothing can flip -> bounded movement fallback < 1
+    model = _LinearThresholdModel([0.0, 0.0], thr=1.0)
+    monkeypatch.setattr(ex, "_extract_score_fn", lambda m, cols: model._score_fn())
+    df = spark.createDataFrame([(1, 3.0, 4.0)], "id long, v1 double, v2 double")
+    imps = ex.counterfactual_importances(
+        model, df, ["v1", "v2"], {"v1": 0.0, "v2": 0.0}, {"v1": 1.0, "v2": 1.0}
+    ).toPandas()
+    assert (imps["importance"] < 1.0).all()
