@@ -5,12 +5,15 @@ driver-visible bounded end-to-end run.
 
 A bounded availableNow replay is a DETERMINISTIC function of the source
 table, so where the streaming semantics are themselves data-determined
-(dedup by key, stateless enrich join, watermark-finalized windows) the
+(dedup by key, stateless enrich join, watermark-finalized windows,
+gap sessions — custom AND built-in, stream-stream interval joins) the
 query carries a real DuckDB oracle computing the EXPECTED result —
-including the watermark emission rule (a window appears iff its end <=
-max event time - watermark delay), which the oracle states explicitly.
-Queries whose results depend on model state or micro-batch boundaries
-(foreachBatch scoring, drift monitor, CMS maintenance) stay rows-only.
+including the watermark emission rule (a window/session appears iff its
+end <= max event time - watermark delay, ms-truncated where the engine
+truncates), which the oracle states explicitly. Queries whose results
+depend on model state or micro-batch boundaries (foreachBatch scoring,
+drift monitor, CMS maintenance, the online z-score's sequential float
+fold) stay rows-only.
 """
 
 from __future__ import annotations
@@ -179,13 +182,45 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful_sessions",
-    sql=None,  # custom stateful streaming operator -> rows-only check
+    # the emitted set is DATA-determined: sessions = per-user runs split at
+    # gaps > 4h, emitted iff session_end + gap <= the FINAL watermark
+    # (max event time, ms-truncated as Spark tracks it, minus 2h) — the
+    # same finality-rule oracle pattern stream_windowed_counts proves;
+    # bounds round-trip as exact integer micros
+    sql=f"""WITH {_sql_bounded(3.0, 5)},
+    s AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, e,
+               CASE WHEN e - lag(e) OVER (PARTITION BY user_id ORDER BY e)
+                         > 14400000000 OR
+                         lag(e) OVER (PARTITION BY user_id ORDER BY e) IS NULL
+                    THEN 1 ELSE 0 END AS brk
+        FROM b
+    ),
+    g AS (
+        SELECT key, e,
+               SUM(brk) OVER (PARTITION BY key ORDER BY e
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s
+    ),
+    sess AS (
+        SELECT key, MIN(e) AS start_us, MAX(e) AS end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM g GROUP BY key, sid
+    ),
+    wm AS (SELECT ((MAX(e) // 1000) - 7200000) / 1000.0 AS wm_s FROM b)
+    SELECT key, start_us AS session_start_us, end_us AS session_end_us, n_events
+    FROM sess, wm
+    WHERE end_us / 1000000.0 + 14400.0 <= wm_s
+    ORDER BY key, session_start_us
+    """,
     doc="Per-user gap sessionization via applyInPandasWithState, "
     "driver-visible bounded run: a 3-day events slice replays as a "
     "2-chunk file stream; sessions emit exactly when the watermark proves "
     "them final (end + gap passed), state carries open sessions across "
     "micro-batches and tail sessions correctly stay unemitted. Result is "
-    "the closed-session table (key, bounds, event count).",
+    "the closed-session table (key, bounds as exact integer micros, event "
+    "count) — oracle-hashed against the batch sessionization + the "
+    "watermark finality rule.",
 )
 def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact_spark.streaming.replay import stateful_session_counts
@@ -218,9 +253,15 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination(120)
+        # bounds emit as float seconds from the pandas fold (~1e-7 s ulp
+        # error from the ns/1e9 path); round back to the exact integer
+        # micros the parquet stores so the hash compare is drift-free
         return spark.sql(
-            "SELECT key, session_start, session_end, n_events "
-            "FROM ssess_out ORDER BY key, session_start"
+            "SELECT key, "
+            "CAST(FLOOR(session_start * 1000000.0 + 0.5) AS LONG) AS session_start_us, "
+            "CAST(FLOOR(session_end * 1000000.0 + 0.5) AS LONG) AS session_end_us, "
+            "n_events "
+            "FROM ssess_out ORDER BY key, session_start_us"
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -677,7 +718,32 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stream_join",
-    sql=None,  # Structured Streaming run -> rows-only check
+    # the matched set is DATA-determined: an INNER interval join under
+    # availableNow over time-ordered chunks emits exactly the batch-join
+    # pairs (state eviction only drops a view once the watermark proves no
+    # future purchase can reach back to it — views needed by chunk-2
+    # purchases are at most 6h older than them and the chunk-1 watermark
+    # lags its max by 1h, so nothing needed is ever evicted), making the
+    # expected result plain batch SQL on the bounded slice
+    sql="""
+    WITH ep AS (SELECT epoch_us(ts) AS e, event_id, user_id, event_type
+                FROM events),
+    lo AS (SELECT MIN(e) AS lo FROM ep),
+    b AS (SELECT e, event_id, user_id, event_type FROM ep, lo
+          WHERE e < lo.lo + CAST(259200000000 AS BIGINT) AND user_id % 2 = 0),
+    v AS (SELECT user_id AS v_user, e AS view_e FROM b
+          WHERE event_type = 'view'),
+    p AS (SELECT user_id AS p_user, event_id AS purchase_id, e AS purchase_e
+          FROM b WHERE event_type = 'purchase'),
+    j AS (SELECT p_user, purchase_id FROM p JOIN v
+          ON p.p_user = v.v_user
+          AND p.purchase_e >= v.view_e
+          AND p.purchase_e <= v.view_e + 21600000000)
+    SELECT p_user AS user_id,
+           CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_attributed_purchases,
+           CAST(count(*) AS BIGINT) AS n_view_purchase_pairs
+    FROM j GROUP BY p_user ORDER BY p_user
+    """,
     doc="Stream-STREAM interval join, driver-visible bounded run (the "
     "attribution shape: purchases joined to the view that preceded them "
     "within 6 hours, per user, both sides unbounded streams): a 3-day "
@@ -761,7 +827,38 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_window_native",
-    sql=None,  # Structured Streaming run -> rows-only check
+    # the emitted set is DATA-determined: built-in session windows merge
+    # while the next event is STRICTLY inside [prev, prev+gap) (split at
+    # diff >= gap — one ulp apart from the custom operator's > gap),
+    # window bounds are [first_event, last_event + gap), the LONG casts
+    # truncate to whole seconds, and APPEND emits exactly the windows
+    # whose end clears the final ms-truncated watermark
+    sql=f"""WITH {_sql_bounded(3.0, 5)},
+    s AS (
+        SELECT user_id, e,
+               CASE WHEN e - lag(e) OVER (PARTITION BY user_id ORDER BY e)
+                         >= 14400000000 OR
+                         lag(e) OVER (PARTITION BY user_id ORDER BY e) IS NULL
+                    THEN 1 ELSE 0 END AS brk
+        FROM b
+    ),
+    g AS (
+        SELECT user_id, e,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY e
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s
+    ),
+    sess AS (
+        SELECT user_id, MIN(e) AS start_us, MAX(e) + 14400000000 AS end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM g GROUP BY user_id, sid
+    ),
+    wm AS (SELECT ((MAX(e) // 1000) - 1800000) * 1000 AS wm_us FROM b)
+    SELECT user_id, start_us // 1000000 AS session_start,
+           end_us // 1000000 AS session_end, n_events
+    FROM sess, wm WHERE end_us <= wm_us
+    ORDER BY user_id, session_start
+    """,
     doc="Native session_window aggregation, driver-visible bounded run — "
     "the BUILT-IN gap-session operator next to the custom "
     "applyInPandasWithState one (stream_stateful_sessions): same 3-day "

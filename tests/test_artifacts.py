@@ -1,0 +1,78 @@
+"""Per-corpus artifact materialization mechanics (exact_spark/artifacts.py):
+fingerprint sensitivity, build-once semantics, and race survival — the
+shared substrate under the kNN-graph / components / stream-staging memos."""
+
+from __future__ import annotations
+
+import pathlib
+
+from exact_spark.artifacts import materialize, source_fingerprint
+
+
+def _touch(p: pathlib.Path, data: bytes = b"x") -> None:
+    p.write_bytes(data)
+
+
+def test_fingerprint_tracks_content_and_layout(tmp_path):
+    src = tmp_path / "t.parquet"
+    src.mkdir()
+    _touch(src / "part-0", b"aaa")
+    fp1 = source_fingerprint(src)
+    assert fp1 == source_fingerprint(src)  # stable
+    _touch(src / "part-0", b"bbbb")  # size change
+    fp2 = source_fingerprint(src)
+    assert fp2 != fp1
+    _touch(src / "part-1", b"c")  # new file
+    assert source_fingerprint(src) != fp2
+
+
+def test_materialize_builds_once(tmp_path, monkeypatch):
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    src = tmp_path / "s.parquet"
+    _touch(src, b"data")
+    calls = []
+
+    def build(staging: str) -> None:
+        calls.append(staging)
+        d = pathlib.Path(staging)
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").write_text("")
+        (d / "out").write_text("v1")
+
+    p1 = materialize(src, "unit", build)
+    p2 = materialize(src, "unit", build)
+    assert p1 == p2 and len(calls) == 1
+    assert (pathlib.Path(p1) / "out").read_text() == "v1"
+    # source change -> new fingerprint -> rebuild into a DIFFERENT dir
+    _touch(src, b"data2")
+    p3 = materialize(src, "unit", build)
+    assert p3 != p1 and len(calls) == 2
+
+
+def test_materialize_loser_discards_staging(tmp_path, monkeypatch):
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    src = tmp_path / "r.parquet"
+    _touch(src, b"data")
+
+    def racing_build(staging: str) -> None:
+        # simulate a concurrent builder winning while we were building:
+        # the canonical dir appears before our rename
+        d = pathlib.Path(staging)
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").write_text("")
+        (d / "out").write_text("loser")
+        winner = pathlib.Path(str(d.parent / d.name.split(".")[0]))
+        winner.mkdir(parents=True, exist_ok=True)
+        (winner / "_SUCCESS").write_text("")
+        (winner / "out").write_text("winner")
+
+    p = materialize(src, "race", racing_build)
+    assert (pathlib.Path(p) / "out").read_text() == "winner"
+    # the loser's staging dir was discarded
+    leftovers = [x for x in pathlib.Path(tmp_path).glob("exact_spark_race_*.tmp")]
+    assert leftovers == []
