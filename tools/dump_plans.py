@@ -66,6 +66,7 @@ HEADLINERS = [
     ("dedup_coverage", "ONE posting exchange keyed on the shingle; df>=2 semi-join co-partitioned on the same key; doc rollup map-side combinable"),
     ("multimodal_aspect_bucket", "integer argmin assignment inside the scan projection (zero exchanges before the 7-key census groupBy)"),
     ("ts_sax_symbolize", "hourly PAA frames via ONE map-side-combinable groupBy (no per-series sort); per-series bounds broadcast back onto the frames"),
+    ("dedup_cluster_purity", "duplicate groups read from the per-corpus components ARTIFACT (plain parquet scan — the CC fixpoint never re-derives per consumer); two keyed groupBys over LSH-capped groups"),
 ]
 
 
