@@ -541,6 +541,70 @@ def counterfactual_importances(
 
 
 
+def counterfactual_examples(
+    model,
+    instances: DataFrame,
+    feature_cols: list[str],
+    train_means: dict[str, float],
+    train_stds: dict[str, float],
+) -> DataFrame:
+    """The X7 DiCE artifact surface (xai_visualizations.py:253-397's
+    original-vs-counterfactual table): per explained instance, the
+    original row plus every flipped counterfactual the restarted greedy
+    search found (same walks as counterfactual_importances — identical
+    seeds, so the examples ARE the counted CFs). Rows:
+    (id, cf_index, type, <feature values...>) with cf_index = -1 for the
+    original; distributed over the same broadcast-model mapInPandas
+    fan-out."""
+    score_fn = _extract_score_fn(model, feature_cols)
+    thr = float(getattr(model, "thr", 0.0) or 0.0)
+    means = np.array([train_means[c] for c in feature_cols], dtype=np.float64)
+    stds = np.array([train_stds[c] for c in feature_cols], dtype=np.float64)
+    cols = list(feature_cols)
+    m_feats = len(cols)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cf_index", T.IntegerType()),
+            T.StructField("type", T.StringType()),
+        ]
+        + [T.StructField(c, T.DoubleType()) for c in cols]
+    )
+
+    def explain(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x0 = pdf[cols].to_numpy(dtype=np.float64)
+            ids = pdf["id"].astype("int64").to_numpy()
+            rows = []
+            for i in range(len(pdf)):
+                orig = x0[i]
+                above0 = float(score_fn(orig[None])[0]) > thr
+                rows.append([int(ids[i]), -1, "original", *orig.tolist()])
+                for r in range(_CF_TOTAL):
+                    rng = np.random.RandomState(
+                        (int(ids[i]) * 2654435761 + 101 * r + 13) % (2**32)
+                    )
+                    if r == 0:
+                        allowed = np.ones(m_feats)
+                    else:
+                        allowed = (rng.rand(m_feats) < _CF_VARY_P).astype(np.float64)
+                        if allowed.sum() == 0:
+                            allowed[rng.randint(m_feats)] = 1.0
+                    end, flipped = _greedy_flip(
+                        score_fn, orig, means, stds, thr, allowed, above0
+                    )
+                    if flipped:
+                        rows.append(
+                            [int(ids[i]), r, "counterfactual", *end.tolist()]
+                        )
+            yield pd.DataFrame(rows, columns=["id", "cf_index", "type", *cols])
+
+    return instances.select("id", *cols).mapInPandas(explain, schema=schema)
+
+
 def intgrad_importances(
     model,
     instances: DataFrame,
@@ -887,6 +951,22 @@ def run_explanations(
         # X7 visual artifacts: one importance bar chart per method, as
         # native SVG (xai_visualizations.py:12-397's summary plots;
         # matplotlib is absent, XML is not)
+        # X7 DiCE artifact: one original-vs-counterfactuals CSV per
+        # explained instance (xai_visualizations.py:253-397's
+        # counterfactuals_instance_{i}.csv layout: feature columns + a
+        # 'type' column distinguishing the original row from its CFs)
+        if "counterfactual" in methods:
+            dice_dir = out / "DiCE"
+            dice_dir.mkdir(exist_ok=True)
+            cf_pdf = counterfactual_examples(
+                model, instances, feature_cols, train_means, train_stds
+            ).toPandas()
+            for iid, grp in cf_pdf.groupby("id"):
+                grp.drop(columns=["id"]).to_csv(
+                    dice_dir / f"counterfactuals_instance_{int(iid)}.csv",
+                    index=False,
+                )
+            summary["dice_artifact_dir"] = str(dice_dir)
         plots = out / "plots"
         plots.mkdir(exist_ok=True)
         plot_paths = []

