@@ -445,7 +445,39 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_binaryfile_ingest",
-    sql=None,  # filesystem-staged binaryFile source -> rows-only check
+    # the staged blobs are exactly the UTF-8 bytes of documents.text for
+    # doc_id < 64, so the post-ingest feature table is the decode oracle's
+    # byte math restricted to that slice, with length_matches an invariant
+    # (binaryFile's `length` IS the payload size)
+    sql="""
+    WITH b AS (
+        SELECT doc_id, lower(hex(encode(text))) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id < 64
+    ),
+    pos AS (
+        SELECT doc_id, substr(hx, 2 * j + 1, 2) AS byte
+        FROM b, UNNEST(range(0, n)) AS t(j)
+    ),
+    hist AS (
+        SELECT doc_id, byte, count(*) AS c FROM pos GROUP BY doc_id, byte
+    ),
+    stats AS (
+        SELECT doc_id,
+               count(*) AS n_distinct_bytes,
+               CAST(sum(c * c) AS BIGINT) AS sumsq
+        FROM hist GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_bytes,
+           TRUE AS length_matches,
+           CAST(COALESCE(s.n_distinct_bytes, 0) AS BIGINT) AS n_distinct_bytes,
+           CAST(CASE WHEN b.n = 0 THEN 0
+                ELSE (1000000000 * COALESCE(s.sumsq, 0)) // (b.n * b.n)
+           END AS BIGINT) AS simpson_fx
+    FROM b LEFT JOIN stats s ON s.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
     doc="The REAL multimodal ingestion path (the other registered "
     "multimodal queries synthesize payloads in-plan): documents staged "
     "as one opaque file each, read back with Spark's `binaryFile` "
