@@ -429,9 +429,13 @@ def _greedy_flip(
     thr: float,
     allowed: np.ndarray,
     above0: bool,
+    lo: np.ndarray | None = None,
+    hi: np.ndarray | None = None,
 ) -> tuple[np.ndarray, bool]:
     """One greedy coordinate walk from ``x_start`` toward the training
-    mean, restricted to the ``allowed`` feature mask, until the model's
+    mean, restricted to the ``allowed`` feature mask (and, when given,
+    clamped into the per-feature [lo, hi] permitted range — the
+    reference's ``permitted_range`` runtime arg), until the model's
     decision differs from ``above0``. Returns (endpoint, flipped)."""
     m_feats = len(x_start)
     x = x_start.copy()
@@ -443,6 +447,8 @@ def _greedy_flip(
             break
         cand = np.tile(x, (m_feats, 1))
         step = _CF_STEP * (means - x) * allowed
+        if lo is not None:
+            step = np.clip(x + step, lo, hi) - x  # range-clamped move
         cand[np.arange(m_feats), np.arange(m_feats)] += step
         sc = score_fn(cand)
         gain = (sc - s) * (-1.0 if above0 else 1.0)
@@ -455,12 +461,43 @@ def _greedy_flip(
     return x, flipped
 
 
+def _cf_constraints(
+    cols: list[str],
+    features_to_vary: list[str] | None,
+    permitted_range: dict[str, tuple[float, float]] | None,
+) -> tuple[np.ndarray, np.ndarray | None, np.ndarray | None]:
+    """Resolve the reference's DiCE runtime args (DiceExplainer.py:259-305)
+    into a user feature mask + per-feature range bounds."""
+    if features_to_vary:
+        unknown = set(features_to_vary) - set(cols)
+        if unknown:
+            raise KeyError(f"features_to_vary not in feature_cols: {sorted(unknown)}")
+        user_mask = np.array(
+            [1.0 if c in set(features_to_vary) else 0.0 for c in cols]
+        )
+    else:
+        user_mask = np.ones(len(cols))
+    if permitted_range:
+        lo = np.array(
+            [permitted_range.get(c, (-np.inf, np.inf))[0] for c in cols],
+            dtype=np.float64,
+        )
+        hi = np.array(
+            [permitted_range.get(c, (-np.inf, np.inf))[1] for c in cols],
+            dtype=np.float64,
+        )
+        return user_mask, lo, hi
+    return user_mask, None, None
+
+
 def counterfactual_importances(
     model,
     instances: DataFrame,
     feature_cols: list[str],
     train_means: dict[str, float],
     train_stds: dict[str, float],
+    features_to_vary: list[str] | None = None,
+    permitted_range: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """X3: DiCE-style counterfactual attribution (Mothilal et al. 2020 —
     dice_ml is absent, the search is not): per instance, generate up to
@@ -477,13 +514,17 @@ def counterfactual_importances(
     which that feature changed (``~np.isclose`` vs the original), so
     scores live in {0..4}. Instances where no restart flips fall back to
     the full-budget walk's standardized movement (scaled below 1 so a
-    no-flip instance never outranks a real counterfactual's count)."""
+    no-flip instance never outranks a real counterfactual's count).
+    ``features_to_vary`` restricts every restart's search space to the
+    named features and ``permitted_range`` clamps each feature's walk
+    into [lo, hi] — DiceExplainer.py:259-305's runtime contract."""
     score_fn = _extract_score_fn(model, feature_cols)
     thr = float(getattr(model, "thr", 0.0) or 0.0)
     means = np.array([train_means[c] for c in feature_cols], dtype=np.float64)
     stds = np.array([train_stds[c] for c in feature_cols], dtype=np.float64)
     cols = list(feature_cols)
     m_feats = len(cols)
+    user_mask, rng_lo, rng_hi = _cf_constraints(cols, features_to_vary, permitted_range)
 
     schema = T.StructType(
         [
@@ -511,13 +552,18 @@ def counterfactual_importances(
                         (int(ids[i]) * 2654435761 + 101 * r + 13) % (2**32)
                     )
                     if r == 0:
-                        allowed = np.ones(m_feats)
+                        allowed = user_mask.copy()
                     else:
-                        allowed = (rng.rand(m_feats) < _CF_VARY_P).astype(np.float64)
+                        allowed = (
+                            (rng.rand(m_feats) < _CF_VARY_P).astype(np.float64)
+                            * user_mask
+                        )
                         if allowed.sum() == 0:
-                            allowed[rng.randint(m_feats)] = 1.0
+                            varyable = np.flatnonzero(user_mask)
+                            allowed[varyable[rng.randint(len(varyable))]] = 1.0
                     end, flipped = _greedy_flip(
-                        score_fn, orig, means, stds, thr, allowed, above0
+                        score_fn, orig, means, stds, thr, allowed, above0,
+                        rng_lo, rng_hi,
                     )
                     if flipped:
                         n_flips += 1
@@ -547,6 +593,8 @@ def counterfactual_examples(
     feature_cols: list[str],
     train_means: dict[str, float],
     train_stds: dict[str, float],
+    features_to_vary: list[str] | None = None,
+    permitted_range: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """The X7 DiCE artifact surface (xai_visualizations.py:253-397's
     original-vs-counterfactual table): per explained instance, the
@@ -562,6 +610,7 @@ def counterfactual_examples(
     stds = np.array([train_stds[c] for c in feature_cols], dtype=np.float64)
     cols = list(feature_cols)
     m_feats = len(cols)
+    user_mask, rng_lo, rng_hi = _cf_constraints(cols, features_to_vary, permitted_range)
 
     schema = T.StructType(
         [
@@ -588,13 +637,18 @@ def counterfactual_examples(
                         (int(ids[i]) * 2654435761 + 101 * r + 13) % (2**32)
                     )
                     if r == 0:
-                        allowed = np.ones(m_feats)
+                        allowed = user_mask.copy()
                     else:
-                        allowed = (rng.rand(m_feats) < _CF_VARY_P).astype(np.float64)
+                        allowed = (
+                            (rng.rand(m_feats) < _CF_VARY_P).astype(np.float64)
+                            * user_mask
+                        )
                         if allowed.sum() == 0:
-                            allowed[rng.randint(m_feats)] = 1.0
+                            varyable = np.flatnonzero(user_mask)
+                            allowed[varyable[rng.randint(len(varyable))]] = 1.0
                     end, flipped = _greedy_flip(
-                        score_fn, orig, means, stds, thr, allowed, above0
+                        score_fn, orig, means, stds, thr, allowed, above0,
+                        rng_lo, rng_hi,
                     )
                     if flipped:
                         rows.append(

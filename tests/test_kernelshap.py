@@ -296,3 +296,58 @@ def test_counterfactual_examples_artifact_rows(spark, monkeypatch):
         # each CF changes at least one feature; counts bounded by #CFs
         assert piv.loc[iid].max() <= n_cfs[iid]
         assert piv.loc[iid].sum() >= n_cfs[iid] * 0  # counts consistent
+
+
+def test_counterfactual_features_to_vary_and_range(spark, monkeypatch):
+    """DiceExplainer.py:259-305 runtime contract: features_to_vary
+    restricts the search space; permitted_range clamps the walk."""
+    from exact_spark.ml import explain as ex
+
+    model = _LinearThresholdModel([1.0, 1.0, 0.0], thr=1.0)
+    monkeypatch.setattr(ex, "_extract_score_fn", lambda m, cols: model._score_fn())
+    df = spark.createDataFrame(
+        [(i, 2.0, 2.0, 5.0) for i in range(1, 5)],
+        "id long, v1 double, v2 double, v3 double",
+    )
+    means = {"v1": 0.0, "v2": 0.0, "v3": 5.0}
+    stds = {"v1": 1.0, "v2": 1.0, "v3": 1.0}
+    # only v2 may vary -> every CF changes v2 and never v1/v3 (v2's
+    # training mean sits at -2 so the restricted walk CAN cross the
+    # boundary: score = v1 + v2 -> 2 + v2 <= 1 at v2 <= -1)
+    piv = (
+        ex.counterfactual_importances(
+            model, df, ["v1", "v2", "v3"],
+            {"v1": 0.0, "v2": -2.0, "v3": 5.0}, stds, features_to_vary=["v2"]
+        )
+        .toPandas()
+        .pivot(index="id", columns="feature", values="importance")
+    )
+    assert (piv["v2"] >= 1).all()
+    assert (piv["v1"] == 0).all() and (piv["v3"] == 0).all()
+    # permitted_range keeps v1 >= 1.8 and v2 >= 1.8: score can reach at
+    # most 3.6... still > 1 -> nothing can flip -> bounded fallback < 1
+    piv2 = (
+        ex.counterfactual_importances(
+            model, df, ["v1", "v2", "v3"], means, stds,
+            permitted_range={"v1": (1.8, 10.0), "v2": (1.8, 10.0)},
+        )
+        .toPandas()
+        .pivot(index="id", columns="feature", values="importance")
+    )
+    assert (piv2.max(axis=1) < 1.0).all()
+    # the emitted examples respect the clamped range too (v2's mean at -2
+    # keeps a flip reachable while v1 is pinned at >= 1.5)
+    pdf = ex.counterfactual_examples(
+        model, df, ["v1", "v2", "v3"],
+        {"v1": 0.0, "v2": -2.0, "v3": 5.0}, stds,
+        permitted_range={"v1": (1.5, 10.0)},
+    ).toPandas()
+    cfs = pdf[pdf["type"] == "counterfactual"]
+    assert len(cfs) > 0 and (cfs["v1"] >= 1.5 - 1e-12).all()
+    # unknown feature name is a loud error, not a silent no-op
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        ex.counterfactual_importances(
+            model, df, ["v1", "v2", "v3"], means, stds, features_to_vary=["nope"]
+        ).toPandas()
