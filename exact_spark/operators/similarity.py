@@ -3014,19 +3014,63 @@ def _mmr_pool_sql() -> str:
     "halving, and ties break on cand_id — both engines walk the "
     "identical greedy path (oracle = recursive CTE carrying the chosen "
     "list). Plan shape: ONE candidate scan builds the per-query pool "
-    "(broadcast queries, window top-{p}); pairwise sims exist only "
-    "WITHIN pools ({p}^2 per query, never corpus-pairwise); each of "
-    "the {k} greedy steps is a bounded join over pool-sized frames "
-    "(pool and pairwise sims localCheckpointed ONCE, so no greedy step "
-    "replays the scan; the selection frame itself stays lazy — "
-    "queries x {k} rows with K-join-deep lineage is cheaper to carry "
-    "than 4 eager checkpoint jobs). "
-    "At 100 TB only the pool-building scan sees the data.".format(
-        k=_MMR_K, p=_MMR_POOL
-    ),
+    "(broadcast queries, window top-{p}); the greedy itself runs over "
+    "POOL-BOUNDED driver state (queries x {p} rows, {p}^2-per-query "
+    "sims in numpy with the identical fixed-point kernel — the same "
+    "bounded-collect idiom as the KMeans centers and quantile cut "
+    "sets; the old per-step Spark joins spent ~15s of job-scheduling "
+    "fixed cost walking 200 rows). At 100 TB only the pool-building "
+    "scan sees the data; the greedy's state is set by the pool spec, "
+    "not the corpus.".format(k=_MMR_K, p=_MMR_POOL),
 )
 def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
+    rows = _mmr_greedy_rows(spark, sf_dir)
+    return spark.createDataFrame(
+        rows,
+        "query_id long, step int, selected_id long, relevance double, "
+        "mmr_score double",
+    )
+
+
+def _np_dot_fixed(a, b) -> int:
+    """numpy mirror of dot_fixed — identical IEEE op order:
+    floor((x*y)*1e9 + 0.5) per element, summed as int64."""
+    import numpy as np
+
+    return int(
+        np.floor(
+            a.astype(np.float64) * b.astype(np.float64) * float(_SCALE9) + 0.5
+        )
+        .astype(np.int64)
+        .sum()
+    )
+
+
+def _np_cos_fixed(dot_fx: int, na_fx: int, nb_fx: int) -> float:
+    """numpy mirror of cosine_from_fixed — identical IEEE op order."""
+    import math
+
+    return (dot_fx / float(_SCALE9)) / (
+        math.sqrt(na_fx / float(_SCALE9)) * math.sqrt(nb_fx / float(_SCALE9))
+    )
+
+
+def _mmr_greedy_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Distributed pool construction + driver-side exact greedy.
+
+    The pool (top-{P} relevance candidates per query, from the broadcast-
+    join scan) collects to queries x {P} rows; pairwise sims and the
+    {K}-step greedy run in numpy with the SAME fixed-point kernels the
+    oracle states, so the walk is bit-identical to the recursive-CTE
+    spec. Memoized per sf_dir: sim_diversity_gain re-reads the selection
+    without re-running the scan.
+    """
+    import numpy as np
+
+    key = ("mmr", sf_dir)
+    if key in _MMR_MEMO:
+        return _MMR_MEMO[key]
     emb = io.load(spark, sf_dir, "embeddings")
     norms = emb.select(
         "vec_id",
@@ -3053,74 +3097,54 @@ def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("cand_id"))
-    pool = (
+    pool_rows = (
         scored.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= _MMR_POOL)
         .drop("rn")
-        .localCheckpoint()
+        .collect()  # bounded: queries x pool rows, by spec
     )
-    p1 = pool.select("query_id", F.col("cand_id").alias("a"), F.col("ce").alias("ae"), F.col("cn").alias("an"))
-    p2 = pool.select(F.col("query_id").alias("q2"), F.col("cand_id").alias("b"), F.col("ce").alias("be"), F.col("cn").alias("bn"))
-    pp = (
-        p1.join(p2, (F.col("q2") == F.col("query_id")) & (F.col("b") != F.col("a")))
-        .select(
-            "query_id",
-            "a",
-            "b",
-            cosine_from_fixed(
-                dot_fixed(F.col("ae"), F.col("be")), F.col("an"), F.col("bn")
-            ).alias("sim"),
-        )
-        .localCheckpoint()
-    )
+    by_query: dict[int, list] = {}
+    for r in pool_rows:
+        by_query.setdefault(int(r["query_id"]), []).append(r)
     lam = _MMR_LAMBDA
-    slim = pool.select("query_id", "cand_id", "rel")
-    first = (
-        slim.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            F.lit(1).alias("step"),
-            "cand_id",
-            "rel",
-            (F.lit(lam) * F.col("rel")).alias("mmr_score"),
-        )
-    )
-    sel = first
-    for t in range(2, _MMR_K + 1):
-        chosen = sel.select("query_id", F.col("cand_id").alias("b"))
-        remaining = slim.join(
-            sel.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
-        )
-        mx = (
-            pp.join(chosen, ["query_id", "b"])
-            .groupBy("query_id", F.col("a").alias("cand_id"))
-            .agg(F.max("sim").alias("mx"))
-        )
-        cand = remaining.join(mx, ["query_id", "cand_id"], "left").withColumn(
-            "score",
-            F.lit(lam) * F.col("rel")
-            - F.lit(1 - lam) * F.coalesce(F.col("mx"), F.lit(0.0)),
-        )
-        ws = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("cand_id")
-        )
-        pick = (
-            cand.withColumn("rn", F.row_number().over(ws))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                F.lit(t).alias("step"),
-                "cand_id",
-                "rel",
-                F.col("score").alias("mmr_score"),
-            )
-        )
-        sel = sel.unionByName(pick)
-    return sel.select(
-        "query_id", "step", F.col("cand_id").alias("selected_id"),
-        F.col("rel").alias("relevance"), "mmr_score",
-    )
+    out: list[tuple] = []
+    for qid in sorted(by_query):
+        cands = by_query[qid]
+        embs = {
+            int(c["cand_id"]): np.array(c["ce"], dtype=np.float64) for c in cands
+        }
+        norms_fx = {int(c["cand_id"]): int(c["cn"]) for c in cands}
+        rels = {int(c["cand_id"]): float(c["rel"]) for c in cands}
+        sims: dict[tuple[int, int], float] = {}
+        ids = sorted(embs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                s = _np_cos_fixed(
+                    _np_dot_fixed(embs[a], embs[b]), norms_fx[a], norms_fx[b]
+                )
+                sims[(a, b)] = s
+                sims[(b, a)] = s
+        # step 1: pure relevance (ties on cand_id ascending)
+        first = min(ids, key=lambda c: (-rels[c], c))
+        out.append((qid, 1, first, rels[first], lam * rels[first]))
+        chosen = [first]
+        for step in range(2, _MMR_K + 1):
+            best, best_key = None, None
+            for c in ids:
+                if c in chosen:
+                    continue
+                mx = max((sims[(c, b)] for b in chosen), default=0.0)
+                score = lam * rels[c] - (1 - lam) * mx
+                k2 = (-score, c)
+                if best_key is None or k2 < best_key:
+                    best, best_key, best_score = c, k2, score
+            out.append((qid, step, best, rels[best], best_score))
+            chosen.append(best)
+    _MMR_MEMO[key] = out
+    return out
+
+
+_MMR_MEMO: dict = {}
 
 
 # --- 1-bit sign quantization + Hamming search --------------------------------

@@ -62,7 +62,7 @@ HEADLINERS = [
     ("text_chunk_scrub", "census groupBy and join-back share the chunk-hash partitioning; reassembly sorts inside per-doc collected arrays, no window"),
     ("emb_hamming_topk", "sign packing folds to two BIGINT words inside the scan (zero exchanges); XOR+popcount pairs against a broadcast query side"),
     ("ts_holt_linear", "corpus collapses to hourly cells in ONE map-side-combinable groupBy; the coupled recurrence runs per-series in Arrow (FlatMapGroupsInPandas), never on the driver"),
-    ("sim_mmr_select", "relevance pool from one broadcast-join scan + per-query top-N window; each greedy step joins checkpointed pool-sized frames only"),
+    ("sim_mmr_select", "result is a LocalTableScan: the relevance pool comes from one broadcast-join scan + per-query top-N window (see the collect inside _mmr_greedy_rows), then the K-step greedy walks pool-BOUNDED driver state (queries x 20 rows) with the same fixed-point kernels — the bounded-collect idiom, not a distributed-loop plan"),
     ("dedup_coverage", "ONE posting exchange keyed on the shingle; df>=2 semi-join co-partitioned on the same key; doc rollup map-side combinable"),
     ("multimodal_aspect_bucket", "integer argmin assignment inside the scan projection (zero exchanges before the 7-key census groupBy)"),
     ("ts_sax_symbolize", "hourly PAA frames via ONE map-side-combinable groupBy (no per-series sort); per-series bounds broadcast back onto the frames"),
