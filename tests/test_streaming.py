@@ -296,3 +296,19 @@ def test_streaming_zscore_detector(spark, tmp_path):
     assert flagged == [1700000000 + 40 * 60.0]  # exactly the spike
     # batch-boundary invariance (events fold in event-time order)
     assert got == run(2, "zs2")
+
+
+def test_state_partitions_restores_on_error(spark):
+    """The demo state-partition sizing must restore the session value even
+    when the stream start throws (a leaked '4' would silently shrink every
+    later shuffle in the session)."""
+    import pytest
+
+    from exact_spark.streaming import _state_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(RuntimeError):
+        with _state_partitions(spark, 4):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
