@@ -90,3 +90,54 @@ def test_xgb_tree_margin_routes_every_row_to_a_leaf(seed):
 
     slow = np.array([walk(codes[i]) for i in range(len(codes))])
     np.testing.assert_allclose(fast, slow)
+
+
+def test_np_fixed_kernels_match_spark_kernels(spark):
+    """The driver-side MMR greedy rests on _np_dot_fixed/_np_cos_fixed
+    being BIT-identical to the Column kernels (dot_fixed /
+    cosine_from_fixed) — pin it on adversarial float32 vectors (mixed
+    magnitudes, signs, exact zeros)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from exact_spark.operators.similarity import (
+        _np_cos_fixed,
+        _np_dot_fixed,
+        cosine_from_fixed,
+        dot_fixed,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = []
+    for i in range(12):
+        v = (rng.randn(64) * (10.0 ** rng.randint(-3, 3))).astype(np.float32)
+        if i % 4 == 0:
+            v[:: i + 2] = 0.0
+        vecs.append(v)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vid long, emb array<float>")
+    a = df.select(
+        F.col("vid"), F.col("emb").alias("ea"),
+        dot_fixed(F.col("emb"), F.col("emb")).alias("na"),
+    )
+    b = df.select(
+        F.col("vid").alias("vb"), F.col("emb").alias("eb"),
+        dot_fixed(F.col("emb"), F.col("emb")).alias("nb"),
+    )
+    pairs = (
+        a.join(b, F.col("vb") > F.col("vid"))
+        .select(
+            "vid", "vb", "na", "nb",
+            dot_fixed(F.col("ea"), F.col("eb")).alias("dot_fx"),
+            cosine_from_fixed(
+                dot_fixed(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+            ).alias("cos"),
+        )
+        .collect()
+    )
+    assert len(pairs) == 12 * 11 // 2
+    for r in pairs:
+        va, vb = vecs[r["vid"]].astype(np.float64), vecs[r["vb"]].astype(np.float64)
+        assert _np_dot_fixed(va, vb) == r["dot_fx"], (r["vid"], r["vb"])
+        np_cos = _np_cos_fixed(r["dot_fx"], r["na"], r["nb"])
+        assert np_cos == r["cos"], (r["vid"], r["vb"])  # bitwise equal
