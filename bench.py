@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the registered headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines on stdout: the full
+record {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...} first, then a COMPACT totals line (value/sf/n_queries/
+n_failures + worst ratio vs the BASELINE.md envelope) LAST so a bounded
+stdout-tail capture always parses. Per-query progress goes to stderr.
 """
 
 from __future__ import annotations

@@ -31,7 +31,7 @@ def source_fingerprint(source: str | pathlib.Path) -> str:
     src = pathlib.Path(source).resolve()
     files = sorted(src.rglob("*")) if src.is_dir() else [src]
     parts = [
-        f"{p.name}:{p.stat().st_size}:{p.stat().st_mtime_ns}"
+        f"{p.relative_to(src.parent)}:{p.stat().st_size}:{p.stat().st_mtime_ns}"
         for p in files
         if p.is_file()
     ]
@@ -57,9 +57,21 @@ def materialize(
         return str(base)
     staging = base.with_name(base.name + "." + uuid.uuid4().hex[:8] + ".tmp")
     build(str(staging))
+    # Publication order matters: a COMPLETED artifact (base/_SUCCESS) is
+    # never deleted — a concurrent loser discards its own staging instead
+    # (deleting the winner's copy would break a third consumer mid-read).
+    # Only an INCOMPLETE leftover (no _SUCCESS: a crashed past build) is
+    # cleared before the rename, and a rename collision re-checks who won.
     if (base / "_SUCCESS").exists():  # concurrent builder won the race
         shutil.rmtree(staging, ignore_errors=True)
-    else:
+        return str(base)
+    if base.exists():  # crashed partial build, no _SUCCESS
         shutil.rmtree(base, ignore_errors=True)
+    try:
         os.rename(staging, base)
+    except OSError:
+        if (base / "_SUCCESS").exists():  # lost the rename race
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            raise
     return str(base)

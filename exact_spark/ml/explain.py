@@ -237,7 +237,9 @@ def _kmeans_background(
     x = rows.astype(np.float64)
     rng = np.random.RandomState(seed)
     centers = x[rng.choice(n, size=k, replace=False)]
-    assign = np.zeros(n, dtype=np.int64)
+    # -1 sentinel: the first iteration can never "converge" before the
+    # centers have been updated at least once
+    assign = np.full(n, -1, dtype=np.int64)
     for _ in range(25):
         d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         new_assign = d.argmin(axis=1)
@@ -458,7 +460,33 @@ def _greedy_flip(
         if not np.isfinite(gain[j]) or step[j] == 0.0 or gain[j] <= 0.0:
             break  # no allowed move helps; stop early
         x[j] += step[j]
+    if not flipped:
+        # the move made in the LAST budgeted iteration was never tested by
+        # the loop-top check — a walk that crosses exactly on its final
+        # step is still a valid counterfactual
+        flipped = (float(score_fn(x[None])[0]) > thr) != above0
     return x, flipped
+
+
+def _cf_restart_mask(
+    instance_id: int, restart: int, user_mask: np.ndarray
+) -> np.ndarray:
+    """The per-restart ``features_to_vary`` subset — ONE implementation
+    shared by counterfactual_importances and counterfactual_examples so
+    the emitted CF rows are provably the same walks the importance counts
+    came from (same seed formula, same subset draw, same empty-mask
+    rescue)."""
+    m_feats = len(user_mask)
+    rng = np.random.RandomState(
+        (instance_id * 2654435761 + 101 * restart + 13) % (2**32)
+    )
+    if restart == 0:
+        return user_mask.copy()
+    allowed = (rng.rand(m_feats) < _CF_VARY_P).astype(np.float64) * user_mask
+    if allowed.sum() == 0:
+        varyable = np.flatnonzero(user_mask)
+        allowed[varyable[rng.randint(len(varyable))]] = 1.0
+    return allowed
 
 
 def _cf_constraints(
@@ -548,19 +576,7 @@ def counterfactual_importances(
                 fallback = None
                 n_flips = 0
                 for r in range(_CF_TOTAL):
-                    rng = np.random.RandomState(
-                        (int(ids[i]) * 2654435761 + 101 * r + 13) % (2**32)
-                    )
-                    if r == 0:
-                        allowed = user_mask.copy()
-                    else:
-                        allowed = (
-                            (rng.rand(m_feats) < _CF_VARY_P).astype(np.float64)
-                            * user_mask
-                        )
-                        if allowed.sum() == 0:
-                            varyable = np.flatnonzero(user_mask)
-                            allowed[varyable[rng.randint(len(varyable))]] = 1.0
+                    allowed = _cf_restart_mask(int(ids[i]), r, user_mask)
                     end, flipped = _greedy_flip(
                         score_fn, orig, means, stds, thr, allowed, above0,
                         rng_lo, rng_hi,
@@ -633,19 +649,7 @@ def counterfactual_examples(
                 above0 = float(score_fn(orig[None])[0]) > thr
                 rows.append([int(ids[i]), -1, "original", *orig.tolist()])
                 for r in range(_CF_TOTAL):
-                    rng = np.random.RandomState(
-                        (int(ids[i]) * 2654435761 + 101 * r + 13) % (2**32)
-                    )
-                    if r == 0:
-                        allowed = user_mask.copy()
-                    else:
-                        allowed = (
-                            (rng.rand(m_feats) < _CF_VARY_P).astype(np.float64)
-                            * user_mask
-                        )
-                        if allowed.sum() == 0:
-                            varyable = np.flatnonzero(user_mask)
-                            allowed[varyable[rng.randint(len(varyable))]] = 1.0
+                    allowed = _cf_restart_mask(int(ids[i]), r, user_mask)
                     end, flipped = _greedy_flip(
                         score_fn, orig, means, stds, thr, allowed, above0,
                         rng_lo, rng_hi,
@@ -942,21 +946,26 @@ def run_explanations(
     # the same posture at explainer scale) summarized to k<=50 cluster
     # centers weighted by cluster mass (shap.kmeans, ShapExplainer.py:
     # 148-176).
-    bg_sample = np.array(
-        [
-            [r[c] for c in feature_cols]
-            for r in df.select("id", *feature_cols)
-            .withColumn(
-                "__rk",
-                F.md5(F.concat(F.lit(f"shapbg{seed}:"), F.col("id").cast("string"))),
-            )
-            .orderBy("__rk")
-            .limit(_SHAP_BG_SAMPLE)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    bg = _kmeans_background(bg_sample, seed=seed) if len(bg_sample) else None
+    bg = None
+    if "kernelshap" in methods:  # the summary is a SHAP-only cost
+        bg_sample = np.array(
+            [
+                [r[c] for c in feature_cols]
+                for r in df.select("id", *feature_cols)
+                .withColumn(
+                    "__rk",
+                    F.md5(
+                        F.concat(F.lit(f"shapbg{seed}:"), F.col("id").cast("string"))
+                    ),
+                )
+                .orderBy("__rk")
+                .limit(_SHAP_BG_SAMPLE)
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        if len(bg_sample):
+            bg = _kmeans_background(bg_sample, seed=seed)
     instances = select_instances(df, strategy, n_instances, seed=seed).cache()
     inst_rows = instances.select("id", F.col("timestamp").cast("double").alias("ep")).collect()
     truth = ndcg_ground_truth({r["id"]: r["ep"] for r in inst_rows}, settings, start_epoch)

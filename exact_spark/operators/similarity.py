@@ -3066,9 +3066,15 @@ def _mmr_greedy_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
     spec. Memoized per sf_dir: sim_diversity_gain re-reads the selection
     without re-running the scan.
     """
+    import pathlib
+
     import numpy as np
 
-    key = ("mmr", sf_dir)
+    from exact_spark.artifacts import source_fingerprint
+
+    # fingerprint-keyed like every other per-corpus memo: a changed
+    # embeddings table at the same path must never serve a stale selection
+    key = ("mmr", source_fingerprint(pathlib.Path(sf_dir).resolve() / "embeddings.parquet"))
     if key in _MMR_MEMO:
         return _MMR_MEMO[key]
     emb = io.load(spark, sf_dir, "embeddings")
@@ -3129,7 +3135,7 @@ def _mmr_greedy_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
         out.append((qid, 1, first, rels[first], lam * rels[first]))
         chosen = [first]
         for step in range(2, _MMR_K + 1):
-            best, best_key = None, None
+            best, best_key, best_score = None, None, None
             for c in ids:
                 if c in chosen:
                     continue
@@ -3138,6 +3144,10 @@ def _mmr_greedy_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
                 k2 = (-score, c)
                 if best_key is None or k2 < best_key:
                     best, best_key, best_score = c, k2, score
+            if best is None:
+                # pool exhausted before K picks (pool smaller than K):
+                # emit fewer steps, exactly like the recursive-CTE oracle
+                break
             out.append((qid, step, best, rels[best], best_score))
             chosen.append(best)
     _MMR_MEMO[key] = out
