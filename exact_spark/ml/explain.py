@@ -526,6 +526,7 @@ def counterfactual_importances(
     train_stds: dict[str, float],
     features_to_vary: list[str] | None = None,
     permitted_range: dict[str, tuple[float, float]] | None = None,
+    total_cfs: int = _CF_TOTAL,
 ) -> DataFrame:
     """X3: DiCE-style counterfactual attribution (Mothilal et al. 2020 —
     dice_ml is absent, the search is not): per instance, generate up to
@@ -575,7 +576,7 @@ def counterfactual_importances(
                 counts = np.zeros(m_feats)
                 fallback = None
                 n_flips = 0
-                for r in range(_CF_TOTAL):
+                for r in range(total_cfs):
                     allowed = _cf_restart_mask(int(ids[i]), r, user_mask)
                     end, flipped = _greedy_flip(
                         score_fn, orig, means, stds, thr, allowed, above0,
@@ -611,6 +612,7 @@ def counterfactual_examples(
     train_stds: dict[str, float],
     features_to_vary: list[str] | None = None,
     permitted_range: dict[str, tuple[float, float]] | None = None,
+    total_cfs: int = _CF_TOTAL,
 ) -> DataFrame:
     """The X7 DiCE artifact surface (xai_visualizations.py:253-397's
     original-vs-counterfactual table): per explained instance, the
@@ -648,7 +650,7 @@ def counterfactual_examples(
                 orig = x0[i]
                 above0 = float(score_fn(orig[None])[0]) > thr
                 rows.append([int(ids[i]), -1, "original", *orig.tolist()])
-                for r in range(_CF_TOTAL):
+                for r in range(total_cfs):
                     allowed = _cf_restart_mask(int(ids[i]), r, user_mask)
                     end, flipped = _greedy_flip(
                         score_fn, orig, means, stds, thr, allowed, above0,
