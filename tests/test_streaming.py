@@ -312,3 +312,42 @@ def test_state_partitions_restores_on_error(spark):
             assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_session_window_emits_at_exact_watermark_equality(spark, tmp_path):
+    """The stream_session_window_native oracle's emission rule is
+    `window end <= final watermark` — INCLUSIVE. Pin Spark's behavior at
+    exact equality with a constructed boundary: user 1's session window
+    end lands precisely ON the final watermark, and must be emitted."""
+    from pyspark.sql import functions as F
+
+    t0 = 1700000000
+    # user 1 session: [t0, t0+60]; window end = t0 + 60 + 600 (gap)
+    # user 2's lone event puts max event time at t0+960, so the final
+    # watermark (delay 300s) = t0+660 == user 1's window end exactly
+    rows = [(1, t0), (1, t0 + 60), (2, t0 + 60 + 600 + 300)]
+    df = spark.createDataFrame(rows, "user_id long, ep long").select(
+        "user_id", F.timestamp_seconds("ep").alias("timestamp")
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    sess = (
+        stream.withWatermark("timestamp", "300 seconds")
+        .groupBy("user_id", F.session_window("timestamp", "600 seconds").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("wm_edge")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql(
+        "SELECT user_id, CAST(sw.end AS LONG) AS e, n FROM wm_edge"
+    ).collect()
+    assert [(r["user_id"], r["e"], r["n"]) for r in out] == [(1, t0 + 660, 2)]
