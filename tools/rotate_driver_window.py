@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Rotate the driver's 50-slot correctness window for a new round.
+
+Policy (VERDICT r04 item 2, enforced by tests/test_driver_window.py):
+slots 1-50 must be ORACLE-backed queries with no green driver record in
+any committed CORRECTNESS_r0N.json — re-records and rows-only entries
+waste slots while the certification backlog exists. This tool derives
+the next window deterministically:
+
+  1-50   never-driver-recorded oracle-backed queries, ordered by family
+         (rel, dq, emb, sim, then the rest alphabetically) — the same
+         priority the r05 rotation used;
+  then   the remaining never-recorded oracle-backed backlog (next
+         round's window, for visibility);
+  then   never-recorded rows-only queries;
+  then   previously recorded queries, least-recently-recorded first.
+
+Run at ROUND START, after the driver commits the previous round's
+CORRECTNESS record:
+
+    python tools/rotate_driver_window.py          # preview
+    python tools/rotate_driver_window.py --write  # rewrite registry.py
+
+`--write` splices the regenerated literal list into
+exact_spark/registry.py between the DRIVER_ORDER assignment and its
+closing bracket; rerun pytest tests/test_driver_window.py to confirm.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+_REPO = Path(__file__).resolve().parents[1]
+_FAMILY_PRIORITY = ("rel_", "dq_", "emb_", "sim_", "ml_", "text_", "ts_", "dedup_")
+
+
+def build_order() -> tuple[list[str], dict]:
+    from exact_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    recorded: set[str] = set()
+    last_round: dict[str, int] = {}
+    for p in sorted(_REPO.glob("CORRECTNESS_r0*.json")):
+        rnd = int("".join(ch for ch in p.stem if ch.isdigit()) or 0)
+        for n in json.loads(p.read_text()):
+            recorded.add(n)
+            last_round[n] = max(last_round.get(n, 0), rnd)
+    oracle = {n for n, s in REGISTRY.items() if s.sql is not None}
+    never_oracle = sorted((set(REGISTRY) - recorded) & oracle)
+    never_rows = sorted((set(REGISTRY) - recorded) - oracle)
+
+    def fam_rank(n: str) -> tuple:
+        for i, pref in enumerate(_FAMILY_PRIORITY):
+            if n.startswith(pref):
+                return (i, n)
+        return (len(_FAMILY_PRIORITY), n)
+
+    backlog = sorted(never_oracle, key=fam_rank)
+    window, rest = backlog[:50], backlog[50:]
+    prev = sorted(recorded & set(REGISTRY), key=lambda n: (last_round[n], n))
+    order = window + rest + never_rows + prev
+    assert len(order) == len(set(order)) == len(REGISTRY)
+    stats = {
+        "window": len(window),
+        "backlog_after_window": len(rest),
+        "never_rows_only": len(never_rows),
+        "previously_recorded": len(prev),
+    }
+    return order, stats
+
+
+def main() -> int:
+    order, stats = build_order()
+    print(json.dumps(stats))
+    if "--write" not in sys.argv:
+        for n in order[:50]:
+            print(" ", n)
+        print("  ... (--write to splice into registry.py)")
+        return 0
+    reg_path = _REPO / "exact_spark" / "registry.py"
+    src = reg_path.read_text()
+    start = src.index("DRIVER_ORDER: list[str] = [")
+    end = src.index("\n]", start) + len("\n]")
+    body = "DRIVER_ORDER: list[str] = [\n"
+    body += f"    # --- window (slots 1-50): never-driver-recorded oracle-backed ---\n"
+    for i, n in enumerate(order):
+        if i == 50:
+            body += "    # --- backlog / rows-only / previously recorded (rotates next) ---\n"
+        body += f'    "{n}",\n'
+    body += "]"
+    reg_path.write_text(src[:start] + body + src[end:])
+    print(f"wrote {reg_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
