@@ -351,3 +351,80 @@ def test_session_window_emits_at_exact_watermark_equality(spark, tmp_path):
         "SELECT user_id, CAST(sw.end AS LONG) AS e, n FROM wm_edge"
     ).collect()
     assert [(r["user_id"], r["e"], r["n"]) for r in out] == [(1, t0 + 660, 2)]
+
+
+def test_stream_stream_join_matches_across_chunks_near_horizon(spark, tmp_path):
+    """The stream_stream_join oracle equals the batch interval join only
+    if state eviction never drops a chunk-1 view a chunk-2 purchase can
+    still reach. Pin the worst case: a purchase in the SECOND micro-batch
+    matching a view from the FIRST, 5h59m earlier (just inside the 6h
+    horizon, far past the 1h watermark delay)."""
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    t0, H = 1700000000, 3600
+    rows1 = [(7, 100, t0, "view", 1.0), (9, 101, t0 + 2 * H, "view", 1.0)]
+    rows2 = [(7, 200, t0 + 6 * H - 60, "purchase", 9.9)]
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def stage(name, rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ep long, event_type string, value double"
+        ).select(
+            "user_id", "event_id", F.timestamp_seconds("ep").alias("timestamp"),
+            "event_type", "value",
+        )
+        tmp = tmp_path / ("st_" + name)
+        df.coalesce(1).write.parquet(str(tmp))
+        shutil.copy(next(tmp.glob("*.parquet")), src / f"{name}.parquet")
+        _t.sleep(0.05)  # file-stream order is (modTime, path)
+
+    stage("f1", rows1)
+    stage("f2", rows2)
+    schema = spark.read.parquet(str(src)).schema
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    views = (
+        reader().filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("timestamp").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purch = (
+        reader().filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purch.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 6 HOURS")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sje_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT purchase_id, view_id FROM sje_t").collect()
+    assert any(r["purchase_id"] == 200 and r["view_id"] == 100 for r in out), out
