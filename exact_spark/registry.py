@@ -50,72 +50,24 @@ def register(name: str, sql: str | None, doc: str = ""):
 # round. The 73-query backlog after this window rotates into r06. The full
 # registry is still covered every round by tools/record_correctness.py
 # (driver-identical compare, sf0.01) committed as CORRECTNESS_LOCAL_r{N}.json.
+# Round the current window was rotated FOR: the window must avoid driver
+# records from rounds strictly before this one. The round's own record (once
+# the driver commits it) matches the window by construction and is excluded,
+# so the gate stays green across the round boundary. rotate_driver_window.py
+# rewrites this alongside DRIVER_ORDER.
+DRIVER_WINDOW_ROUND: int = 6
+
 DRIVER_ORDER: list[str] = [
-    # --- r05 window (slots 1-50): 100% never-driver-recorded ORACLE-backed
-    # (a) rel_* TPC-H analogs (29, incl. changed-this-round rel_pareto_abc)
-    "rel_bilateral_trade",
-    "rel_customer_percentile",
-    "rel_customer_rfm",
-    "rel_disjunctive_revenue",
-    "rel_dominant_supplier",
-    "rel_forecast_revenue",
-    "rel_grouping_sets",
-    "rel_important_parts",
-    "rel_join_cardinality_check",
-    "rel_large_orders",
-    "rel_market_basket",
-    "rel_market_share",
-    "rel_min_cost_supplier",
-    "rel_order_count_distribution",
-    "rel_pareto_abc",
-    "rel_pivot_priority_year",
-    "rel_priority_semijoin",
-    "rel_product_profit",
-    "rel_promo_revenue",
-    "rel_returned_revenue",
-    "rel_rolling_revenue",
-    "rel_ship_lag_priority",
-    "rel_ship_latency_percentiles",
-    "rel_shipping_priority",
-    "rel_small_qty_revenue",
-    "rel_sole_blame_supplier",
-    "rel_supplier_cnt_by_part",
-    "rel_top_supplier",
-    "rel_yoy_growth",
-    # (b) dq_* gates (6)
-    "dq_benford_audit",
-    "dq_crossmodal_consistency",
-    "dq_expectations",
-    "dq_key_uniqueness",
-    "dq_referential_integrity",
-    "dq_schema_profile",
-    # (c) changed this round, never recorded (4)
-    "ml_ab_welch",
-    "ts_peaks",
-    "dedup_cluster_purity",
-    "dedup_survivorship",
-    # (d) emb_* (9)
-    "emb_centroid_drift",
-    "emb_dim_stats",
-    "emb_hamming_recall",
-    "emb_hamming_topk",
-    "emb_index_manifest",
-    "emb_matryoshka_fidelity",
-    "emb_norm_profile",
-    "emb_pq_distortion",
-    "emb_random_projection",
-    # (e) sim graph builders (2)
-    "sim_knn_graph",
-    "sim_graph_pagerank",
-    # ---- position 50+: remaining never-recorded oracle-backed backlog (73, rotate to the r06 window)
-    "catalog_merge_upsert",
-    "catalog_schema_evolution",
-    "catalog_time_travel",
-    "dedup_containment",
-    "dedup_coverage",
-    "dedup_fuzzy_edit",
-    "dedup_winnow_recall",
-    "g9_pr_curve",
+    # --- window (slots 1-50): never-driver-recorded oracle-backed ---
+    "sim_diversity_gain",
+    "sim_graph_triangles",
+    "sim_kcore_peel",
+    "sim_knn_outliers",
+    "sim_label_homophily",
+    "sim_label_propagation",
+    "sim_mmr_select",
+    "sim_pq_recall",
+    "sim_threshold_sweep",
     "ml_best_threshold",
     "ml_bootstrap_ci",
     "ml_brier_rank_score",
@@ -131,23 +83,6 @@ DRIVER_ORDER: list[str] = [
     "ml_pr_auc",
     "ml_roc_auc",
     "ml_score_overlap",
-    "multimodal_aspect_bucket",
-    "multimodal_audio_windows",
-    "multimodal_hard_negatives",
-    "multimodal_image_tiles",
-    "sim_diversity_gain",
-    "sim_graph_triangles",
-    "sim_kcore_peel",
-    "sim_knn_outliers",
-    "sim_label_homophily",
-    "sim_label_propagation",
-    "sim_mmr_select",
-    "sim_pq_recall",
-    "sim_threshold_sweep",
-    "sketch_bloom_fpr",
-    "stream_static_enrich",
-    "stream_watermark_dedup",
-    "stream_windowed_counts",
     "text_bpe_apply",
     "text_bpe_merges",
     "text_chunk_overlap",
@@ -174,6 +109,7 @@ DRIVER_ORDER: list[str] = [
     "ts_gap_profile",
     "ts_holt_linear",
     "ts_outlier_mad",
+    # --- backlog / rows-only / previously recorded (rotates next) ---
     "ts_rate_shift",
     "ts_residual_outliers",
     "ts_sax_symbolize",
@@ -181,27 +117,41 @@ DRIVER_ORDER: list[str] = [
     "ts_spearman_corr",
     "ts_user_growth",
     "ts_value_k_corr",
-    # never-recorded rows-only (no hash evidence possible; covered locally + pytest)
-    "catalog_partition_stats",
+    "dedup_containment",
+    "dedup_coverage",
+    "dedup_fuzzy_edit",
+    "dedup_winnow_recall",
+    "catalog_merge_upsert",
     "catalog_retention_expire",
+    "catalog_schema_evolution",
     "catalog_snapshot_diff",
+    "catalog_time_travel",
+    "g9_pr_curve",
+    "multimodal_aspect_bucket",
+    "multimodal_audio_windows",
+    "multimodal_binaryfile_ingest",
+    "multimodal_hard_negatives",
+    "multimodal_image_tiles",
+    "sketch_bloom_fpr",
+    "stream_session_window_native",
+    "stream_stateful_sessions",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_watermark_dedup",
+    "stream_windowed_counts",
+    "catalog_partition_stats",
     "dedup_semantic_kmeans",
     "emb_pca_whiten",
     "ml_ensemble_vote",
     "ml_learning_curve",
-    "multimodal_binaryfile_ingest",
     "sim_ivf_kmeans_recall",
     "sim_topk_ivf_kmeans",
     "sketch_hll_intersection",
     "stream_cms_maintain",
     "stream_drift_monitor",
     "stream_online_zscore",
-    "stream_session_window_native",
-    "stream_stateful_sessions",
-    "stream_stream_join",
     "text_compression_ratio",
     "text_quality_classifier",
-    # previously driver-recorded, oldest record first
     "canon_materialize",
     "dedup_components",
     "dedup_exact",
@@ -299,6 +249,56 @@ DRIVER_ORDER: list[str] = [
     "w1_sliding_features",
     "w3_sampling_strategies",
     "xai_methods_ndcg",
+    "dedup_cluster_purity",
+    "dedup_survivorship",
+    "dq_benford_audit",
+    "dq_crossmodal_consistency",
+    "dq_expectations",
+    "dq_key_uniqueness",
+    "dq_referential_integrity",
+    "dq_schema_profile",
+    "emb_centroid_drift",
+    "emb_dim_stats",
+    "emb_hamming_recall",
+    "emb_hamming_topk",
+    "emb_index_manifest",
+    "emb_matryoshka_fidelity",
+    "emb_norm_profile",
+    "emb_pq_distortion",
+    "emb_random_projection",
+    "ml_ab_welch",
+    "rel_bilateral_trade",
+    "rel_customer_percentile",
+    "rel_customer_rfm",
+    "rel_disjunctive_revenue",
+    "rel_dominant_supplier",
+    "rel_forecast_revenue",
+    "rel_grouping_sets",
+    "rel_important_parts",
+    "rel_join_cardinality_check",
+    "rel_large_orders",
+    "rel_market_basket",
+    "rel_market_share",
+    "rel_min_cost_supplier",
+    "rel_order_count_distribution",
+    "rel_pareto_abc",
+    "rel_pivot_priority_year",
+    "rel_priority_semijoin",
+    "rel_product_profit",
+    "rel_promo_revenue",
+    "rel_returned_revenue",
+    "rel_rolling_revenue",
+    "rel_ship_lag_priority",
+    "rel_ship_latency_percentiles",
+    "rel_shipping_priority",
+    "rel_small_qty_revenue",
+    "rel_sole_blame_supplier",
+    "rel_supplier_cnt_by_part",
+    "rel_top_supplier",
+    "rel_yoy_growth",
+    "sim_graph_pagerank",
+    "sim_knn_graph",
+    "ts_peaks",
 ]
 
 

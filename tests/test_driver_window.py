@@ -12,16 +12,31 @@ from __future__ import annotations
 
 import json
 import pathlib
+import re
 
-from exact_spark.registry import DRIVER_ORDER, REGISTRY, _load_all, all_queries
+from exact_spark.registry import (
+    DRIVER_ORDER,
+    DRIVER_WINDOW_ROUND,
+    REGISTRY,
+    _load_all,
+    all_queries,
+)
 
 _REPO = pathlib.Path(__file__).resolve().parents[1]
+# r10-safe: CORRECTNESS_r12.json matches, CORRECTNESS_LOCAL_r05.json doesn't.
+_RECORD_RE = re.compile(r"^CORRECTNESS_r(\d+)\.json$")
 
 
 def _recorded_names() -> set[str]:
+    """Names with a driver record from a round STRICTLY before the round the
+    current window was rotated for. The window's own round record (committed
+    by the driver at round end) matches the window by construction; counting
+    it would turn this gate red at every round boundary (ADVICE r05)."""
     names: set[str] = set()
-    for p in sorted(_REPO.glob("CORRECTNESS_r0*.json")):
-        names |= set(json.loads(p.read_text()))
+    for p in _REPO.iterdir():
+        m = _RECORD_RE.match(p.name)
+        if m and int(m.group(1)) < DRIVER_WINDOW_ROUND:
+            names |= set(json.loads(p.read_text()))
     return names
 
 

@@ -29,6 +29,7 @@ closing bracket; rerun pytest tests/test_driver_window.py to confirm.
 from __future__ import annotations
 
 import json
+import re
 import sys
 from pathlib import Path
 
@@ -36,6 +37,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 _REPO = Path(__file__).resolve().parents[1]
 _FAMILY_PRIORITY = ("rel_", "dq_", "emb_", "sim_", "ml_", "text_", "ts_", "dedup_")
+# r10-safe: matches CORRECTNESS_r12.json, not CORRECTNESS_LOCAL_r05.json.
+_RECORD_RE = re.compile(r"^CORRECTNESS_r(\d+)\.json$")
 
 
 def build_order() -> tuple[list[str], dict]:
@@ -44,8 +47,13 @@ def build_order() -> tuple[list[str], dict]:
     _load_all()
     recorded: set[str] = set()
     last_round: dict[str, int] = {}
-    for p in sorted(_REPO.glob("CORRECTNESS_r0*.json")):
-        rnd = int("".join(ch for ch in p.stem if ch.isdigit()) or 0)
+    max_round = 0
+    for p in sorted(_REPO.iterdir()):
+        m = _RECORD_RE.match(p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
         for n in json.loads(p.read_text()):
             recorded.add(n)
             last_round[n] = max(last_round.get(n, 0), rnd)
@@ -69,6 +77,7 @@ def build_order() -> tuple[list[str], dict]:
         "backlog_after_window": len(rest),
         "never_rows_only": len(never_rows),
         "previously_recorded": len(prev),
+        "window_round": max_round + 1,
     }
     return order, stats
 
@@ -83,6 +92,11 @@ def main() -> int:
         return 0
     reg_path = _REPO / "exact_spark" / "registry.py"
     src = reg_path.read_text()
+    src = re.sub(
+        r"DRIVER_WINDOW_ROUND: int = \d+",
+        f"DRIVER_WINDOW_ROUND: int = {stats['window_round']}",
+        src,
+    )
     start = src.index("DRIVER_ORDER: list[str] = [")
     end = src.index("\n]", start) + len("\n]")
     body = "DRIVER_ORDER: list[str] = [\n"
