@@ -855,9 +855,9 @@ def _extract_score_fn(model, feature_cols: list[str]):
         forward = model._forward
 
         def fn(x):
-            xs = (x - lo) / rng_
+            xs = ((x - lo) / rng_).astype(params[0].dtype)
             rec = forward(xs, params)
-            return ((xs - rec) ** 2).mean(axis=1)
+            return ((xs - rec) ** 2).mean(axis=1, dtype=np.float64)
 
         return fn
     raise TypeError(

@@ -1,6 +1,7 @@
-"""Elman-RNN autoencoder (M1 recurrence): BPTT gradient check, order
-sensitivity (the property no feed-forward AE has), and end-to-end anomaly
-detection on windowed data."""
+"""LSTM autoencoder (M1 recurrence, lstm.py:89-115 analog): per-gate BPTT
+gradient check, long-range memory the Elman cell lacked, order sensitivity
+(the property no feed-forward AE has), and end-to-end anomaly detection on
+windowed data."""
 
 from __future__ import annotations
 
@@ -8,22 +9,27 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from exact_spark.ml.models import RecurrentAutoencoderDetector, get_model
+from exact_spark.ml.models import RecurrentAutoencoderDetector, _sigmoid, get_model
 
 
 def _tiny_params(rng, hdim=3):
+    """8-param LSTM layout: gate blocks [i|f|g|o] stacked to width 4H."""
     return [
-        rng.normal(0, 0.5, (1, hdim)),
-        rng.normal(0, 0.5, (hdim, hdim)),
-        rng.normal(0, 0.1, hdim),
-        rng.normal(0, 0.5, (hdim, hdim)),
-        rng.normal(0, 0.1, hdim),
-        rng.normal(0, 0.5, (hdim, 1)),
-        rng.normal(0, 0.1, 1),
+        rng.normal(0, 0.5, (1, 4 * hdim)),      # Wxe
+        rng.normal(0, 0.5, (hdim, 4 * hdim)),   # Whe
+        rng.normal(0, 0.1, 4 * hdim),           # be
+        rng.normal(0, 0.5, (hdim, 4 * hdim)),   # Wxd
+        rng.normal(0, 0.5, (hdim, 4 * hdim)),   # Whd
+        rng.normal(0, 0.1, 4 * hdim),           # bd
+        rng.normal(0, 0.5, (hdim, 1)),          # Wo
+        rng.normal(0, 0.1, 1),                  # bo
     ]
 
 
 def test_bptt_matches_finite_differences():
+    """Central finite differences over EVERY entry of all 8 parameter
+    tensors — each gate's input/recurrent/bias block is covered, so the
+    i/f/g/o chain rules and the cell-state carry are each pinned."""
     rng = np.random.default_rng(0)
     p = _tiny_params(rng)
     xb = rng.normal(0, 1, (4, 5))
@@ -42,6 +48,64 @@ def test_bptt_matches_finite_differences():
             num[idx] = (lp - lm) / (2 * eps)
         np.testing.assert_allclose(grads[i], num, rtol=1e-4, atol=1e-7,
                                    err_msg=f"param {i}")
+
+
+def test_sigmoid_is_stable_and_correct():
+    a = np.array([-750.0, -30.0, 0.0, 30.0, 750.0])
+    s = _sigmoid(a)
+    assert not np.isnan(s).any()
+    np.testing.assert_allclose(s[2], 0.5)
+    np.testing.assert_allclose(s, 1.0 - _sigmoid(-a), atol=1e-15)
+
+
+def test_forget_gate_carries_cell_state():
+    """With the forget gate saturated open and input gate shut, c_t must
+    persist unchanged — the gating structure, not just a tanh recurrence."""
+    hdim = 2
+    wx = np.zeros((1, 4 * hdim))
+    wh = np.zeros((hdim, 4 * hdim))
+    b = np.zeros(4 * hdim)
+    b[:hdim] = -30.0          # input gate ~0
+    b[hdim:2 * hdim] = 30.0   # forget gate ~1
+    c0 = np.array([[0.7, -0.3]])
+    h, c, _ = RecurrentAutoencoderDetector._lstm_step(
+        np.array([[1.0]]), np.zeros((1, hdim)), c0, wx, wh, b, hdim)
+    np.testing.assert_allclose(c, c0, atol=1e-9)
+    # and with forget gate shut the state is erased
+    b[hdim:2 * hdim] = -30.0
+    _, c2, _ = RecurrentAutoencoderDetector._lstm_step(
+        np.array([[1.0]]), np.zeros((1, hdim)), c0, wx, wh, b, hdim)
+    np.testing.assert_allclose(c2, 0.0, atol=1e-9)
+
+
+def test_long_range_memory_beats_elman_style_decay():
+    """A first-step impulse must still be present in the CELL STATE after
+    40 zero steps when the forget gates are open: c_t = f*c_{t-1} + i*g is
+    an additive carry with Jacobian ~f≈1, where a plain tanh recurrence
+    (|Whh|<1 contraction — the old Elman cell) decays the same impulse
+    geometrically to numerical dust."""
+    rng = np.random.default_rng(9)
+    hdim = 4
+    p = _tiny_params(rng, hdim=hdim)
+    p[2][hdim:2 * hdim] = 30.0  # saturate forget gates open: c integrates
+    d_len = 41
+    x0 = np.zeros((1, d_len))
+    x1 = x0.copy()
+    x1[0, 0] = 1.0  # impulse at t=0 only
+    _, _, enc0, _, _ = RecurrentAutoencoderDetector._forward(x0, p, keep_states=True)
+    _, _, enc1, _, _ = RecurrentAutoencoderDetector._forward(x1, p, keep_states=True)
+    c_final0, c_final1 = enc0[-1][5], enc1[-1][5]
+    assert np.abs(c_final1 - c_final0).max() > 0.1
+    # the same impulse through a CONTRACTIVE tanh recurrence (the additive
+    # cell path removed — what the old Elman cell degenerates to whenever
+    # ||Whh|| < 1) is geometrically gone: ~0.4^40
+    whh = 0.4 * np.eye(hdim)
+    h0 = np.zeros((1, hdim))
+    h1 = np.zeros((1, hdim))
+    for t in range(d_len):
+        h0 = np.tanh(x0[0, t] * 0.5 + h0 @ whh)
+        h1 = np.tanh(x1[0, t] * 0.5 + h1 @ whh)
+    assert np.abs(h1 - h0).max() < 1e-6
 
 
 def test_recurrence_is_order_sensitive():
@@ -63,15 +127,8 @@ def test_training_reduces_loss():
     # smooth sinusoid windows: learnable sequential structure
     t0 = rng.uniform(0, 2 * np.pi, 200)
     xs = np.sin(t0[:, None] + np.linspace(0, 2, 8)[None, :]) * 0.4 + 0.5
-    p0 = None
 
-    class Probe(RecurrentAutoencoderDetector):
-        pass
-
-    det = Probe(hidden=6, epochs=15, batch=64, seed=3)
-    # train via the public surface using a local frame-free path: call the
-    # internals directly (run() needs a DataFrame; the learning dynamics
-    # are what is under test here)
+    det = RecurrentAutoencoderDetector(hidden=6, epochs=15, batch=64, seed=3)
     det.lo = xs.min(axis=0)
     det.rng_ = xs.max(axis=0) - det.lo
     det.rng_[det.rng_ == 0] = 1.0
@@ -79,8 +136,8 @@ def test_training_reduces_loss():
     rng2 = np.random.default_rng(det.seed)
     p0 = _tiny_params(rng2, hdim=det.hidden)
     l0, _ = det._loss_grads(xn, p0)
-    # a few Adam steps through the real training loop (reuse run's math by
-    # fitting on a DataFrame is covered by the e2e test below)
+    # a few Adam steps through the real training math (run() on a
+    # DataFrame is covered by the e2e test below)
     p = [q.copy() for q in p0]
     ms = [np.zeros_like(q) for q in p]
     vs = [np.zeros_like(q) for q in p]
