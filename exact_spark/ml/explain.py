@@ -354,6 +354,127 @@ def kernelshap_importances(
     return instances.select("id", *cols).mapInPandas(explain, schema=schema)
 
 
+def kernelshap_signed_phis(
+    model,
+    instances: DataFrame,
+    feature_cols: list[str],
+    train_means: dict[str, float],
+    background: np.ndarray | None = None,
+    bg_weights: np.ndarray | None = None,
+) -> DataFrame:
+    """SIGNED per-instance phi values + the additive bookkeeping the
+    waterfall plot needs (shap.plots.waterfall consumes an Explanation of
+    signed values, base value, and feature data — xai_visualizations.py:
+    147-175). Same coalitions and solver as :func:`kernelshap_importances`
+    (identical seeds), different projection: (id, feature, phi, value,
+    base_value, fx) with sum(phi) = fx - base_value per instance. Same
+    broadcast-model mapInPandas fan-out."""
+    score_fn = _extract_score_fn(model, feature_cols)
+    if background is None:
+        bg = np.array([train_means[c] for c in feature_cols], dtype=np.float64)
+        bgw = None
+    else:
+        bg = np.asarray(background, dtype=np.float64)
+        bgw = None if bg_weights is None else np.asarray(bg_weights, dtype=np.float64)
+    cols = list(feature_cols)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("feature", T.StringType()),
+            T.StructField("phi", T.DoubleType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("base_value", T.DoubleType()),
+            T.StructField("fx", T.DoubleType()),
+        ]
+    )
+
+    def explain(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bg2 = bg[None, :] if bg.ndim == 1 else bg
+        k = bg2.shape[0]
+        bw = (
+            np.full(k, 1.0 / k)
+            if bgw is None
+            else np.asarray(bgw, dtype=np.float64) / float(np.sum(bgw))
+        )
+        f0 = float(score_fn(bg2) @ bw)
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = pdf[cols].to_numpy(dtype=np.float64)
+            ids = pdf["id"].astype("int64").to_numpy()
+            frames = []
+            for i in range(len(pdf)):
+                phi = _kernelshap_single(score_fn, x[i], bg, int(ids[i]), bgw)
+                fx = float(score_fn(x[i][None, :])[0])
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id": ids[i],
+                            "feature": cols,
+                            "phi": phi,
+                            "value": x[i],
+                            "base_value": f0,
+                            "fx": fx,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return instances.select("id", *cols).mapInPandas(explain, schema=schema)
+
+
+_WATERFALL_MAX_DISPLAY = 10
+
+
+def shap_waterfall_artifacts(
+    model,
+    instances: DataFrame,
+    feature_cols: list[str],
+    train_means: dict[str, float],
+    background: np.ndarray | None,
+    bg_weights: np.ndarray | None,
+    out_dir,
+    max_display: int = _WATERFALL_MAX_DISPLAY,
+) -> list[str]:
+    """One per-instance signed-phi waterfall SVG under ``out_dir`` —
+    the reference's shap.plots.waterfall PNG analog
+    (xai_visualizations.py:147-175; matplotlib absent, XML not). Features
+    sort by |phi| descending; beyond ``max_display`` they collapse into
+    one 'other features' remainder row, preserving the additive walk from
+    E[f(X)] to f(x). Returns the written paths (instance count is the
+    bounded W3 selection, so the collect is spec-bounded)."""
+    from exact_spark.ml.visualize import svg_waterfall
+
+    pdf = kernelshap_signed_phis(
+        model, instances, feature_cols, train_means, background, bg_weights
+    ).toPandas()
+    paths = []
+    for iid, grp in pdf.groupby("id"):
+        grp = grp.reindex(
+            grp["phi"].abs().sort_values(ascending=False).index
+        )
+        items = [
+            (r["feature"], float(r["phi"]), float(r["value"]))
+            for _, r in grp.head(max_display).iterrows()
+        ]
+        rest = grp.iloc[max_display:]
+        if len(rest):
+            items.append(
+                (f"{len(rest)} other features", float(rest["phi"].sum()), float("nan"))
+            )
+        svg = svg_waterfall(
+            f"SHAP waterfall — instance {int(iid)}",
+            float(grp["base_value"].iloc[0]),
+            items,
+            float(grp["fx"].iloc[0]),
+        )
+        p = out_dir / f"waterfall_instance_{int(iid)}.svg"
+        p.write_text(svg)
+        paths.append(str(p))
+    return paths
+
+
 _LIME_N_SAMPLES = 512
 _LIME_RIDGE_ALPHA = 1.0
 
@@ -450,7 +571,10 @@ def _greedy_flip(
         cand = np.tile(x, (m_feats, 1))
         step = _CF_STEP * (means - x) * allowed
         if lo is not None:
-            step = np.clip(x + step, lo, hi) - x  # range-clamped move
+            # range-clamp the ALLOWED moves only: without the mask a
+            # disallowed feature starting outside [lo, hi] would get a
+            # clamp-back pseudo-move evaluated every iteration
+            step = (np.clip(x + step, lo, hi) - x) * allowed
         cand[np.arange(m_feats), np.arange(m_feats)] += step
         sc = score_fn(cand)
         gain = (sc - s) * (-1.0 if above0 else 1.0)
@@ -487,6 +611,43 @@ def _cf_restart_mask(
         varyable = np.flatnonzero(user_mask)
         allowed[varyable[rng.randint(len(varyable))]] = 1.0
     return allowed
+
+
+def _distinct_cf_walks(
+    score_fn,
+    orig: np.ndarray,
+    means: np.ndarray,
+    stds: np.ndarray,
+    thr: float,
+    above0: bool,
+    user_mask: np.ndarray,
+    rng_lo: np.ndarray | None,
+    rng_hi: np.ndarray | None,
+    total_cfs: int,
+    instance_id: int,
+) -> tuple[list[tuple[int, np.ndarray]], np.ndarray | None]:
+    """All flipped, DEDUPLICATED counterfactual endpoints for one instance
+    (plus restart 0's unflipped endpoint for the movement fallback). Two
+    restarts with different feature-subset masks can converge to the same
+    endpoint; the reference aggregates over dice's deduplicated CF set
+    (xai_runner.py:261-308), so a repeated endpoint must not increment the
+    per-feature change counts twice. ONE implementation shared by
+    counterfactual_importances and counterfactual_examples, so the emitted
+    CF rows are provably the exact set the counts came from."""
+    flips: list[tuple[int, np.ndarray]] = []
+    fallback_end: np.ndarray | None = None
+    for r in range(total_cfs):
+        allowed = _cf_restart_mask(instance_id, r, user_mask)
+        end, flipped = _greedy_flip(
+            score_fn, orig, means, stds, thr, allowed, above0, rng_lo, rng_hi
+        )
+        if flipped:
+            if any(np.allclose(end, prev) for _, prev in flips):
+                continue
+            flips.append((r, end))
+        elif r == 0:
+            fallback_end = end
+    return flips, fallback_end
 
 
 def _cf_constraints(
@@ -539,9 +700,10 @@ def counterfactual_importances(
     flips; walks start AT the instance so a counterfactual differs from
     it exactly in the features the walk moved). Importance aggregates
     exactly as the reference does
-    (xai_runner.py:261-308): per feature, the COUNT of counterfactuals in
-    which that feature changed (``~np.isclose`` vs the original), so
-    scores live in {0..4}. Instances where no restart flips fall back to
+    (xai_runner.py:261-308): per feature, the COUNT of DISTINCT
+    counterfactuals in which that feature changed (``~np.isclose`` vs the
+    original; restarts converging to the same endpoint are deduplicated
+    like dice's cf set), so scores live in {0..4}. Instances where no restart flips fall back to
     the full-budget walk's standardized movement (scaled below 1 so a
     no-flip instance never outranks a real counterfactual's count).
     ``features_to_vary`` restricts every restart's search space to the
@@ -573,26 +735,23 @@ def counterfactual_importances(
             for i in range(len(pdf)):
                 orig = x0[i]
                 above0 = float(score_fn(orig[None])[0]) > thr
-                counts = np.zeros(m_feats)
-                fallback = None
-                n_flips = 0
-                for r in range(total_cfs):
-                    allowed = _cf_restart_mask(int(ids[i]), r, user_mask)
-                    end, flipped = _greedy_flip(
-                        score_fn, orig, means, stds, thr, allowed, above0,
-                        rng_lo, rng_hi,
-                    )
-                    if flipped:
-                        n_flips += 1
+                flips, fb_end = _distinct_cf_walks(
+                    score_fn, orig, means, stds, thr, above0, user_mask,
+                    rng_lo, rng_hi, total_cfs, int(ids[i]),
+                )
+                if flips:
+                    counts = np.zeros(m_feats)
+                    for _r, end in flips:
                         counts += (~np.isclose(end, orig)).astype(np.float64)
-                    elif r == 0:
-                        fallback = np.abs(end - orig) / stds
-                if n_flips > 0:
                     imp = counts
                 else:
                     # never flipped: rank by required movement, bounded
                     # under 1.0 so it cannot outrank any real CF count
-                    fb = fallback if fallback is not None else np.zeros(m_feats)
+                    fb = (
+                        np.abs(fb_end - orig) / stds
+                        if fb_end is not None
+                        else np.zeros(m_feats)
+                    )
                     imp = 0.99 * fb / (fb.max() + 1e-12)
                 out_ids.extend([ids[i]] * m_feats)
                 out_feats.extend(cols)
@@ -650,16 +809,14 @@ def counterfactual_examples(
                 orig = x0[i]
                 above0 = float(score_fn(orig[None])[0]) > thr
                 rows.append([int(ids[i]), -1, "original", *orig.tolist()])
-                for r in range(total_cfs):
-                    allowed = _cf_restart_mask(int(ids[i]), r, user_mask)
-                    end, flipped = _greedy_flip(
-                        score_fn, orig, means, stds, thr, allowed, above0,
-                        rng_lo, rng_hi,
+                flips, _fb = _distinct_cf_walks(
+                    score_fn, orig, means, stds, thr, above0, user_mask,
+                    rng_lo, rng_hi, total_cfs, int(ids[i]),
+                )
+                for r, end in flips:
+                    rows.append(
+                        [int(ids[i]), r, "counterfactual", *end.tolist()]
                     )
-                    if flipped:
-                        rows.append(
-                            [int(ids[i]), r, "counterfactual", *end.tolist()]
-                        )
             yield pd.DataFrame(rows, columns=["id", "cf_index", "type", *cols])
 
     return instances.select("id", *cols).mapInPandas(explain, schema=schema)
@@ -1020,6 +1177,17 @@ def run_explanations(
         # explained instance (xai_visualizations.py:253-397's
         # counterfactuals_instance_{i}.csv layout: feature columns + a
         # 'type' column distinguishing the original row from its CFs)
+        # X7 SHAP artifact: one signed-phi waterfall SVG per explained
+        # instance (shap.plots.waterfall, xai_visualizations.py:147-175)
+        if "kernelshap" in methods:
+            shap_dir = out / "SHAP"
+            shap_dir.mkdir(exist_ok=True)
+            summary["shap_waterfall_paths"] = shap_waterfall_artifacts(
+                model, instances, feature_cols, train_means,
+                bg[0] if bg is not None else None,
+                bg[1] if bg is not None else None,
+                shap_dir,
+            )
         if "counterfactual" in methods:
             dice_dir = out / "DiCE"
             dice_dir.mkdir(exist_ok=True)

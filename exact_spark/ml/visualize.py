@@ -64,6 +64,73 @@ def svg_bar_chart(title: str, labels: list[str], values: list[float]) -> str:
     return "\n".join(parts)
 
 
+def svg_waterfall(
+    title: str,
+    base_value: float,
+    items: list[tuple[str, float, float]],
+    fx: float,
+) -> str:
+    """Per-instance SHAP waterfall (shap.plots.waterfall's shape,
+    xai_visualizations.py:147-175): starting at E[f(X)] = ``base_value``,
+    one signed bar per feature walks the cumulative sum to f(x) = ``fx``.
+    ``items`` are (label, phi, feature_value) IN DISPLAY ORDER (callers
+    sort by |phi| descending and cap at max_display; a trailing remainder
+    row is just another item). Positive contributions render red and push
+    right, negative render blue and push left — the shap color contract.
+    Deterministic string building like the sibling emitters."""
+    n = len(items)
+    row_h = max(18, min(32, (_H - 2 * _MARGIN) // max(n + 1, 1)))
+    # x-scale over the full excursion of the cumulative walk
+    cums = [base_value]
+    for _lab, phi, _v in items:
+        cums.append(cums[-1] + phi)
+    x_lo = min(cums + [fx])
+    x_hi = max(cums + [fx])
+    span = (x_hi - x_lo) or 1.0
+    inner_w = _W - 2 * _MARGIN - 110
+
+    def sx(v: float) -> float:
+        return _MARGIN + 100 + inner_w * (v - x_lo) / span
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{_W}" height="{_H}" '
+        f'viewBox="0 0 {_W} {_H}" font-family="sans-serif">',
+        f'<text x="{_W // 2}" y="24" text-anchor="middle" font-size="16">'
+        f"{escape(title)}</text>",
+        # base and f(x) reference verticals
+        f'<line x1="{sx(base_value):.1f}" y1="{_MARGIN - 10}" '
+        f'x2="{sx(base_value):.1f}" y2="{_H - _MARGIN}" stroke="#999" '
+        f'stroke-dasharray="4,3"/>',
+        f'<text x="{sx(base_value):.1f}" y="{_MARGIN - 14}" '
+        f'text-anchor="middle" font-size="10">E[f(X)]={_fmt(base_value)}</text>',
+        f'<line x1="{sx(fx):.1f}" y1="{_MARGIN - 10}" x2="{sx(fx):.1f}" '
+        f'y2="{_H - _MARGIN}" stroke="#333" stroke-dasharray="2,2"/>',
+        f'<text x="{sx(fx):.1f}" y="{_MARGIN - 2}" text-anchor="middle" '
+        f'font-size="10">f(x)={_fmt(fx)}</text>',
+    ]
+    for i, (lab, phi, val) in enumerate(items):
+        y = _MARGIN + i * row_h
+        x0, x1 = sx(cums[i]), sx(cums[i + 1])
+        color = "#c0392b" if phi >= 0 else "#4878a8"
+        left, width = min(x0, x1), max(abs(x1 - x0), 0.5)
+        parts.append(
+            f'<text x="{_MARGIN + 94}" y="{y + row_h * 0.7:.0f}" '
+            f'text-anchor="end" font-size="11">'
+            f"{escape(str(lab))} = {_fmt(val)}</text>"
+        )
+        parts.append(
+            f'<rect x="{left:.1f}" y="{y + 2}" width="{width:.1f}" '
+            f'height="{row_h - 6}" fill="{color}"/>'
+        )
+        sign = "+" if phi >= 0 else "−"
+        parts.append(
+            f'<text x="{max(x0, x1) + 4:.1f}" y="{y + row_h * 0.7:.0f}" '
+            f'font-size="11" fill="{color}">{sign}{_fmt(abs(phi))}</text>'
+        )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
 def svg_timeseries(
     title: str,
     points: list[tuple[float, float]],

@@ -109,6 +109,17 @@ def test_both_methods_explain_injected_column(spark, injected_series, tmp_path):
     one = _pd.read_csv(csvs[0])
     assert {"type", "cf_index", "v1", "v2"} <= set(one.columns)
     assert (one["type"] == "original").sum() == 1
+    # X7 SHAP artifact: one signed-phi waterfall SVG per explained
+    # instance (xai_visualizations.py:147-175's shap.plots.waterfall)
+    import xml.etree.ElementTree as _ET
+
+    wf = sorted((tmp_path / "xai_demo" / "SHAP").glob("waterfall_instance_*.svg"))
+    assert len(wf) == result["n_instances"]
+    assert result["shap_waterfall_paths"] == [str(p) for p in wf]
+    for p in wf[:3]:
+        root = _ET.fromstring(p.read_text())  # well-formed XML
+        ns = "{http://www.w3.org/2000/svg}"
+        assert root.findall(f"{ns}rect"), p.name  # signed bars present
 
 
 def test_permutation_deterministic_under_repartition(spark, injected_series):

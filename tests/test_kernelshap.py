@@ -351,3 +351,91 @@ def test_counterfactual_features_to_vary_and_range(spark, monkeypatch):
         ex.counterfactual_importances(
             model, df, ["v1", "v2", "v3"], means, stds, features_to_vary=["nope"]
         ).toPandas()
+
+
+def test_counterfactual_converged_endpoints_deduped(spark, monkeypatch):
+    """Restarts with different feature-subset masks that converge to the
+    IDENTICAL endpoint count once, like dice's deduplicated cf set
+    (xai_runner.py:261-308): with only one feature allowed to vary every
+    restart walks the same path, so the per-feature count must be exactly
+    1, not total_CFs."""
+    from exact_spark.ml import explain as ex
+
+    model = _LinearThresholdModel([1.0, 1.0, 0.0], thr=1.0)
+    monkeypatch.setattr(ex, "_extract_score_fn", lambda m, cols: model._score_fn())
+    df = spark.createDataFrame(
+        [(i, 2.0, 2.0, 5.0) for i in range(1, 5)],
+        "id long, v1 double, v2 double, v3 double",
+    )
+    piv = (
+        ex.counterfactual_importances(
+            model, df, ["v1", "v2", "v3"],
+            {"v1": 0.0, "v2": -2.0, "v3": 5.0},
+            {"v1": 1.0, "v2": 1.0, "v3": 1.0},
+            features_to_vary=["v2"],
+        )
+        .toPandas()
+        .pivot(index="id", columns="feature", values="importance")
+    )
+    assert (piv["v2"] == 1.0).all()
+    # and the emitted artifact rows agree: exactly one distinct CF each
+    pdf = ex.counterfactual_examples(
+        model, df, ["v1", "v2", "v3"],
+        {"v1": 0.0, "v2": -2.0, "v3": 5.0},
+        {"v1": 1.0, "v2": 1.0, "v3": 1.0},
+        features_to_vary=["v2"],
+    ).toPandas()
+    n_cfs = pdf[pdf["type"] == "counterfactual"].groupby("id").size()
+    assert (n_cfs == 1).all()
+
+
+def test_permitted_range_clamp_masked_to_allowed(spark, monkeypatch):
+    """A DISALLOWED feature starting outside its permitted range must not
+    be dragged back into it by the clamp: the clamp applies to allowed
+    moves only (ADVICE r05, explain.py clamp-mask)."""
+    from exact_spark.ml import explain as ex
+
+    model = _LinearThresholdModel([1.0, 1.0, 0.0], thr=1.0)
+    monkeypatch.setattr(ex, "_extract_score_fn", lambda m, cols: model._score_fn())
+    # v3 starts at 5.0, outside its permitted range (0, 1) — but v3 is NOT
+    # in features_to_vary, so no emitted CF may move it
+    df = spark.createDataFrame(
+        [(i, 2.0, 2.0, 5.0) for i in range(1, 5)],
+        "id long, v1 double, v2 double, v3 double",
+    )
+    pdf = ex.counterfactual_examples(
+        model, df, ["v1", "v2", "v3"],
+        {"v1": 0.0, "v2": -2.0, "v3": 0.5},
+        {"v1": 1.0, "v2": 1.0, "v3": 1.0},
+        features_to_vary=["v2"],
+        permitted_range={"v3": (0.0, 1.0)},
+    ).toPandas()
+    cfs = pdf[pdf["type"] == "counterfactual"]
+    assert len(cfs) > 0
+    assert (cfs["v3"] == 5.0).all()
+    assert (cfs["v1"] == 2.0).all()
+
+
+def test_signed_phis_additivity_and_parity_with_importances(spark, monkeypatch):
+    """kernelshap_signed_phis is the same solver as kernelshap_importances
+    (identical coalitions/seeds): |phi| matches the importance surface and
+    sum(phi) = f(x) - E_bg[f] per instance (SHAP efficiency)."""
+    from exact_spark.ml import explain as ex
+
+    model = _LinearThresholdModel([2.0, -1.0, 0.5], thr=0.0)
+    monkeypatch.setattr(ex, "_extract_score_fn", lambda m, cols: model._score_fn())
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0, 3.0), (2, -1.0, 0.5, 2.0)],
+        "id long, v1 double, v2 double, v3 double",
+    )
+    means = {"v1": 0.0, "v2": 0.0, "v3": 0.0}
+    signed = ex.kernelshap_signed_phis(model, df, ["v1", "v2", "v3"], means).toPandas()
+    for iid, grp in signed.groupby("id"):
+        assert abs(grp["phi"].sum() - (grp["fx"].iloc[0] - grp["base_value"].iloc[0])) < 1e-9
+        # linear model vs zero background: phi_j = w_j * x_j exactly
+        w = {"v1": 2.0, "v2": -1.0, "v3": 0.5}
+        for _, r in grp.iterrows():
+            assert abs(r["phi"] - w[r["feature"]] * r["value"]) < 1e-9
+    imps = ex.kernelshap_importances(model, df, ["v1", "v2", "v3"], means).toPandas()
+    j = signed.merge(imps, on=["id", "feature"])
+    assert (abs(j["phi"].abs() - j["importance"]) < 1e-12).all()
