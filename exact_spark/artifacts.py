@@ -12,6 +12,17 @@ protocol targets a shared object-store prefix instead of tempfile.
 
 Consumers re-read the artifact as plain parquet, so Catalyst still gets
 column pruning and predicate pushdown on every serve-side read.
+
+Growth policy: artifact dirs live under ``tempfile.gettempdir()`` keyed
+by corpus fingerprint. A re-fingerprinted corpus (new data at the same
+path) simply abandons the old dir — this process never deletes published
+artifacts (readers may hold them), so disk usage is bounded by the
+number of corpus VERSIONS seen between tmp-dir cleanups, not by query
+count; the host's tmp reaper (or an object-store lifecycle rule on a
+cluster) reclaims abandoned fingerprints. Driver-side in-memory memos of
+per-corpus derived state use :func:`memo_put`, which FIFO-evicts beyond
+``_MEMO_CAP`` corpora so a long-lived shared driver cannot grow them
+monotonically.
 """
 
 from __future__ import annotations
@@ -23,6 +34,21 @@ import shutil
 import tempfile
 import uuid
 from collections.abc import Callable
+
+
+_MEMO_CAP = 32  # corpora simultaneously warm per driver process
+
+
+def memo_put(memo: dict, key, value, cap: int = _MEMO_CAP):
+    """Insert into a process-lifetime, corpus-keyed memo dict with FIFO
+    eviction at ``cap`` entries. Every value is rebuildable from its
+    corpus (the memo is a warm cache, not state), so evicting the oldest
+    corpus is always safe; without a bound a long-lived shared driver
+    serving many corpus versions grows these dicts monotonically."""
+    if key not in memo and len(memo) >= cap:
+        memo.pop(next(iter(memo)))
+    memo[key] = value
+    return value
 
 
 def source_fingerprint(source: str | pathlib.Path) -> str:
@@ -65,8 +91,26 @@ def materialize(
     if (base / "_SUCCESS").exists():  # concurrent builder won the race
         shutil.rmtree(staging, ignore_errors=True)
         return str(base)
-    if base.exists():  # crashed partial build, no _SUCCESS
-        shutil.rmtree(base, ignore_errors=True)
+    if base.exists():  # leftover with no _SUCCESS observed (crashed build?)
+        # Never rmtree `base` in place: between the _SUCCESS probe above
+        # and a delete, a concurrent builder's atomic rename could publish
+        # a COMPLETED artifact there. Rename it aside first — if the moved
+        # dir turns out to be complete, it was a fresh winner: reinstate it
+        # and discard our staging copy instead.
+        stale = base.with_name(base.name + "." + uuid.uuid4().hex[:8] + ".stale")
+        try:
+            os.rename(base, stale)
+        except OSError:
+            pass  # vanished or re-owned concurrently; the rename below decides
+        else:
+            if (stale / "_SUCCESS").exists():
+                try:
+                    os.rename(stale, base)
+                    shutil.rmtree(staging, ignore_errors=True)
+                    return str(base)
+                except OSError:
+                    pass  # base reoccupied by yet another winner
+            shutil.rmtree(stale, ignore_errors=True)
     try:
         os.rename(staging, base)
     except OSError:

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from exact_spark import io
+from exact_spark.artifacts import memo_put
 from exact_spark.functions import favg, sql_fround
 from exact_spark.registry import register
 from exact_spark.session import tune_session
@@ -527,7 +528,7 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, _N_CELLS, _IVF_TARGET_RECALL)
     if key not in _NPROBE_MEMO:
         cent = cent.cache()
-        _NPROBE_MEMO[key] = _tuned_nprobe(norms, cent, _IVF_TARGET_RECALL)
+        memo_put(_NPROBE_MEMO, key, _tuned_nprobe(norms, cent, _IVF_TARGET_RECALL))
     return _ivf_topk(norms, cent, n_probe=_NPROBE_MEMO[key])
 
 
@@ -601,7 +602,7 @@ def _kmeans_centroids(
     model = KMeans(k=k, seed=_KMEANS_SEED, maxIter=10, initMode="random").fit(train)
     train.unpersist()
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    _KMEANS_MEMO[key] = centers
+    memo_put(_KMEANS_MEMO, key, centers)
     cent_rows = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], "cell INT, c_embedding ARRAY<DOUBLE>"
     )
@@ -1082,7 +1083,7 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
         [by_id[k][m * _PQ_SUB : (m + 1) * _PQ_SUB] for k in range(_PQ_K)]
         for m in range(_PQ_M)
     ]
-    _PQ_CODEBOOK_MEMO[sf_dir] = cb
+    memo_put(_PQ_CODEBOOK_MEMO, sf_dir, cb)
     return cb
 
 
@@ -1481,10 +1482,14 @@ def _pca_whitening_model(
             j = int(np.argmax(np.abs(top_vecs[i])))
             if top_vecs[i, j] < 0:
                 top_vecs[i] = -top_vecs[i]
-        _PCA_MEMO[key] = (
-            [float(v) for v in mu],
-            [[float(v) for v in row] for row in top_vecs],
-            [float(v) for v in top_vals],
+        memo_put(
+            _PCA_MEMO,
+            key,
+            (
+                [float(v) for v in mu],
+                [[float(v) for v in row] for row in top_vecs],
+                [float(v) for v in top_vals],
+            ),
         )
     return _PCA_MEMO[key]
 
@@ -3150,7 +3155,7 @@ def _mmr_greedy_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
                 break
             out.append((qid, step, best, rels[best], best_score))
             chosen.append(best)
-    _MMR_MEMO[key] = out
+    memo_put(_MMR_MEMO, key, out)
     return out
 
 

@@ -76,3 +76,75 @@ def test_materialize_loser_discards_staging(tmp_path, monkeypatch):
     # the loser's staging dir was discarded
     leftovers = [x for x in pathlib.Path(tmp_path).glob("exact_spark_race_*.tmp")]
     assert leftovers == []
+
+
+def test_materialize_reinstates_winner_published_after_probe(tmp_path, monkeypatch):
+    """TOCTOU guard: a COMPLETE artifact that appears at `base` after the
+    crashed-leftover probe but before any delete must survive — the loser
+    renames it aside, sees _SUCCESS, and reinstates it instead of deleting
+    a freshly published winner (ADVICE r05, artifacts.py)."""
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    src = tmp_path / "s.parquet"
+    _touch(src, b"data")
+
+    def build_with_late_winner(staging: str) -> None:
+        d = pathlib.Path(staging)
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").write_text("")
+        (d / "out").write_text("loser")
+        # a concurrent winner publishes a COMPLETE artifact at base while
+        # this builder is still working — by the time materialize probes
+        # base it exists WITH _SUCCESS, exercising the rename-aside path
+        winner = pathlib.Path(str(d.parent / d.name.split(".")[0]))
+        winner.mkdir(parents=True, exist_ok=True)
+        (winner / "_SUCCESS").write_text("")
+        (winner / "out").write_text("winner")
+
+    p = materialize(src, "toctou", build_with_late_winner)
+    assert (pathlib.Path(p) / "_SUCCESS").exists()
+    assert (pathlib.Path(p) / "out").read_text() == "winner"
+    # no stale or staging dirs leak
+    assert list(pathlib.Path(tmp_path).glob("exact_spark_toctou_*.stale")) == []
+    assert list(pathlib.Path(tmp_path).glob("exact_spark_toctou_*.tmp")) == []
+
+
+def test_materialize_clears_crashed_partial_build(tmp_path, monkeypatch):
+    """A leftover at base WITHOUT _SUCCESS (a crashed past build) is moved
+    aside and discarded; the new build publishes."""
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    src = tmp_path / "t.parquet"
+    _touch(src, b"data")
+    from exact_spark.artifacts import source_fingerprint as _fp
+
+    crashed = tmp_path / f"exact_spark_crash_{_fp(src)}"
+    crashed.mkdir()
+    (crashed / "part-0").write_text("incomplete")  # no _SUCCESS
+
+    def build(staging: str) -> None:
+        d = pathlib.Path(staging)
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").write_text("")
+        (d / "out").write_text("fresh")
+
+    p = materialize(src, "crash", build)
+    assert (pathlib.Path(p) / "out").read_text() == "fresh"
+    assert not (pathlib.Path(p) / "part-0").exists()
+    assert list(pathlib.Path(tmp_path).glob("exact_spark_crash_*.stale")) == []
+
+
+def test_memo_put_fifo_eviction():
+    from exact_spark.artifacts import memo_put
+
+    memo: dict = {}
+    for i in range(40):
+        memo_put(memo, f"k{i}", i, cap=32)
+    assert len(memo) == 32
+    assert "k0" not in memo and "k7" not in memo  # oldest evicted
+    assert memo["k39"] == 39 and memo["k8"] == 8
+    # re-putting an existing key never evicts
+    memo_put(memo, "k39", 99, cap=32)
+    assert len(memo) == 32 and memo["k39"] == 99
