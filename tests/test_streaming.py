@@ -314,11 +314,19 @@ def test_state_partitions_restores_on_error(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
-def test_session_window_emits_at_exact_watermark_equality(spark, tmp_path):
+@pytest.mark.parametrize("chunks", [1, 2, 3])
+def test_session_window_emits_at_exact_watermark_equality(spark, tmp_path, chunks):
     """The stream_session_window_native oracle's emission rule is
     `window end <= final watermark` — INCLUSIVE. Pin Spark's behavior at
     exact equality with a constructed boundary: user 1's session window
-    end lands precisely ON the final watermark, and must be emitted."""
+    end lands precisely ON the final watermark, and must be emitted.
+    Parameterized over the micro-batch split (1/2/3 chunks, one file per
+    trigger) to prove the invariant isn't split-shaped: the session may
+    assemble within one batch or across batches, the final watermark is
+    the same."""
+    import shutil
+    import time as _t
+
     from pyspark.sql import functions as F
 
     t0 = 1700000000
@@ -326,13 +334,26 @@ def test_session_window_emits_at_exact_watermark_equality(spark, tmp_path):
     # user 2's lone event puts max event time at t0+960, so the final
     # watermark (delay 300s) = t0+660 == user 1's window end exactly
     rows = [(1, t0), (1, t0 + 60), (2, t0 + 60 + 600 + 300)]
-    df = spark.createDataFrame(rows, "user_id long, ep long").select(
-        "user_id", F.timestamp_seconds("ep").alias("timestamp")
+    per = (len(rows) + chunks - 1) // chunks
+    src = tmp_path / "src"
+    src.mkdir()
+    for k in range(chunks):
+        part = rows[k * per:(k + 1) * per]
+        if not part:
+            continue
+        df = spark.createDataFrame(part, "user_id long, ep long").select(
+            "user_id", F.timestamp_seconds("ep").alias("timestamp")
+        )
+        tmp = tmp_path / f"stage{k}"
+        df.coalesce(1).write.parquet(str(tmp))
+        shutil.copy(next(tmp.glob("*.parquet")), src / f"c{k}.parquet")
+        _t.sleep(0.05)  # file-stream order is (modTime, path)
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
     )
-    src = str(tmp_path / "src")
-    df.coalesce(1).write.parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(src)
     sess = (
         stream.withWatermark("timestamp", "300 seconds")
         .groupBy("user_id", F.session_window("timestamp", "600 seconds").alias("sw"))
@@ -340,7 +361,7 @@ def test_session_window_emits_at_exact_watermark_equality(spark, tmp_path):
     )
     q = (
         sess.writeStream.format("memory")
-        .queryName("wm_edge")
+        .queryName(f"wm_edge_{chunks}")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
@@ -348,25 +369,40 @@ def test_session_window_emits_at_exact_watermark_equality(spark, tmp_path):
     )
     q.awaitTermination(60)
     out = spark.sql(
-        "SELECT user_id, CAST(sw.end AS LONG) AS e, n FROM wm_edge"
+        f"SELECT user_id, CAST(sw.end AS LONG) AS e, n FROM wm_edge_{chunks}"
     ).collect()
     assert [(r["user_id"], r["e"], r["n"]) for r in out] == [(1, t0 + 660, 2)]
 
 
-def test_stream_stream_join_matches_across_chunks_near_horizon(spark, tmp_path):
+@pytest.mark.parametrize("chunks", [2, 3])
+def test_stream_stream_join_matches_across_chunks_near_horizon(
+    spark, tmp_path, chunks
+):
     """The stream_stream_join oracle equals the batch interval join only
-    if state eviction never drops a chunk-1 view a chunk-2 purchase can
-    still reach. Pin the worst case: a purchase in the SECOND micro-batch
-    matching a view from the FIRST, 5h59m earlier (just inside the 6h
-    horizon, far past the 1h watermark delay)."""
+    if state eviction never drops a chunk-1 view a later-chunk purchase
+    can still reach. Pin the worst case: a purchase in the LAST
+    micro-batch matching a view from the FIRST, 5h59m earlier (just
+    inside the 6h horizon, far past the 1h watermark delay).
+    Parameterized over the micro-batch split (2/3 chunks) to prove the
+    invariant isn't split-shaped — at 3 chunks an extra watermark
+    advance lands between the view and the purchase."""
     import shutil
     import time as _t
 
     from pyspark.sql import functions as F
 
     t0, H = 1700000000, 3600
-    rows1 = [(7, 100, t0, "view", 1.0), (9, 101, t0 + 2 * H, "view", 1.0)]
-    rows2 = [(7, 200, t0 + 6 * H - 60, "purchase", 9.9)]
+    if chunks == 2:
+        batches = [
+            [(7, 100, t0, "view", 1.0), (9, 101, t0 + 2 * H, "view", 1.0)],
+            [(7, 200, t0 + 6 * H - 60, "purchase", 9.9)],
+        ]
+    else:
+        batches = [
+            [(7, 100, t0, "view", 1.0)],
+            [(9, 101, t0 + 2 * H, "view", 1.0)],
+            [(7, 200, t0 + 6 * H - 60, "purchase", 9.9)],
+        ]
     src = tmp_path / "src"
     src.mkdir()
 
@@ -382,8 +418,8 @@ def test_stream_stream_join_matches_across_chunks_near_horizon(spark, tmp_path):
         shutil.copy(next(tmp.glob("*.parquet")), src / f"{name}.parquet")
         _t.sleep(0.05)  # file-stream order is (modTime, path)
 
-    stage("f1", rows1)
-    stage("f2", rows2)
+    for bi, batch in enumerate(batches):
+        stage(f"f{bi}", batch)
     schema = spark.read.parquet(str(src)).schema
 
     def reader():
@@ -419,12 +455,12 @@ def test_stream_stream_join_matches_across_chunks_near_horizon(spark, tmp_path):
     )
     q = (
         joined.writeStream.format("memory")
-        .queryName("sje_t")
+        .queryName(f"sje_t_{chunks}")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(60)
-    out = spark.sql("SELECT purchase_id, view_id FROM sje_t").collect()
+    out = spark.sql(f"SELECT purchase_id, view_id FROM sje_t_{chunks}").collect()
     assert any(r["purchase_id"] == 200 and r["view_id"] == 100 for r in out), out
