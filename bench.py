@@ -159,11 +159,30 @@ def _measure_with_retry(run, env: float | None, name: str) -> tuple[float, int, 
     official record — every r04/r05 over-2x flag was refuted by isolated
     re-timing. A real regression is slow both times and still flags; a
     burst isn't. Bounded cost: a few seconds on a clean run.
+
+    Two retry-integrity rules: (a) the in-process per-corpus memos are
+    cleared before the retry, so it re-measures roughly the cache state
+    the first run saw — a retry served from a memo the first run populated
+    would absorb a real regression in the memoized builder (worst case the
+    cold retry is SLOWER and min() keeps the first measurement, which
+    still flags); (b) a retry that throws falls back to the first run's
+    valid measurement instead of failing the query.
     """
     dt, n = run()
     if env is None or dt <= 2.0 * env:
         return dt, n, False
-    dt2, n = run()
+    from exact_spark.artifacts import clear_corpus_memos
+
+    clear_corpus_memos()
+    try:
+        dt2, n = run()
+    except Exception as exc:  # transient retry failure: keep run 1
+        print(
+            f"# {name}: retry failed ({type(exc).__name__}), keeping "
+            f"first measurement {dt:.3f}s",
+            file=sys.stderr,
+        )
+        return dt, n, True
     print(
         f"# {name}: {dt:.3f}s breaches 2x envelope {env:.3f}s — retry {dt2:.3f}s",
         file=sys.stderr,

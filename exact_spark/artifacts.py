@@ -37,6 +37,7 @@ from collections.abc import Callable
 
 
 _MEMO_CAP = 32  # corpora simultaneously warm per driver process
+_ALL_MEMOS: list[dict] = []  # every dict that ever went through memo_put
 
 
 def memo_put(memo: dict, key, value, cap: int = _MEMO_CAP):
@@ -45,10 +46,27 @@ def memo_put(memo: dict, key, value, cap: int = _MEMO_CAP):
     corpus (the memo is a warm cache, not state), so evicting the oldest
     corpus is always safe; without a bound a long-lived shared driver
     serving many corpus versions grows these dicts monotonically."""
+    if not any(m is memo for m in _ALL_MEMOS):
+        _ALL_MEMOS.append(memo)
     if key not in memo and len(memo) >= cap:
         memo.pop(next(iter(memo)))
     memo[key] = value
     return value
+
+
+def clear_corpus_memos() -> int:
+    """Empty every in-process per-corpus memo that memo_put has touched,
+    returning how many entries were dropped. Benchmarks use this to
+    re-measure a query under the cache state its FIRST measurement saw:
+    a retry that hit a memo populated by the first run would otherwise
+    record a structurally cheaper computation (a real regression in a
+    memoized builder would be absorbed). Disk artifacts (materialize) are
+    intentionally left warm — they were warm for the first run too."""
+    n = 0
+    for m in _ALL_MEMOS:
+        n += len(m)
+        m.clear()
+    return n
 
 
 def source_fingerprint(source: str | pathlib.Path) -> str:

@@ -444,11 +444,22 @@ def shap_waterfall_artifacts(
     one 'other features' remainder row, preserving the additive walk from
     E[f(X)] to f(x). Returns the written paths (instance count is the
     bounded W3 selection, so the collect is spec-bounded)."""
-    from exact_spark.ml.visualize import svg_waterfall
-
     pdf = kernelshap_signed_phis(
         model, instances, feature_cols, train_means, background, bg_weights
     ).toPandas()
+    return render_waterfalls(pdf, out_dir, max_display)
+
+
+def render_waterfalls(
+    pdf: pd.DataFrame, out_dir, max_display: int = _WATERFALL_MAX_DISPLAY
+) -> list[str]:
+    """Render already-collected signed phis (kernelshap_signed_phis rows)
+    into per-instance waterfall SVGs — split out so run_explanations can
+    reuse ONE KernelSHAP solve for both the importance aggregation and
+    the waterfall artifacts instead of paying the coalition enumeration
+    twice."""
+    from exact_spark.ml.visualize import svg_waterfall
+
     paths = []
     for iid, grp in pdf.groupby("id"):
         grp = grp.reindex(
@@ -1131,13 +1142,30 @@ def run_explanations(
     relevant = set().union(*truth.values()) if truth else set()
 
     per_method: dict[str, dict] = {}
+    shap_signed = None  # collected once, reused for the waterfall artifacts
     for m in methods:
         if m not in _IMPORTANCE_FNS:
             raise KeyError(f"unknown XAI method {m!r}; implemented: {METHODS}")
         t0 = time.perf_counter()
-        imps = _IMPORTANCE_FNS[m](
-            model, instances, feature_cols, train_means, train_stds, bg
-        )
+        if m == "kernelshap" and output_dir is not None:
+            # one KernelSHAP solve serves both surfaces: the waterfall
+            # artifacts need signed phis, and importance is exactly |phi|
+            # (parity test-pinned) — never pay the coalition enumeration
+            # twice
+            shap_signed = kernelshap_signed_phis(
+                model, instances, feature_cols, train_means,
+                None if bg is None else bg[0],
+                None if bg is None else bg[1],
+            ).toPandas()
+            imps = df.sparkSession.createDataFrame(
+                shap_signed[["id", "feature"]].assign(
+                    importance=shap_signed["phi"].abs()
+                )
+            )
+        else:
+            imps = _IMPORTANCE_FNS[m](
+                model, instances, feature_cols, train_means, train_stds, bg
+            )
         agg = aggregate_importances(imps).collect()
         ranking = [r["feature"] for r in agg]
         per_method[m] = {
@@ -1150,7 +1178,6 @@ def run_explanations(
             },
             f"execution_time_xai_{m}_seconds": round(time.perf_counter() - t0, 3),
         }
-    instances.unpersist()
 
     summary = {
         "methods": list(methods),
@@ -1178,15 +1205,13 @@ def run_explanations(
         # counterfactuals_instance_{i}.csv layout: feature columns + a
         # 'type' column distinguishing the original row from its CFs)
         # X7 SHAP artifact: one signed-phi waterfall SVG per explained
-        # instance (shap.plots.waterfall, xai_visualizations.py:147-175)
-        if "kernelshap" in methods:
+        # instance (shap.plots.waterfall, xai_visualizations.py:147-175),
+        # rendered from the SAME solve that produced the importances
+        if shap_signed is not None:
             shap_dir = out / "SHAP"
             shap_dir.mkdir(exist_ok=True)
-            summary["shap_waterfall_paths"] = shap_waterfall_artifacts(
-                model, instances, feature_cols, train_means,
-                bg[0] if bg is not None else None,
-                bg[1] if bg is not None else None,
-                shap_dir,
+            summary["shap_waterfall_paths"] = render_waterfalls(
+                shap_signed, shap_dir
             )
         if "counterfactual" in methods:
             dice_dir = out / "DiCE"
@@ -1214,4 +1239,8 @@ def run_explanations(
             p.write_text(svg)
             plot_paths.append(str(p))
         summary["plot_paths"] = plot_paths
+    # unpersist only after the artifact passes: the DiCE CSV fan-out above
+    # re-reads the bounded W3 selection, and dropping the cache earlier
+    # would recompute the full md5-ranked instance scan for it
+    instances.unpersist()
     return summary

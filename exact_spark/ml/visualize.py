@@ -113,10 +113,12 @@ def svg_waterfall(
         x0, x1 = sx(cums[i]), sx(cums[i + 1])
         color = "#c0392b" if phi >= 0 else "#4878a8"
         left, width = min(x0, x1), max(abs(x1 - x0), 0.5)
+        # a NaN value marks a valueless row (the collapsed 'other
+        # features' remainder): label only, no "= nan"
+        label = str(lab) if val != val else f"{lab} = {_fmt(val)}"
         parts.append(
             f'<text x="{_MARGIN + 94}" y="{y + row_h * 0.7:.0f}" '
-            f'text-anchor="end" font-size="11">'
-            f"{escape(str(lab))} = {_fmt(val)}</text>"
+            f'text-anchor="end" font-size="11">{escape(label)}</text>'
         )
         parts.append(
             f'<rect x="{left:.1f}" y="{y + 2}" width="{width:.1f}" '

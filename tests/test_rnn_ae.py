@@ -13,7 +13,9 @@ from exact_spark.ml.models import RecurrentAutoencoderDetector, _sigmoid, get_mo
 
 
 def _tiny_params(rng, hdim=3):
-    """8-param LSTM layout: gate blocks [i|f|g|o] stacked to width 4H."""
+    """8-param LSTM layout: gate blocks [i|f|o|g] stacked to width 4H
+    (the three sigmoid gates contiguous, candidate g last — matches
+    models.py's _cell slicing)."""
     return [
         rng.normal(0, 0.5, (1, 4 * hdim)),      # Wxe
         rng.normal(0, 0.5, (hdim, 4 * hdim)),   # Whe

@@ -85,3 +85,13 @@ def test_waterfall_bar_positions_follow_cumulative_walk():
     # bar 2 starts where bar 1 ended; bar 3 (negative) walks back to start
     assert abs((x[0] + w[0]) - x[1]) < 0.2
     assert abs(x[2] - x[0]) < 0.2 and abs(w[2] - (w[0] + w[1])) < 0.2
+
+
+def test_waterfall_remainder_row_shows_no_nan_value():
+    from exact_spark.ml.visualize import svg_waterfall
+
+    items = [("v1", 2.0, 9.5), ("4 other features", -0.5, float("nan"))]
+    svg = svg_waterfall("t", 0.0, items, 1.5)
+    assert "nan" not in svg
+    assert "4 other features" in svg
+    ET.fromstring(svg)
