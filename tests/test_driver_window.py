@@ -50,8 +50,28 @@ def test_driver_order_covers_registry_exactly():
     )
 
 
+def _slot_priority(name: str, recorded: set[str]) -> int:
+    """Window-slot priority: 0 = never-recorded oracle-backed (hash-match
+    certifies), 1 = never-recorded rows-only (weaker but still a first
+    record), 2 = already recorded (a re-record, worth the least)."""
+    if name not in recorded:
+        return 0 if REGISTRY[name].sql is not None else 1
+    return 2
+
+
 def test_window_slots_are_oracle_backed():
+    """While MORE than 50 never-recorded oracle-backed queries remain,
+    every slot must be one — a rows-only entry cannot hash-match and
+    wastes a slot. Once the oracle backlog fits inside the window (r07+),
+    the rows-only tail legitimately takes the leftover slots and this
+    specific guard defers to the no-wasted-slot invariant below."""
     _load_all()
+    recorded = _recorded_names()
+    oracle_backlog = {
+        n for n, s in REGISTRY.items() if s.sql is not None and n not in recorded
+    }
+    if len(oracle_backlog) < 50:
+        return
     window = list(all_queries())[:50]
     rows_only = [n for n in window if REGISTRY[n].sql is None]
     assert rows_only == [], (
@@ -60,21 +80,26 @@ def test_window_slots_are_oracle_backed():
     )
 
 
-def test_window_slots_have_no_prior_driver_record():
-    """Until the certification backlog drains, every window slot must be a
-    query with no green driver record in any committed CORRECTNESS_r0N.
-    When the backlog IS drained (all oracle-backed queries recorded),
-    re-records become legitimate and this guard self-retires."""
+def test_window_wastes_no_slot():
+    """The 50 recording slots must be spent prefix-optimally: no query
+    outside the window may out-prioritize a query inside it
+    (never-recorded oracle-backed > never-recorded rows-only >
+    re-record). While 50+ backlog remains this forbids any re-record or
+    rows-only slot (the r05 policy); when the backlog shrinks below 50
+    (r07+) it instead guarantees every remaining backlog query IS in the
+    window before any lesser slot use; when everything is recorded it
+    self-retires (all priorities equal)."""
     _load_all()
     recorded = _recorded_names()
-    oracle_backed = {n for n, s in REGISTRY.items() if s.sql is not None}
-    backlog = oracle_backed - recorded
-    if not backlog:
-        return  # backlog drained — rotation policy no longer applies
-    window = list(all_queries())[:50]
-    re_records = [n for n in window if n in recorded]
-    assert not re_records, (
-        f"{len(re_records)} window slots re-record already-certified queries "
-        f"while {len(backlog)} oracle-backed queries still lack any driver "
-        f"record: {re_records[:8]}"
+    order = list(all_queries())
+    window, outside = order[:50], order[50:]
+    worst_in = max(_slot_priority(n, recorded) for n in window)
+    if not outside:
+        return
+    best_out = min(_slot_priority(n, recorded) for n in outside)
+    assert worst_in <= best_out, (
+        f"window wastes slots: a priority-{worst_in} entry sits inside while "
+        f"a priority-{best_out} query waits outside — "
+        f"inside={[n for n in window if _slot_priority(n, recorded) == worst_in][:5]} "
+        f"outside={[n for n in outside if _slot_priority(n, recorded) == best_out][:5]}"
     )

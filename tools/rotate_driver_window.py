@@ -15,6 +15,12 @@ the next window deterministically:
   then   never-recorded rows-only queries;
   then   previously recorded queries, least-recently-recorded first.
 
+When fewer than 50 never-recorded oracle-backed queries remain (r07+),
+the window naturally continues into the rows-only tail and then the
+oldest re-records — the prefix of this ordering is always the best
+possible spend of the slots (tests/test_driver_window.py pins the
+no-wasted-slot invariant).
+
 Run at ROUND START, after the driver commits the previous round's
 CORRECTNESS record:
 
@@ -100,10 +106,10 @@ def main() -> int:
     start = src.index("DRIVER_ORDER: list[str] = [")
     end = src.index("\n]", start) + len("\n]")
     body = "DRIVER_ORDER: list[str] = [\n"
-    body += f"    # --- window (slots 1-50): never-driver-recorded oracle-backed ---\n"
+    body += "    # --- window (slots 1-50): best available recording spend ---\n"
     for i, n in enumerate(order):
         if i == 50:
-            body += "    # --- backlog / rows-only / previously recorded (rotates next) ---\n"
+            body += "    # --- outside the window (rotates into it next round) ---\n"
         body += f'    "{n}",\n'
     body += "]"
     reg_path.write_text(src[:start] + body + src[end:])
