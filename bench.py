@@ -96,7 +96,9 @@ def main() -> None:
             return dt, n
 
         try:
-            dt, n, was_retried = _measure_with_retry(run, baseline.get(name), name)
+            dt, n, was_retried = _measure_with_retry(
+                run, baseline.get(name), name, cleanup=spark.catalog.clearCache
+            )
             if was_retried:
                 retried.append(name)
         except Exception as exc:  # one broken query must not lose the suite
@@ -150,7 +152,9 @@ def main() -> None:
     spark.stop()
 
 
-def _measure_with_retry(run, env: float | None, name: str) -> tuple[float, int, bool]:
+def _measure_with_retry(
+    run, env: float | None, name: str, cleanup=lambda: None
+) -> tuple[float, int, bool]:
     """Run a query once; if the measurement breaches 2x its committed
     BASELINE envelope, run it ONCE more and keep the min.
 
@@ -160,23 +164,27 @@ def _measure_with_retry(run, env: float | None, name: str) -> tuple[float, int, 
     re-timing. A real regression is slow both times and still flags; a
     burst isn't. Bounded cost: a few seconds on a clean run.
 
-    Two retry-integrity rules: (a) the in-process per-corpus memos are
-    cleared before the retry, so it re-measures roughly the cache state
-    the first run saw — a retry served from a memo the first run populated
-    would absorb a real regression in the memoized builder (worst case the
-    cold retry is SLOWER and min() keeps the first measurement, which
-    still flags); (b) a retry that throws falls back to the first run's
-    valid measurement instead of failing the query.
+    Two retry-integrity rules: (a) memo entries the FIRST run added are
+    evicted before the retry (snapshot/evict), so the retry re-measures
+    the cache state the first run saw — a retry served from a memo that
+    run populated would absorb a real regression in the memoized builder,
+    while a GLOBAL clear would force unrelated later consumers cold and
+    manufacture phantom flags; (b) a retry that throws falls back to the
+    first run's valid measurement instead of failing the query (cleanup
+    still runs so the failed retry's cached frames don't leak into later
+    timings).
     """
+    from exact_spark.artifacts import evict_new_memo_entries, snapshot_corpus_memos
+
+    snap = snapshot_corpus_memos()
     dt, n = run()
     if env is None or dt <= 2.0 * env:
         return dt, n, False
-    from exact_spark.artifacts import clear_corpus_memos
-
-    clear_corpus_memos()
+    evict_new_memo_entries(snap)
     try:
         dt2, n = run()
     except Exception as exc:  # transient retry failure: keep run 1
+        cleanup()
         print(
             f"# {name}: retry failed ({type(exc).__name__}), keeping "
             f"first measurement {dt:.3f}s",

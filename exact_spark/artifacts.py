@@ -37,7 +37,11 @@ from collections.abc import Callable
 
 
 _MEMO_CAP = 32  # corpora simultaneously warm per driver process
-_ALL_MEMOS: list[dict] = []  # every dict that ever went through memo_put
+# Every dict that ever went through memo_put. Intentionally strong refs:
+# product memos are module-level and immortal anyway; the id-set makes
+# the per-put membership check O(1).
+_ALL_MEMOS: list[dict] = []
+_ALL_MEMO_IDS: set[int] = set()
 
 
 def memo_put(memo: dict, key, value, cap: int = _MEMO_CAP):
@@ -46,7 +50,8 @@ def memo_put(memo: dict, key, value, cap: int = _MEMO_CAP):
     corpus (the memo is a warm cache, not state), so evicting the oldest
     corpus is always safe; without a bound a long-lived shared driver
     serving many corpus versions grows these dicts monotonically."""
-    if not any(m is memo for m in _ALL_MEMOS):
+    if id(memo) not in _ALL_MEMO_IDS:
+        _ALL_MEMO_IDS.add(id(memo))
         _ALL_MEMOS.append(memo)
     if key not in memo and len(memo) >= cap:
         memo.pop(next(iter(memo)))
@@ -54,18 +59,32 @@ def memo_put(memo: dict, key, value, cap: int = _MEMO_CAP):
     return value
 
 
-def clear_corpus_memos() -> int:
-    """Empty every in-process per-corpus memo that memo_put has touched,
-    returning how many entries were dropped. Benchmarks use this to
-    re-measure a query under the cache state its FIRST measurement saw:
-    a retry that hit a memo populated by the first run would otherwise
-    record a structurally cheaper computation (a real regression in a
-    memoized builder would be absorbed). Disk artifacts (materialize) are
+def snapshot_corpus_memos() -> list[set]:
+    """Key sets of every memo_put-tracked memo, positionally aligned with
+    the (append-only) internal registry — pair with
+    :func:`evict_new_memo_entries` to roll memo state back to this point."""
+    return [set(m.keys()) for m in _ALL_MEMOS]
+
+
+def evict_new_memo_entries(snapshot: list[set]) -> int:
+    """Drop every memo entry added since ``snapshot`` (memos created
+    after the snapshot are emptied), returning how many were dropped.
+
+    Benchmarks use the snapshot/evict pair to re-measure a query under
+    the cache state its FIRST measurement saw: a retry served from a memo
+    that first run populated would record a structurally cheaper
+    computation (absorbing a real regression in a memoized builder).
+    Scoping the eviction to the first run's OWN additions keeps memos
+    warmed by earlier queries intact — a global clear would force every
+    later memo consumer cold, manufacturing the phantom over-2x flags the
+    retry exists to suppress. Disk artifacts (materialize) are
     intentionally left warm — they were warm for the first run too."""
     n = 0
-    for m in _ALL_MEMOS:
-        n += len(m)
-        m.clear()
+    for i, m in enumerate(_ALL_MEMOS):
+        keep = snapshot[i] if i < len(snapshot) else set()
+        for k in [k for k in m if k not in keep]:
+            del m[k]
+            n += 1
     return n
 
 

@@ -427,37 +427,19 @@ def kernelshap_signed_phis(
 _WATERFALL_MAX_DISPLAY = 10
 
 
-def shap_waterfall_artifacts(
-    model,
-    instances: DataFrame,
-    feature_cols: list[str],
-    train_means: dict[str, float],
-    background: np.ndarray | None,
-    bg_weights: np.ndarray | None,
-    out_dir,
-    max_display: int = _WATERFALL_MAX_DISPLAY,
-) -> list[str]:
-    """One per-instance signed-phi waterfall SVG under ``out_dir`` —
-    the reference's shap.plots.waterfall PNG analog
-    (xai_visualizations.py:147-175; matplotlib absent, XML not). Features
-    sort by |phi| descending; beyond ``max_display`` they collapse into
-    one 'other features' remainder row, preserving the additive walk from
-    E[f(X)] to f(x). Returns the written paths (instance count is the
-    bounded W3 selection, so the collect is spec-bounded)."""
-    pdf = kernelshap_signed_phis(
-        model, instances, feature_cols, train_means, background, bg_weights
-    ).toPandas()
-    return render_waterfalls(pdf, out_dir, max_display)
-
-
 def render_waterfalls(
     pdf: pd.DataFrame, out_dir, max_display: int = _WATERFALL_MAX_DISPLAY
 ) -> list[str]:
-    """Render already-collected signed phis (kernelshap_signed_phis rows)
-    into per-instance waterfall SVGs — split out so run_explanations can
-    reuse ONE KernelSHAP solve for both the importance aggregation and
-    the waterfall artifacts instead of paying the coalition enumeration
-    twice."""
+    """One per-instance signed-phi waterfall SVG under ``out_dir`` from
+    already-collected ``kernelshap_signed_phis`` rows — the reference's
+    shap.plots.waterfall PNG analog (xai_visualizations.py:147-175;
+    matplotlib absent, XML not). Features sort by |phi| descending;
+    beyond ``max_display`` they collapse into one 'other features'
+    remainder row, preserving the additive walk from E[f(X)] to f(x).
+    Takes the collected frame (instance count is the bounded W3
+    selection) rather than re-solving, so run_explanations pays ONE
+    KernelSHAP coalition enumeration for both the importance aggregation
+    and the waterfall artifacts. Returns the written paths."""
     from exact_spark.ml.visualize import svg_waterfall
 
     paths = []
@@ -1137,110 +1119,116 @@ def run_explanations(
         if len(bg_sample):
             bg = _kmeans_background(bg_sample, seed=seed)
     instances = select_instances(df, strategy, n_instances, seed=seed).cache()
-    inst_rows = instances.select("id", F.col("timestamp").cast("double").alias("ep")).collect()
-    truth = ndcg_ground_truth({r["id"]: r["ep"] for r in inst_rows}, settings, start_epoch)
-    relevant = set().union(*truth.values()) if truth else set()
+    try:
+        inst_rows = instances.select("id", F.col("timestamp").cast("double").alias("ep")).collect()
+        truth = ndcg_ground_truth({r["id"]: r["ep"] for r in inst_rows}, settings, start_epoch)
+        relevant = set().union(*truth.values()) if truth else set()
 
-    per_method: dict[str, dict] = {}
-    shap_signed = None  # collected once, reused for the waterfall artifacts
-    for m in methods:
-        if m not in _IMPORTANCE_FNS:
-            raise KeyError(f"unknown XAI method {m!r}; implemented: {METHODS}")
-        t0 = time.perf_counter()
-        if m == "kernelshap" and output_dir is not None:
-            # one KernelSHAP solve serves both surfaces: the waterfall
-            # artifacts need signed phis, and importance is exactly |phi|
-            # (parity test-pinned) — never pay the coalition enumeration
-            # twice
-            shap_signed = kernelshap_signed_phis(
-                model, instances, feature_cols, train_means,
-                None if bg is None else bg[0],
-                None if bg is None else bg[1],
-            ).toPandas()
-            imps = df.sparkSession.createDataFrame(
-                shap_signed[["id", "feature"]].assign(
-                    importance=shap_signed["phi"].abs()
+        per_method: dict[str, dict] = {}
+        shap_signed = None  # collected once, reused for the waterfall artifacts
+        for m in methods:
+            if m not in _IMPORTANCE_FNS:
+                raise KeyError(f"unknown XAI method {m!r}; implemented: {METHODS}")
+            t0 = time.perf_counter()
+            if m == "kernelshap" and output_dir is not None:
+                # one KernelSHAP solve serves both surfaces: the waterfall
+                # artifacts need signed phis, and importance is exactly |phi|
+                # (parity test-pinned) — never pay the coalition enumeration
+                # twice
+                shap_signed = kernelshap_signed_phis(
+                    model, instances, feature_cols, train_means,
+                    None if bg is None else bg[0],
+                    None if bg is None else bg[1],
+                ).toPandas()
+                imps = df.sparkSession.createDataFrame(
+                    shap_signed[["id", "feature"]].assign(
+                        importance=shap_signed["phi"].abs()
+                    ),
+                    # explicit schema: inference fails on an empty selection
+                    schema="id long, feature string, importance double",
                 )
-            )
-        else:
-            imps = _IMPORTANCE_FNS[m](
-                model, instances, feature_cols, train_means, train_stds, bg
-            )
-        agg = aggregate_importances(imps).collect()
-        ranking = [r["feature"] for r in agg]
-        per_method[m] = {
-            "aggregated_feature_importances": {
-                r["feature"]: r["mean_abs_importance"] for r in agg
-            },
-            **{
-                f"ndcg_at_{k}": round(ndcg_at_k(ranking, relevant, k), 4)
-                for k in k_values
-            },
-            f"execution_time_xai_{m}_seconds": round(time.perf_counter() - t0, 3),
+            else:
+                imps = _IMPORTANCE_FNS[m](
+                    model, instances, feature_cols, train_means, train_stds, bg
+                )
+            agg = aggregate_importances(imps).collect()
+            ranking = [r["feature"] for r in agg]
+            per_method[m] = {
+                "aggregated_feature_importances": {
+                    r["feature"]: r["mean_abs_importance"] for r in agg
+                },
+                **{
+                    f"ndcg_at_{k}": round(ndcg_at_k(ranking, relevant, k), 4)
+                    for k in k_values
+                },
+                f"execution_time_xai_{m}_seconds": round(time.perf_counter() - t0, 3),
+            }
+
+        summary = {
+            "methods": list(methods),
+            "n_instances": len(inst_rows),
+            "per_method": per_method,
         }
+        if output_dir is not None:
+            from exact_spark.ml.visualize import svg_bar_chart
 
-    summary = {
-        "methods": list(methods),
-        "n_instances": len(inst_rows),
-        "per_method": per_method,
-    }
-    if output_dir is not None:
-        from exact_spark.ml.visualize import svg_bar_chart
-
-        out = pathlib.Path(output_dir) / job_name
-        out.mkdir(parents=True, exist_ok=True)
-        sidecar = out / "aggregated_feature_importances.json"
-        sidecar.write_text(
-            json.dumps(
-                {m: r["aggregated_feature_importances"] for m, r in per_method.items()},
-                indent=4,
-            )
-        )
-        summary["aggregated_feature_importances_path"] = str(sidecar)
-        # X7 visual artifacts: one importance bar chart per method, as
-        # native SVG (xai_visualizations.py:12-397's summary plots;
-        # matplotlib is absent, XML is not)
-        # X7 DiCE artifact: one original-vs-counterfactuals CSV per
-        # explained instance (xai_visualizations.py:253-397's
-        # counterfactuals_instance_{i}.csv layout: feature columns + a
-        # 'type' column distinguishing the original row from its CFs)
-        # X7 SHAP artifact: one signed-phi waterfall SVG per explained
-        # instance (shap.plots.waterfall, xai_visualizations.py:147-175),
-        # rendered from the SAME solve that produced the importances
-        if shap_signed is not None:
-            shap_dir = out / "SHAP"
-            shap_dir.mkdir(exist_ok=True)
-            summary["shap_waterfall_paths"] = render_waterfalls(
-                shap_signed, shap_dir
-            )
-        if "counterfactual" in methods:
-            dice_dir = out / "DiCE"
-            dice_dir.mkdir(exist_ok=True)
-            cf_pdf = counterfactual_examples(
-                model, instances, feature_cols, train_means, train_stds
-            ).toPandas()
-            for iid, grp in cf_pdf.groupby("id"):
-                grp.drop(columns=["id"]).to_csv(
-                    dice_dir / f"counterfactuals_instance_{int(iid)}.csv",
-                    index=False,
+            out = pathlib.Path(output_dir) / job_name
+            out.mkdir(parents=True, exist_ok=True)
+            sidecar = out / "aggregated_feature_importances.json"
+            sidecar.write_text(
+                json.dumps(
+                    {m: r["aggregated_feature_importances"] for m, r in per_method.items()},
+                    indent=4,
                 )
-            summary["dice_artifact_dir"] = str(dice_dir)
-        plots = out / "plots"
-        plots.mkdir(exist_ok=True)
-        plot_paths = []
-        for m, r in per_method.items():
-            agg = r["aggregated_feature_importances"]
-            svg = svg_bar_chart(
-                f"Aggregated feature importances — {m}",
-                list(agg.keys()),
-                list(agg.values()),
             )
-            p = plots / f"feature_importances_{m}.svg"
-            p.write_text(svg)
-            plot_paths.append(str(p))
-        summary["plot_paths"] = plot_paths
-    # unpersist only after the artifact passes: the DiCE CSV fan-out above
-    # re-reads the bounded W3 selection, and dropping the cache earlier
-    # would recompute the full md5-ranked instance scan for it
-    instances.unpersist()
+            summary["aggregated_feature_importances_path"] = str(sidecar)
+            # X7 visual artifacts: one importance bar chart per method, as
+            # native SVG (xai_visualizations.py:12-397's summary plots;
+            # matplotlib is absent, XML is not)
+            # X7 DiCE artifact: one original-vs-counterfactuals CSV per
+            # explained instance (xai_visualizations.py:253-397's
+            # counterfactuals_instance_{i}.csv layout: feature columns + a
+            # 'type' column distinguishing the original row from its CFs)
+            # X7 SHAP artifact: one signed-phi waterfall SVG per explained
+            # instance (shap.plots.waterfall, xai_visualizations.py:147-175),
+            # rendered from the SAME solve that produced the importances
+            if shap_signed is not None:
+                shap_dir = out / "SHAP"
+                shap_dir.mkdir(exist_ok=True)
+                summary["shap_waterfall_paths"] = render_waterfalls(
+                    shap_signed, shap_dir
+                )
+            if "counterfactual" in methods:
+                dice_dir = out / "DiCE"
+                dice_dir.mkdir(exist_ok=True)
+                cf_pdf = counterfactual_examples(
+                    model, instances, feature_cols, train_means, train_stds
+                ).toPandas()
+                for iid, grp in cf_pdf.groupby("id"):
+                    grp.drop(columns=["id"]).to_csv(
+                        dice_dir / f"counterfactuals_instance_{int(iid)}.csv",
+                        index=False,
+                    )
+                summary["dice_artifact_dir"] = str(dice_dir)
+            plots = out / "plots"
+            plots.mkdir(exist_ok=True)
+            plot_paths = []
+            for m, r in per_method.items():
+                agg = r["aggregated_feature_importances"]
+                svg = svg_bar_chart(
+                    f"Aggregated feature importances — {m}",
+                    list(agg.keys()),
+                    list(agg.values()),
+                )
+                p = plots / f"feature_importances_{m}.svg"
+                p.write_text(svg)
+                plot_paths.append(str(p))
+            summary["plot_paths"] = plot_paths
+    finally:
+        # unpersist even when an artifact write throws (full disk,
+        # unwritable path) — but only after the artifact passes in the
+        # happy path: the DiCE CSV fan-out re-reads the bounded W3
+        # selection, and dropping the cache earlier would recompute
+        # the full md5-ranked instance scan for it
+        instances.unpersist()
     return summary

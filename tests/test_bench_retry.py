@@ -70,25 +70,50 @@ def test_retry_exception_falls_back_to_first_measurement():
     assert dt == 3.0 and n == 7  # run 1's valid result, not a FAILURE
 
 
-def test_retry_clears_corpus_memos_first():
-    """The retry must not be served from a memo the first run populated —
-    it re-measures under (roughly) the first run's cache state."""
-    from exact_spark.artifacts import _ALL_MEMOS, memo_put
+def test_retry_evicts_only_first_runs_memo_additions():
+    """The retry must not be served from a memo entry the FIRST run
+    populated — but memos warmed by EARLIER queries must stay intact, or
+    a single burst-triggered retry would force every later memo consumer
+    cold and manufacture the phantom flags the retry exists to suppress."""
+    from exact_spark.artifacts import memo_put
 
     memo: dict = {}
-    memo_put(memo, "corpus-x", "expensive")
-    assert memo  # warm before the retry
+    memo_put(memo, "warmed-by-earlier-query", "keep me")
 
-    seen_at_retry = {}
+    seen = {}
 
     def run():
-        if not seen_at_retry:
-            seen_at_retry["memo_len_run1"] = len(memo)
+        if "run1" not in seen:
+            seen["run1"] = True
+            memo_put(memo, "built-during-run1", "expensive")
             return 3.0, 7
-        seen_at_retry["memo_len_run2"] = len(memo)
+        seen["run2_keys"] = set(memo)
         return 0.4, 7
 
     dt, n, retried = bench._measure_with_retry(run, 0.5, "q")
     assert retried and dt == 0.4
-    assert seen_at_retry["memo_len_run1"] == 1
-    assert seen_at_retry["memo_len_run2"] == 0  # cleared before retry
+    # run 1's addition evicted; the earlier query's warm entry survived
+    assert seen["run2_keys"] == {"warmed-by-earlier-query"}
+
+
+def test_retry_exception_runs_cleanup():
+    """A failed retry must still clear the query's cached frames so later
+    timings aren't polluted."""
+    cleaned = []
+
+    def run_then_raise():
+        state = {"n": 0}
+
+        def run():
+            if state["n"] == 0:
+                state["n"] += 1
+                return 3.0, 7
+            raise RuntimeError("executor lost")
+
+        return run
+
+    dt, n, retried = bench._measure_with_retry(
+        run_then_raise(), 0.5, "q", cleanup=lambda: cleaned.append(True)
+    )
+    assert retried and dt == 3.0
+    assert cleaned == [True]

@@ -60,11 +60,11 @@ def _slot_priority(name: str, recorded: set[str]) -> int:
 
 
 def test_window_slots_are_oracle_backed():
-    """While MORE than 50 never-recorded oracle-backed queries remain,
+    """While 50 OR MORE never-recorded oracle-backed queries remain,
     every slot must be one — a rows-only entry cannot hash-match and
-    wastes a slot. Once the oracle backlog fits inside the window (r07+),
-    the rows-only tail legitimately takes the leftover slots and this
-    specific guard defers to the no-wasted-slot invariant below."""
+    wastes a slot. Once the oracle backlog shrinks below the window size
+    (r07+), the rows-only tail legitimately takes the leftover slots and
+    this specific guard defers to the no-wasted-slot invariant below."""
     _load_all()
     recorded = _recorded_names()
     oracle_backlog = {
