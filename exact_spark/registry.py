@@ -55,61 +55,10 @@ def register(name: str, sql: str | None, doc: str = ""):
 # the driver commits it) matches the window by construction and is excluded,
 # so the gate stays green across the round boundary. rotate_driver_window.py
 # rewrites this alongside DRIVER_ORDER.
-DRIVER_WINDOW_ROUND: int = 6
+DRIVER_WINDOW_ROUND: int = 7
 
 DRIVER_ORDER: list[str] = [
-    # --- window (slots 1-50): never-driver-recorded oracle-backed ---
-    "sim_diversity_gain",
-    "sim_graph_triangles",
-    "sim_kcore_peel",
-    "sim_knn_outliers",
-    "sim_label_homophily",
-    "sim_label_propagation",
-    "sim_mmr_select",
-    "sim_pq_recall",
-    "sim_threshold_sweep",
-    "ml_best_threshold",
-    "ml_bootstrap_ci",
-    "ml_brier_rank_score",
-    "ml_calibration_bins",
-    "ml_chi2_assoc",
-    "ml_detector_kappa",
-    "ml_drift_bins",
-    "ml_gini_gain",
-    "ml_ks_statistic",
-    "ml_lift_table",
-    "ml_mcc",
-    "ml_metric_slices",
-    "ml_pr_auc",
-    "ml_roc_auc",
-    "ml_score_overlap",
-    "text_bpe_apply",
-    "text_bpe_merges",
-    "text_chunk_overlap",
-    "text_chunk_scrub",
-    "text_cooccurrence_pmi",
-    "text_feature_hashing",
-    "text_idf_keywords",
-    "text_jaccard_sweep",
-    "text_source_overlap",
-    "text_token_diversity",
-    "text_vocab_coverage",
-    "text_winnow_fingerprints",
-    "text_winnow_pairs",
-    "text_zipf_profile",
-    "ts_autocorrelation",
-    "ts_changepoint_cusum",
-    "ts_concurrent_sessions",
-    "ts_cross_correlation",
-    "ts_dau_wau",
-    "ts_event_trigrams",
-    "ts_event_type_markov",
-    "ts_fano_factor",
-    "ts_forecast_backtest",
-    "ts_gap_profile",
-    "ts_holt_linear",
-    "ts_outlier_mad",
-    # --- backlog / rows-only / previously recorded (rotates next) ---
+    # --- window (slots 1-50): best available recording spend ---
     "ts_rate_shift",
     "ts_residual_outliers",
     "ts_sax_symbolize",
@@ -160,6 +109,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_simhash_pairs",
     "emb_quantize_int8",
     "g1_confusion_metrics",
+    # --- outside the window (rotates into it next round) ---
     "g5_percentile_threshold",
     "g6_ndcg",
     "g8_class_counts",
@@ -299,6 +249,56 @@ DRIVER_ORDER: list[str] = [
     "sim_graph_pagerank",
     "sim_knn_graph",
     "ts_peaks",
+    "ml_best_threshold",
+    "ml_bootstrap_ci",
+    "ml_brier_rank_score",
+    "ml_calibration_bins",
+    "ml_chi2_assoc",
+    "ml_detector_kappa",
+    "ml_drift_bins",
+    "ml_gini_gain",
+    "ml_ks_statistic",
+    "ml_lift_table",
+    "ml_mcc",
+    "ml_metric_slices",
+    "ml_pr_auc",
+    "ml_roc_auc",
+    "ml_score_overlap",
+    "sim_diversity_gain",
+    "sim_graph_triangles",
+    "sim_kcore_peel",
+    "sim_knn_outliers",
+    "sim_label_homophily",
+    "sim_label_propagation",
+    "sim_mmr_select",
+    "sim_pq_recall",
+    "sim_threshold_sweep",
+    "text_bpe_apply",
+    "text_bpe_merges",
+    "text_chunk_overlap",
+    "text_chunk_scrub",
+    "text_cooccurrence_pmi",
+    "text_feature_hashing",
+    "text_idf_keywords",
+    "text_jaccard_sweep",
+    "text_source_overlap",
+    "text_token_diversity",
+    "text_vocab_coverage",
+    "text_winnow_fingerprints",
+    "text_winnow_pairs",
+    "text_zipf_profile",
+    "ts_autocorrelation",
+    "ts_changepoint_cusum",
+    "ts_concurrent_sessions",
+    "ts_cross_correlation",
+    "ts_dau_wau",
+    "ts_event_trigrams",
+    "ts_event_type_markov",
+    "ts_fano_factor",
+    "ts_forecast_backtest",
+    "ts_gap_profile",
+    "ts_holt_linear",
+    "ts_outlier_mad",
 ]
 
 

@@ -98,11 +98,16 @@ def main() -> int:
         return 0
     reg_path = _REPO / "exact_spark" / "registry.py"
     src = reg_path.read_text()
-    src = re.sub(
+    src, n_subs = re.subn(
         r"DRIVER_WINDOW_ROUND: int = \d+",
         f"DRIVER_WINDOW_ROUND: int = {stats['window_round']}",
         src,
     )
+    if n_subs != 1:
+        raise SystemExit(
+            f"DRIVER_WINDOW_ROUND line not found exactly once in registry.py "
+            f"(matched {n_subs}) — refusing to write a stale round"
+        )
     start = src.index("DRIVER_ORDER: list[str] = [")
     end = src.index("\n]", start) + len("\n]")
     body = "DRIVER_ORDER: list[str] = [\n"
