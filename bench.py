@@ -3,9 +3,11 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines on stdout: the full
 record {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...} first, then a COMPACT totals line (value/sf/n_queries/
-n_failures + worst ratio vs the BASELINE.md envelope) LAST so a bounded
-stdout-tail capture always parses. Per-query progress goes to stderr.
+"rows": {...}, "sf": ...} first, then a COMPACT totals line (value/sf/
+n_queries/n_failures + worst ratio vs the BASELINE.md envelope +
+row-count sign changes vs the committed BENCH_ROWS.json reference) LAST
+so a bounded stdout-tail capture always parses. Per-query progress goes
+to stderr.
 """
 
 from __future__ import annotations
@@ -79,6 +81,7 @@ def main() -> None:
     baseline = _baseline_envelope() if sf_val == 0.1 else {}
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     failures: dict[str, str] = {}
     retried: list[str] = []
     total = 0.0
@@ -106,6 +109,7 @@ def main() -> None:
             print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
             continue
         timings[name] = round(dt, 3)
+        rows[name] = n
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
@@ -114,6 +118,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "rows": rows,
         "sf": sf_val,
     }
     if failures:
@@ -148,6 +153,26 @@ def main() -> None:
             compact["worst_query"] = worst
             compact["worst_ratio_vs_baseline"] = ratios[worst]
             compact["n_over_2x"] = sum(1 for r in ratios.values() if r > 2.0)
+    # Row-count drift gate (VERDICT r06 item 3): a query whose result
+    # silently collapses to EMPTY between rounds (the semantic-dedup
+    # cluster-cap no-op) trips nothing in the sf0.01 oracle gate or the
+    # timing envelope — an empty result is fast. Compare this run's row
+    # counts against the committed previous round's reference and flag
+    # every 0 <-> nonzero transition in the compact line, then refresh the
+    # reference (row counts are deterministic fixed-point results, so a
+    # same-code rerun writes identical values; git history carries the
+    # per-round reference the next run compares against). sf0.1-only,
+    # like the timing envelope — counts are scale-dependent.
+    if sf_val == 0.1:
+        rows_ref = Path(__file__).resolve().parent / "BENCH_ROWS.json"
+        prev_rows = (
+            json.loads(rows_ref.read_text()) if rows_ref.exists() else {}
+        )
+        changed = _rows_sign_changes(prev_rows, rows)
+        compact["n_rows_sign_changes"] = len(changed)
+        if changed:
+            compact["rows_sign_changed"] = changed[:5]
+        rows_ref.write_text(json.dumps(rows, sort_keys=True, indent=0) + "\n")
     print(json.dumps(compact))
     spark.stop()
 
@@ -196,6 +221,15 @@ def _measure_with_retry(
         file=sys.stderr,
     )
     return min(dt, dt2), n, True
+
+
+def _rows_sign_changes(prev: dict[str, int], cur: dict[str, int]) -> list[str]:
+    """Queries whose row count crossed 0 <-> nonzero vs the previous
+    reference — the empty-result regression signature. Only names present
+    in BOTH records compare (registry growth is not drift)."""
+    return sorted(
+        n for n, c in cur.items() if n in prev and (prev[n] == 0) != (c == 0)
+    )
 
 
 def _baseline_envelope() -> dict[str, float]:

@@ -880,17 +880,34 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape: at 100 TB k grows ~sqrt(N) so clusters stay small; candidate
 # pairs come from ONE shuffle keyed on the cluster id — the bucket's members
-# collect in place and the (capped) pair expansion happens inside the row,
-# the same collect-expand form as dedup_minhash_lsh. The cosine is computed
-# INSIDE the array expression so the expanded pair array holds (id_a, id_b,
-# cosine) scalars, never two full vectors per pair. Clusters above
-# _SEM_CLUSTER_CAP are dropped (degenerate-cluster guard, same rationale as
-# _EMB_BUCKET_CAP): a mass-duplicated embedding floods one cell, and exact
-# dedup / emb_quantize_int8's checksum already owns identical content.
+# collect in place and the pair expansion happens inside the row, the same
+# collect-expand form as dedup_minhash_lsh. The cosine is computed INSIDE
+# the array expression so the expanded pair array holds (id_a, id_b,
+# cosine) scalars, never two full vectors per pair.
+#
+# Over-cap clusters are CHUNKED, never dropped (r06 verdict: the old
+# size<=cap filter silently excluded every vector of an over-cap cluster —
+# with fixed k, cluster size ~N/k crosses the cap between scale factors and
+# both semantic queries returned 0 rows at sf0.1). Unlike the banded LSH
+# bucket caps, a k-means cell is each vector's ONLY candidate route, so the
+# guard must bound work without severing routes: members of a cluster are
+# ordered by a coarse quantized-embedding prefix (floor(x_i * 8) over the
+# first _SEM_PREFIX_DIMS dims — *8 is a power of two, so the float->double
+# widening, multiply, and floor are bit-exact in both engines) and
+# row_number-chunked into groups of <= _SEM_CLUSTER_CAP. Near-identical
+# vectors have near-identical prefixes, so they sort adjacent and land in
+# the same chunk; each chunk's pairwise expansion stays <= cap^2/2 per row.
+# The chunk id is assigned BEFORE collect_list, so no task ever
+# materializes more than cap members (the old form collected the whole
+# cluster first and filtered after — an OOM at scale). Recall loss is
+# confined to pairs straddling a chunk boundary of an over-cap cluster;
+# sem_chunk_diagnostics() (tests/test_cap_diagnostics.py) measures how
+# often the cap binds, per the no-silent-caps rule.
 
 _SEM_K = 8  # seed/trained clusters; ~sqrt(N) at scale
 _SEM_DUP_COS = 0.30  # semantic-duplicate threshold for this corpus
-_SEM_CLUSTER_CAP = 200
+_SEM_CLUSTER_CAP = 200  # chunk size bound (work guard), NOT a drop filter
+_SEM_PREFIX_DIMS = 8  # quantized-prefix dims for the chunk ordering
 
 
 def _assign_members(norms: DataFrame, cent: DataFrame) -> DataFrame:
@@ -913,18 +930,28 @@ def _assign_members(norms: DataFrame, cent: DataFrame) -> DataFrame:
 def _semantic_dropped(
     members: DataFrame, tau: float = _SEM_DUP_COS, cap: int = _SEM_CLUSTER_CAP
 ) -> DataFrame:
-    """Within-cluster collect-expand: group members by cluster, sort by id,
-    expand i<j pairs in place with the cosine computed inside the array
-    expression, keep pairs >= tau, then reduce to one row per dropped
-    vector (dup_of = its lowest qualifying representative)."""
+    """Within-cluster collect-expand: chunk each cluster into groups of
+    <= cap members ordered by the quantized-embedding prefix (see module
+    comment — over-cap clusters are split, never dropped), expand i<j
+    pairs in place with the cosine computed inside the array expression,
+    keep pairs >= tau, then reduce to one row per dropped vector
+    (dup_of = its lowest qualifying representative)."""
+    order_cols = [
+        F.floor(F.col("embedding")[i].cast("double") * F.lit(8.0))
+        for i in range(_SEM_PREFIX_DIMS)
+    ] + [F.col("vec_id")]
+    wc = Window.partitionBy("cluster").orderBy(*order_cols)
+    chunked = members.withColumn(
+        "chunk", F.floor((F.row_number().over(wc) - F.lit(1)) / F.lit(cap))
+    )
     grouped = (
-        members.groupBy("cluster")
+        chunked.groupBy("cluster", "chunk")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("vec_id", "norm_fx", "embedding"))
             ).alias("ms")
         )
-        .filter((F.size("ms") > 1) & (F.size("ms") <= cap))
+        .filter(F.size("ms") > 1)
     )
     ms = F.col("ms")
     pair_structs = F.flatten(
@@ -977,14 +1004,19 @@ def _semantic_dropped(
         FROM norms v, cent c
     ),
     members AS (SELECT vec_id, embedding, norm_fx, cid FROM assign_scored WHERE cr = 1),
-    sized AS (SELECT cid FROM members GROUP BY cid
-              HAVING COUNT(*) BETWEEN 2 AND {_SEM_CLUSTER_CAP}),
+    chunked AS (
+        SELECT vec_id, embedding, norm_fx, cid,
+               (row_number() OVER (
+                   PARTITION BY cid
+                   ORDER BY {", ".join(f"FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 8.0)" for i in range(_SEM_PREFIX_DIMS))}, vec_id
+               ) - 1) // {_SEM_CLUSTER_CAP} AS chunk
+        FROM members
+    ),
     pairs AS (
         SELECT a.cid AS cluster, a.vec_id AS doc_a, b.vec_id AS doc_b,
                {_SQL_COS.format(dot=_sql_dot('a.embedding', 'b.embedding'), na='a.norm_fx', nb='b.norm_fx')} AS cosine
-        FROM members a
-        JOIN members b ON a.cid = b.cid AND a.vec_id < b.vec_id
-        JOIN sized s ON s.cid = a.cid
+        FROM chunked a
+        JOIN chunked b ON a.cid = b.cid AND a.chunk = b.chunk AND a.vec_id < b.vec_id
     )
     SELECT doc_b AS vec_id, MIN(cluster) AS cluster, MIN(doc_a) AS dup_of,
            arg_min(cosine, doc_a) AS cosine
@@ -993,10 +1025,15 @@ def _semantic_dropped(
     """,
     doc="SemDedup semantic near-duplicate removal: assign every vector to "
     "its argmax-cosine cluster (broadcast seed centroids, one scan), then "
-    "pairwise cosine ONLY within clusters via the capped collect-expand "
+    "pairwise cosine ONLY within clusters via the chunked collect-expand "
     "form — one shuffle keyed on the cluster id, cosines computed inside "
     "the array expression so expanded pairs carry scalars, never vectors. "
-    "A vector is dropped when a lower-id cluster member exceeds the "
+    "Occupancy policy: a cluster larger than _SEM_CLUSTER_CAP is split "
+    "into <=cap chunks ordered by the quantized-embedding prefix (never "
+    "dropped — every vector keeps a candidate route at any corpus size; "
+    "the cap bounds per-row pair expansion, and the chunk id is assigned "
+    "before collect_list so no task materializes an unbounded cluster). "
+    "A vector is dropped when a lower-id chunk-mate exceeds the "
     "threshold; dup_of is its lowest such representative. "
     "dedup_semantic_kmeans swaps the seed centroids for a trained "
     "quantizer at scale.",
@@ -1023,7 +1060,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "centroids (shared _kmeans_centroids helper, fixed seed) replace the "
     "seed rows of dedup_semantic, tightening clusters so the within-"
     "cluster duplicate search sees semantically-coherent candidates — the "
-    "production configuration of the same capped collect-expand plan.",
+    "production configuration of the same chunked collect-expand plan "
+    "(same occupancy policy: over-cap clusters split by quantized-prefix "
+    "chunking, never dropped).",
 )
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)

@@ -117,3 +117,23 @@ def test_retry_exception_runs_cleanup():
     )
     assert retried and dt == 3.0
     assert cleaned == [True]
+
+
+def test_rows_sign_changes_flags_planted_empty_regression():
+    """VERDICT r06 item 3: a query whose result collapses to empty between
+    rounds (the semantic-dedup cluster-cap no-op signature) must flag."""
+    prev = {"dedup_semantic": 189, "rel_q1": 4, "quiet": 0}
+    cur = {"dedup_semantic": 0, "rel_q1": 4, "quiet": 0}
+    assert bench._rows_sign_changes(prev, cur) == ["dedup_semantic"]
+
+
+def test_rows_sign_changes_flags_empty_to_nonzero_too():
+    # the r07 semantic FIX is itself a sign change (0 -> 1239) — it must
+    # surface in the record, not pass silently
+    assert bench._rows_sign_changes({"q": 0}, {"q": 1239}) == ["q"]
+
+
+def test_rows_sign_changes_ignores_new_and_removed_names():
+    # registry growth is not drift; nonzero->nonzero movement is not drift
+    assert bench._rows_sign_changes({"old": 5}, {"new": 0}) == []
+    assert bench._rows_sign_changes({"q": 5}, {"q": 9999}) == []

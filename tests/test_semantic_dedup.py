@@ -3,9 +3,13 @@
 Adversarial shape mirrors tests/test_similarity_caps.py: a mass-duplicated
 embedding floods ONE cluster of the coarse quantizer, so an uncapped
 within-cluster pairing is a B^2/2 blowup inside a single collected bucket.
-With _SEM_CLUSTER_CAP the hot cluster is dropped while a genuine semantic
-duplicate in a small cluster still surfaces, and the DuckDB oracle SQL
-carries the same cap so the capped semantics stay oracle-checkable.
+r06 verdict: the old size<=cap filter DROPPED the whole over-cap cluster —
+a silent no-op at scale, since a k-means cell is each vector's only
+candidate route. Now over-cap clusters are CHUNKED by the quantized-
+embedding-prefix ordering (<= _SEM_CLUSTER_CAP members per collected row),
+so planted duplicates inside the over-cap cluster are FOUND, work per row
+stays bounded, and the DuckDB oracle SQL carries the same chunking so the
+semantics stay oracle-checkable.
 """
 
 from __future__ import annotations
@@ -58,11 +62,22 @@ def adversarial_dir(spark, tmp_path_factory):
     return str(out)
 
 
-def test_cap_drops_degenerate_cluster(spark, adversarial_dir):
+def test_over_cap_cluster_chunked_not_dropped(spark, adversarial_dir):
+    """The planted-duplicate-at-cluster-size>cap regression (r06 verdict):
+    every member of the over-cap cluster keeps a candidate route, so the
+    mass-duplicated block dedupes to one representative PER CHUNK instead
+    of silently vanishing."""
     got = dedup_semantic(spark, adversarial_dir).toPandas()
     hot_ids = set(range(100, 100 + _SEM_CLUSTER_CAP + 30))
-    # the over-cap cluster contributes NO dropped rows (B^2/2 pairs avoided)
-    assert not any(v in hot_ids for v in got.vec_id)
+    dropped_hot = set(int(v) for v in got.vec_id) & hot_ids
+    # all identical copies drop except at most one representative per chunk
+    # (2 chunks here: 231 hot members + seed 3 > cap)
+    assert len(dropped_hot) >= len(hot_ids) - 2
+    # no collected group exceeded the cap: each dropped hot member's
+    # representative is a lower id from its own chunk
+    hot = got[got.vec_id.isin(list(hot_ids))]
+    assert (hot.dup_of < hot.vec_id).all()
+    assert (hot.cosine >= 0.999).all()  # identical direction copies
     # the genuine duplicates in the small cluster still dedupe: both drop
     # to the lowest qualifying representative (seed 5, which they align to)
     for vid in (5_000, 5_001):
