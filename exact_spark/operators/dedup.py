@@ -212,22 +212,10 @@ _SQL_LSH_CAND = f"""
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    sql=f"""
-    WITH {_SQL_LSH_CAND}
-    SELECT doc_a, doc_b FROM cand
-    """,
-    doc="MinHash+LSH near-dup: 8 16-bit minhashes from one md5 per shingle "
-    "(array ops, zero-shuffle signatures), 4 bands of 2. Candidate pairs "
-    "come from ONE shuffle keyed (band, bucket): collect the bucket's doc "
-    "list and expand in-place — no bands self-join, so the document scan "
-    "runs exactly once (the join form re-ran it per side per band). "
-    "Buckets above the degenerate-bucket cap are dropped (see "
-    "_LSH_BUCKET_CAP); exact dedup owns mass-identical content.",
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune_session(spark)
+def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> (band, bucket) rows of the MinHash LSH index — the
+    grouping key dedup_minhash_lsh caps; shared with the cap census so the
+    diagnostic measures exactly the key the operator drops on."""
     sh = _shingled(spark, sf_dir)
     hashed = sh.select("doc_id", F.transform("shingles", lambda s: F.md5(s)).alias("hs"))
 
@@ -254,9 +242,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_N_HASHES // _BAND_SIZE)
         ]
     )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    return sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    sql=f"""
+    WITH {_SQL_LSH_CAND}
+    SELECT doc_a, doc_b FROM cand
+    """,
+    doc="MinHash+LSH near-dup: 8 16-bit minhashes from one md5 per shingle "
+    "(array ops, zero-shuffle signatures), 4 bands of 2. Candidate pairs "
+    "come from ONE shuffle keyed (band, bucket): collect the bucket's doc "
+    "list and expand in-place — no bands self-join, so the document scan "
+    "runs exactly once (the join form re-ran it per side per band). "
+    "Buckets above the degenerate-bucket cap are dropped (see "
+    "_LSH_BUCKET_CAP); exact dedup owns mass-identical content.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    bands = _lsh_bands(spark, sf_dir)
     grouped = (
         bands.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -391,6 +398,29 @@ def _sql_flip(p: int) -> str:
     )
 
 
+def _simhash_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> Hamming-ball probe rows (signature + all one-bit flips) —
+    the grouping key dedup_simhash_pairs caps; shared with the cap census."""
+    sims = _simhash_df(spark, sf_dir)
+
+    def flip(p: int) -> Column:
+        flipped = F.when(F.substring("simhash", p, 1) == "1", F.lit("0")).otherwise(
+            F.lit("1")
+        )
+        return F.concat(
+            F.substring("simhash", 1, p - 1),
+            flipped,
+            F.expr(f"substring(simhash, {p + 1})"),
+        )
+
+    return sims.select(
+        "doc_id",
+        F.explode(
+            F.array(F.col("simhash"), *[flip(p) for p in range(1, _SIMHASH_BITS + 1)])
+        ).alias("probe"),
+    )
+
+
 @register(
     "dedup_simhash_pairs",
     sql=f"""
@@ -428,23 +458,7 @@ def _sql_flip(p: int) -> str:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     sims = _simhash_df(spark, sf_dir)
-
-    def flip(p: int) -> Column:
-        flipped = F.when(F.substring("simhash", p, 1) == "1", F.lit("0")).otherwise(
-            F.lit("1")
-        )
-        return F.concat(
-            F.substring("simhash", 1, p - 1),
-            flipped,
-            F.expr(f"substring(simhash, {p + 1})"),
-        )
-
-    probes = sims.select(
-        "doc_id",
-        F.explode(
-            F.array(F.col("simhash"), *[flip(p) for p in range(1, _SIMHASH_BITS + 1)])
-        ).alias("probe"),
-    )
+    probes = _simhash_probes(spark, sf_dir)
     # one shuffle keyed on probe (a self-join would shuffle the probe table
     # twice and recompute the signature aggregation per side); capped
     # bucket lists expand to pairs in place
@@ -1180,6 +1194,17 @@ _FUZZY_PREFIX = 256
 _FUZZY_MAX_DIST = 32
 
 
+def _fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> (length band, bounded prefix) — the blocking key
+    dedup_fuzzy_edit caps; shared with the cap census."""
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    return docs.select(
+        "doc_id",
+        F.expr(f"n_chars DIV {_FUZZY_BAND_WIDTH}").alias("band"),
+        F.substring("text", 1, _FUZZY_PREFIX).alias("pre"),
+    )
+
+
 @register(
     "dedup_fuzzy_edit",
     sql=f"""
@@ -1218,12 +1243,7 @@ _FUZZY_MAX_DIST = 32
 )
 def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    docs = io.load(spark, sf_dir, "documents", spread=True)
-    blocked = docs.select(
-        "doc_id",
-        F.expr(f"n_chars DIV {_FUZZY_BAND_WIDTH}").alias("band"),
-        F.substring("text", 1, _FUZZY_PREFIX).alias("pre"),
-    )
+    blocked = _fuzzy_blocked(spark, sf_dir)
     grouped = (
         blocked.groupBy("band")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "pre"))).alias("items"))
@@ -1804,4 +1824,73 @@ def dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         n_dup.alias("n_dup"),
         (n_dup * F.lit(1.0) / F.col("n_shingles")).alias("dup_coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cap censuses ("no silent caps", VERDICT r06 item 4). Every degenerate-
+# bucket guard in the dedup/similarity family silently excludes groups above
+# its cap; these one-aggregate diagnostics report the dropped mass on the
+# EXACT grouping key the operator caps (shared key-construction helpers, so
+# the census cannot drift from the operator). Not registered queries — the
+# r07 registry is frozen — but first-class API surface, pinned by
+# tests/test_cap_diagnostics.py to report nonzero when a planted hot group
+# makes the cap bind. At 100 TB these run as the cheap companion scan that
+# says whether an LSH/blocking recall claim still holds on THIS corpus.
+
+
+def _cap_census(keyed: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """One aggregate over the operator's grouping key: how many groups the
+    cap excludes and how many member ROWS lose this candidate route (banded
+    operators keep redundant routes through other bands; the census counts
+    per-route exclusion, the quantity the recall diagnostics integrate)."""
+    per = keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    over = F.col("n") > cap
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(over.cast("long")).cast("long").alias("n_groups_over_cap"),
+        F.sum(F.when(over, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_members_over_cap"),
+        F.max("n").cast("long").alias("max_group_size"),
+        F.lit(cap).cast("long").alias("cap"),
+    )
+
+
+def hot_shingle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped mass of _HOT_CAP: shingles whose posting list exceeds the
+    hot-shingle guard in dedup_ngram_jaccard (and the other posting-keyed
+    generators), plus the posting rows excluded with them."""
+    tune_session(spark)
+    posting = _shingled(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    return _cap_census(posting, ["sh"], _HOT_CAP)
+
+
+def lsh_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped mass of _LSH_BUCKET_CAP on dedup_minhash_lsh's (band, bucket)
+    key. Members keep redundant routes through the other bands; the
+    measured S-curve (dedup_lsh_recall) prices the residual loss."""
+    tune_session(spark)
+    return _cap_census(_lsh_bands(spark, sf_dir), ["band", "bucket"], _LSH_BUCKET_CAP)
+
+
+def simhash_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped mass of _LSH_BUCKET_CAP on dedup_simhash_pairs' Hamming-ball
+    probe key (each doc emits 33 probes, so one hot signature shows up as
+    33 hot probe buckets — redundancy the census makes visible)."""
+    tune_session(spark)
+    return _cap_census(_simhash_probes(spark, sf_dir), ["probe"], _LSH_BUCKET_CAP)
+
+
+def fuzzy_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped mass of _FUZZY_BAND_CAP on dedup_fuzzy_edit's length-band
+    blocking key — the one cap here with NO redundant route (a doc has one
+    length), so nonzero n_members_over_cap means real candidate loss."""
+    tune_session(spark)
+    return _cap_census(
+        _fuzzy_blocked(spark, sf_dir).select("doc_id", "band"),
+        ["band"],
+        _FUZZY_BAND_CAP,
     )

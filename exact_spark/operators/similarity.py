@@ -158,6 +158,54 @@ def _plane_signs(j: int, max_dim: int = 256) -> list[float]:
     ]
 
 
+def _emb_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id -> (bucket0, bucket1, norm_fx) sign-projection signature
+    table — the key construction sim_neardup_lsh caps on; shared with the
+    cap census so the diagnostic measures exactly the operator's key."""
+    # 12 interpreted higher-order projections per row: fan the single-file
+    # scan out or the whole signature pass runs in one task
+    emb = io.load(spark, sf_dir, "embeddings", spread=True)
+    # The sign literals must cover the WIDEST embedding or F.slice +
+    # zip_with null-pads the wider rows and their bucket bits collapse to
+    # '0'; probe max(size) in one scalar aggregate (first() would both
+    # crash on an empty table and under-probe heterogeneous widths).
+    dim = emb.agg(F.max(F.size("embedding")).alias("d")).collect()[0]["d"] or 1
+
+    def proj_bit(j: int) -> Column:
+        signs = F.array(*[F.lit(x) for x in _plane_signs(j, max_dim=dim)])
+        prods = F.zip_with(
+            F.col("embedding"),
+            F.slice(signs, 1, F.size("embedding")),
+            lambda x, sg: F.floor(
+                x.cast("double") * sg * F.lit(float(_SCALE9)) + F.lit(0.5)
+            ).cast("long"),
+        )
+        s = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.concat(*[proj_bit(j) for j in range(_BAND_PLANES)]).alias("bucket0"),
+        F.concat(
+            *[proj_bit(j) for j in range(_BAND_PLANES, 2 * _BAND_PLANES)]
+        ).alias("bucket1"),
+        dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
+    )
+
+
+def _emb_bands(sigs: DataFrame) -> DataFrame:
+    return sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("bucket0").alias("bucket")),
+                F.struct(F.lit(1).alias("band"), F.col("bucket1").alias("bucket")),
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket")
+
+
 @register(
     "sim_neardup_lsh",
     sql=f"""
@@ -202,46 +250,10 @@ def _plane_signs(j: int, max_dim: int = 256) -> list[float]:
 )
 def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    # 12 interpreted higher-order projections per row: fan the single-file
-    # scan out or the whole signature pass runs in one task
-    emb = io.load(spark, sf_dir, "embeddings", spread=True)
-    # The sign literals must cover the WIDEST embedding or F.slice +
-    # zip_with null-pads the wider rows and their bucket bits collapse to
-    # '0'; probe max(size) in one scalar aggregate (first() would both
-    # crash on an empty table and under-probe heterogeneous widths).
-    dim = emb.agg(F.max(F.size("embedding")).alias("d")).collect()[0]["d"] or 1
-
-    def proj_bit(j: int) -> Column:
-        signs = F.array(*[F.lit(x) for x in _plane_signs(j, max_dim=dim)])
-        prods = F.zip_with(
-            F.col("embedding"),
-            F.slice(signs, 1, F.size("embedding")),
-            lambda x, sg: F.floor(
-                x.cast("double") * sg * F.lit(float(_SCALE9)) + F.lit(0.5)
-            ).cast("long"),
-        )
-        s = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
-        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-    sigs = emb.select(
-        "vec_id",
-        "embedding",
-        F.concat(*[proj_bit(j) for j in range(_BAND_PLANES)]).alias("bucket0"),
-        F.concat(
-            *[proj_bit(j) for j in range(_BAND_PLANES, 2 * _BAND_PLANES)]
-        ).alias("bucket1"),
-        dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
-    ).cache()  # the signature table feeds both band sides and both cosine
-    # sides; at scale this is the materialized signature table
-    bands = sigs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), F.col("bucket0").alias("bucket")),
-                F.struct(F.lit(1).alias("band"), F.col("bucket1").alias("bucket")),
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bucket")
+    sigs = _emb_sigs(spark, sf_dir).cache()
+    # the signature table feeds both band sides and both cosine sides; at
+    # scale this is the materialized signature table
+    bands = _emb_bands(sigs)
     grouped = (
         bands.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
@@ -3471,4 +3483,46 @@ def sim_diversity_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_pairsim_mmr",
             ((F.col("t_raw") - F.col("m_raw")) / 1000000.0).alias("diversity_gain"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cap censuses ("no silent caps", VERDICT r06 item 4) — the embedding-side
+# companions of dedup.hot_shingle_census et al.; same _cap_census kernel,
+# same contract (tests/test_cap_diagnostics.py: nonzero when the cap binds).
+
+
+def emb_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped mass of _EMB_BUCKET_CAP on sim_neardup_lsh's (band, bucket)
+    sign-projection key. Members keep a redundant route through the other
+    band; the measured recall diagnostics price the residual loss."""
+    from exact_spark.operators.dedup import _cap_census
+
+    tune_session(spark)
+    bands = _emb_bands(_emb_sigs(spark, sf_dir))
+    return _cap_census(bands, ["band", "bucket"], _EMB_BUCKET_CAP)
+
+
+def sem_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How often the semantic-dedup chunking binds: clusters larger than
+    _SEM_CLUSTER_CAP are SPLIT (never dropped — r07 fix), so the exposure
+    is recall at chunk boundaries, not lost vectors. Reports clusters over
+    cap and the member mass sitting beyond each cluster's first chunk —
+    zero means dedup_semantic ran exactly as the uncapped ideal."""
+    from exact_spark.operators.dedup import _cap_census
+
+    tune_session(spark)
+    emb = io.load(spark, sf_dir, "embeddings", spread=True)
+    norms = emb.select(
+        "vec_id", "embedding",
+        dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
+    )
+    cent = norms.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_embedding"),
+        F.col("norm_fx").alias("c_norm_fx"),
+    )
+    members = _assign_members(norms, cent).select("vec_id", "cluster")
+    return _cap_census(members, ["cluster"], _SEM_CLUSTER_CAP).withColumnRenamed(
+        "n_members_over_cap", "n_members_in_split_clusters"
     )
