@@ -433,7 +433,9 @@ _LC_FRACTIONS = (0.25, 0.5, 1.0)
 
 @register(
     "ml_learning_curve",
-    sql=None,  # model training is not SQL-expressible -> rows-only check
+    sql=None,  # model training is not SQL-expressible; exact sf0.001
+    # confusion counts + scale-independent invariants are pinned in
+    # tests/test_rows_only_pins.py — a pinned-value check, not rows-only
     doc="Learning curve for the decision-tree detector: the SAME pipeline "
     "trained on the first 25% / 50% / 100% of the training window, each "
     "fit scored on the SAME fixed holdout — the diagnostic that answers "
@@ -477,7 +479,9 @@ _ENSEMBLE = ("threshold", "isolation_forest", "pca_autoencoder")
 
 @register(
     "ml_ensemble_vote",
-    sql=None,  # model training is not SQL-expressible -> rows-only check
+    sql=None,  # model training is not SQL-expressible; exact sf0.001
+    # confusion counts + vote-bound invariants are pinned in
+    # tests/test_rows_only_pins.py — a pinned-value check, not rows-only
     doc="Majority-vote ensemble of three detector FAMILIES (statistical "
     "threshold, isolation forest, linear reconstruction) — the cheap "
     "variance-reduction every production detector stack reaches for "

@@ -1258,7 +1258,9 @@ _ZR_FLAG_BELOW_FX = 300_000  # ratio < 0.30 => extreme repetition
 
 @register(
     "text_compression_ratio",
-    sql=None,  # zlib is not expressible in the oracle's SQL — rows-only
+    sql=None,  # zlib is not expressible in the oracle's SQL; the full
+    # rollup is reproduced out-of-engine (pandas+zlib, field-for-field)
+    # in tests/test_rows_only_pins.py — a pinned-value check, not rows-only
     doc="Compression-ratio quality signal (the Gopher-family repetition "
     "proxy text_repetition_profile's token statistics can miss — e.g. "
     "long-range or sub-token repetition): deflate each document in Arrow "

@@ -19,6 +19,7 @@ fold) stay rows-only.
 from __future__ import annotations
 
 import contextlib
+import math
 import pathlib
 import shutil
 import tempfile
@@ -26,6 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from exact_spark.functions import sql_fround
 from exact_spark.registry import register
 
 # State-store partition count for the BOUNDED streaming demos. A stateful
@@ -402,9 +404,53 @@ def _user_cms_cells(df: DataFrame) -> DataFrame:
     return out.groupBy("r", "idx").agg(F.count(F.lit(1)).alias("c"))
 
 
+def _sql_cms_maintain() -> str:
+    """Oracle for stream_cms_maintain: the maintained sketch must equal the
+    direct batch sketch, so every output metric is a batch expression over
+    the bounded slice — cells from the same md5 hash family
+    (text._sql_cms_idx), matches_direct pinned to 1 (a broken streaming
+    fold yields 0 on the Spark side and hash-mismatches), and the top-3
+    coverage flags recomputed from the cells themselves."""
+    from exact_spark.operators.text import _CMS_ROWS, _sql_cms_idx
+
+    uid = "CAST(user_id AS VARCHAR)"
+    cells_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_sql_cms_idx(r, uid)} AS idx FROM b"
+        for r in range(_CMS_ROWS)
+    )
+    probes_union = " UNION ALL ".join(
+        f"SELECT user_id, true_c, {r} AS r, {_sql_cms_idx(r, uid)} AS idx FROM truth"
+        for r in range(_CMS_ROWS)
+    )
+    return f"""
+    WITH {_sql_bounded(3.0, 3)},
+    cells AS (
+        SELECT r, idx, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ({cells_union}) GROUP BY r, idx
+    ),
+    truth AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_c FROM b
+        GROUP BY user_id ORDER BY true_c DESC, user_id LIMIT 3
+    ),
+    probes AS ({probes_union}),
+    covers AS (
+        SELECT p.user_id, p.true_c, MIN(COALESCE(c.c, 0)) AS est
+        FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.idx = p.idx
+        GROUP BY p.user_id, p.true_c
+    )
+    SELECT 'n_batches' AS metric, CAST(3.0 AS DOUBLE) AS value
+    UNION ALL SELECT 'n_cells', (SELECT CAST(COUNT(*) AS DOUBLE) FROM cells)
+    UNION ALL SELECT 'total_mass_per_row', (SELECT CAST(COUNT(*) AS DOUBLE) FROM b)
+    UNION ALL SELECT 'matches_direct', 1.0
+    UNION ALL SELECT 'covers_user_' || CAST(user_id AS VARCHAR),
+                     CAST(CASE WHEN est >= true_c THEN 1 ELSE 0 END AS DOUBLE)
+              FROM covers
+    """
+
+
 @register(
     "stream_cms_maintain",
-    sql=None,  # Structured Streaming run -> rows-only check
+    sql=_sql_cms_maintain(),
     doc="Streaming sketch maintenance, driver-visible bounded run: a "
     "3-day events slice replays as a 3-chunk file stream and foreachBatch "
     "folds each micro-batch's count-min cells into the maintained sketch "
@@ -619,7 +665,51 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_drift_monitor",
-    sql=None,  # Structured Streaming run -> rows-only check
+    # The streaming execution is not SQL, but its RESULT is: the maintained
+    # census must equal the batch census over the staged slice, so every
+    # output metric is a deterministic batch expression over the bounded
+    # events slice — including matches_direct, which the oracle pins to 1
+    # (a broken fold yields 0 on the Spark side and hash-mismatches). The
+    # drift statistic mirrors the Python fold term-for-term: double
+    # divisions of exact integer counts, terms summed in bin order via an
+    # ordered list_sum, fround'ed to 6 places on both sides.
+    sql=f"""
+    WITH {_sql_bounded(3.0, 3)},
+    ref AS (SELECT value FROM ep, lo
+            WHERE e < lo.lo + CAST({86400 * 1_000_000} AS BIGINT)
+              AND user_id % 3 = 0),
+    span AS (SELECT CAST(MIN(value) AS DOUBLE) AS vlo,
+                    CAST(MAX(value) AS DOUBLE) AS vhi FROM ref),
+    w AS (SELECT vlo,
+                 CASE WHEN (vhi - vlo) / 20.0 = 0.0 THEN 1.0
+                      ELSE (vhi - vlo) / 20.0 END AS width
+          FROM span),
+    cur AS (SELECT LEAST(19, GREATEST(0, CAST(FLOOR((CAST(value AS DOUBLE) - w.vlo) / w.width) AS INT))) AS bin,
+                   COUNT(*) AS c
+            FROM b, w GROUP BY 1),
+    refc AS (SELECT LEAST(19, GREATEST(0, CAST(FLOOR((CAST(value AS DOUBLE) - w.vlo) / w.width) AS INT))) AS bin,
+                    COUNT(*) AS c
+             FROM ref, w GROUP BY 1),
+    tots AS (SELECT (SELECT SUM(c) FROM refc) AS tr, (SELECT SUM(c) FROM cur) AS tc),
+    terms AS (
+        SELECT g.range AS bin,
+               COALESCE(r.c, 0) / CAST(t.tr AS DOUBLE) AS p,
+               COALESCE(u.c, 0) / CAST(t.tc AS DOUBLE) AS q
+        FROM range(0, 20) g
+        LEFT JOIN refc r ON r.bin = g.range
+        LEFT JOIN cur u ON u.bin = g.range, tots t
+    ),
+    drift AS (
+        SELECT COALESCE(list_sum(
+                   list((p - q) * (p - q) / (p + q + 1e-9) ORDER BY bin)
+                   FILTER (WHERE p + q > 0)), 0.0) AS d
+        FROM terms
+    )
+    SELECT 'n_batches' AS metric, CAST(3.0 AS DOUBLE) AS value
+    UNION ALL SELECT 'n_bins_active', (SELECT CAST(COUNT(*) AS DOUBLE) FROM cur)
+    UNION ALL SELECT 'matches_direct', 1.0
+    UNION ALL SELECT 'drift_vs_reference', (SELECT {sql_fround('d')} FROM drift)
+    """,
     doc="Streaming drift monitoring, driver-visible bounded run (the "
     "production-ML watchdog ml_drift_bins batch-computes, maintained "
     "incrementally): the value-distribution bins are FITTED on a static "
@@ -709,7 +799,9 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("n_batches", float(n_batches[0])),
             ("n_bins_active", float(len(maintained))),
             ("matches_direct", float(matches)),
-            ("drift_vs_reference", round(drift, 6)),
+            # fround convention (floor(x*1e6+0.5)/1e6), NOT Python round():
+            # banker's rounding is not what the oracle's SQL computes
+            ("drift_vs_reference", math.floor(drift * 1e6 + 0.5) / 1e6),
         ]
         return spark.createDataFrame(rows, "metric string, value double")
     finally:

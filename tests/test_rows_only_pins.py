@@ -1,0 +1,123 @@
+"""Pinned-value upgrades for rows-only queries (VERDICT r06 item 5).
+
+Three of the rows-only registry entries have deterministic results that
+SQL cannot express but an independent reproduction CAN check — stronger
+than the driver's rows-only count:
+
+- text_compression_ratio: zlib level-6 output is a deterministic function
+  of the payload, so the whole per-source rollup is reproduced here in
+  pandas+zlib and compared field-for-field (a full out-of-engine oracle,
+  just not a SQL one).
+- ml_learning_curve / ml_ensemble_vote: fixed-seed fits on fixed data are
+  deterministic; exact confusion counts at sf0.001 are pinned alongside
+  the structural invariants (holdout constant across rows, vote bounds)
+  that must hold at ANY scale.
+
+(stream_cms_maintain and stream_drift_monitor graduated all the way to
+DuckDB oracles this round — see exact_spark/streaming/__init__.py.)
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import duckdb
+import pytest
+
+from exact_spark.operators.text import _ZR_FLAG_BELOW_FX
+from exact_spark.registry import REGISTRY, _load_all
+
+_load_all()
+
+
+@pytest.fixture(scope="module")
+def sf001():
+    return "/root/testdata/sf0.001"
+
+
+def test_compression_ratio_matches_independent_zlib_mirror(spark, sf001):
+    got = {
+        r["source"]: r.asDict()
+        for r in REGISTRY["text_compression_ratio"].fn(spark, sf001).collect()
+    }
+    docs = duckdb.execute(
+        f"SELECT doc_id, source, text FROM read_parquet('{sf001}/documents.parquet')"
+    ).fetchdf()
+    exp: dict[str, dict] = {}
+    for source, text in zip(docs["source"], docs["text"]):
+        raw = text.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        fx = (1_000_000 * comp) // len(raw) if raw else 0
+        e = exp.setdefault(
+            source,
+            {"n_docs": 0, "total_bytes": 0, "total_compressed": 0,
+             "sum_fx": 0, "min_ratio_fx": None, "n_extreme_repetition": 0},
+        )
+        e["n_docs"] += 1
+        e["total_bytes"] += len(raw)
+        e["total_compressed"] += comp
+        e["sum_fx"] += fx
+        e["min_ratio_fx"] = fx if e["min_ratio_fx"] is None else min(e["min_ratio_fx"], fx)
+        e["n_extreme_repetition"] += int(fx < _ZR_FLAG_BELOW_FX)
+    assert set(got) == set(exp)
+    for source, e in exp.items():
+        g = got[source]
+        assert g["n_docs"] == e["n_docs"]
+        assert g["total_bytes"] == e["total_bytes"], source
+        assert g["total_compressed"] == e["total_compressed"], source
+        assert g["min_ratio_fx"] == e["min_ratio_fx"], source
+        assert g["n_extreme_repetition"] == e["n_extreme_repetition"], source
+        assert g["mean_ratio"] == e["sum_fx"] / (1e6 * e["n_docs"]), source
+
+
+def test_learning_curve_pinned_and_invariant(spark, sf001):
+    rows = sorted(
+        (r.asDict() for r in REGISTRY["ml_learning_curve"].fn(spark, sf001).collect()),
+        key=lambda r: r["train_fraction"],
+    )
+    # structural invariants (scale-independent): three prefix fractions,
+    # strictly growing train sizes, the SAME holdout scored by every fit
+    assert [r["train_fraction"] for r in rows] == [0.25, 0.5, 1.0]
+    assert rows[0]["n_train"] < rows[1]["n_train"] < rows[2]["n_train"]
+    assert len({r["tp"] + r["tn"] + r["fp"] + r["fn"] for r in rows}) == 1
+    assert len({r["tp"] + r["fn"] for r in rows}) == 1  # positives fixed
+    # pinned exact confusion counts (fixed seed + fixed sf0.001 input)
+    pinned = [
+        (212, 32, 750, 49, 169, 0.227),
+        (425, 26, 756, 43, 175, 0.1926),
+        (850, 14, 790, 9, 187, 0.125),
+    ]
+    for r, (n_train, tp, tn, fp, fn, f1) in zip(rows, pinned):
+        assert (r["n_train"], r["tp"], r["tn"], r["fp"], r["fn"]) == (
+            n_train, tp, tn, fp, fn,
+        )
+        assert r["f1"] == f1
+
+
+def test_ensemble_vote_pinned_and_invariant(spark, sf001):
+    rows = {
+        r["model"]: r.asDict()
+        for r in REGISTRY["ml_ensemble_vote"].fn(spark, sf001).collect()
+    }
+    assert set(rows) == {"threshold", "isolation_forest", "pca_autoencoder", "ensemble"}
+    # every detector scores the same frame: row totals and positives agree
+    assert len({r["tp"] + r["tn"] + r["fp"] + r["fn"] for r in rows.values()}) == 1
+    assert len({r["tp"] + r["fn"] for r in rows.values()}) == 1
+    # majority vote bounds: the ensemble can't flag more rows than the sum
+    # of its members' flags over 2 (each ensemble flag needs >=2 member flags)
+    member_flags = sum(
+        rows[m]["tp"] + rows[m]["fp"]
+        for m in ("threshold", "isolation_forest", "pca_autoencoder")
+    )
+    ens_flags = rows["ensemble"]["tp"] + rows["ensemble"]["fp"]
+    assert ens_flags <= member_flags // 2
+    # pinned exact confusion counts (fixed seeds + fixed sf0.001 input)
+    pinned = {
+        "threshold": (9, 757, 42, 192),
+        "isolation_forest": (11, 757, 42, 190),
+        "pca_autoencoder": (10, 759, 40, 191),
+        "ensemble": (6, 766, 33, 195),
+    }
+    for m, (tp, tn, fp, fn) in pinned.items():
+        r = rows[m]
+        assert (r["tp"], r["tn"], r["fp"], r["fn"]) == (tp, tn, fp, fn), m
