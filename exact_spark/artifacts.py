@@ -59,32 +59,40 @@ def memo_put(memo: dict, key, value, cap: int = _MEMO_CAP):
     return value
 
 
-def snapshot_corpus_memos() -> list[set]:
-    """Key sets of every memo_put-tracked memo, positionally aligned with
-    the (append-only) internal registry — pair with
-    :func:`evict_new_memo_entries` to roll memo state back to this point."""
-    return [set(m.keys()) for m in _ALL_MEMOS]
+def snapshot_corpus_memos() -> list[dict]:
+    """Shallow key->value copies of every memo_put-tracked memo,
+    positionally aligned with the (append-only) internal registry — pair
+    with :func:`evict_new_memo_entries` to roll memo state back to this
+    point. Copying VALUES (not just key sets) lets the rollback also
+    reinstate entries a run's memo_put FIFO-displaced at cap, so a retry
+    on a near-cap driver is never COLDER than the first run was."""
+    return [dict(m) for m in _ALL_MEMOS]
 
 
-def evict_new_memo_entries(snapshot: list[set]) -> int:
-    """Drop every memo entry added since ``snapshot`` (memos created
-    after the snapshot are emptied), returning how many were dropped.
+def evict_new_memo_entries(snapshot: list[dict]) -> int:
+    """Restore every memo to exactly its ``snapshot`` state (drop entries
+    added since, reinstate entries displaced or overwritten since; memos
+    created after the snapshot are emptied), returning how many were
+    dropped.
 
     Benchmarks use the snapshot/evict pair to re-measure a query under
     the cache state its FIRST measurement saw: a retry served from a memo
     that first run populated would record a structurally cheaper
     computation (absorbing a real regression in a memoized builder).
-    Scoping the eviction to the first run's OWN additions keeps memos
+    Scoping the rollback to the first run's OWN changes keeps memos
     warmed by earlier queries intact — a global clear would force every
     later memo consumer cold, manufacturing the phantom over-2x flags the
     retry exists to suppress. Disk artifacts (materialize) are
     intentionally left warm — they were warm for the first run too."""
     n = 0
     for i, m in enumerate(_ALL_MEMOS):
-        keep = snapshot[i] if i < len(snapshot) else set()
-        for k in [k for k in m if k not in keep]:
+        want = snapshot[i] if i < len(snapshot) else {}
+        for k in [k for k in m if k not in want]:
             del m[k]
             n += 1
+        for k, v in want.items():
+            if k not in m or m[k] is not v:
+                m[k] = v
     return n
 
 

@@ -137,3 +137,31 @@ def test_rows_sign_changes_ignores_new_and_removed_names():
     # registry growth is not drift; nonzero->nonzero movement is not drift
     assert bench._rows_sign_changes({"old": 5}, {"new": 0}) == []
     assert bench._rows_sign_changes({"q": 5}, {"q": 9999}) == []
+
+
+def test_retry_reinstates_entries_displaced_at_cap():
+    """ADVICE r06: a first run whose memo_put lands on a FULL memo
+    FIFO-displaces a pre-existing entry; the rollback must bring that
+    entry back, or the retry runs COLDER than run 1 and can time slow
+    enough to flag a phantom regression."""
+    from exact_spark.artifacts import memo_put
+
+    memo: dict = {}
+    for i in range(3):
+        memo_put(memo, f"warm{i}", f"v{i}", cap=3)  # memo now at cap
+
+    seen = {}
+
+    def run():
+        if "run1" not in seen:
+            seen["run1"] = True
+            memo_put(memo, "built-during-run1", "expensive", cap=3)
+            assert "warm0" not in memo  # displaced at cap
+            return 3.0, 7
+        seen["run2_memo"] = dict(memo)
+        return 0.4, 7
+
+    dt, n, retried = bench._measure_with_retry(run, 0.5, "q")
+    assert retried and dt == 0.4
+    # run 1's addition evicted AND the displaced entry reinstated
+    assert seen["run2_memo"] == {"warm0": "v0", "warm1": "v1", "warm2": "v2"}
