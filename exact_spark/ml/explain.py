@@ -319,39 +319,15 @@ def kernelshap_importances(
     batch through ONE vectorized score_fn call per instance. When no
     background matrix is supplied, falls back to the training-mean single
     point (k=1).
+
+    Implemented as a PROJECTION of :func:`kernelshap_signed_phis` —
+    |phi| == importance is structural (one solver serves both surfaces),
+    not merely test-pinned, so the two cannot drift under future edits.
     """
-    score_fn = _extract_score_fn(model, feature_cols)
-    if background is None:
-        bg = np.array([train_means[c] for c in feature_cols], dtype=np.float64)
-        bgw = None
-    else:
-        bg = np.asarray(background, dtype=np.float64)
-        bgw = None if bg_weights is None else np.asarray(bg_weights, dtype=np.float64)
-    cols = list(feature_cols)
-
-    schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("feature", T.StringType()),
-            T.StructField("importance", T.DoubleType()),
-        ]
+    phis = kernelshap_signed_phis(
+        model, instances, feature_cols, train_means, background, bg_weights
     )
-
-    def explain(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if pdf.empty:
-                continue
-            x = pdf[cols].to_numpy(dtype=np.float64)
-            ids = pdf["id"].astype("int64").to_numpy()
-            out_ids, out_feats, out_imps = [], [], []
-            for i in range(len(pdf)):
-                phi = _kernelshap_single(score_fn, x[i], bg, int(ids[i]), bgw)
-                out_ids.extend([ids[i]] * len(cols))
-                out_feats.extend(cols)
-                out_imps.extend(np.abs(phi))
-            yield pd.DataFrame({"id": out_ids, "feature": out_feats, "importance": out_imps})
-
-    return instances.select("id", *cols).mapInPandas(explain, schema=schema)
+    return phis.select("id", "feature", F.abs(F.col("phi")).alias("importance"))
 
 
 def kernelshap_signed_phis(
