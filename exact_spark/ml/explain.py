@@ -444,6 +444,51 @@ def render_waterfalls(
     return paths
 
 
+def render_force_plots(
+    pdf: pd.DataFrame, out_dir, max_display: int = _WATERFALL_MAX_DISPLAY
+) -> list[str]:
+    """The reference's interactive force-plot HTML analog
+    (shap.plots.force + shap.save_html, xai_visualizations.py:175-210):
+    one per-instance force HTML plus one all-instances summary page of
+    stacked strips, rendered from the SAME collected signed-phi frame as
+    the waterfalls (one KernelSHAP solve serves importances, waterfalls,
+    and force plots). Browser-interactive JS is out of scope — the
+    artifact contract is the additive-force layout (positive stack meets
+    negative stack exactly at f(x)) in a self-contained HTML file, byte-
+    deterministic like every other emitter. Returns the written paths,
+    all-instances page last."""
+    from exact_spark.ml.visualize import html_force_page, svg_force_strip
+
+    paths = []
+    strips = []
+    for iid, grp in pdf.groupby("id"):
+        grp = grp.reindex(grp["phi"].abs().sort_values(ascending=False).index)
+        items = [
+            (r["feature"], float(r["phi"]), float(r["value"]))
+            for _, r in grp.head(max_display).iterrows()
+        ]
+        rest = grp.iloc[max_display:]
+        if len(rest):
+            items.append(
+                (f"{len(rest)} other features", float(rest["phi"].sum()), float("nan"))
+            )
+        base = float(grp["base_value"].iloc[0])
+        fx = float(grp["fx"].iloc[0])
+        title = f"SHAP force — instance {int(iid)}"
+        page = html_force_page(
+            title, [svg_force_strip(title, base, items, fx, standalone=False)]
+        )
+        p = out_dir / f"force_instance_{int(iid)}.html"
+        p.write_text(page)
+        paths.append(str(p))
+        strips.append(svg_force_strip(title, base, items, fx, standalone=False))
+    all_page = html_force_page("SHAP force — all instances", strips)
+    pa = out_dir / "force_all_instances.html"
+    pa.write_text(all_page)
+    paths.append(str(pa))
+    return paths
+
+
 _LIME_N_SAMPLES = 512
 _LIME_RIDGE_ALPHA = 1.0
 
@@ -1172,6 +1217,12 @@ def run_explanations(
                 shap_dir = out / "SHAP"
                 shap_dir.mkdir(exist_ok=True)
                 summary["shap_waterfall_paths"] = render_waterfalls(
+                    shap_signed, shap_dir
+                )
+                # X7 SHAP force-plot HTML analog (shap.plots.force +
+                # save_html, xai_visualizations.py:175-210): per-instance
+                # pages + the all-instances summary, same single solve
+                summary["shap_force_paths"] = render_force_plots(
                     shap_signed, shap_dir
                 )
             if "counterfactual" in methods:

@@ -198,3 +198,135 @@ def svg_timeseries(
         )
     parts.append("</svg>")
     return "\n".join(parts)
+
+
+_FORCE_H = 130
+
+
+def svg_force_strip(
+    title: str,
+    base_value: float,
+    items: list[tuple[str, float, float]],
+    fx: float,
+    width: int = _W,
+    standalone: bool = True,
+) -> str:
+    """Per-instance SHAP force strip (shap.plots.force's additive-force
+    layout, xai_visualizations.py:175-210): one horizontal band on the
+    model-output axis where positive contributions stack LEFT of f(x)
+    pushing right (red chevrons, largest nearest the junction) and
+    negative contributions stack RIGHT of f(x) pushing left (blue),
+    with E[f(X)] marked on the same axis — the force reading is that the
+    two stacks meet exactly at f(x), the additive identity
+    base + sum(phi) = f(x) drawn as opposing arrows. ``items`` are
+    (label, phi, feature_value); a NaN feature_value renders label-only.
+    Deterministic string building like the sibling emitters;
+    ``standalone=False`` omits the xmlns/size attrs wrapper position so
+    strips can stack inside svg_force_all."""
+    pos = sorted([it for it in items if it[1] > 0], key=lambda t: -abs(t[1]))
+    neg = sorted([it for it in items if it[1] < 0], key=lambda t: -abs(t[1]))
+    sum_pos = sum(p for _l, p, _v in pos)
+    sum_neg = sum(-p for _l, p, _v in neg)
+    x_lo = min(fx - sum_pos, base_value, fx)
+    x_hi = max(fx + sum_neg, base_value, fx)
+    span = (x_hi - x_lo) or 1.0
+    inner_w = width - 2 * _MARGIN
+    band_y, band_h = 56, 26
+
+    def sx(v: float) -> float:
+        return _MARGIN + inner_w * (v - x_lo) / span
+
+    parts = []
+    if standalone:
+        parts.append(
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+            f'height="{_FORCE_H}" viewBox="0 0 {width} {_FORCE_H}" '
+            f'font-family="sans-serif">'
+        )
+    parts.append(
+        f'<text x="{width // 2}" y="18" text-anchor="middle" '
+        f'font-size="13">{escape(title)}</text>'
+    )
+    # axis with base value and f(x) markers
+    parts.append(
+        f'<line x1="{_MARGIN}" y1="{band_y + band_h + 14}" '
+        f'x2="{width - _MARGIN}" y2="{band_y + band_h + 14}" stroke="#bbb"/>'
+    )
+    parts.append(
+        f'<line x1="{sx(base_value):.1f}" y1="{band_y - 16}" '
+        f'x2="{sx(base_value):.1f}" y2="{band_y + band_h + 14}" '
+        f'stroke="#999" stroke-dasharray="4,3"/>'
+    )
+    parts.append(
+        f'<text x="{sx(base_value):.1f}" y="{band_y - 20}" '
+        f'text-anchor="middle" font-size="10">base={_fmt(base_value)}</text>'
+    )
+    parts.append(
+        f'<text x="{sx(fx):.1f}" y="{band_y - 6}" text-anchor="middle" '
+        f'font-size="11" font-weight="bold">f(x)={_fmt(fx)}</text>'
+    )
+
+    def chevron(x0: float, x1: float, color: str, rightward: bool) -> str:
+        """Arrow block from x0..x1 pointing toward the junction."""
+        tip = min(6.0, abs(x1 - x0))
+        y0, y1 = band_y, band_y + band_h
+        ym = (y0 + y1) / 2
+        if rightward:
+            pts = f"{x0:.1f},{y0} {x1 - tip:.1f},{y0} {x1:.1f},{ym:.1f} {x1 - tip:.1f},{y1} {x0:.1f},{y1}"
+        else:
+            pts = f"{x1:.1f},{y0} {x0 + tip:.1f},{y0} {x0:.1f},{ym:.1f} {x0 + tip:.1f},{y1} {x1:.1f},{y1}"
+        return f'<polygon points="{pts}" fill="{color}" stroke="#fff" stroke-width="0.5"/>'
+
+    # positive stack: walk LEFT from the junction, largest first
+    cum = 0.0
+    for i, (lab, phi, val) in enumerate(pos):
+        x1 = sx(fx - cum)
+        cum += phi
+        x0 = sx(fx - cum)
+        parts.append(chevron(x0, x1, "#c0392b", rightward=True))
+        label = str(lab) if val != val else f"{lab}={_fmt(val)}"
+        ly = band_y + band_h + (26 if i % 2 else 38)
+        parts.append(
+            f'<text x="{(x0 + x1) / 2:.1f}" y="{ly}" text-anchor="middle" '
+            f'font-size="9" fill="#c0392b">{escape(label)}</text>'
+        )
+    # negative stack: walk RIGHT from the junction, largest first
+    cum = 0.0
+    for i, (lab, phi, val) in enumerate(neg):
+        x0 = sx(fx + cum)
+        cum += -phi
+        x1 = sx(fx + cum)
+        parts.append(chevron(x0, x1, "#4878a8", rightward=False))
+        label = str(lab) if val != val else f"{lab}={_fmt(val)}"
+        ly = band_y + band_h + (26 if i % 2 else 38)
+        parts.append(
+            f'<text x="{(x0 + x1) / 2:.1f}" y="{ly}" text-anchor="middle" '
+            f'font-size="9" fill="#4878a8">{escape(label)}</text>'
+        )
+    if standalone:
+        parts.append("</svg>")
+    return "\n".join(parts)
+
+
+def html_force_page(title: str, strips: list[str]) -> str:
+    """The shap.save_html analog: a self-contained HTML page stacking one
+    or many force strips (the reference emits a per-instance force HTML
+    and an all-instances summary, xai_visualizations.py:175-210). Pure
+    deterministic string building — byte-identical for identical inputs."""
+    body = []
+    y = 0
+    for s in strips:
+        body.append(
+            f'<g transform="translate(0,{y})">{s}</g>'
+        )
+        y += _FORCE_H
+    svg = (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{_W}" height="{y}" '
+        f'viewBox="0 0 {_W} {y}" font-family="sans-serif">'
+        + "\n".join(body)
+        + "</svg>"
+    )
+    return (
+        "<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\"/>"
+        f"<title>{escape(title)}</title></head>\n<body>\n{svg}\n</body></html>\n"
+    )

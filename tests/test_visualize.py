@@ -95,3 +95,86 @@ def test_waterfall_remainder_row_shows_no_nan_value():
     assert "nan" not in svg
     assert "4 other features" in svg
     ET.fromstring(svg)
+
+
+def test_force_strip_stacks_meet_at_fx():
+    """The additive-force contract: positive chevrons stack LEFT of f(x),
+    negative chevrons stack RIGHT, and the two stacks meet exactly at the
+    f(x) axis position."""
+    from exact_spark.ml.visualize import svg_force_strip
+
+    items = [("a", 0.6, 1.0), ("b", -0.3, 2.0), ("c", 0.2, 0.5), ("d", -0.1, 3.0)]
+    base, fx = 1.0, 1.0 + 0.6 - 0.3 + 0.2 - 0.1
+    svg = svg_force_strip("force", base, items, fx)
+    root = ET.fromstring(svg)
+    polys = root.findall(f"{_NS}polygon")
+    assert len(polys) == 4  # one chevron per feature
+    reds = [p for p in polys if p.get("fill") == "#c0392b"]
+    blues = [p for p in polys if p.get("fill") == "#4878a8"]
+    assert len(reds) == 2 and len(blues) == 2
+
+    def xs(poly):
+        return [float(pt.split(",")[0]) for pt in poly.get("points").split()]
+
+    junction_from_pos = max(max(xs(p)) for p in reds)
+    junction_from_neg = min(min(xs(p)) for p in blues)
+    assert abs(junction_from_pos - junction_from_neg) < 0.2
+    # every positive chevron sits left of the junction, negatives right
+    assert all(min(xs(p)) <= junction_from_pos + 0.2 for p in reds)
+    assert all(max(xs(p)) >= junction_from_neg - 0.2 for p in blues)
+
+
+def test_force_strip_deterministic():
+    from exact_spark.ml.visualize import svg_force_strip
+
+    items = [("x<y", 0.5, float("nan"))]
+    a = svg_force_strip("t&", 0.0, items, 0.5)
+    assert a == svg_force_strip("t&", 0.0, items, 0.5)
+    ET.fromstring(a)  # escaped labels still parse
+
+
+def test_html_force_page_stacks_strips():
+    from exact_spark.ml.visualize import html_force_page, svg_force_strip
+
+    strips = [
+        svg_force_strip(f"i{k}", 0.0, [("f", 0.4, 1.0)], 0.4, standalone=False)
+        for k in range(3)
+    ]
+    page = html_force_page("all", strips)
+    assert page.startswith("<!DOCTYPE html>")
+    svg_start = page.index("<svg")
+    svg_end = page.index("</svg>", page.rindex("</g>")) + len("</svg>")
+    root = ET.fromstring(page[svg_start:svg_end])
+    gs = root.findall(f"{_NS}g")
+    assert len(gs) == 3
+    offsets = [g.get("transform") for g in gs]
+    assert offsets == ["translate(0,0)", "translate(0,130)", "translate(0,260)"]
+
+
+def test_render_force_plots_from_signed_phis(tmp_path):
+    import pandas as pd
+
+    from exact_spark.ml.explain import render_force_plots
+
+    pdf = pd.DataFrame(
+        {
+            "id": [7, 7, 9, 9],
+            "feature": ["v1", "v2", "v1", "v2"],
+            "phi": [0.5, -0.2, -0.4, 0.1],
+            "value": [1.0, 2.0, 3.0, 4.0],
+            "base_value": [0.3, 0.3, 0.3, 0.3],
+            "fx": [0.6, 0.6, 0.0, 0.0],
+        }
+    )
+    paths = render_force_plots(pdf, tmp_path)
+    names = [p.split("/")[-1] for p in paths]
+    assert names == [
+        "force_instance_7.html",
+        "force_instance_9.html",
+        "force_all_instances.html",
+    ]
+    for p in paths:
+        text = open(p).read()
+        assert text.startswith("<!DOCTYPE html>")
+        svg = text[text.index("<svg"): text.rindex("</svg>") + 6]
+        ET.fromstring(svg)  # every page's SVG is well-formed XML
