@@ -172,7 +172,15 @@ def main() -> None:
         compact["n_rows_sign_changes"] = len(changed)
         if changed:
             compact["rows_sign_changed"] = changed[:5]
-        rows_ref.write_text(json.dumps(rows, sort_keys=True, indent=0) + "\n")
+        # carry forward the previous reference for still-registered queries
+        # that FAILED this run — dropping them would let a fail-one-round
+        # query re-enter with 0 rows unflagged (the exact regression class
+        # this gate exists for); names no longer registered do drop
+        merged = {
+            **{n: c for n, c in prev_rows.items() if n in REGISTRY},
+            **rows,
+        }
+        rows_ref.write_text(json.dumps(merged, sort_keys=True, indent=0) + "\n")
     print(json.dumps(compact))
     spark.stop()
 

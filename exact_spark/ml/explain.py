@@ -475,13 +475,11 @@ def render_force_plots(
         base = float(grp["base_value"].iloc[0])
         fx = float(grp["fx"].iloc[0])
         title = f"SHAP force — instance {int(iid)}"
-        page = html_force_page(
-            title, [svg_force_strip(title, base, items, fx, standalone=False)]
-        )
+        strip = svg_force_strip(title, base, items, fx, standalone=False)
         p = out_dir / f"force_instance_{int(iid)}.html"
-        p.write_text(page)
+        p.write_text(html_force_page(title, [strip]))
         paths.append(str(p))
-        strips.append(svg_force_strip(title, base, items, fx, standalone=False))
+        strips.append(strip)
     all_page = html_force_page("SHAP force — all instances", strips)
     pa = out_dir / "force_all_instances.html"
     pa.write_text(all_page)

@@ -909,12 +909,19 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row_number-chunked into groups of <= _SEM_CLUSTER_CAP. Near-identical
 # vectors have near-identical prefixes, so they sort adjacent and land in
 # the same chunk; each chunk's pairwise expansion stays <= cap^2/2 per row.
-# The chunk id is assigned BEFORE collect_list, so no task ever
-# materializes more than cap members (the old form collected the whole
-# cluster first and filtered after — an OOM at scale). Recall loss is
+# The chunk id is assigned BEFORE collect_list, so no collected row ever
+# holds more than cap members (the old form collected the whole cluster
+# into ONE array first and filtered after — an OOM at scale). The residual
+# skew cost is the row_number window itself: one task still SORTS each
+# over-cap cluster (Spark window sorts spill to disk, so this is a
+# wall-clock hotspot, not an OOM), bounded by the largest cluster ~N/k —
+# with k grown ~sqrt(N) at scale that stays sqrt-bounded. A hash-salted
+# pre-split would bound the sort too but would scatter near-identical
+# vectors across salts and destroy exactly the recall the prefix ordering
+# exists to preserve. Recall loss is
 # confined to pairs straddling a chunk boundary of an over-cap cluster;
-# sem_chunk_diagnostics() (tests/test_cap_diagnostics.py) measures how
-# often the cap binds, per the no-silent-caps rule.
+# sem_chunk_census() (tests/test_cap_diagnostics.py) measures how often
+# the cap binds, per the no-silent-caps rule.
 
 _SEM_K = 8  # seed/trained clusters; ~sqrt(N) at scale
 _SEM_DUP_COS = 0.30  # semantic-duplicate threshold for this corpus
@@ -948,8 +955,11 @@ def _semantic_dropped(
     pairs in place with the cosine computed inside the array expression,
     keep pairs >= tau, then reduce to one row per dropped vector
     (dup_of = its lowest qualifying representative)."""
+    # explicit NULLS FIRST: embeddings shorter than the prefix yield NULL
+    # quantized dims, and Spark's default (nulls first) differs from
+    # DuckDB's (nulls last) — the oracle spells NULLS FIRST to match
     order_cols = [
-        F.floor(F.col("embedding")[i].cast("double") * F.lit(8.0))
+        F.floor(F.col("embedding")[i].cast("double") * F.lit(8.0)).asc_nulls_first()
         for i in range(_SEM_PREFIX_DIMS)
     ] + [F.col("vec_id")]
     wc = Window.partitionBy("cluster").orderBy(*order_cols)
@@ -1020,7 +1030,7 @@ def _semantic_dropped(
         SELECT vec_id, embedding, norm_fx, cid,
                (row_number() OVER (
                    PARTITION BY cid
-                   ORDER BY {", ".join(f"FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 8.0)" for i in range(_SEM_PREFIX_DIMS))}, vec_id
+                   ORDER BY {", ".join(f"FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 8.0) NULLS FIRST" for i in range(_SEM_PREFIX_DIMS))}, vec_id
                ) - 1) // {_SEM_CLUSTER_CAP} AS chunk
         FROM members
     ),
@@ -3507,10 +3517,10 @@ def sem_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How often the semantic-dedup chunking binds: clusters larger than
     _SEM_CLUSTER_CAP are SPLIT (never dropped — r07 fix), so the exposure
     is recall at chunk boundaries, not lost vectors. Reports clusters over
-    cap and the member mass sitting beyond each cluster's first chunk —
-    zero means dedup_semantic ran exactly as the uncapped ideal."""
-    from exact_spark.operators.dedup import _cap_census
-
+    cap, the total member mass living in split clusters, and the mass
+    sitting BEYOND each cluster's first chunk (the members whose candidate
+    pairs cross a chunk boundary at all) — zero means dedup_semantic ran
+    exactly as the uncapped ideal."""
     tune_session(spark)
     emb = io.load(spark, sf_dir, "embeddings", spread=True)
     norms = emb.select(
@@ -3523,6 +3533,18 @@ def sem_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm_fx").alias("c_norm_fx"),
     )
     members = _assign_members(norms, cent).select("vec_id", "cluster")
-    return _cap_census(members, ["cluster"], _SEM_CLUSTER_CAP).withColumnRenamed(
-        "n_members_over_cap", "n_members_in_split_clusters"
+    cap = _SEM_CLUSTER_CAP
+    per = members.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    over = F.col("n") > cap
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(over.cast("long")).cast("long").alias("n_groups_over_cap"),
+        F.sum(F.when(over, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_members_in_split_clusters"),
+        F.sum(F.when(over, F.col("n") - cap).otherwise(0))
+        .cast("long")
+        .alias("n_members_beyond_first_chunk"),
+        F.max("n").cast("long").alias("max_group_size"),
+        F.lit(cap).cast("long").alias("cap"),
     )

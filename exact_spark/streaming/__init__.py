@@ -675,9 +675,13 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ordered list_sum, fround'ed to 6 places on both sides.
     sql=f"""
     WITH {_sql_bounded(3.0, 3)},
-    ref AS (SELECT value FROM ep, lo
-            WHERE e < lo.lo + CAST({86400 * 1_000_000} AS BIGINT)
-              AND user_id % 3 = 0),
+    -- day-1 reference window starts at the min event time OF THE FILTERED
+    -- SLICE (the Spark side computes lo_ts on base, after the user_id mod
+    -- filter) — anchoring on the unfiltered min shifts the window whenever
+    -- the corpus's earliest event belongs to a filtered-out user
+    blo AS (SELECT MIN(e) AS blo FROM b),
+    ref AS (SELECT value FROM b, blo
+            WHERE e < blo.blo + CAST({86400 * 1_000_000} AS BIGINT)),
     span AS (SELECT CAST(MIN(value) AS DOUBLE) AS vlo,
                     CAST(MAX(value) AS DOUBLE) AS vhi FROM ref),
     w AS (SELECT vlo,

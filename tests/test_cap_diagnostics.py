@@ -156,6 +156,13 @@ def test_sem_chunk_census_binds(spark, hot_vecs_dir):
     assert got["n_groups_over_cap"] > 0
     # split-cluster mass, not dropped mass: the r07 chunking keeps routes
     assert got["n_members_in_split_clusters"] > _SEM_CLUSTER_CAP
+    # boundary exposure = members past each split cluster's first chunk
+    # (the fixture's one hot cluster holds n_hot + seed 3 members)
+    assert (
+        got["n_members_beyond_first_chunk"]
+        == got["n_members_in_split_clusters"] - _SEM_CLUSTER_CAP
+    )
+    assert 0 < got["n_members_beyond_first_chunk"] < _SEM_CLUSTER_CAP
 
 
 def test_sem_chunk_census_zero_at_sf001(spark, sf_dir):
@@ -163,3 +170,4 @@ def test_sem_chunk_census_zero_at_sf001(spark, sf_dir):
     got = _one(sem_chunk_census(spark, sf_dir))
     assert got["n_groups_over_cap"] == 0
     assert got["n_members_in_split_clusters"] == 0
+    assert got["n_members_beyond_first_chunk"] == 0
