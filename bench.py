@@ -72,6 +72,16 @@ def main() -> None:
 
     components_path(spark, sf_dir)
 
+    # and for the two KMeans coarse-quantizer fits (memoized driver-side
+    # centers, exact_spark.artifacts.memo_put discipline): without the warm
+    # each configuration's alphabetically-first consumer times the MLlib
+    # fit (~4s) instead of its own serving work — dedup_semantic_kmeans for
+    # the _SEM_K quantizer, sim_ivf_kmeans_recall for the _N_CELLS one
+    from exact_spark.operators.similarity import _N_CELLS, _SEM_K, _kmeans_centroids
+
+    _kmeans_centroids(spark, sf_dir, _SEM_K)
+    _kmeans_centroids(spark, sf_dir, _N_CELLS, exclude_queries=True)
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf_val = float(sf)
