@@ -258,3 +258,26 @@ def test_customer_percentile_window_partitioned(spark, sf_dir):
     assert "Window" in plan
     assert "partitionBy()" not in plan.replace(" ", "")
     assert "hashpartitioning(nation" in plan
+
+
+def test_semantic_dedup_chunked_plan_shape(spark, sf_dir):
+    """The r07 chunking fix's scale contract, pinned at the plan level:
+    centroid assignment broadcasts (8-row build side — never a shuffle
+    join), the chunk id comes from a CLUSTER-KEYED window (not an empty
+    partition spec) computed BEFORE the collect_list aggregate, and the
+    collect groups on (cluster, chunk) so no collected row can exceed the
+    cap regardless of cluster size."""
+    from exact_spark.operators.similarity import dedup_semantic
+
+    plan = _plan(dedup_semantic(spark, sf_dir))
+    # 8 centroids ride a broadcast nested-loop (tiny build side), and the
+    # argmax is a WindowGroupLimit top-1 — no shuffle carries N*k rows
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    # chunk window keyed on the cluster; no empty partitionBy anywhere
+    assert "partitionBy()" not in plan.replace(" ", "")
+    assert "hashpartitioning(cluster" in plan
+    # collect_list groups on (cluster, chunk): the chunk id is part of the
+    # aggregate key, proving assignment happens before collection
+    agg_at = plan.index("collect_list")
+    assert "chunk" in plan[max(0, agg_at - 400):agg_at]
