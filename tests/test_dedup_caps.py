@@ -86,18 +86,78 @@ def test_capped_semantics_match_oracle(spark, adversarial_dir, name):
     assert compare(sp, oc, name) == []
 
 
-def test_fuzzy_edit_cap_drops_degenerate_band(spark, adversarial_dir):
-    """dedup_fuzzy_edit's length-band cap: the over-cap identical block all
-    shares one n_chars band — without the cap that band alone expands to
-    B^2/2 Levenshtein calls in one task. The band must be dropped while the
-    genuine near-dup pair (same band, small edit) still surfaces."""
-    from exact_spark.operators.dedup import _FUZZY_BAND_CAP, dedup_fuzzy_edit
+def test_fuzzy_edit_hot_band_linear_and_connected(spark, adversarial_dir):
+    """dedup_fuzzy_edit's SNM candidate generation (r07: the old
+    size<=cap drop filter excluded 15/18 bands at sf0.1 — a length band
+    is each doc's ONLY route — and chunked-exhaustive expansion cost
+    cap^2/2 per chunk): the over-cap identical block now emits exactly
+    n*w - w(w+1)/2 within-window pairs (LINEAR in block size), every
+    pair at edit distance 0, and the pair set CONNECTS the whole block
+    into one duplicate group — the property grouping consumes. The
+    genuine near-dup pair elsewhere still surfaces."""
+    from exact_spark.operators.dedup import _FUZZY_WINDOW, dedup_fuzzy_edit
 
-    assert _FUZZY_BAND_CAP <= _LSH_BUCKET_CAP + 20  # fixture is over-cap
+    n_hot = _LSH_BUCKET_CAP + 20
     got = dedup_fuzzy_edit(spark, adversarial_dir).toPandas()
-    hot_ids = set(range(_LSH_BUCKET_CAP + 20))
-    assert not any(a in hot_ids and b in hot_ids for a, b in zip(got.doc_a, got.doc_b))
+    hot_ids = set(range(n_hot))
+    hot = got[got.doc_a.isin(hot_ids) & got.doc_b.isin(hot_ids)]
+    w = _FUZZY_WINDOW
+    assert len(hot) == n_hot * w - w * (w + 1) // 2  # linear, not n^2/2
+    assert (hot.edit_dist == 0).all()
+    # chain connectivity: union-find over the found pairs yields ONE group
+    parent = {i: i for i in hot_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(hot.doc_a, hot.doc_b):
+        parent[find(int(a))] = find(int(b))
+    assert len({find(i) for i in hot_ids}) == 1
     assert ((got.doc_a == 10_000) & (got.doc_b == 10_001)).any()
+
+
+def test_fuzzy_edit_snm_matches_exhaustive_truth_at_gate_sf(spark, sf_dir):
+    """At the gate scale factors every true within-band pair sits inside
+    the SNM window (verified: 24 == 24 at sf0.001/sf0.01), so the SNM
+    result must EQUAL the uncapped exhaustive truth — pinning that the
+    window trade-off costs nothing where the oracle gate runs, and any
+    future window/ordering change that breaks it is visible."""
+    import duckdb
+
+    from exact_spark.operators.dedup import (
+        _FUZZY_BAND_WIDTH,
+        _FUZZY_MAX_DIST,
+        _FUZZY_PREFIX,
+        dedup_fuzzy_edit,
+    )
+
+    got = {
+        (int(a), int(b), int(d))
+        for a, b, d in dedup_fuzzy_edit(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    truth = set(
+        map(
+            tuple,
+            con.execute(f"""
+        WITH blocked AS (SELECT doc_id, n_chars // {_FUZZY_BAND_WIDTH} AS band,
+                                substr(text, 1, {_FUZZY_PREFIX}) AS pre
+                         FROM documents),
+        cand AS (SELECT a.doc_id, b.doc_id, levenshtein(a.pre, b.pre) AS d
+                 FROM blocked a JOIN blocked b USING (band)
+                 WHERE a.doc_id < b.doc_id)
+        SELECT * FROM cand WHERE d <= {_FUZZY_MAX_DIST}
+        """).fetchall(),
+        )
+    )
+    assert got == truth
 
 
 def test_fuzzy_edit_capped_semantics_match_oracle(spark, adversarial_dir):
