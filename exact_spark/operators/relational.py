@@ -2566,3 +2566,20 @@ def rel_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+def basket_cap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped mass of _MB_BASKET_CAP on rel_market_basket's basket key
+    ("no silent caps" discipline — same one-aggregate shape as
+    dedup._cap_census over the operator's own grouping key). TPC-H-shaped
+    orders hold <= 7 items so the cap never binds on this data family;
+    the census is the cheap proof of that claim on ANY corpus, and
+    nonzero n_members_over_cap means a mega-basket's pairs were excluded
+    (a basket is the only route for its pairs — if this ever binds on
+    real data, the fuzzy-edit SNM precedent applies)."""
+    from exact_spark.operators.dedup import _cap_census
+
+    tune_session(spark)
+    li = io.load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    return _cap_census(items, ["l_orderkey"], _MB_BASKET_CAP)

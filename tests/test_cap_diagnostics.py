@@ -171,3 +171,24 @@ def test_sem_chunk_census_zero_at_sf001(spark, sf_dir):
     assert got["n_groups_over_cap"] == 0
     assert got["n_members_in_split_clusters"] == 0
     assert got["n_members_beyond_first_chunk"] == 0
+
+
+def test_basket_cap_census(spark, sf_dir, tmp_path):
+    """rel_market_basket's basket cap: zero on the TPC-H-ish testdata
+    (max ~11 distinct parts per order), nonzero on a planted mega-basket."""
+    import pandas as pd
+
+    from exact_spark.operators.relational import _MB_BASKET_CAP, basket_cap_census
+
+    got = _one(basket_cap_census(spark, sf_dir))
+    assert got["cap"] == _MB_BASKET_CAP
+    assert got["n_groups_over_cap"] == 0
+    assert got["max_group_size"] <= _MB_BASKET_CAP
+
+    rows = [(1, p) for p in range(_MB_BASKET_CAP + 5)] + [(2, 0), (2, 1)]
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        tmp_path / "lineitem.parquet", index=False
+    )
+    hot = _one(basket_cap_census(spark, str(tmp_path)))
+    assert hot["n_groups_over_cap"] == 1
+    assert hot["n_members_over_cap"] == _MB_BASKET_CAP + 5
