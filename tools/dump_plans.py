@@ -50,7 +50,7 @@ HEADLINERS = [
     ("ml_roc_auc", "scores collapse to the distinct-value grid first; the single-partition window runs over grid cardinality, never raw rows"),
     ("dq_referential_integrity", "lineitem scanned ONCE for all three of its FK edges — dims broadcast, the one fact-fact edge reduced to its key column"),
     ("emb_dim_stats", "posexplode then one groupBy on |dims| keys — map-side combine collapses every partition to |dims| cells"),
-    ("dedup_fuzzy_edit", "ONE exchange keyed on the length band; capped in-place pair expansion; Levenshtein on a bounded prefix inside codegen"),
+    ("dedup_fuzzy_edit", "sorted-neighborhood candidates: ONE band-keyed window computes all w lead() columns (no self-join, no cap) — n*w linear pairs; Levenshtein on a bounded prefix inside codegen"),
     ("dedup_semantic", "argmax assignment vs 8 BROADCAST centroids (no shuffle); over-cap clusters chunked by the cluster-keyed row_number window BEFORE collect_list — every collected row <= cap members, pair cosines expand in place"),
     ("text_winnow_fingerprints", "the only exchange keys doc_id (per-doc window sort); both census groupBys ride that same partitioning"),
     ("ts_spearman_corr", "rank windows partitioned per event_type (no global sort); moment sums reduce to one cell per type"),
