@@ -1196,8 +1196,9 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reports how hot the bands run; with SNM a hot band costs w-linear work,
 # not a drop and not a blowup).
 _FUZZY_BAND_WIDTH = 32  # docs within the same n_chars // 32 band are candidates
-_FUZZY_BAND_CAP = 200
+_FUZZY_BAND_CAP = 200  # census reference only — SNM enforces no cap
 _FUZZY_WINDOW = 16  # SNM window: compare with the next w docs in sort order
+_FUZZY_SUBKEY_CHARS = 2  # window partition = (band, first 2 prefix chars)
 _FUZZY_PREFIX = 256
 _FUZZY_MAX_DIST = 32
 
@@ -1225,7 +1226,8 @@ def _fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, pre,
                {", ".join(f"lead(doc_id, {i}) OVER w AS d{i}, lead(pre, {i}) OVER w AS p{i}" for i in range(1, _FUZZY_WINDOW + 1))}
         FROM blocked
-        WINDOW w AS (PARTITION BY band ORDER BY pre NULLS FIRST, doc_id)
+        WINDOW w AS (PARTITION BY band, substr(pre, 1, {_FUZZY_SUBKEY_CHARS})
+                     ORDER BY pre NULLS FIRST, doc_id)
     ),
     cand AS (
         {" UNION ALL ".join(f"SELECT doc_id AS id_a, d{i} AS id_b, levenshtein(pre, p{i}) AS edit_dist FROM led WHERE d{i} IS NOT NULL" for i in range(1, _FUZZY_WINDOW + 1))}
@@ -1237,24 +1239,30 @@ def _fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Fuzzy near-dup via bounded edit distance — the character-level "
     "sibling of the shingle/MinHash/SimHash family (catches small in-place "
     "edits that shift every word 3-gram). Candidate generation is "
-    "sorted-neighborhood (SNM): within a length band (n_chars DIV "
-    f"{_FUZZY_BAND_WIDTH}), each doc is compared with its next "
-    f"{_FUZZY_WINDOW} neighbors in (prefix, doc_id) sort order, computed "
-    "as lead() columns over ONE band-keyed window — candidates are "
+    "sorted-neighborhood (SNM): within a (length band, first "
+    f"{_FUZZY_SUBKEY_CHARS}-prefix-chars) partition, each doc is compared "
+    f"with its next {_FUZZY_WINDOW} neighbors in (prefix, doc_id) sort "
+    "order, computed as lead() columns over ONE window — candidates are "
     "LINEAR in corpus size (n*w pairs), so there is no degenerate-band "
     "cap and no silent drop at any scale (r07: the fuzzy_band_census "
     "caught the old size<=cap filter excluding 15/18 bands at sf0.1 — a "
-    "length band is each doc's only route). Near-identical docs sort "
-    "adjacent, so a duplicate GROUP emits a chain of within-window pairs "
-    "— connectivity (what dedup grouping consumes) is preserved even "
-    "when the group is wider than the window; pairs more than w apart "
-    "in sort order are the documented SNM trade-off (measured vs the "
-    "uncapped exhaustive truth at sf0.1: 91.6% pair / 95.4% doc recall "
-    "at 4x less work than chunked-exhaustive — the misses are early-"
-    "prefix edits that lexicographic order scatters, exactly the pairs "
-    "the shingle-based generators catch through their own routes; "
-    "tests/test_dedup_caps.py pins exact parity with the exhaustive "
-    "truth at the gate SFs). The Levenshtein "
+    "length band is each doc's only route). The prefix-char sub-key "
+    "bounds PER-TASK work too: a hot length band (crawl-clipped corpora "
+    "concentrate lengths) would otherwise sort in one window partition; "
+    "lexicographic grouping keeps same-prefix docs — the SNM adjacency "
+    "that matters — inside one partition, and a still-hot (band, chars) "
+    "partition costs B log B sort + B*w kernels, linear in B, never "
+    "quadratic. Near-identical docs sort adjacent, so a duplicate GROUP "
+    "emits a chain of within-window pairs — connectivity (what dedup "
+    "grouping consumes) is preserved even when the group is wider than "
+    "the window; pairs more than w apart in sort order or differing in "
+    "the first sub-key chars are the documented SNM trade-off (measured "
+    "vs the uncapped exhaustive truth at sf0.1: 228/261 = 87.4% pair "
+    "recall at 4x less work than chunked-exhaustive — the misses are "
+    "early-prefix edits that lexicographic order scatters anyway, "
+    "exactly the pairs the shingle-based generators catch through their "
+    "own routes; tests/test_dedup_caps.py pins exact parity with the "
+    "exhaustive truth at BOTH gate SFs). The Levenshtein "
     f"kernel runs on a {_FUZZY_PREFIX}-char prefix with Spark's "
     "threshold-pruned variant (early exit past _FUZZY_MAX_DIST) — "
     "per-pair cost is a constant, per-doc cost is w kernels.",
@@ -1262,9 +1270,9 @@ def _fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     blocked = _fuzzy_blocked(spark, sf_dir)
-    wb = Window.partitionBy("band").orderBy(
-        F.col("pre").asc_nulls_first(), F.col("doc_id")
-    )
+    wb = Window.partitionBy(
+        "band", F.substring("pre", 1, _FUZZY_SUBKEY_CHARS)
+    ).orderBy(F.col("pre").asc_nulls_first(), F.col("doc_id"))
     led = blocked.select(
         "doc_id",
         "pre",
@@ -1915,12 +1923,15 @@ def simhash_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fuzzy_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split mass of _FUZZY_BAND_CAP on dedup_fuzzy_edit's length-band
-    blocking key. A length band is each doc's ONLY route (no redundant
-    bands), so this census finding 15/18 bands over cap at sf0.1 is what
-    turned the old drop filter into the r07 chunking fix — over-cap bands
-    now SPLIT by the sorted-neighborhood ordering, and n_members_over_cap
-    reads as boundary-recall exposure, not dropped candidates."""
+    """Band-occupancy census for dedup_fuzzy_edit. Historical role: a
+    length band is each doc's ONLY route (no redundant bands), and this
+    census finding 15/18 bands over _FUZZY_BAND_CAP at sf0.1 is what
+    killed the old drop filter. The operator now enforces NO cap at all —
+    SNM candidates are n*w linear, windowed over (band, prefix chars) —
+    so the census is pure observability: n_groups_over_cap reads as "how
+    hot do bands run on this corpus" (per-task cost in a hot partition is
+    linear in its size), and the cap column is the historical reference
+    threshold, not an enforcement bound."""
     tune_session(spark)
     return _cap_census(
         _fuzzy_blocked(spark, sf_dir).select("doc_id", "band"),

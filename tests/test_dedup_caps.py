@@ -119,13 +119,20 @@ def test_fuzzy_edit_hot_band_linear_and_connected(spark, adversarial_dir):
     assert ((got.doc_a == 10_000) & (got.doc_b == 10_001)).any()
 
 
-def test_fuzzy_edit_snm_matches_exhaustive_truth_at_gate_sf(spark, sf_dir):
-    """At the gate scale factors every true within-band pair sits inside
-    the SNM window (verified: 24 == 24 at sf0.001/sf0.01), so the SNM
-    result must EQUAL the uncapped exhaustive truth — pinning that the
-    window trade-off costs nothing where the oracle gate runs, and any
-    future window/ordering change that breaks it is visible."""
+@pytest.mark.parametrize(
+    "gate_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+    ids=["sf0.001", "sf0.01"],
+)
+def test_fuzzy_edit_snm_matches_exhaustive_truth_at_gate_sf(spark, gate_dir):
+    """At BOTH gate scale factors every true within-band pair sits inside
+    the SNM window and sub-key (verified: 24 == 24 at sf0.001/sf0.01), so
+    the SNM result must EQUAL the uncapped exhaustive truth — pinning that
+    the window/sub-key trade-off costs nothing where the oracle gate runs,
+    and any future window/ordering/sub-key change that breaks it is
+    visible at the sf it breaks."""
     import duckdb
+
+    sf_dir = gate_dir
 
     from exact_spark.operators.dedup import (
         _FUZZY_BAND_WIDTH,
