@@ -281,3 +281,19 @@ def test_semantic_dedup_chunked_plan_shape(spark, sf_dir):
     # aggregate key, proving assignment happens before collection
     agg_at = plan.index("collect_list")
     assert "chunk" in plan[max(0, agg_at - 400):agg_at]
+
+
+def test_fuzzy_edit_snm_plan_shape(spark, sf_dir):
+    """The SNM rewrite's scale contract: candidates come from lead()
+    columns over ONE window keyed (band, prefix chars) — no self-join of
+    the blocked table (the join form would rescan documents per side),
+    no collect_list (nothing accumulates a whole band in one row), and
+    no empty partition spec (a global sort would serialize the corpus)."""
+    from exact_spark.operators.dedup import dedup_fuzzy_edit
+
+    plan = _plan(dedup_fuzzy_edit(spark, sf_dir))
+    assert "Window" in plan
+    assert "hashpartitioning(band" in plan
+    assert "partitionBy()" not in plan.replace(" ", "")
+    assert "Join" not in plan  # no self-join candidate generation
+    assert "collect_list" not in plan  # linear lead() pairs, no block rows
