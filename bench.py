@@ -5,9 +5,15 @@ local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines on stdout: the full
 record {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "rows": {...}, "sf": ...} first, then a COMPACT totals line (value/sf/
 n_queries/n_failures + worst ratio vs the BASELINE.md envelope +
-row-count sign changes vs the committed BENCH_ROWS.json reference) LAST
+row-count drift vs the committed BENCH_ROWS.json reference) LAST
 so a bounded stdout-tail capture always parses. Per-query progress goes
 to stderr.
+
+Flags: ``--record-rows`` opts in to refreshing BENCH_ROWS.json (the
+round-record step passes it; a plain measurement run never mutates the
+committed reference, and a record run with drift outstanding writes
+BENCH_ROWS.pending.json instead so the flag persists until deliberately
+promoted).
 """
 
 from __future__ import annotations
@@ -76,10 +82,16 @@ def main() -> None:
     # centers, exact_spark.artifacts.memo_put discipline): without the warm
     # each configuration's alphabetically-first consumer times the MLlib
     # fit (~4s) instead of its own serving work — dedup_semantic_kmeans for
-    # the _SEM_K quantizer, sim_ivf_kmeans_recall for the _N_CELLS one
-    from exact_spark.operators.similarity import _N_CELLS, _SEM_K, _kmeans_centroids
+    # the occupancy-driven semantic-dedup quantizer, sim_ivf_kmeans_recall
+    # for the _N_CELLS one
+    from exact_spark.operators.similarity import (
+        _N_CELLS,
+        _kmeans_centroids,
+        _sem_corpus_n,
+        _sem_k,
+    )
 
-    _kmeans_centroids(spark, sf_dir, _SEM_K)
+    _kmeans_centroids(spark, sf_dir, _sem_k(_sem_corpus_n(spark, sf_dir)))
     _kmeans_centroids(spark, sf_dir, _N_CELLS, exclude_queries=True)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -163,34 +175,57 @@ def main() -> None:
             compact["worst_query"] = worst
             compact["worst_ratio_vs_baseline"] = ratios[worst]
             compact["n_over_2x"] = sum(1 for r in ratios.values() if r > 2.0)
-    # Row-count drift gate (VERDICT r06 item 3): a query whose result
-    # silently collapses to EMPTY between rounds (the semantic-dedup
-    # cluster-cap no-op) trips nothing in the sf0.01 oracle gate or the
-    # timing envelope — an empty result is fast. Compare this run's row
-    # counts against the committed previous round's reference and flag
-    # every 0 <-> nonzero transition in the compact line, then refresh the
-    # reference (row counts are deterministic fixed-point results, so a
-    # same-code rerun writes identical values; git history carries the
-    # per-round reference the next run compares against). sf0.1-only,
-    # like the timing envelope — counts are scale-dependent.
+    # Row-count drift gate (VERDICT r06 item 3, widened per VERDICT r07
+    # item 3): a query whose result silently collapses between rounds
+    # (the semantic-dedup cluster-cap no-op, or its PARTIAL cousin —
+    # 1292 pairs quietly becoming 40) trips nothing in the sf0.01 oracle
+    # gate or the timing envelope. Row counts are deterministic
+    # fixed-point results (back-to-back runs reproduce all counts
+    # byte-identically), so ANY changed count vs the committed reference
+    # is a flag, not just 0 <-> nonzero transitions; registry growth and
+    # removed names are carved out as before. sf0.1-only, like the timing
+    # envelope — counts are scale-dependent. The reference refresh is
+    # OPT-IN (VERDICT r07 item 4): plain bench runs never mutate the
+    # committed file, and a `--record-rows` run with flags outstanding
+    # writes a side file instead, so a regression not acted on in the
+    # same round keeps flagging until the reference is deliberately
+    # re-seeded (ADVICE r07).
     if sf_val == 0.1:
         rows_ref = Path(__file__).resolve().parent / "BENCH_ROWS.json"
         prev_rows = (
             json.loads(rows_ref.read_text()) if rows_ref.exists() else {}
         )
-        changed = _rows_sign_changes(prev_rows, rows)
-        compact["n_rows_sign_changes"] = len(changed)
-        if changed:
-            compact["rows_sign_changed"] = changed[:5]
-        # carry forward the previous reference for still-registered queries
-        # that FAILED this run — dropping them would let a fail-one-round
-        # query re-enter with 0 rows unflagged (the exact regression class
-        # this gate exists for); names no longer registered do drop
-        merged = {
-            **{n: c for n, c in prev_rows.items() if n in REGISTRY},
-            **rows,
-        }
-        rows_ref.write_text(json.dumps(merged, sort_keys=True, indent=0) + "\n")
+        drifted = _rows_drift(prev_rows, rows)
+        compact["n_rows_drift"] = len(drifted)
+        signs = _rows_sign_changes(prev_rows, rows)
+        compact["n_rows_sign_changes"] = len(signs)
+        if drifted:
+            compact["rows_drifted"] = [
+                f"{n}:{prev_rows[n]}->{rows[n]}" for n in drifted[:5]
+            ]
+        if "--record-rows" in sys.argv:
+            # carry forward the previous reference for still-registered
+            # queries that FAILED this run — dropping them would let a
+            # fail-one-round query re-enter with 0 rows unflagged (the
+            # exact regression class this gate exists for); names no
+            # longer registered do drop
+            merged = {
+                **{n: c for n, c in prev_rows.items() if n in REGISTRY},
+                **rows,
+            }
+            target = rows_ref if not drifted else rows_ref.with_suffix(
+                ".pending.json"
+            )
+            target.write_text(
+                json.dumps(merged, sort_keys=True, indent=0) + "\n"
+            )
+            if drifted:
+                print(
+                    f"# rows drift outstanding ({len(drifted)} queries) — "
+                    f"reference NOT refreshed; wrote {target.name} for "
+                    "deliberate promotion",
+                    file=sys.stderr,
+                )
     print(json.dumps(compact))
     spark.stop()
 
@@ -241,10 +276,19 @@ def _measure_with_retry(
     return min(dt, dt2), n, True
 
 
-def _rows_sign_changes(prev: dict[str, int], cur: dict[str, int]) -> list[str]:
-    """Queries whose row count crossed 0 <-> nonzero vs the previous
-    reference — the empty-result regression signature. Only names present
+def _rows_drift(prev: dict[str, int], cur: dict[str, int]) -> list[str]:
+    """Queries whose row count CHANGED AT ALL vs the previous reference.
+    Counts are deterministic fixed-point results, so any movement is
+    either an intentional semantics change (re-seed the reference in the
+    same commit) or a regression — no tolerance needed. Only names present
     in BOTH records compare (registry growth is not drift)."""
+    return sorted(n for n, c in cur.items() if n in prev and prev[n] != c)
+
+
+def _rows_sign_changes(prev: dict[str, int], cur: dict[str, int]) -> list[str]:
+    """The 0 <-> nonzero subset of :func:`_rows_drift` — the empty-result
+    regression signature, kept as its own compact-line field for
+    round-over-round comparability of the recorded metric."""
     return sorted(
         n for n, c in cur.items() if n in prev and (prev[n] == 0) != (c == 0)
     )

@@ -87,12 +87,14 @@ def evict_new_memo_entries(snapshot: list[dict]) -> int:
     n = 0
     for i, m in enumerate(_ALL_MEMOS):
         want = snapshot[i] if i < len(snapshot) else {}
-        for k in [k for k in m if k not in want]:
-            del m[k]
-            n += 1
-        for k, v in want.items():
-            if k not in m or m[k] is not v:
-                m[k] = v
+        n += sum(1 for k in m if k not in want)
+        # Rebuild in snapshot ITERATION order, not by patching in place:
+        # reinstating a displaced key by assignment would append it, so a
+        # later at-cap memo_put could FIFO-evict a different "oldest" entry
+        # than the first run's would have — the retry must see identical
+        # cache BEHAVIOR, not just identical contents.
+        m.clear()
+        m.update(want)
     return n
 
 

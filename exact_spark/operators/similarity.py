@@ -890,7 +890,12 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dropped when a LOWER-id member of its cluster sits above the duplicate
 # threshold (the deterministic keep-the-first-representative rule).
 #
-# Scale shape: at 100 TB k grows ~sqrt(N) so clusters stay small; candidate
+# Scale shape: k is OCCUPANCY-DRIVEN — k = max(_SEM_K_MIN, ceil(N /
+# _SEM_TARGET_OCC)), computed from the corpus row count on both engines
+# (Spark counts the parquet; the oracle's scalar subquery mirrors the same
+# formula), so the MEAN cluster size stays ~_SEM_TARGET_OCC at any corpus
+# size and total within-cluster pair work stays LINEAR in N (occ^2/2 pairs
+# per cluster x N/occ clusters = N*occ/2). Candidate
 # pairs come from ONE shuffle keyed on the cluster id — the bucket's members
 # collect in place and the pair expansion happens inside the row, the same
 # collect-expand form as dedup_minhash_lsh. The cosine is computed INSIDE
@@ -914,8 +919,10 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # into ONE array first and filtered after — an OOM at scale). The residual
 # skew cost is the row_number window itself: one task still SORTS each
 # over-cap cluster (Spark window sorts spill to disk, so this is a
-# wall-clock hotspot, not an OOM), bounded by the largest cluster ~N/k —
-# with k grown ~sqrt(N) at scale that stays sqrt-bounded. A hash-salted
+# wall-clock hotspot, not an OOM) — with occupancy-driven k the EXPECTED
+# cluster is ~_SEM_TARGET_OCC rows regardless of N, so only genuine
+# density skew (not corpus growth) can push a single task's sort over
+# cap, and sem_chunk_census() prices exactly that exposure. A hash-salted
 # pre-split would bound the sort too but would scatter near-identical
 # vectors across salts and destroy exactly the recall the prefix ordering
 # exists to preserve. Recall loss is
@@ -923,10 +930,40 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sem_chunk_census() (tests/test_cap_diagnostics.py) measures how often
 # the cap binds, per the no-silent-caps rule.
 
-_SEM_K = 8  # seed/trained clusters; ~sqrt(N) at scale
+_SEM_K_MIN = 8  # floor on cluster count (tiny-corpus safety)
+_SEM_TARGET_OCC = 64  # target MEAN members per cluster; k = ceil(N / occ)
 _SEM_DUP_COS = 0.30  # semantic-duplicate threshold for this corpus
 _SEM_CLUSTER_CAP = 200  # chunk size bound (work guard), NOT a drop filter
 _SEM_PREFIX_DIMS = 8  # quantized-prefix dims for the chunk ordering
+
+# Oracle mirror of _sem_k(): DuckDB derives the SAME occupancy-driven k
+# from the corpus itself via a scalar subquery, so Spark and the oracle
+# always agree on the cluster count at every scale factor.
+_SEM_K_SQL = (
+    f"GREATEST({_SEM_K_MIN}, CAST(CEIL((SELECT COUNT(*) FROM embeddings)"
+    f" / {_SEM_TARGET_OCC}.0) AS BIGINT))"
+)
+
+_SEM_N_MEMO: dict[str, int] = {}
+
+
+def _sem_corpus_n(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus row count feeding the occupancy-driven k — one
+    metadata-cheap parquet count per corpus, memoized (artifacts.memo_put
+    discipline: rebuildable, FIFO-bounded)."""
+    if sf_dir not in _SEM_N_MEMO:
+        memo_put(_SEM_N_MEMO, sf_dir, io.load(spark, sf_dir, "embeddings").count())
+    return _SEM_N_MEMO[sf_dir]
+
+
+def _sem_k(n: int) -> int:
+    """Occupancy-driven cluster count: k = max(_SEM_K_MIN, ceil(n /
+    _SEM_TARGET_OCC)). Mean cluster size stays ~_SEM_TARGET_OCC at any
+    corpus size, so per-cluster pair expansion is O(occ^2) and total
+    within-cluster work is LINEAR in n — the scale property the module
+    comment describes, implemented rather than assumed. Must stay the
+    exact integer mirror of _SEM_K_SQL."""
+    return max(_SEM_K_MIN, -(-n // _SEM_TARGET_OCC))
 
 
 def _assign_members(norms: DataFrame, cent: DataFrame) -> DataFrame:
@@ -1015,7 +1052,7 @@ def _semantic_dropped(
         FROM embeddings
     ),
     cent AS (SELECT vec_id AS cid, embedding AS cemb, norm_fx AS cnf
-             FROM norms WHERE vec_id < {_SEM_K}),
+             FROM norms WHERE vec_id < {_SEM_K_SQL}),
     assign_scored AS (
         SELECT v.vec_id, v.embedding, v.norm_fx, c.cid,
                row_number() OVER (
@@ -1056,18 +1093,22 @@ def _semantic_dropped(
     "the cap bounds per-row pair expansion, and the chunk id is assigned "
     "before collect_list so no task materializes an unbounded cluster). "
     "A vector is dropped when a lower-id chunk-mate exceeds the "
-    "threshold; dup_of is its lowest such representative. "
+    "threshold; dup_of is its lowest such representative. k is "
+    "OCCUPANCY-DRIVEN (max(8, ceil(N/64)), same formula on both engines) "
+    "so mean cluster size — and with it per-task sort and pair work — "
+    "stays constant as the corpus grows. "
     "dedup_semantic_kmeans swaps the seed centroids for a trained "
     "quantizer at scale.",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     emb = io.load(spark, sf_dir, "embeddings", spread=True)
+    k = _sem_k(_sem_corpus_n(spark, sf_dir))
     norms = emb.select(
         "vec_id", "embedding",
         dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
     )
-    cent = norms.filter(F.col("vec_id") < _SEM_K).select(
+    cent = norms.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell"),
         F.col("embedding").alias("c_embedding"),
         F.col("norm_fx").alias("c_norm_fx"),
@@ -1084,12 +1125,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster duplicate search sees semantically-coherent candidates — the "
     "production configuration of the same chunked collect-expand plan "
     "(same occupancy policy: over-cap clusters split by quantized-prefix "
-    "chunking, never dropped).",
+    "chunking, never dropped; same occupancy-driven k = max(8, "
+    "ceil(N/64)) sizing the trained quantizer).",
 )
 def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     emb = io.load(spark, sf_dir, "embeddings", spread=True)
-    cent = _kmeans_centroids(spark, sf_dir, _SEM_K)
+    cent = _kmeans_centroids(spark, sf_dir, _sem_k(_sem_corpus_n(spark, sf_dir)))
     norms = emb.select(
         "vec_id", "embedding",
         dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
@@ -1409,7 +1451,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ),
     cent AS (SELECT vec_id AS cid, embedding AS cemb, norm_fx AS cnf
-             FROM norms WHERE vec_id < {_SEM_K}),
+             FROM norms WHERE vec_id < {_SEM_K_SQL}),
     assign_scored AS (
         SELECT v.vec_id, v.label, c.cid,
                {_SQL_COS.format(dot=_sql_dot('v.embedding', 'c.cemb'), na='v.norm_fx', nb='c.cnf')} AS cos,
@@ -1453,7 +1495,8 @@ def sim_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding",
         dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
     )
-    cent = norms.filter(F.col("vec_id") < _SEM_K).select(
+    k = _sem_k(_sem_corpus_n(spark, sf_dir))
+    cent = norms.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell"),
         F.col("embedding").alias("c_embedding"),
         F.col("norm_fx").alias("c_norm_fx"),
@@ -3513,25 +3556,40 @@ def emb_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cap_census(bands, ["band", "bucket"], _EMB_BUCKET_CAP)
 
 
-def sem_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sem_chunk_census(
+    spark: SparkSession, sf_dir: str, quantizer: str = "seed"
+) -> DataFrame:
     """How often the semantic-dedup chunking binds: clusters larger than
     _SEM_CLUSTER_CAP are SPLIT (never dropped — r07 fix), so the exposure
     is recall at chunk boundaries, not lost vectors. Reports clusters over
     cap, the total member mass living in split clusters, and the mass
     sitting BEYOND each cluster's first chunk (the members whose candidate
     pairs cross a chunk boundary at all) — zero means dedup_semantic ran
-    exactly as the uncapped ideal."""
+    exactly as the uncapped ideal. ``quantizer`` selects the occupancy
+    policy under census: ``"seed"`` (dedup_semantic's first-k rows) or
+    ``"kmeans"`` (dedup_semantic_kmeans' trained quantizer) — the two
+    cluster the space differently, so each needs its own census. Also
+    reports the occupancy-driven k and the corpus size, so a cross-SF read
+    shows max cluster size staying ~flat while N grows (the scale property
+    tests/test_cap_diagnostics.py pins)."""
     tune_session(spark)
     emb = io.load(spark, sf_dir, "embeddings", spread=True)
+    n_corpus = _sem_corpus_n(spark, sf_dir)
+    k = _sem_k(n_corpus)
     norms = emb.select(
         "vec_id", "embedding",
         dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
     )
-    cent = norms.filter(F.col("vec_id") < _SEM_K).select(
-        F.col("vec_id").alias("cell"),
-        F.col("embedding").alias("c_embedding"),
-        F.col("norm_fx").alias("c_norm_fx"),
-    )
+    if quantizer == "kmeans":
+        cent = _kmeans_centroids(spark, sf_dir, k)
+    elif quantizer == "seed":
+        cent = norms.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cell"),
+            F.col("embedding").alias("c_embedding"),
+            F.col("norm_fx").alias("c_norm_fx"),
+        )
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown quantizer policy {quantizer!r}")
     members = _assign_members(norms, cent).select("vec_id", "cluster")
     cap = _SEM_CLUSTER_CAP
     per = members.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
@@ -3547,4 +3605,8 @@ def sem_chunk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_members_beyond_first_chunk"),
         F.max("n").cast("long").alias("max_group_size"),
         F.lit(cap).cast("long").alias("cap"),
+        F.lit(quantizer).alias("quantizer"),
+        F.lit(k).cast("long").alias("k"),
+        F.lit(n_corpus).cast("long").alias("n_corpus"),
+        F.lit(_SEM_TARGET_OCC).cast("long").alias("target_occ"),
     )

@@ -134,9 +134,28 @@ def test_rows_sign_changes_flags_empty_to_nonzero_too():
 
 
 def test_rows_sign_changes_ignores_new_and_removed_names():
-    # registry growth is not drift; nonzero->nonzero movement is not drift
+    # registry growth is not drift; nonzero->nonzero movement is not a
+    # SIGN change (the widened _rows_drift gate handles it)
     assert bench._rows_sign_changes({"old": 5}, {"new": 0}) == []
     assert bench._rows_sign_changes({"q": 5}, {"q": 9999}) == []
+
+
+def test_rows_drift_flags_partial_collapse():
+    """VERDICT r07 item 3: the PARTIAL version of the empty-result bug —
+    dedup_simhash_pairs quietly collapsing 1292 -> 40 — must flag even
+    though neither side is zero (counts are deterministic; any movement
+    on an unchanged registry is a regression or an unseeded semantics
+    change)."""
+    prev = {"dedup_simhash_pairs": 1292, "rel_q1": 4, "quiet": 0}
+    cur = {"dedup_simhash_pairs": 40, "rel_q1": 4, "quiet": 0}
+    assert bench._rows_drift(prev, cur) == ["dedup_simhash_pairs"]
+
+
+def test_rows_drift_carves_out_registry_growth():
+    assert bench._rows_drift({"old": 5}, {"new": 7}) == []
+    assert bench._rows_drift({"q": 5}, {"q": 5}) == []
+    # sign changes are a subset of drift
+    assert bench._rows_drift({"q": 5}, {"q": 0}) == ["q"]
 
 
 def test_retry_reinstates_entries_displaced_at_cap():

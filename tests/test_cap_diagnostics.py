@@ -78,7 +78,8 @@ def benign_docs_dir(tmp_path_factory):
 def hot_vecs_dir(tmp_path_factory):
     """embeddings.parquet where one mass-duplicated vector floods a
     sign-projection bucket AND one k-means cell past both embedding-side
-    caps. The 8 seed rows (vec_id < _SEM_K = the centroids) are DISTINCT
+    caps. The 8 seed rows (vec_id < k, k at its _SEM_K_MIN floor for this
+    237-vector corpus = the centroids) are DISTINCT
     directions and the hot block is an exact copy of seed 3's direction —
     byte-identical copies, so every copy shares the same LSH buckets and
     the same argmax cell (noisy copies near a zero projection would
@@ -171,6 +172,36 @@ def test_sem_chunk_census_zero_at_sf001(spark, sf_dir):
     assert got["n_groups_over_cap"] == 0
     assert got["n_members_in_split_clusters"] == 0
     assert got["n_members_beyond_first_chunk"] == 0
+    assert got["quantizer"] == "seed"
+    assert got["k"] == 8  # 500 vectors / occ 64 -> ceil = 8 (= the floor)
+
+
+def test_sem_chunk_census_kmeans_policy(spark, sf_dir):
+    # ADVICE r07: the trained-quantizer occupancy policy needs its own
+    # census — kmeans clusters the space differently from the seed rows,
+    # so its cap exposure is observable separately
+    got = _one(sem_chunk_census(spark, sf_dir, quantizer="kmeans"))
+    assert got["quantizer"] == "kmeans"
+    assert got["n_groups"] <= got["k"]
+    assert got["n_groups_over_cap"] == 0  # sf0.001: nothing binds
+
+
+@pytest.mark.parametrize("quantizer", ["seed", "kmeans"])
+def test_sem_k_occupancy_driven_across_sfs(spark, quantizer):
+    """VERDICT r07 item 1: semantic-dedup k must grow with the corpus so
+    max cluster size does NOT grow linearly sf0.01 -> sf0.1 (with fixed
+    k=8 it did: ~62 -> ~250 mean). N grows 4x (500 -> 2000); k must grow
+    4x (8 -> 32) and the largest cluster must stay well under the linear
+    extrapolation of the sf0.01 maximum."""
+    small = _one(sem_chunk_census(spark, "/root/testdata/sf0.01", quantizer))
+    big = _one(sem_chunk_census(spark, "/root/testdata/sf0.1", quantizer))
+    assert (small["n_corpus"], big["n_corpus"]) == (500, 2000)
+    assert (small["k"], big["k"]) == (8, 32)
+    growth = big["n_corpus"] / small["n_corpus"]  # 4x
+    # sub-linear: the biggest cluster grows strictly slower than the corpus
+    assert big["max_group_size"] < small["max_group_size"] * growth
+    # and the occupancy target holds in the mean at BOTH scales
+    assert big["n_corpus"] / big["k"] <= small["n_corpus"] / small["k"]
 
 
 def test_basket_cap_census(spark, sf_dir, tmp_path):
