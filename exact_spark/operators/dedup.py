@@ -768,6 +768,221 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cross-corpus contamination via winnow fingerprints ---------------------
+# The production gate next to decontaminate_ngram: that one asks "which
+# TRAINING docs leak a benchmark doc's n-grams" within one table split by id;
+# this one asks the cross-SOURCE question a corpus merge actually runs —
+# "how much of each doc arriving from source X is already covered by the
+# corpus we hold from everywhere else", measured as winnow-fingerprint
+# containment (Schleimer et al. 2003 selection, the same fingerprints
+# text_winnow_fingerprints censuses). Containment, not pair overlap: the
+# holding corpus's fingerprints collapse to a SET first, so a fingerprint
+# shared by a million held docs costs one row — no hot-key expansion, no cap
+# needed, unlike every pairwise candidate generator above.
+
+_CONTAM_EVAL_SOURCE = "src0"  # the arriving source under check
+_CONTAM_FLAG_NUM, _CONTAM_FLAG_DEN = 1, 2  # flag when containment >= 1/2
+
+
+def _contaminate_fp_sql() -> str:
+    from exact_spark.operators.text import _SQL_WINNOW_SELECTED
+
+    return f"""
+    WITH {_SQL_WINNOW_SELECTED},
+    posting AS (
+        SELECT s.doc_id, s.fp, d.source
+        FROM selected s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    train_fp AS (
+        SELECT DISTINCT fp FROM posting WHERE source <> '{_CONTAM_EVAL_SOURCE}'
+    ),
+    ev AS (
+        SELECT doc_id, fp FROM posting WHERE source = '{_CONTAM_EVAL_SOURCE}'
+    ),
+    hit AS (
+        SELECT e.doc_id, count(*) AS n_fp, count(t.fp) AS n_contained
+        FROM ev e LEFT JOIN train_fp t ON t.fp = e.fp
+        GROUP BY e.doc_id
+    )
+    SELECT doc_id AS eval_id,
+           CAST(n_fp AS BIGINT) AS n_fp,
+           CAST(n_contained AS BIGINT) AS n_contained,
+           n_contained * 1.0 / n_fp AS containment,
+           (n_contained * {_CONTAM_FLAG_DEN} >= n_fp * {_CONTAM_FLAG_NUM}) AS flagged
+    FROM hit
+    """
+
+
+@register(
+    "decontaminate_fingerprint",
+    sql=_contaminate_fp_sql(),  # composes the winnow-selection base CTE
+    doc="Cross-corpus contamination check: for every document of one "
+    "arriving source, the fraction of its winnow fingerprints already "
+    "present anywhere in the rest of the corpus (fingerprint CONTAINMENT "
+    "— the gate a corpus merge or eval-set intake runs before accepting "
+    "a source). Plan shape at 100 TB: the holding side collapses to a "
+    "distinct-fingerprint SET (one groupBy; boilerplate shared by any "
+    "number of docs costs one row, so there is no hot-key pair expansion "
+    "and NO cap anywhere on this path), the arriving side left-joins that "
+    "set on the fingerprint key, and one per-doc groupBy emits the "
+    "containment ratio — exact integer compare for the flag. Fingerprints "
+    "come from the registered winnow-selection base, so the gate cannot "
+    "drift from the census/pair operators using the same selection.",
+)
+def decontaminate_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exact_spark.operators.text import _winnow_selected
+
+    tune_session(spark)
+    sel = _winnow_selected(spark, sf_dir).select("doc_id", "fp")
+    docs = io.load(spark, sf_dir, "documents").select("doc_id", "source")
+    posting = sel.join(docs, "doc_id")
+    train_fp = (
+        posting.filter(F.col("source") != _CONTAM_EVAL_SOURCE)
+        .select(F.col("fp").alias("t_fp"))
+        .distinct()
+    )
+    ev = posting.filter(F.col("source") == _CONTAM_EVAL_SOURCE).select(
+        "doc_id", "fp"
+    )
+    hit = (
+        ev.join(train_fp, ev["fp"] == train_fp["t_fp"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fp"),
+            F.count("t_fp").cast("long").alias("n_contained"),
+        )
+    )
+    return hit.select(
+        F.col("doc_id").alias("eval_id"),
+        "n_fp",
+        "n_contained",
+        (F.col("n_contained") * 1.0 / F.col("n_fp")).alias("containment"),
+        (
+            F.col("n_contained") * _CONTAM_FLAG_DEN
+            >= F.col("n_fp") * _CONTAM_FLAG_NUM
+        ).alias("flagged"),
+    )
+
+
+# --- URL canonicalization dedup ----------------------------------------------
+# Web-crawl corpora dedup on the *canonical* URL before any content hashing:
+# the same page arrives as http://WWW.Host/path/?utm_source=feed and
+# https://host/path, and treating those as distinct URLs double-counts the
+# fetch, splits its quality signals, and leaks the page across train/eval
+# splits. The corpus here has no URL column, so each doc derives a
+# DETERMINISTIC messy URL from (source, doc_id) — scheme/www/host-case/
+# trailing-slash/tracking-param variants keyed on doc_id arithmetic — and the
+# operator under test is the canonicalizer + exact groupBy that collapses
+# them. The canonicalizer is pure engine-identical string ops (split on '?',
+# lower, fixed-literal replaces, explicit trailing-slash strip) — no regex,
+# because Java-regex vs RE2 edge semantics are exactly the cross-engine drift
+# a canonicalizer must not have. (Production note: lowercasing the whole URL
+# is safe here because the synthetic paths are digits; a real canonicalizer
+# lowercases scheme+host only.)
+
+_URL_PATH_MOD = 12  # doc_id % 12 path key -> ~2 docs per (source, path) group
+
+
+def _sql_url_raw() -> str:
+    return (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) || "
+        "(CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) || "
+        "(CASE WHEN doc_id % 11 = 0 THEN upper(source || '.example.com') "
+        " ELSE source || '.example.com' END) || "
+        f"'/doc/' || CAST(doc_id % {_URL_PATH_MOD} AS VARCHAR) || "
+        "(CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) || "
+        "(CASE WHEN doc_id % 5 = 0 THEN "
+        " '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 4 AS VARCHAR) "
+        " ELSE '' END)"
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    sql=f"""
+    WITH raws AS (
+        SELECT doc_id, {_sql_url_raw()} AS raw_url FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, raw_url,
+               CASE WHEN substr(c3, length(c3), 1) = '/'
+                    THEN substr(c3, 1, length(c3) - 1) ELSE c3 END AS canon_url
+        FROM (
+            SELECT doc_id, raw_url,
+                   replace(replace(lower(split_part(raw_url, '?', 1)),
+                           'http://', 'https://'),
+                           'https://www.', 'https://') AS c3
+            FROM raws
+        )
+    )
+    SELECT canon_url,
+           count(*) AS n_docs,
+           count(DISTINCT raw_url) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+           min(raw_url) AS example_raw
+    FROM canon GROUP BY canon_url
+    """,
+    doc="URL canonicalization + exact-hash dedup (the first gate of every "
+    "web-crawl pipeline): strip the query string, lowercase, normalize "
+    "scheme to https, strip www., strip the trailing slash — then ONE "
+    "map-side-combinable groupBy on the canonical form, with the group "
+    "size, the distinct raw-variant count, and the keep-the-lowest-id "
+    "representative per group. Plan shape at 100 TB: canonicalization is "
+    "a per-row expression inside the scan projection (whole-stage "
+    "codegen, zero extra passes); the dedup is exactly one hash "
+    "aggregate keyed on the canonical URL. The messy raw URL is a "
+    "documented deterministic derivation from (source, doc_id) because "
+    "the corpus lacks a URL column — the canonicalizer itself is the "
+    "operator under test.",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("http://")).otherwise(
+            F.lit("https://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.upper(host)).otherwise(host),
+        F.lit("/doc/"),
+        (F.col("doc_id") % _URL_PATH_MOD).cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=c"),
+                (F.col("doc_id") % 4).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    raws = docs.select("doc_id", raw.alias("raw_url"))
+    c3 = F.replace(
+        F.replace(
+            F.lower(F.substring_index(F.col("raw_url"), "?", 1)),
+            F.lit("http://"),
+            F.lit("https://"),
+        ),
+        F.lit("https://www."),
+        F.lit("https://"),
+    )
+    staged = raws.select("doc_id", "raw_url", c3.alias("c3"))
+    canon = F.when(
+        F.substring(F.col("c3"), F.length("c3"), 1) == "/",
+        F.substring(F.col("c3"), F.lit(1), F.length("c3") - 1),
+    ).otherwise(F.col("c3"))
+    return (
+        staged.select("doc_id", "raw_url", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_url").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+            F.min("raw_url").alias("example_raw"),
+        )
+    )
+
+
 # --- the end-to-end curation manifest ---------------------------------------
 
 from exact_spark.operators.text import (  # noqa: E402

@@ -781,3 +781,236 @@ def multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.expr(f"(count(*) + {_AR_BATCH - 1}) DIV {_AR_BATCH}").alias("n_microbatches"),
     )
+
+
+# --- perceptual-hash image near-dup (the multimodal sibling of dedup_simhash) -
+# Average-hash (aHash), the classic perceptual image fingerprint: resize to a
+# tiny grayscale grid, bit = cell intensity > image mean. Real pixels need the
+# codec stub wired (PIL absent), so the "grayscale" here is the decoded-payload
+# byte stream itself — the SAME stand-in multimodal_decode_features already
+# oracle-checks — split into _PHASH_BITS contiguous regions (the 1-D analog of
+# the resize): bit_r = mean(region_r bytes) > mean(all bytes). The comparison
+# runs in EXACT integer space (sum_r * n_total > sum_total * cnt_r), so the
+# hash is bit-identical across engines and partitionings. Candidate pairs
+# reuse the banded-Hamming plan shape of dedup_simhash_pairs: 4 bands of 8
+# bits, docs sharing ANY band value collide, capped collect-expand, exact
+# Hamming recheck — by pigeonhole a pair within Hamming distance 3 always
+# shares at least one intact band, so recall at the threshold is guaranteed,
+# never probabilistic.
+
+_PHASH_BITS = 32  # regions (power of 2: pos*32/n divides exactly in binary)
+_PHASH_BANDS = 4
+_PHASH_BAND_W = _PHASH_BITS // _PHASH_BANDS
+_PHASH_MAX_HD = 3  # <= bands - 1, so banding guarantees recall
+_PHASH_BUCKET_CAP = 200  # degenerate-bucket guard, same value as the siblings
+
+
+def _phash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> 32-char '0'/'1' average-hash over the payload bytes.
+
+    Plan shape: the hex parse + per-byte region tag is one in-row explode
+    (per-doc work O(bytes), no corpus state); the 32 region sums + totals
+    collapse through ONE map-side-combinable groupBy keyed on doc_id — the
+    same linear shape as dedup_simhash's vote aggregation.
+    """
+    docs = io.load(spark, sf_dir, "documents", spread=True)
+    hx = F.lower(F.hex(F.encode(F.col("text"), "UTF-8")))
+    staged = docs.select("doc_id", hx.alias("hx"))
+    n = (F.length("hx") / 2).cast("long")
+    bv = F.transform(
+        F.sequence(F.lit(0).cast("long"), n - 1),
+        lambda i: F.conv(F.substring(F.col("hx"), i * 2 + 1, F.lit(2)), 16, 10).cast(
+            "long"
+        ),
+    )
+    b = staged.select(
+        "doc_id", n.alias("n"), F.posexplode(bv).alias("pos0", "byte")
+    )
+    # pos0 * 32 / n: division by a power of two is exact in binary floating
+    # point, so floor() matches DuckDB's integer // on every input
+    region = F.floor(F.col("pos0") * _PHASH_BITS / F.col("n")).cast("int")
+    tagged = b.select("doc_id", "byte", region.alias("region"))
+    votes = tagged.groupBy("doc_id").agg(
+        F.sum("byte").alias("ts"),
+        F.count(F.lit(1)).alias("tc"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("region") == r, F.col("byte"))), F.lit(0)
+            ).alias(f"s{r}")
+            for r in range(_PHASH_BITS)
+        ],
+        *[
+            F.sum(F.when(F.col("region") == r, 1).otherwise(0)).alias(f"c{r}")
+            for r in range(_PHASH_BITS)
+        ],
+    )
+    bits = [
+        F.when(
+            F.col(f"s{r}") * F.col("tc") > F.col("ts") * F.col(f"c{r}"),
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for r in range(_PHASH_BITS)
+    ]
+    return votes.select("doc_id", F.concat(*bits).alias("phash"))
+
+
+_SQL_PHASH = f"""
+    raw AS (
+        SELECT doc_id, lower(hex(encode(text))) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    bytes AS (
+        SELECT doc_id, n,
+               (pos0 * {_PHASH_BITS}) // n AS region,
+               (strpos('0123456789abcdef', substr(hx, CAST(pos0 * 2 + 1 AS INT), 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substr(hx, CAST(pos0 * 2 + 2 AS INT), 1)) - 1) AS byte
+        FROM (SELECT doc_id, hx, n, unnest(range(0, n)) AS pos0 FROM raw)
+    ),
+    regs AS (
+        SELECT doc_id, region, SUM(byte) AS s, COUNT(*) AS c
+        FROM bytes GROUP BY doc_id, region
+    ),
+    tot AS (SELECT doc_id, SUM(s) AS ts, SUM(c) AS tc FROM regs GROUP BY doc_id),
+    allregs AS (
+        SELECT t.doc_id, r.r AS region,
+               COALESCE(g.s, 0) AS s, COALESCE(g.c, 0) AS c, t.ts, t.tc
+        FROM tot t
+        CROSS JOIN (SELECT unnest(range({_PHASH_BITS})) AS r) r
+        LEFT JOIN regs g ON g.doc_id = t.doc_id AND g.region = r.r
+    ),
+    hashes AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN s * tc > ts * c THEN '1' ELSE '0' END,
+                          '' ORDER BY region) AS phash
+        FROM allregs GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "multimodal_phash_neardup",
+    sql=f"""
+    WITH {_SQL_PHASH},
+    probes AS (
+        SELECT doc_id, b.b AS band,
+               substr(phash, CAST(b.b * {_PHASH_BAND_W} + 1 AS INT), {_PHASH_BAND_W}) AS val
+        FROM hashes CROSS JOIN (SELECT unnest(range({_PHASH_BANDS})) AS b) b
+    ),
+    grouped AS (
+        SELECT band, val, list_sort(list(doc_id)) AS ids
+        FROM probes GROUP BY band, val
+        HAVING count(*) BETWEEN 2 AND {_PHASH_BUCKET_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT g.ids[i] AS doc_a, g.ids[j] AS doc_b
+        FROM grouped g,
+             unnest(range(1, len(g.ids) + 1)) AS t1(i),
+             unnest(range(1, len(g.ids) + 1)) AS t2(j)
+        WHERE i < j
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT c.doc_a, c.doc_b,
+               {' + '.join(f"CASE WHEN substr(ha.phash, {p}, 1) <> substr(hb.phash, {p}, 1) THEN 1 ELSE 0 END" for p in range(1, _PHASH_BITS + 1))} AS hamming
+        FROM cand c
+        JOIN hashes ha ON ha.doc_id = c.doc_a
+        JOIN hashes hb ON hb.doc_id = c.doc_b
+    ) WHERE hamming <= {_PHASH_MAX_HD}
+    """,
+    doc="Perceptual-hash image near-dup — the multimodal sibling of "
+    "dedup_simhash_pairs: a 32-bit average-hash (aHash) fingerprint over "
+    "each payload's decoded byte stream (bit = region mean > global mean, "
+    "compared in exact integer space so the hash is engine- and "
+    "partitioning-invariant), then banded-Hamming candidate generation — "
+    "4 bands of 8 bits, one shuffle keyed on (band, value), capped "
+    "collect-expand, exact Hamming <= 3 recheck. Pigeonhole over 4 bands "
+    "makes recall at the threshold GUARANTEED, not probabilistic. At "
+    "100 TB the hash is one linear pass (per-doc state only) and the "
+    "pair stage touches 32-bit fingerprints, never payloads; swap the "
+    "byte-stream stand-in for real 8x8 grayscale cells at the documented "
+    "codec wire-in and nothing downstream changes.",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    hashes = _phash_df(spark, sf_dir)
+    probes = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(
+                            "phash", b * _PHASH_BAND_W + 1, _PHASH_BAND_W
+                        ).alias("val"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.band", "p.val")
+    grouped = (
+        probes.groupBy("band", "val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _PHASH_BUCKET_CAP))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    ha, hb = hashes.alias("ha"), hashes.alias("hb")
+    hamming = sum(
+        (
+            F.when(
+                F.substring(F.col("ha.phash"), p, 1)
+                != F.substring(F.col("hb.phash"), p, 1),
+                1,
+            ).otherwise(0)
+            for p in range(1, _PHASH_BITS + 1)
+        ),
+        F.lit(0),
+    )
+    return (
+        cand.join(ha, F.col("doc_a") == F.col("ha.doc_id"))
+        .join(hb, F.col("doc_b") == F.col("hb.doc_id"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_MAX_HD)
+    )
+
+
+def phash_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped mass of _PHASH_BUCKET_CAP on multimodal_phash_neardup's
+    (band, value) key — same contract as the dedup censuses (nonzero when
+    the cap binds); members keep redundant routes through the other 3
+    bands, and the Hamming recheck prices residual precision."""
+    from exact_spark.operators.dedup import _cap_census
+
+    tune_session(spark)
+    hashes = _phash_df(spark, sf_dir)
+    probes = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring(
+                            "phash", b * _PHASH_BAND_W + 1, _PHASH_BAND_W
+                        ).alias("val"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.band", "p.val")
+    return _cap_census(probes, ["band", "val"], _PHASH_BUCKET_CAP)

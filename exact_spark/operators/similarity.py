@@ -1375,6 +1375,210 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- composed IVF + PQ index (the production ANN configuration) -------------
+# A real serving index (FAISS IVFPQ, SCaNN, Milvus IVF_PQ) composes BOTH
+# halves built above: the coarse quantizer routes each query to a few cells
+# so the scan touches ~nprobe/ncells of the corpus, and inside the probed
+# cells distances come from the PQ code table (8 bytes/vector) instead of
+# the float embeddings (256 bytes/vector). Each half already exists and is
+# oracle-checked separately (sim_topk_ivf, sim_topk_pq); this registers the
+# composition itself, because the interaction — does cell routing plus code
+# quantization still find the true neighbors? — is what a production
+# deployment actually runs, and sim_ivfpq_recall prices it.
+
+
+def _sql_ivfpq_topk() -> str:
+    return f"""
+    WITH {_SQL_PQ_CODES},
+    norms AS (
+        SELECT vec_id, embedding,
+               {_sql_dot('embedding', 'embedding')} AS norm_fx
+        FROM embeddings
+    ),
+    cent AS (SELECT * FROM norms WHERE vec_id < {_N_CELLS}),
+    assign_scored AS (
+        SELECT v.vec_id, c.vec_id AS cell,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_SQL_COS.format(dot=_sql_dot('v.embedding', 'c.embedding'), na='v.norm_fx', nb='c.norm_fx')} DESC,
+                            c.vec_id
+               ) AS cr
+        FROM norms v, cent c
+    ),
+    assigned AS (SELECT vec_id, cell FROM assign_scored WHERE cr = 1),
+    q AS (SELECT * FROM norms WHERE vec_id < {_N_QUERIES}),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_SQL_COS.format(dot=_sql_dot('q.embedding', 'c.embedding'), na='q.norm_fx', nb='c.norm_fx')} DESC,
+                                c.vec_id
+                   ) AS pr
+            FROM q, cent c
+        ) WHERE pr <= {_N_PROBE}
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, m.m, s.k,
+               {_sql_sub_dist('q.embedding', 's.cemb', 'm.m')} AS d
+        FROM q
+        CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m) m
+        CROSS JOIN seeds s
+    ),
+    candcodes AS (
+        SELECT vec_id, m, code FROM (
+            {" UNION ALL ".join(f"SELECT vec_id, {m} AS m, code_{m} AS code FROM codes" for m in range(_PQ_M))}
+        )
+    ),
+    cellcand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    adc AS (
+        SELECT cc.query_id, cc.neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adc_fx
+        FROM cellcand cc
+        JOIN candcodes c ON c.vec_id = cc.neighbor_id
+        JOIN lut l ON l.query_id = cc.query_id AND l.m = c.m AND l.k = c.code
+        GROUP BY cc.query_id, cc.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_fx, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_fx, neighbor_id) AS rank
+        FROM adc
+    ) WHERE rank <= {_TOP_K}
+    """
+
+
+@register(
+    "sim_topk_ivfpq",
+    sql=_sql_ivfpq_topk(),
+    doc="Composed IVF+PQ ANN top-k — the production index layout (FAISS "
+    "IVFPQ / Milvus IVF_PQ): the coarse quantizer (16 seed centroids, same "
+    "assignment as sim_topk_ivf) routes each query to its 4 nearest cells, "
+    "and inside the probed cells the distance is the PQ asymmetric lookup "
+    "(sim_topk_pq's M x K query LUT summed over the candidate's 4-bit "
+    "codes). Plan shape at 100 TB: the cell-bucketed CODE table is the "
+    "only thing the scan reads — 8 bytes/vector over nprobe/ncells of the "
+    "corpus, so the scan cost drops ~64x vs exact-inside-cell IVF and "
+    "~256x vs brute force; the float vectors are touched only to build "
+    "the per-query LUT (tiny, broadcast). Candidates join the broadcast "
+    "probe table on the cell key — no shuffle of the code table, one "
+    "final per-query top-k window.",
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    cb = _pq_codebook(spark, sf_dir)
+    emb = io.load(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id",
+        "embedding",
+        dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
+    )
+    cent = norms.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_embedding"),
+        F.col("norm_fx").alias("c_norm_fx"),
+    )
+    # cell assignment (identical to _ivf_topk's): broadcast centroids,
+    # argmax cosine per vector
+    a_cos = cosine_from_fixed(
+        dot_fixed(F.col("embedding"), F.col("c_embedding")),
+        F.col("norm_fx"),
+        F.col("c_norm_fx"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(a_cos.desc(), F.col("cell"))
+    assigned = (
+        norms.crossJoin(F.broadcast(cent))
+        .withColumn("cr", F.row_number().over(wa))
+        .filter(F.col("cr") == 1)
+        .select("vec_id", "cell")
+    )
+    # the serving index: PQ codes bucketed by cell (at scale this table is
+    # WRITTEN partitioned by cell; here the join key carries the routing)
+    codes = emb_pq_encode(spark, sf_dir).select(
+        "vec_id", *[f"code_{m}" for m in range(_PQ_M)]
+    )
+    indexed = codes.join(assigned, "vec_id")
+    # query side: nprobe nearest cells + the exact-distance LUT, both tiny
+    q = norms.filter(F.col("vec_id") < _N_QUERIES)
+    p_cos = cosine_from_fixed(
+        dot_fixed(F.col("embedding"), F.col("c_embedding")),
+        F.col("norm_fx"),
+        F.col("c_norm_fx"),
+    )
+    wp = Window.partitionBy("vec_id").orderBy(p_cos.desc(), F.col("cell"))
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda m: F.transform(
+            F.element_at(_codebook_col(cb), m + 1),
+            lambda cw: _sub_dist_hof(
+                F.slice(F.col("embedding"), m * _PQ_SUB + 1, _PQ_SUB), cw
+            ),
+        ),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= _N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("cell").alias("p_cell"),
+            lut.alias("lut"),
+        )
+    )
+    cand = indexed.join(
+        F.broadcast(probes),
+        (indexed["cell"] == probes["p_cell"])
+        & (indexed["vec_id"] != probes["query_id"]),
+    )
+    adc = F.lit(0).cast("long")
+    for m in range(_PQ_M):
+        adc = adc + F.element_at(
+            F.element_at("lut", m + 1), F.col(f"code_{m}").cast("int") + 1
+        )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc_fx")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("adc_fx"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= _TOP_K
+    )
+
+
+def _ivfpq_recall_sql() -> str:
+    from exact_spark.registry import REGISTRY as _R
+
+    return f"""
+    WITH ex AS ({_R['sim_topk_cosine'].sql}),
+    ap AS ({_R['sim_topk_ivfpq'].sql}),
+    hits AS (
+        SELECT e.query_id, count(a.neighbor_id) AS n_hits
+        FROM ex e LEFT JOIN ap a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT query_id, n_hits,
+           CAST(n_hits AS DOUBLE) / {_TOP_K} AS recall_at_k
+    FROM hits
+    """
+
+
+@register(
+    "sim_ivfpq_recall",
+    sql=_ivfpq_recall_sql(),  # composes the two registered sibling specs
+    doc="recall@k of the composed IVF+PQ index against the exact "
+    "brute-force top-k — the number a production deployment tunes "
+    "(nprobe, M, K) against, measuring BOTH loss sources at once: cell "
+    "routing misses (a true neighbor living in an unprobed cell) and "
+    "code quantization misses (ADC reordering inside a probed cell). "
+    "Same measure-don't-guess composition as sim_ivf_recall / "
+    "sim_pq_recall, so the compound loss is always readable next to "
+    "each half's own recall.",
+)
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = sim_topk_cosine(spark, sf_dir)
+    ap = sim_topk_ivfpq(spark, sf_dir)
+    return _recall_vs_exact(ex, ap)
+
+
 _RANGE_MIN_COS = 0.30  # radius for the range-search demo
 
 

@@ -40,76 +40,32 @@ def register(name: str, sql: str | None, doc: str = ""):
 
 # The round driver records correctness for the FIRST 50 entries of
 # ``queries()`` (observed count cap: exactly 50 rows in CORRECTNESS_r01-r04).
-# With 239 registered queries, iteration order decides which get a driver
-# record, so it is managed explicitly. r05 policy (VERDICT r04 item 2): the
-# window is drawn EXCLUSIVELY from the 123 oracle-backed queries that have
-# never had a driver record in r01-r04 — no re-records, no rows-only entries
-# (they cannot hash-match and would waste a slot). Family priority follows
-# the verdict: rel_* TPC-H analogs, dq_* gates, emb_*, graph/sim_*
-# diagnostics, plus the four never-recorded queries whose code changed this
-# round. The 73-query backlog after this window rotates into r06. The full
-# registry is still covered every round by tools/record_correctness.py
-# (driver-identical compare, sf0.01) committed as CORRECTNESS_LOCAL_r{N}.json.
+# With 244 registered queries, iteration order decides which get a driver
+# record, so it is managed explicitly. r08 policy (VERDICT r07 item 5: the
+# never-recorded backlog is retired, so the slots now rotate onto the OLDEST
+# records first): never-recorded queries lead (this round: the 5 new r08
+# operators), then queries whose results changed since their last record
+# (_FORCE_RERECORD in the rotation tool — the occupancy-k semantic-dedup
+# change), then least-recently-recorded first, so no certification goes
+# stale. The full registry is still covered every round by
+# tools/record_correctness.py (driver-identical compare, sf0.01) committed
+# as CORRECTNESS_LOCAL_r{N}.json.
 # Round the current window was rotated FOR: the window must avoid driver
 # records from rounds strictly before this one. The round's own record (once
 # the driver commits it) matches the window by construction and is excluded,
 # so the gate stays green across the round boundary. rotate_driver_window.py
 # rewrites this alongside DRIVER_ORDER.
-DRIVER_WINDOW_ROUND: int = 7
+DRIVER_WINDOW_ROUND: int = 8
 
 DRIVER_ORDER: list[str] = [
     # --- window (slots 1-50): best available recording spend ---
-    "ts_rate_shift",
-    "ts_residual_outliers",
-    "ts_sax_symbolize",
-    "ts_seasonality_strength",
-    "ts_spearman_corr",
-    "ts_user_growth",
-    "ts_value_k_corr",
-    "dedup_containment",
-    "dedup_coverage",
-    "dedup_fuzzy_edit",
-    "dedup_winnow_recall",
-    "catalog_merge_upsert",
-    "catalog_retention_expire",
-    "catalog_schema_evolution",
-    "catalog_snapshot_diff",
-    "catalog_time_travel",
-    "g9_pr_curve",
-    "multimodal_aspect_bucket",
-    "multimodal_audio_windows",
-    "multimodal_binaryfile_ingest",
-    "multimodal_hard_negatives",
-    "multimodal_image_tiles",
-    "sketch_bloom_fpr",
-    "stream_session_window_native",
-    "stream_stateful_sessions",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "stream_watermark_dedup",
-    "stream_windowed_counts",
-    "catalog_partition_stats",
-    "dedup_semantic_kmeans",
-    "emb_pca_whiten",
-    "ml_ensemble_vote",
-    "ml_learning_curve",
-    "sim_ivf_kmeans_recall",
-    "sim_topk_ivf_kmeans",
-    "sketch_hll_intersection",
-    "stream_cms_maintain",
-    "stream_drift_monitor",
-    "stream_online_zscore",
-    "text_compression_ratio",
-    "text_quality_classifier",
-    "canon_materialize",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "emb_quantize_int8",
-    "g1_confusion_metrics",
-    # --- outside the window (rotates into it next round) ---
+    "sim_ivfpq_recall",
+    "sim_topk_ivfpq",
+    "dedup_url_canonical",
+    "decontaminate_fingerprint",
+    "multimodal_phash_neardup",
+    "dedup_semantic",
+    "sim_cluster_profile",
     "g5_percentile_threshold",
     "g6_ndcg",
     "g8_class_counts",
@@ -153,11 +109,11 @@ DRIVER_ORDER: list[str] = [
     "catalog_lifecycle",
     "decontaminate_ngram",
     "dedup_chunk_exact",
+    # --- outside the window (rotates into it next round) ---
     "dedup_incremental",
     "dedup_leakage_safe_split",
     "dedup_lsh_recall",
     "dedup_ngram_jaccard",
-    "dedup_semantic",
     "emb_pq_encode",
     "ingest_json_e2e",
     "ml_cv_stratified",
@@ -170,7 +126,6 @@ DRIVER_ORDER: list[str] = [
     "rel_inactive_customers",
     "rel_local_supplier_volume",
     "rel_top_parts_per_type",
-    "sim_cluster_profile",
     "sim_neardup_lsh",
     "sim_range_search",
     "sim_topk_pq",
@@ -299,6 +254,56 @@ DRIVER_ORDER: list[str] = [
     "ts_gap_profile",
     "ts_holt_linear",
     "ts_outlier_mad",
+    "canon_materialize",
+    "catalog_merge_upsert",
+    "catalog_partition_stats",
+    "catalog_retention_expire",
+    "catalog_schema_evolution",
+    "catalog_snapshot_diff",
+    "catalog_time_travel",
+    "dedup_components",
+    "dedup_containment",
+    "dedup_coverage",
+    "dedup_exact",
+    "dedup_fuzzy_edit",
+    "dedup_minhash_lsh",
+    "dedup_semantic_kmeans",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_winnow_recall",
+    "emb_pca_whiten",
+    "emb_quantize_int8",
+    "g1_confusion_metrics",
+    "g9_pr_curve",
+    "ml_ensemble_vote",
+    "ml_learning_curve",
+    "multimodal_aspect_bucket",
+    "multimodal_audio_windows",
+    "multimodal_binaryfile_ingest",
+    "multimodal_hard_negatives",
+    "multimodal_image_tiles",
+    "sim_ivf_kmeans_recall",
+    "sim_topk_ivf_kmeans",
+    "sketch_bloom_fpr",
+    "sketch_hll_intersection",
+    "stream_cms_maintain",
+    "stream_drift_monitor",
+    "stream_online_zscore",
+    "stream_session_window_native",
+    "stream_stateful_sessions",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_watermark_dedup",
+    "stream_windowed_counts",
+    "text_compression_ratio",
+    "text_quality_classifier",
+    "ts_rate_shift",
+    "ts_residual_outliers",
+    "ts_sax_symbolize",
+    "ts_seasonality_strength",
+    "ts_spearman_corr",
+    "ts_user_growth",
+    "ts_value_k_corr",
 ]
 
 

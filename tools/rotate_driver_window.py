@@ -43,6 +43,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 _REPO = Path(__file__).resolve().parents[1]
 _FAMILY_PRIORITY = ("rel_", "dq_", "emb_", "sim_", "ml_", "text_", "ts_", "dedup_")
+# Queries whose RESULTS changed since their last driver record (code touched
+# by the current round's fixes) — their stale certification is worthless, so
+# they sort ahead of the plain least-recently-recorded rotation. Update this
+# set each round; names not in the registry are ignored.
+_FORCE_RERECORD: set[str] = {
+    # r08: occupancy-driven semantic-dedup k (commit 06cfe22) changed both
+    # queries' row counts; their r04 records certify the old fixed-k results
+    "dedup_semantic",
+    "sim_cluster_profile",
+}
 # r10-safe: matches CORRECTNESS_r12.json, not CORRECTNESS_LOCAL_r05.json.
 _RECORD_RE = re.compile(r"^CORRECTNESS_r(\d+)\.json$")
 
@@ -75,7 +85,10 @@ def build_order() -> tuple[list[str], dict]:
 
     backlog = sorted(never_oracle, key=fam_rank)
     window, rest = backlog[:50], backlog[50:]
-    prev = sorted(recorded & set(REGISTRY), key=lambda n: (last_round[n], n))
+    prev = sorted(
+        recorded & set(REGISTRY),
+        key=lambda n: (0 if n in _FORCE_RERECORD else last_round[n], n),
+    )
     order = window + rest + never_rows + prev
     assert len(order) == len(set(order)) == len(REGISTRY)
     stats = {
