@@ -15,6 +15,12 @@ than the driver's rows-only count:
 
 (stream_cms_maintain and stream_drift_monitor graduated all the way to
 DuckDB oracles this round — see exact_spark/streaming/__init__.py.)
+
+r08 (VERDICT r07 item 6) adds the three remaining fixed-seed fits —
+ml_cv_stratified, ml_param_search, ml_supervised_e2e — pinning exact
+sf0.001 confusion counts / held-out scores next to the scale-independent
+structural invariants (stratified fold balance, single max-F1 selection,
+shared scored frame).
 """
 
 from __future__ import annotations
@@ -117,6 +123,82 @@ def test_ensemble_vote_pinned_and_invariant(spark, sf001):
         "isolation_forest": (11, 757, 42, 190),
         "pca_autoencoder": (10, 759, 40, 191),
         "ensemble": (6, 766, 33, 195),
+    }
+    for m, (tp, tn, fp, fn) in pinned.items():
+        r = rows[m]
+        assert (r["tp"], r["tn"], r["fp"], r["fn"]) == (tp, tn, fp, fn), m
+
+
+# --- r08 pins (VERDICT r07 item 6): the three remaining fixed-seed fits -----
+
+
+def test_cv_stratified_pinned_and_invariant(spark, sf001):
+    rows = sorted(
+        (r.asDict() for r in REGISTRY["ml_cv_stratified"].fn(spark, sf001).collect()),
+        key=lambda r: r["fold"],
+    )
+    # structural invariants (scale-independent): k folds partitioning the
+    # frame, round-robin sizes within 1, positives STRATIFIED within 1,
+    # derived metrics consistent with the counts at 4dp
+    assert [r["fold"] for r in rows] == [0, 1, 2]
+    sizes = [r["tp"] + r["tn"] + r["fp"] + r["fn"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    pos = [r["tp"] + r["fn"] for r in rows]
+    assert max(pos) - min(pos) <= 1
+    for r in rows:
+        n = r["tp"] + r["tn"] + r["fp"] + r["fn"]
+        assert r["accuracy"] == round((r["tp"] + r["tn"]) / n, 4)
+        denom_p = r["tp"] + r["fp"]
+        assert r["precision"] == (round(r["tp"] / denom_p, 4) if denom_p else 0.0)
+    # pinned exact per-fold confusion counts (fixed seed + fixed sf0.001)
+    pinned = [(0, 2, 259, 8, 65), (1, 1, 263, 3, 66), (2, 0, 261, 5, 67)]
+    got = [(r["fold"], r["tp"], r["tn"], r["fp"], r["fn"]) for r in rows]
+    assert got == pinned
+
+
+def test_param_search_pinned_and_invariant(spark, sf001):
+    rows = {
+        r["params"]: r.asDict()
+        for r in REGISTRY["ml_param_search"].fn(spark, sf001).collect()
+    }
+    # exactly one candidate selected, and it carries the max F1
+    selected = [r for r in rows.values() if r["selected"]]
+    assert len(selected) == 1
+    assert selected[0]["f1"] == max(r["f1"] for r in rows.values())
+    assert all(0.0 <= r["f1"] <= 1.0 for r in rows.values())
+    # pinned: the seeded grid sample and each candidate's held-out scores
+    pinned = {
+        '{"maxDepth": 8, "minInstancesPerNode": 1}': (0.8462, 0.8462, 0.8462, False),
+        '{"maxDepth": 5, "minInstancesPerNode": 1}': (0.8594, 0.873, 0.8462, False),
+        '{"maxDepth": 5, "minInstancesPerNode": 5}': (0.8682, 0.875, 0.8615, True),
+    }
+    assert set(rows) == set(pinned)
+    for p, (f1, prec, rec, sel) in pinned.items():
+        r = rows[p]
+        assert (r["f1"], r["precision"], r["recall"], r["selected"]) == (
+            f1, prec, rec, sel,
+        ), p
+
+
+def test_supervised_e2e_pinned_and_invariant(spark, sf001):
+    rows = {
+        r["model"]: r.asDict()
+        for r in REGISTRY["ml_supervised_e2e"].fn(spark, sf001).collect()
+    }
+    assert set(rows) == {"decision_tree", "logistic_regression", "gbt", "xgboost"}
+    # every model scores the same frame: totals and positives constant
+    assert len({r["tp"] + r["tn"] + r["fp"] + r["fn"] for r in rows.values()}) == 1
+    assert len({r["tp"] + r["fn"] for r in rows.values()}) == 1
+    assert all(
+        r["tp"] + r["tn"] + r["fp"] + r["fn"] == r["n_rows"] for r in rows.values()
+    )
+    # pinned exact confusion counts (fixed seeds + fixed sf0.001 input);
+    # decision_tree must agree with ml_learning_curve's full-fraction row
+    pinned = {
+        "decision_tree": (14, 790, 9, 187),
+        "logistic_regression": (0, 799, 0, 201),
+        "gbt": (126, 554, 245, 75),
+        "xgboost": (137, 551, 248, 64),
     }
     for m, (tp, tn, fp, fn) in pinned.items():
         r = rows[m]
