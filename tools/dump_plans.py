@@ -68,6 +68,10 @@ HEADLINERS = [
     ("multimodal_aspect_bucket", "integer argmin assignment inside the scan projection (zero exchanges before the 7-key census groupBy)"),
     ("ts_sax_symbolize", "hourly PAA frames via ONE map-side-combinable groupBy (no per-series sort); per-series bounds broadcast back onto the frames"),
     ("dedup_cluster_purity", "duplicate groups read from the per-corpus components ARTIFACT (plain parquet scan — the CC fixpoint never re-derives per consumer); two keyed groupBys over LSH-capped groups"),
+    ("sim_topk_ivfpq", "cell routing + PQ in one plan: probe table (with per-query LUT) BROADCAST into the code-table join — the candidate scan carries 8-byte codes, never an embedding; exchanges = the vec_id-keyed assignment window (sim_topk_ivf's shape; bucketed-by-cell at scale) and the final per-query top-k"),
+    ("multimodal_phash_neardup", "hash = one doc_id-keyed map-side-combinable groupBy (per-doc byte explode is in-row); candidates = ONE (band,value)-keyed exchange with capped in-place pair expansion; Hamming recheck joins 32-char strings only"),
+    ("decontaminate_fingerprint", "holding corpus collapses to a distinct-fingerprint SET (no cap, no pair expansion anywhere); arriving side left-joins on the fp key; one per-doc rollup"),
+    ("dedup_url_canonical", "canonicalization entirely inside the scan projection — the only exchanges are the canonical-URL aggregate's own two-phase distinct (count(DISTINCT raw) partials, then the final groupBy key)"),
 ]
 
 
