@@ -444,19 +444,30 @@ def render_waterfalls(
     return paths
 
 
+_FORCE_MAX_INSTANCE_PAGES = 16
+
+
 def render_force_plots(
-    pdf: pd.DataFrame, out_dir, max_display: int = _WATERFALL_MAX_DISPLAY
+    pdf: pd.DataFrame,
+    out_dir,
+    max_display: int = _WATERFALL_MAX_DISPLAY,
+    max_instance_pages: int = _FORCE_MAX_INSTANCE_PAGES,
 ) -> list[str]:
     """The reference's interactive force-plot HTML analog
     (shap.plots.force + shap.save_html, xai_visualizations.py:175-210):
-    one per-instance force HTML plus one all-instances summary page of
+    per-instance force HTML pages plus one all-instances summary page of
     stacked strips, rendered from the SAME collected signed-phi frame as
     the waterfalls (one KernelSHAP solve serves importances, waterfalls,
     and force plots). Browser-interactive JS is out of scope — the
     artifact contract is the additive-force layout (positive stack meets
     negative stack exactly at f(x)) in a self-contained HTML file, byte-
-    deterministic like every other emitter. Returns the written paths,
-    all-instances page last."""
+    deterministic like every other emitter. Per-instance pages are
+    bounded to the first ``max_instance_pages`` instances (in id order —
+    the reference emits only instance 1 plus the all-instances page, so
+    emitting one file per instance of a large explain batch would be a
+    superset that multiplies small artifacts; ADVICE r07); EVERY instance
+    still gets its strip on the all-instances page. Returns the written
+    paths, all-instances page last."""
     from exact_spark.ml.visualize import html_force_page, svg_force_strip
 
     paths = []
@@ -476,9 +487,10 @@ def render_force_plots(
         fx = float(grp["fx"].iloc[0])
         title = f"SHAP force — instance {int(iid)}"
         strip = svg_force_strip(title, base, items, fx, standalone=False)
-        p = out_dir / f"force_instance_{int(iid)}.html"
-        p.write_text(html_force_page(title, [strip]))
-        paths.append(str(p))
+        if len(strips) < max_instance_pages:
+            p = out_dir / f"force_instance_{int(iid)}.html"
+            p.write_text(html_force_page(title, [strip]))
+            paths.append(str(p))
         strips.append(strip)
     all_page = html_force_page("SHAP force — all instances", strips)
     pa = out_dir / "force_all_instances.html"

@@ -178,3 +178,35 @@ def test_render_force_plots_from_signed_phis(tmp_path):
         assert text.startswith("<!DOCTYPE html>")
         svg = text[text.index("<svg"): text.rindex("</svg>") + 6]
         ET.fromstring(svg)  # every page's SVG is well-formed XML
+
+
+def test_render_force_plots_bounds_instance_pages(tmp_path):
+    """Per-instance force pages stop at max_instance_pages (ADVICE r07:
+    the reference emits instance 1 + the all-instances page, so the
+    per-instance set must not scale with the explain batch) — but every
+    instance still contributes a strip to the all-instances page."""
+    import pandas as pd
+
+    from exact_spark.ml.explain import render_force_plots
+
+    n = 5
+    pdf = pd.DataFrame(
+        {
+            "id": [i for i in range(n) for _ in (0, 1)],
+            "feature": ["v1", "v2"] * n,
+            "phi": [0.5, -0.2] * n,
+            "value": [1.0, 2.0] * n,
+            "base_value": [0.3] * (2 * n),
+            "fx": [0.6] * (2 * n),
+        }
+    )
+    paths = render_force_plots(pdf, tmp_path, max_instance_pages=2)
+    names = [p.split("/")[-1] for p in paths]
+    assert names == [
+        "force_instance_0.html",
+        "force_instance_1.html",
+        "force_all_instances.html",
+    ]
+    all_page = open(paths[-1]).read()
+    # one <g transform=...> strip per instance on the summary page
+    assert all_page.count("<g transform=") == n
