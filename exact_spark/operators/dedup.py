@@ -2153,3 +2153,241 @@ def fuzzy_band_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["band"],
         _FUZZY_BAND_CAP,
     )
+
+
+# --- exact substring-span dedup (Lee et al. 2021) ----------------------------
+# "Deduplicating Training Data Makes Language Models Better" dedups on exact
+# repeated SUBSTRINGS of length >= L, not whole documents: boilerplate
+# headers, license blocks, and quoted passages recur verbatim inside
+# otherwise-distinct documents, and document-level hashes never see them.
+# The paper builds a suffix array; the Spark-first equivalent is the L-gram
+# position table — every doc expands to its (pos, L-char-gram) rows, a gram
+# seen in >= 2 distinct docs marks its positions duplicated, and a per-doc
+# gaps-and-islands pass merges overlapping marked intervals into maximal
+# spans. No pair of documents is ever materialized: a gram shared by a
+# million docs costs ONE row in the dup-gram set (position marking is
+# O(occurrences), where pairwise methods are O(occurrences^2)) — the same
+# no-hot-key-expansion property as decontaminate_fingerprint, so this path
+# needs NO cap.
+
+_SUB_L = 40  # span resolution in chars (paper default 50 BPE tokens; the
+# synthetic docs average ~300 chars, so 40 chars keeps multi-span docs)
+
+
+@register(
+    "dedup_substring_spans",
+    sql=f"""
+    WITH pos_tab AS (
+        SELECT doc_id, text, unnest(range(1, length(text) - {_SUB_L} + 2)) AS pos
+        FROM documents WHERE length(text) >= {_SUB_L}
+    ),
+    grams AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               substr(text, CAST(pos AS INT), {_SUB_L}) AS g
+        FROM pos_tab
+    ),
+    dup_g AS (
+        SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+        SELECT gr.doc_id, gr.pos FROM grams gr JOIN dup_g USING (g)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        > {_SUB_L}
+                    THEN 1 ELSE 0 END AS brk
+        FROM hits
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + {_SUB_L} - 1 AS e
+        FROM grp GROUP BY doc_id, island
+    )
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
+           CAST(max(e - s + 1) AS BIGINT) AS longest_span
+    FROM spans GROUP BY doc_id
+    """,
+    doc="Exact repeated-substring dedup (Lee et al. 2021, arXiv:2107.06499): "
+    "per doc, the maximal character spans covered by a 40-gram that recurs "
+    "verbatim in >= 2 distinct documents — the within-document dedup that "
+    "document-level hashing cannot see. Plan shape at 100 TB: one scan "
+    "expands docs to L-gram position rows (projection-only, whole-stage "
+    "codegen); the cross-doc test is ONE groupBy on the gram and a "
+    "co-partitioned join back (AQE skew-handles hot boilerplate grams, "
+    "and a gram shared by any number of docs costs one dup-set row — "
+    "positions are marked, pairs never expand, so there is NO cap on "
+    "this path); span merging is a gaps-and-islands window per doc whose "
+    "sort is bounded by the document's own length.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = (
+        io.load(spark, sf_dir, "documents", spread=True)
+        .select("doc_id", "text")
+        .filter(F.length("text") >= _SUB_L)
+    )
+    grams = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - _SUB_L + 1)
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr(f"substring(text, pos, {_SUB_L})").alias("g"),
+    )
+    dup_g = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup_g, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > _SUB_L, 1).otherwise(0)
+    grp = hits.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = grp.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + _SUB_L - 1).alias("e"),
+    )
+    lens = spans.select(
+        "doc_id", (F.col("e") - F.col("s") + 1).alias("span_len")
+    )
+    return lens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").cast("long").alias("dup_chars"),
+        F.max("span_len").cast("long").alias("longest_span"),
+    )
+
+
+# --- cross-method agreement ---------------------------------------------------
+
+
+def _agreement_sql() -> str:
+    from exact_spark.registry import REGISTRY as _R
+
+    methods = {
+        "minhash_lsh": "dedup_minhash_lsh",
+        "simhash": "dedup_simhash_pairs",
+        "ngram_jaccard": "dedup_ngram_jaccard",
+        "fuzzy_edit": "dedup_fuzzy_edit",
+    }
+    union = " UNION ALL ".join(
+        f"SELECT doc_a, doc_b, '{m}' AS method FROM ({_R[q].sql})"
+        for m, q in methods.items()
+    )
+    return f"""
+    WITH pm AS ({union}),
+    sets AS (SELECT DISTINCT doc_a, doc_b, method FROM pm),
+    counts AS (SELECT method, count(*) AS n FROM sets GROUP BY method),
+    inter AS (
+        SELECT a.method AS method_a, b.method AS method_b,
+               count(*) AS n_both
+        FROM sets a
+        JOIN sets b ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b
+                   AND a.method < b.method
+        GROUP BY a.method, b.method
+    ),
+    pairs AS (
+        SELECT ca.method AS method_a, cb.method AS method_b,
+               ca.n AS n_a, cb.n AS n_b
+        FROM counts ca JOIN counts cb ON ca.method < cb.method
+    )
+    SELECT p.method_a, p.method_b, p.n_a, p.n_b,
+           COALESCE(i.n_both, 0) AS n_both,
+           CAST(COALESCE(i.n_both, 0) AS DOUBLE)
+               / (p.n_a + p.n_b - COALESCE(i.n_both, 0)) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i
+      ON i.method_a = p.method_a AND i.method_b = p.method_b
+    """
+
+
+@register(
+    "dedup_method_agreement",
+    sql=_agreement_sql(),  # composes the four registered pair-method specs
+    doc="Pairwise agreement matrix over the four near-dup pair detectors "
+    "(MinHash-LSH, SimHash, n-gram Jaccard, fuzzy edit-distance): for "
+    "each method pair, both set sizes, the intersection, and the Jaccard "
+    "of the pair sets — the diagnostic a pipeline owner reads before "
+    "picking ONE method for a 100 TB run (high agreement means the "
+    "cheaper method suffices; low agreement means the methods see "
+    "different duplicate classes and a union is warranted). Composed "
+    "from the REGISTERED sibling operators (plan and SQL), so the "
+    "matrix cannot drift from what ships — the same composition posture "
+    "as dedup_lsh_recall / sim_ivfpq_recall. Plan shape at 100 TB: each "
+    "method's pair set is already bounded by its own candidate "
+    "discipline; the agreement adds one shuffle keyed on the (doc_a, "
+    "doc_b) pair and two tiny per-method aggregates.",
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    parts = [
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("method", F.lit("minhash_lsh")),
+        dedup_simhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("method", F.lit("simhash")),
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("method", F.lit("ngram_jaccard")),
+        dedup_fuzzy_edit(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("method", F.lit("fuzzy_edit")),
+    ]
+    sets = parts[0]
+    for p in parts[1:]:
+        sets = sets.unionByName(p)
+    # three consumers (counts + both self-join sides) would otherwise each
+    # recompute all four upstream methods — the tagged pair set is tiny
+    sets = sets.distinct().cache()
+    counts = sets.groupBy("method").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.doc_a") == F.col("b.doc_a"))
+            & (F.col("a.doc_b") == F.col("b.doc_b"))
+            & (F.col("a.method") < F.col("b.method")),
+        )
+        .groupBy(
+            F.col("a.method").alias("method_a"),
+            F.col("b.method").alias("method_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    pairs = ca.join(
+        F.broadcast(cb), F.col("ca.method") < F.col("cb.method")
+    ).select(
+        F.col("ca.method").alias("method_a"),
+        F.col("cb.method").alias("method_b"),
+        F.col("ca.n").alias("n_a"),
+        F.col("cb.n").alias("n_b"),
+    )
+    n_both = F.coalesce(F.col("n_both"), F.lit(0))
+    return pairs.join(
+        F.broadcast(inter), ["method_a", "method_b"], "left"
+    ).select(
+        "method_a",
+        "method_b",
+        "n_a",
+        "n_b",
+        n_both.alias("n_both"),
+        (
+            n_both.cast("double")
+            / (F.col("n_a") + F.col("n_b") - n_both)
+        ).alias("jaccard"),
+    )

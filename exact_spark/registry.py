@@ -61,6 +61,8 @@ DRIVER_ORDER: list[str] = [
     # --- window (slots 1-50): best available recording spend ---
     "sim_ivfpq_recall",
     "sim_topk_ivfpq",
+    "dedup_method_agreement",
+    "dedup_substring_spans",
     "dedup_url_canonical",
     "decontaminate_fingerprint",
     "multimodal_phash_neardup",
@@ -107,9 +109,9 @@ DRIVER_ORDER: list[str] = [
     "ts_train_test_split",
     "api_get_data",
     "catalog_lifecycle",
+    # --- outside the window (rotates into it next round) ---
     "decontaminate_ngram",
     "dedup_chunk_exact",
-    # --- outside the window (rotates into it next round) ---
     "dedup_incremental",
     "dedup_leakage_safe_split",
     "dedup_lsh_recall",
