@@ -297,3 +297,23 @@ def test_fuzzy_edit_snm_plan_shape(spark, sf_dir):
     assert "partitionBy()" not in plan.replace(" ", "")
     assert "Join" not in plan  # no self-join candidate generation
     assert "collect_list" not in plan  # linear lead() pairs, no block rows
+
+
+def test_substring_spans_plan_shape(spark, sf_dir):
+    """dedup_substring_spans' scale contract: no collect_list anywhere
+    (positions are MARKED via the dup-gram join, pairs/blocks never
+    accumulate into a row — the no-cap property), the island-merge
+    windows are keyed per doc (no empty partition spec), and the
+    cross-doc test is aggregation + join, never a posting self-join of
+    the gram table against itself on doc pairs."""
+    from exact_spark.operators.dedup import dedup_substring_spans
+
+    plan = _plan(dedup_substring_spans(spark, sf_dir))
+    assert "collect_list" not in plan
+    assert "partitionBy()" not in plan.replace(" ", "")
+    assert "hashpartitioning(doc_id" in plan  # island windows per doc
+    # the dup-gram side reduces to count(distinct doc_id) BEFORE any join
+    assert "count(distinct doc_id" in plan
+    # exactly one join in the whole plan: gram positions against the
+    # reduced dup-gram set (no pairwise doc-doc join exists anywhere)
+    assert plan.count("Join") == 1
