@@ -203,3 +203,115 @@ def test_supervised_e2e_pinned_and_invariant(spark, sf001):
     for m, (tp, tn, fp, fn) in pinned.items():
         r = rows[m]
         assert (r["tp"], r["tn"], r["fp"], r["fn"]) == (tp, tn, fp, fn), m
+
+
+def _zscore_mirror(sf_dir: str) -> dict[str, tuple[int, int]]:
+    """Independent pandas reproduction of stream_online_zscore's staged
+    slice (first 4 days, every 5th user) + Welford fold (score before
+    update, |z| > 2.5 after 10 observations)."""
+    import math
+
+    import pandas as pd
+
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    # normalize to integer MICROS regardless of the resolution pandas picked
+    ep_us = ev.ts.astype("datetime64[us]").astype("int64")
+    lo = int(ep_us.min())
+    hi = lo + 4 * 86400 * 1_000_000
+    sl = ev[(ep_us < hi) & (ev.user_id % 5 == 0)].assign(ep=ep_us)
+    want: dict[str, tuple[int, int]] = {}
+    for uid, grp in sl.groupby("user_id"):
+        events = sorted(zip(grp.ep / 1e6, grp.value.astype(float)))
+        n, mean, m2, flags = 0, 0.0, 0.0, 0
+        for _, v in events:
+            if n >= 10 and m2 > 0:
+                sd = math.sqrt(m2 / (n - 1))
+                z = (v - mean) / sd if sd > 0 else 0.0
+            else:
+                z = 0.0
+            flags += abs(z) > 2.5
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+        want[str(uid)] = (n, flags)
+    return want
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_online_zscore_matches_independent_pandas_mirror(spark, sf):
+    """stream_online_zscore is rows-only because applyInPandasWithState is
+    not SQL — but the fold itself (per-key event-time-ordered Welford,
+    score-before-update, |z| > 2.5 after 10 observations) is a pure
+    deterministic function of the staged slice. Reproduce it end to end
+    in pandas over the SAME slice derivation and compare the per-user
+    tallies EXACTLY — a full out-of-engine oracle for the streaming path,
+    like the zlib mirror above. Both gate SFs; at sf0.01 the per-user
+    series are long enough that the detector actually fires, so the flag
+    path (not just the tally path) is mirrored too."""
+    got = {
+        r["key"]: (r["n_events"], r["n_flagged"])
+        for r in REGISTRY["stream_online_zscore"].fn(spark, sf).collect()
+    }
+    want = _zscore_mirror(sf)
+    assert got == want
+    if sf.endswith("0.01"):
+        assert sum(f for _, f in want.values()) > 0  # the detector fires
+
+
+def test_pca_whiten_matches_independent_numpy_mirror(spark, sf001):
+    """emb_pca_whiten is rows-only because the eigendecomposition fit is
+    not SQL — but the whole pipeline (md5-ordered capped sample, biased
+    covariance, eigh, fixed sign convention, whitened projection,
+    fixed-point mean/var) is deterministic. Reproduce the fit AND the
+    diagnostic in numpy/pandas: eigenvalues must match exactly (same
+    deterministic fit), mean_after/var_after within one 1e-6 fixed-point
+    ulp (the engine folds the 64-dim dot left-to-right; numpy's dot may
+    differ in the last float ulp before rounding)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from exact_spark.operators.similarity import _PCA_DIMS, _PCA_EPS, _PCA_SAMPLE_CAP
+
+    got = (
+        REGISTRY["emb_pca_whiten"].fn(spark, sf001)
+        .toPandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+
+    emb = pd.read_parquet(f"{sf001}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = emb.assign(h=[hashlib.md5(str(v).encode()).hexdigest() for v in emb.vec_id])
+    sample = emb.sort_values("h").head(_PCA_SAMPLE_CAP)
+    x = np.array(list(sample.embedding), dtype=np.float64)
+    mu = x.mean(axis=0)
+    cov = np.cov(x - mu, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:_PCA_DIMS]
+    top_vals, top_vecs = evals[order], evecs[:, order].T
+    for i in range(top_vecs.shape[0]):
+        j = int(np.argmax(np.abs(top_vecs[i])))
+        if top_vecs[i, j] < 0:
+            top_vecs[i] = -top_vecs[i]
+
+    assert list(got.dim) == list(range(_PCA_DIMS))
+    assert (got.n == len(emb)).all()
+    # identical deterministic fit -> exact eigenvalue equality
+    assert list(got.eigenvalue) == [float(v) for v in top_vals]
+
+    xa = np.array(list(emb.embedding), dtype=np.float64) - mu
+    scales = 1.0 / np.sqrt(top_vals + _PCA_EPS)
+    y = (xa @ top_vecs.T) * scales  # (n_vec, d_out)
+    fx = np.floor(y * 1e6 + 0.5)
+    mean_want = fx.sum(axis=0) / (1e6 * len(y))
+    fx2 = np.floor(y * y * 1e6 + 0.5)
+    var_want = fx2.sum(axis=0) / (1e6 * len(y))
+    assert np.abs(got.mean_after.to_numpy() - mean_want).max() <= 2e-6
+    assert np.abs(got.var_after.to_numpy() - var_want).max() <= 2e-6
+    # and the whitening contract itself: fitted-sample variance ~ 1, mean ~ 0
+    assert np.abs(got.mean_after).max() < 0.05
+    assert np.abs(got.var_after - 1.0).max() < 0.1
