@@ -70,6 +70,17 @@ def main() -> None:
 
     knn_graph_path(spark, sf_dir)
 
+    # and for the near-dup pair-table artifacts: five serving operators
+    # (components, lsh_recall, winnow_recall, jaccard_sweep,
+    # method_agreement) read materialized pair tables; each method's
+    # construction cost is attributed to its builder query
+    # (dedup_minhash_lsh etc.) via this warm. Pairs warm BEFORE components:
+    # the components artifact build itself consumes the minhash pair table
+    from exact_spark.operators.dedup import _PAIR_METHODS, pair_table_path
+
+    for m in _PAIR_METHODS:
+        pair_table_path(spark, sf_dir, m)
+
     # and for the duplicate-group components artifact: three serving
     # operators (survivorship, cluster purity, leakage-safe split) read the
     # materialized groups; the CC fixpoint cost is attributed to the builder

@@ -73,7 +73,7 @@ HEADLINERS = [
     ("decontaminate_fingerprint", "holding corpus collapses to a distinct-fingerprint SET (no cap, no pair expansion anywhere); arriving side left-joins on the fp key; one per-doc rollup"),
     ("dedup_url_canonical", "canonicalization entirely inside the scan projection — the only exchanges are the canonical-URL aggregate's own two-phase distinct (count(DISTINCT raw) partials, then the final groupBy key)"),
     ("dedup_substring_spans", "L-gram expansion in-row (explode of a sequence over the scan — no pre-shuffle); cross-doc test = ONE gram-keyed aggregate + a co-partitioned join back (positions marked, pairs NEVER expand — no cap needed); island merge windows per doc_id, sort bounded by doc length"),
-    ("dedup_method_agreement", "the four pair tables union into ONE cached tiny set; agreement adds a single (doc_a,doc_b)-keyed self-join plus two broadcast method-count joins — no corpus rescan beyond the registered inputs themselves"),
+    ("dedup_method_agreement", "pure consumer: all four pair sets are parquet scans of the per-corpus pair-table artifacts (no corpus rescan, no method recompute — builders stay the registered method queries); agreement adds a single (doc_a,doc_b)-keyed self-join plus two broadcast method-count joins"),
 ]
 
 
