@@ -317,3 +317,42 @@ def test_substring_spans_plan_shape(spark, sf_dir):
     # exactly one join in the whole plan: gram positions against the
     # reduced dup-gram set (no pairwise doc-doc join exists anywhere)
     assert plan.count("Join") == 1
+
+
+def test_pair_consumers_read_artifacts_not_corpus(spark, sf_dir):
+    """The five pair-table consumers must SERVE from the per-corpus
+    artifacts: their plans read pairs_* parquet and never re-derive the
+    method from documents (a regression back to fresh recompute would
+    re-pay the method cost once per consumer — 4x for minhash alone)."""
+    from exact_spark.operators.dedup import (
+        dedup_lsh_recall,
+        dedup_method_agreement,
+        dedup_winnow_recall,
+        pair_table_path,
+        text_jaccard_sweep,
+    )
+
+    # artifacts exist (builders run on demand)
+    for m in ("minhash_lsh", "simhash", "ngram_jaccard", "fuzzy_edit"):
+        pair_table_path(spark, sf_dir, m)
+
+    plan = _plan(dedup_method_agreement(spark, sf_dir))
+    assert plan.count("exact_spark_pairs_") >= 4
+    assert "documents.parquet" not in plan  # pure consumer, no corpus scan
+
+    plan = _plan(dedup_lsh_recall(spark, sf_dir))
+    for m in ("ngram_jaccard", "minhash_lsh"):
+        assert f"exact_spark_pairs_{m}" in plan, m
+    assert "documents.parquet" not in plan
+
+    # jaccard_sweep keeps ONE corpus scan (the count-only n_total
+    # denominator, column-pruned to nothing) — its PAIR side must come
+    # from the artifact
+    plan = _plan(text_jaccard_sweep(spark, sf_dir))
+    assert "exact_spark_pairs_ngram_jaccard" in plan
+    assert plan.count("documents.parquet") == 1
+
+    # winnow_recall still scans documents for its own winnow side, but its
+    # TRUTH pairs must come from the artifact
+    plan = _plan(dedup_winnow_recall(spark, sf_dir))
+    assert "exact_spark_pairs_ngram_jaccard" in plan
