@@ -141,3 +141,68 @@ def test_np_fixed_kernels_match_spark_kernels(spark):
         assert _np_dot_fixed(va, vb) == r["dot_fx"], (r["vid"], r["vb"])
         np_cos = _np_cos_fixed(r["dot_fx"], r["na"], r["nb"])
         assert np_cos == r["cos"], (r["vid"], r["vb"])  # bitwise equal
+
+
+@given(
+    st.integers(2, 12),
+    st.lists(st.integers(1, 300), min_size=1, max_size=80),
+)
+@settings(max_examples=200, deadline=None)
+def test_span_merge_rule_is_exactly_interval_union(L, marked):
+    """dedup_substring_spans merges marked gram positions with the rule
+    'break when pos - prev > L'. That rule must equal the set union of
+    the per-position intervals [p, p+L-1] EXACTLY — the edge is gap ==
+    L, where the intervals are adjacent (not overlapping) and must still
+    merge into one contiguous span. Also: produced spans are separated
+    by a genuine uncovered gap (never adjacent), so n_spans is the true
+    count of maximal duplicated regions."""
+    marked = sorted(set(marked))
+    covered = set()
+    for p in marked:
+        covered.update(range(p, p + L))
+    spans = []
+    s = prev = marked[0]
+    for p in marked[1:]:
+        if p - prev > L:
+            spans.append((s, prev + L - 1))
+            s = p
+        prev = p
+    spans.append((s, prev + L - 1))
+    got = set()
+    for a, b in spans:
+        assert a <= b
+        got.update(range(a, b + 1))
+    assert got == covered
+    for (_, b1), (a2, _) in zip(spans, spans[1:]):
+        assert a2 > b1 + 1  # maximality: a real hole between spans
+
+
+@given(
+    st.integers(0, 10**6),
+    st.sampled_from(["web", "books", "code", "wiki", "forums"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_url_canonicalizer_mirror_is_idempotent_and_normal(doc_id, source):
+    """The python mirror of dedup_url_canonical's canonicalizer (the same
+    one test_r08_ops round-trips against the Spark output): canonical
+    forms are a FIXED POINT (canon(canon(x)) == canon(x)) and satisfy
+    every normal-form clause for any (source, doc_id)-derived messy URL."""
+
+    def canon(url: str) -> str:
+        u = url.split("?", 1)[0].lower()
+        u = u.replace("http://", "https://").replace("https://www.", "https://")
+        return u[:-1] if u.endswith("/") else u
+
+    host = f"{source}.example.com"
+    raw = (
+        ("http://" if doc_id % 2 == 0 else "https://")
+        + ("www." if doc_id % 3 == 0 else "")
+        + (host.upper() if doc_id % 11 == 0 else host)
+        + f"/doc/{doc_id % 12}"
+        + ("/" if doc_id % 7 == 0 else "")
+        + (f"?utm_source=feed&utm_campaign=c{doc_id % 4}" if doc_id % 5 == 0 else "")
+    )
+    c = canon(raw)
+    assert canon(c) == c
+    assert c.startswith("https://") and "www." not in c
+    assert "?" not in c and not c.endswith("/") and c == c.lower()
