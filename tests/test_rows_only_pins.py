@@ -315,3 +315,42 @@ def test_pca_whiten_matches_independent_numpy_mirror(spark, sf001):
     # and the whitening contract itself: fitted-sample variance ~ 1, mean ~ 0
     assert np.abs(got.mean_after).max() < 0.05
     assert np.abs(got.var_after - 1.0).max() < 0.1
+
+
+def test_isotonic_calibration_pinned_and_invariant(spark, sf001):
+    """ml_isotonic_calibration is rows-only (PAV fit on an internal
+    holdout), but the fixed-seed fit on fixed sf0.001 data is
+    deterministic. The sf0.001 margins are DEGENERATE (the tiny SGD fit
+    predicts one margin for every row), so per-decile pos_rate depends
+    on tie-break order — pin only the tie-robust facts: the decile
+    layout, the global margin/probability constants, and the total
+    positive mass across deciles (invariant under any tie reshuffle)."""
+    rows = REGISTRY["ml_isotonic_calibration"].fn(spark, sf001).collect()
+    assert sorted((r["decile"], r["n"]) for r in rows) == [
+        (d, 100) for d in range(1, 11)
+    ]
+    # degenerate single-margin fit: one calibrated probability everywhere
+    assert {r["mean_margin"] for r in rows} == {-1.015749}
+    assert {r["mean_proba"] for r in rows} == {0.201597}
+    assert sum(round(r["pos_rate"] * r["n"]) for r in rows) == 201
+    # calibration sanity at any scale: probabilities are probabilities
+    assert all(0.0 <= r["mean_proba"] <= 1.0 for r in rows)
+
+
+def test_xai_methods_ndcg_pinned_and_invariant(spark, sf001):
+    """xai_methods_ndcg is rows-only (six native explainers, not SQL) but
+    fully fixed-seed deterministic: pin the complete sf0.001 result —
+    all six methods rank both ground-truth features into the top-3, so
+    every NDCG is exactly 1.0 — next to the scale-independent invariants
+    (method set, shared instance count, NDCG in [0,1] monotone in k)."""
+    rows = REGISTRY["xai_methods_ndcg"].fn(spark, sf001).collect()
+    by_method = {r["method"]: r for r in rows}
+    assert sorted(by_method) == [
+        "counterfactual", "intgrad", "kernelshap", "lime", "occlusion",
+        "permutation",
+    ]
+    for m, r in by_method.items():
+        assert r["n_instances"] == 10, m
+        assert r["n_features_ranked"] == 2, m
+        assert (r["ndcg_at_3"], r["ndcg_at_5"], r["ndcg_at_10"]) == (1.0, 1.0, 1.0), m
+        assert 0.0 <= r["ndcg_at_3"] <= r["ndcg_at_5"] <= r["ndcg_at_10"] <= 1.0
