@@ -57,7 +57,7 @@ HEADLINERS = [
     ("ml_brier_rank_score", "single-partition window over DISTINCT-VALUE grid cardinality only; cells crossJoin a broadcast 1-row total"),
     ("dedup_leakage_safe_split", "split hash projects off the component map — one left join beyond the CC fixpoint, assignment row-local"),
     ("text_temperature_mix", "5-row language census broadcast back onto the corpus; ONE exchange (the per-language rank window)"),
-    ("text_token_budget_select", "rank + running token sum share ONE source-keyed window sort; the shuffle carries (id, tokens, score), never text"),
+    ("text_token_budget_select", "profile features come from the materialized document-profile artifact (no corpus re-profile); rank + running token sum share ONE source-keyed window sort; the shuffle carries (id, tokens, score), never text"),
     ("ml_ab_welch", "two map-side-combinable groupBys (user, then cohort) collapse the corpus to 2 rows; Welch algebra on a 1-row frame"),
     ("rel_pareto_abc", "cumulative revenue share via literal quantile buckets + per-bucket windows — no single-partition running total"),
     ("text_chunk_scrub", "census groupBy and join-back share the chunk-hash partitioning; reassembly sorts inside per-doc collected arrays, no window"),
