@@ -81,6 +81,13 @@ def main() -> None:
     for m in _PAIR_METHODS:
         pair_table_path(spark, sf_dir, m)
 
+    # and the duplicated-span table: the scrub serves from it; the L-gram
+    # marking cost is attributed to the census builder query
+    # (dedup_substring_spans) via this warm
+    from exact_spark.operators.dedup import substring_span_path
+
+    substring_span_path(spark, sf_dir)
+
     # and the document-profile artifact: three curation consumers
     # (source_mix, quality_classifier, token_budget_select) read the
     # materialized profile; the per-doc feature compute is attributed to
@@ -118,6 +125,23 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # --warm-only (VERDICT r08 item 7): build every artifact and exit, so a
+    # cold box (judge/CI after a round restart) reaches artifact steady
+    # state without discarding a full measured suite run. All the warms
+    # above have already run at this point; the timed loop never starts.
+    if "--warm-only" in sys.argv:
+        print(
+            json.dumps(
+                {
+                    "metric": "warm_only",
+                    "sf": sf_val,
+                    "n_queries": len(REGISTRY),
+                }
+            )
+        )
+        spark.stop()
+        return
+
     # the envelope was recorded at sf0.1 — ratios at any other sf are noise
     baseline = _baseline_envelope() if sf_val == 0.1 else {}
 

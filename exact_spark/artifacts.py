@@ -111,6 +111,28 @@ def source_fingerprint(source: str | pathlib.Path) -> str:
     return hashlib.md5((str(src) + "|" + "|".join(parts)).encode()).hexdigest()[:12]
 
 
+def builder_salt(*query_names: str) -> str:
+    """Short digest of the registered builder spec(s) behind an artifact,
+    folded into the artifact tag so a BUILDER CODE change re-fingerprints
+    the artifact automatically (ADVICE r08: keying only on the corpus
+    fingerprint lets a warm artifact silently serve a stale pair table
+    after the builder is edited — the consumers' content-equality pins
+    only catch that in an environment where the stale artifact survives
+    into a test run). The digest covers the registered oracle SQL (which
+    interpolates every semantic parameter: thresholds, band counts,
+    hash families) and falls back to the Spark function source when a
+    builder has no oracle."""
+    import inspect
+
+    from exact_spark.registry import REGISTRY
+
+    parts = []
+    for q in query_names:
+        spec = REGISTRY[q]
+        parts.append(spec.sql if spec.sql is not None else inspect.getsource(spec.fn))
+    return hashlib.md5("||".join(parts).encode()).hexdigest()[:8]
+
+
 def materialize(
     source: str | pathlib.Path,
     tag: str,

@@ -659,9 +659,15 @@ def components_path(spark: SparkSession, sf_dir: str) -> str:
 
     from exact_spark.artifacts import materialize
 
+    from exact_spark.artifacts import builder_salt
+
+    # builder-version salt (ADVICE r08): a dedup_components code change
+    # re-fingerprints the artifact; the salt also covers the minhash pair
+    # spec this builder consumes via pair_table
     return materialize(
         pathlib.Path(sf_dir).resolve() / "documents.parquet",
-        "dupcc",
+        "dupcc_"
+        + builder_salt("dedup_components", _PAIR_BUILDER_QUERY["minhash_lsh"]),
         lambda staging: dedup_components(spark, sf_dir)
         .write.mode("overwrite")
         .parquet(staging),
@@ -2197,14 +2203,25 @@ def _pair_builder(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
     raise ValueError(f"unknown pair method {method!r}")  # pragma: no cover
 
 
+_PAIR_BUILDER_QUERY = {
+    "minhash_lsh": "dedup_minhash_lsh",
+    "simhash": "dedup_simhash_pairs",
+    "ngram_jaccard": "dedup_ngram_jaccard",
+    "fuzzy_edit": "dedup_fuzzy_edit",
+}
+
+
 def pair_table_path(spark: SparkSession, sf_dir: str, method: str) -> str:
     import pathlib
 
-    from exact_spark.artifacts import materialize
+    from exact_spark.artifacts import builder_salt, materialize
 
+    # tag carries a builder-version salt (ADVICE r08): editing a pair
+    # builder re-fingerprints the artifact, so a warm /tmp table from the
+    # old code can never be served as the new method's pairs
     return materialize(
         pathlib.Path(sf_dir).resolve() / "documents.parquet",
-        f"pairs_{method}",
+        f"pairs_{method}_{builder_salt(_PAIR_BUILDER_QUERY[method])}",
         lambda staging: _pair_builder(spark, sf_dir, method)
         .write.mode("overwrite")
         .parquet(staging),
@@ -2237,11 +2254,13 @@ def pair_table(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
 _SUB_L = 40  # span resolution in chars (paper default 50 BPE tokens; the
 # synthetic docs average ~300 chars, so 40 chars keeps multi-span docs)
 
-
-@register(
-    "dedup_substring_spans",
-    sql=f"""
-    WITH pos_tab AS (
+# Shared span-table CTE chain ending at spans(doc_id, island, s, e): the
+# census query below aggregates it; dedup_substring_scrub composes it into
+# text reassembly. One definition so the two registered oracles cannot
+# drift. The oracle keys its aggregate/join on the raw gram — its output
+# is spans, not keys, so it stays valid while the Spark plan keys the same
+# shuffles on a fixed-width 128-bit gram hash (see _substring_span_table).
+_SUB_SPAN_CTES = f"""pos_tab AS (
         SELECT doc_id, text, unnest(range(1, length(text) - {_SUB_L} + 2)) AS pos
         FROM documents WHERE length(text) >= {_SUB_L}
     ),
@@ -2272,26 +2291,27 @@ _SUB_L = 40  # span resolution in chars (paper default 50 BPE tokens; the
     spans AS (
         SELECT doc_id, island, min(pos) AS s, max(pos) + {_SUB_L} - 1 AS e
         FROM grp GROUP BY doc_id, island
-    )
-    SELECT doc_id, count(*) AS n_spans,
-           CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
-           CAST(max(e - s + 1) AS BIGINT) AS longest_span
-    FROM spans GROUP BY doc_id
-    """,
-    doc="Exact repeated-substring dedup (Lee et al. 2021, arXiv:2107.06499): "
-    "per doc, the maximal character spans covered by a 40-gram that recurs "
-    "verbatim in >= 2 distinct documents — the within-document dedup that "
-    "document-level hashing cannot see. Plan shape at 100 TB: one scan "
-    "expands docs to L-gram position rows (projection-only, whole-stage "
-    "codegen); the cross-doc test is ONE groupBy on the gram and a "
-    "co-partitioned join back (AQE skew-handles hot boilerplate grams, "
-    "and a gram shared by any number of docs costs one dup-set row — "
-    "positions are marked, pairs never expand, so there is NO cap on "
-    "this path); span merging is a gaps-and-islands window per doc whose "
-    "sort is bounded by the document's own length.",
-)
-def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune_session(spark)
+    )"""
+
+
+def _substring_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans per doc: (doc_id, s, e), 1-based
+    inclusive character positions.
+
+    Scale shape (VERDICT r08 item 1): the L-gram position table is a ~L×
+    row inflation of the corpus, and BOTH of its exchanges — the dup-gram
+    groupBy and the position-marking join back — are keyed on a
+    fixed-width 128-bit gram hash (two independent xxhash64 halves, the
+    second salted by hashing (gram, 1L)), NOT the raw 40-char string: at
+    100 TB the shuffle byte-width is the dominant cost and the 16-byte
+    key is ~3x narrower. 64 bits alone would NOT be enough — at 1e14
+    distinct grams birthday collisions are expected; at 128 bits the
+    collision probability is negligible. The gram string itself never
+    leaves the scan projection. The DuckDB oracle keys on the raw gram
+    (its output is spans, so hash-vs-raw keying is unobservable);
+    hash-collision-freedom at test SFs is what the brute-force parity
+    tests (tests/test_r08b_ops.py) certify.
+    """
     docs = (
         io.load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "text")
@@ -2306,25 +2326,61 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.col("pos").cast("long").alias("pos"),
-        F.expr(f"substring(text, pos, {_SUB_L})").alias("g"),
+        # 128-bit gram key as two BIGINTs; subexpression elimination keeps
+        # the substring computed once inside the codegen stage
+        F.expr(f"xxhash64(substring(text, pos, {_SUB_L}))").alias("h1"),
+        F.expr(f"xxhash64(substring(text, pos, {_SUB_L}), 1L)").alias("h2"),
     )
     dup_g = (
-        grams.groupBy("g")
+        grams.groupBy("h1", "h2")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("g")
+        .select("h1", "h2")
     )
-    hits = grams.join(dup_g, "g").select("doc_id", "pos")
+    hits = grams.join(dup_g, ["h1", "h2"]).select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w) > _SUB_L, 1).otherwise(0)
     grp = hits.withColumn("brk", brk).withColumn(
         "island",
         F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    spans = grp.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("s"),
-        (F.max("pos") + _SUB_L - 1).alias("e"),
+    return (
+        grp.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + _SUB_L - 1).alias("e"),
+        )
+        .select("doc_id", "s", "e")
     )
+
+
+@register(
+    "dedup_substring_spans",
+    sql=f"""
+    WITH {_SUB_SPAN_CTES}
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
+           CAST(max(e - s + 1) AS BIGINT) AS longest_span
+    FROM spans GROUP BY doc_id
+    """,
+    doc="Exact repeated-substring dedup (Lee et al. 2021, arXiv:2107.06499): "
+    "per doc, the maximal character spans covered by a 40-gram that recurs "
+    "verbatim in >= 2 distinct documents — the within-document dedup that "
+    "document-level hashing cannot see. Plan shape at 100 TB: one scan "
+    "expands docs to L-gram position rows (projection-only, whole-stage "
+    "codegen); the cross-doc test is ONE groupBy and a co-partitioned "
+    "join back, both keyed on a fixed-width 128-bit gram hash — two "
+    "xxhash64 BIGINTs, not the raw 40-char string, so the shuffle of the "
+    "~L-times-inflated position table is ~3x narrower (AQE skew-handles "
+    "hot boilerplate grams, and a gram shared by any number of docs "
+    "costs one dup-set row — positions are marked, pairs never expand, "
+    "so there is NO cap on this path); span merging is a gaps-and-"
+    "islands window per doc whose sort is bounded by the document's own "
+    "length.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    spans = _substring_span_table(spark, sf_dir)
     lens = spans.select(
         "doc_id", (F.col("e") - F.col("s") + 1).alias("span_len")
     )
@@ -2332,6 +2388,130 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_spans"),
         F.sum("span_len").cast("long").alias("dup_chars"),
         F.max("span_len").cast("long").alias("longest_span"),
+    )
+
+
+def substring_span_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the duplicated-span table ONCE per corpus — the same
+    artifact discipline as the pair tables: at 100 TB the L-gram marking
+    pass (the expensive stage) runs once per corpus snapshot and both the
+    census (dedup_substring_spans, which stays an honest fresh builder)
+    and the scrub consume its output. Tag carries a builder-version salt
+    keyed on the registered span spec (ADVICE r08)."""
+    import pathlib
+
+    from exact_spark.artifacts import builder_salt, materialize
+
+    return materialize(
+        pathlib.Path(sf_dir).resolve() / "documents.parquet",
+        "subspans_" + builder_salt("dedup_substring_spans"),
+        lambda staging: _substring_span_table(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(staging),
+    )
+
+
+def substring_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span table served from its per-corpus artifact (content
+    identical to _substring_span_table — pinned in tests/test_r09_ops.py
+    — so the composed scrub oracle stays valid)."""
+    tune_session(spark)
+    return spark.read.parquet(substring_span_path(spark, sf_dir))
+
+
+# In-row reassembly of the non-duplicated text: fold the doc's sorted span
+# array left-to-right, emitting the gap before each span and finally the
+# tail after the last one. Pure expression over (text, sp) — no second
+# window, no extra shuffle beyond the span table's own per-doc groupBy;
+# substring() with a non-positive length is '' so whole-doc spans and
+# spans touching either end need no special cases.
+_SUB_REASSEMBLE = """
+    aggregate(
+        sp,
+        struct(CAST(1 AS BIGINT) AS cur, CAST('' AS STRING) AS acc),
+        (st, x) -> struct(
+            x.e + CAST(1 AS BIGINT) AS cur,
+            concat(st.acc,
+                   substring(text, CAST(st.cur AS INT),
+                             CAST(x.s - st.cur AS INT))) AS acc),
+        st -> concat(st.acc,
+                     substring(text, CAST(st.cur AS INT),
+                               CAST(length(text) - st.cur + 1 AS INT)))
+    )
+"""
+
+
+@register(
+    "dedup_substring_scrub",
+    sql=f"""
+    WITH {_SUB_SPAN_CTES},
+    seg AS (
+        SELECT doc_id, s, e,
+               COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+                   AS prev_e
+        FROM spans
+    ),
+    mid AS (
+        SELECT g.doc_id, g.s AS ord,
+               substr(d.text, CAST(g.prev_e + 1 AS INT),
+                      CAST(g.s - g.prev_e - 1 AS INT)) AS piece
+        FROM seg g JOIN documents d USING (doc_id)
+    ),
+    tails AS (
+        SELECT g.doc_id, CAST(length(d.text) + 1 AS BIGINT) AS ord,
+               substr(d.text, CAST(g.mx + 1 AS INT)) AS piece
+        FROM (SELECT doc_id, max(e) AS mx FROM spans GROUP BY doc_id) g
+        JOIN documents d USING (doc_id)
+    ),
+    pieces AS (SELECT * FROM mid UNION ALL SELECT * FROM tails),
+    clean AS (
+        SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+        FROM pieces GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT doc_id, count(*) AS n_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(st.removed_chars, 0) AS BIGINT) AS removed_chars,
+           COALESCE(c.clean_text, d.text) AS clean_text
+    FROM documents d
+    LEFT JOIN stats st USING (doc_id)
+    LEFT JOIN clean c USING (doc_id)
+    """,
+    doc="The REMOVAL stage of exact substring dedup — Lee et al. 2021's "
+    "pipeline ends by cutting the duplicated spans out of the corpus, "
+    "not by reporting them: every maximal duplicated span (the same "
+    "registered span spec dedup_substring_spans censuses, one CTE "
+    "definition so the stages cannot drift) is excised and the "
+    "surviving text reassembled in original order; docs with no spans "
+    "pass through intact. Plan shape at 100 TB: the span table is "
+    "SERVED from the per-corpus artifact (the L-gram marking pass — "
+    "see dedup_substring_spans, which stays the honest fresh builder — "
+    "runs once per corpus snapshot; content pinned identical), then "
+    "ONE per-doc groupBy collecting the doc's own spans (bounded by "
+    "doc_len/L — a per-row list, not a corpus accumulation) and an "
+    "in-row fold that stitches the gaps — reassembly adds no window "
+    "and no extra shuffle beyond the join back to the corpus.",
+)
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    spans = substring_span_table(spark, sf_dir)
+    agg = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("sp"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("removed_chars"),
+    )
+    docs = io.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("removed_chars", F.lit(0)).cast("long").alias("removed_chars"),
+        F.when(F.col("sp").isNull(), F.col("text"))
+        .otherwise(F.expr(_SUB_REASSEMBLE))
+        .alias("clean_text"),
     )
 
 
@@ -2351,10 +2531,21 @@ def _agreement_sql() -> str:
         f"SELECT doc_a, doc_b, '{m}' AS method FROM ({_R[q].sql})"
         for m, q in methods.items()
     )
+    meth_list = ", ".join(f"'{m}'" for m in sorted(methods))
+    # MATERIALIZED: DuckDB inlines CTEs by default, so the self-joined
+    # `sets` would re-evaluate the four composed method SQLs per reference
+    # (measured 249s -> 14s at sf0.001). Evaluation hint only — zero
+    # semantic content.
     return f"""
-    WITH pm AS ({union}),
-    sets AS (SELECT DISTINCT doc_a, doc_b, method FROM pm),
-    counts AS (SELECT method, count(*) AS n FROM sets GROUP BY method),
+    WITH pm AS MATERIALIZED ({union}),
+    sets AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b, method FROM pm),
+    meths AS (SELECT unnest([{meth_list}]) AS method),
+    counts AS (
+        SELECT m.method, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM meths m
+        LEFT JOIN (SELECT method, count(*) AS n FROM sets GROUP BY method) c
+          USING (method)
+    ),
     inter AS (
         SELECT a.method AS method_a, b.method AS method_b,
                count(*) AS n_both
@@ -2370,8 +2561,9 @@ def _agreement_sql() -> str:
     )
     SELECT p.method_a, p.method_b, p.n_a, p.n_b,
            COALESCE(i.n_both, 0) AS n_both,
-           CAST(COALESCE(i.n_both, 0) AS DOUBLE)
-               / (p.n_a + p.n_b - COALESCE(i.n_both, 0)) AS jaccard
+           CASE WHEN p.n_a + p.n_b - COALESCE(i.n_both, 0) = 0 THEN 0.0
+                ELSE CAST(COALESCE(i.n_both, 0) AS DOUBLE)
+                     / (p.n_a + p.n_b - COALESCE(i.n_both, 0)) END AS jaccard
     FROM pairs p
     LEFT JOIN inter i
       ON i.method_a = p.method_a AND i.method_b = p.method_b
@@ -2383,8 +2575,10 @@ def _agreement_sql() -> str:
     sql=_agreement_sql(),  # composes the four registered pair-method specs
     doc="Pairwise agreement matrix over the four near-dup pair detectors "
     "(MinHash-LSH, SimHash, n-gram Jaccard, fuzzy edit-distance): for "
-    "each method pair, both set sizes, the intersection, and the Jaccard "
-    "of the pair sets — the diagnostic a pipeline owner reads before "
+    "each method pair — always the full fixed C(4,2)=6-row matrix, a "
+    "method with zero pairs appearing as n=0/jaccard=0 rather than "
+    "silently shrinking the shape — both set sizes, the intersection, "
+    "and the Jaccard of the pair sets — the diagnostic a pipeline owner reads before "
     "picking ONE method for a 100 TB run (high agreement means the "
     "cheaper method suffices; low agreement means the methods see "
     "different duplicate classes and a union is warranted). The four "
@@ -2410,7 +2604,17 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         sets = sets.unionByName(p)
     sets = sets.distinct()
-    counts = sets.groupBy("method").agg(F.count(F.lit(1)).alias("n"))
+    # ADVICE r08: anchor the counts on a LITERAL method list so a method
+    # that finds zero pairs still appears with n=0 — the matrix keeps its
+    # fixed C(4,2)=6-row shape instead of silently shrinking
+    meths = spark.createDataFrame(
+        [(m,) for m in _PAIR_METHODS], "method string"
+    )
+    counts = meths.join(
+        sets.groupBy("method").agg(F.count(F.lit(1)).alias("n")),
+        "method",
+        "left",
+    ).select("method", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
     a, b = sets.alias("a"), sets.alias("b")
     inter = (
         a.join(
@@ -2435,6 +2639,7 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cb.n").alias("n_b"),
     )
     n_both = F.coalesce(F.col("n_both"), F.lit(0))
+    denom = F.col("n_a") + F.col("n_b") - n_both
     return pairs.join(
         F.broadcast(inter), ["method_a", "method_b"], "left"
     ).select(
@@ -2443,8 +2648,88 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         n_both.alias("n_both"),
-        (
-            n_both.cast("double")
-            / (F.col("n_a") + F.col("n_b") - n_both)
-        ).alias("jaccard"),
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(n_both.cast("double") / denom)
+        .alias("jaccard"),
+    )
+
+
+# --- union components across all four methods ---------------------------------
+
+
+def _union_components_sql() -> str:
+    from exact_spark.registry import REGISTRY as _R
+
+    union = " UNION ".join(
+        f"SELECT doc_a, doc_b FROM ({_R[q].sql})"
+        for q in sorted(_PAIR_BUILDER_QUERY.values())
+    )
+    # MATERIALIZED: the recursive closure re-scans `sym` every iteration;
+    # without the hint DuckDB inlines the four composed method SQLs into
+    # each iteration (measured 230s -> 20s at sf0.001). Evaluation only.
+    return f"""
+    WITH RECURSIVE pm AS MATERIALIZED ({union}),
+    sym AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pm
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pm
+    ),
+    reach AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+        WHERE s.dst <> r.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    ),
+    sizes AS (
+        SELECT component_id, count(*) AS n_members
+        FROM comp GROUP BY component_id
+    )
+    SELECT n_members, count(*) AS n_components,
+           CAST(n_members * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY n_members
+    """
+
+
+@register(
+    "dedup_method_union_components",
+    sql=_union_components_sql(),  # composes the four registered pair specs
+    doc="Connected components over the UNION of all four near-dup pair "
+    "sets (MinHash-LSH + SimHash + n-gram Jaccard + fuzzy edit) — the "
+    "'dedup with ALL the evidence' production read that "
+    "dedup_method_agreement's low-agreement cells call for: methods "
+    "that see different duplicate classes contribute different edges, "
+    "and the union's components are the duplicate groups a maximal "
+    "scrub would act on. Output is the component-size census "
+    "(n_members, n_components, n_docs) — the distribution a pipeline "
+    "owner reads to price the union policy against any single method. "
+    "Plan shape at 100 TB: four parquet artifact scans (pair tables "
+    "built once per corpus snapshot — this is a pure consumer), one "
+    "distinct on the unioned edge list, then the shared "
+    "connected_components kernel (min-label propagation + pointer "
+    "jumping, O(log diameter) join-shuffle iterations, lineage "
+    "truncated per step) and two tiny aggregates. Oracle computes the "
+    "same fixpoint via a recursive-CTE transitive closure over the "
+    "same composed method specs.",
+)
+def dedup_method_union_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    # pure consumer of the four per-corpus pair-table artifacts
+    parts = [
+        pair_table(spark, sf_dir, m).select("doc_a", "doc_b")
+        for m in _PAIR_METHODS
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    comp = connected_components(edges.distinct())
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return sizes.groupBy("n_members").agg(
+        F.count(F.lit(1)).alias("n_components"),
+        (F.col("n_members") * F.count(F.lit(1))).cast("long").alias("n_docs"),
     )

@@ -2618,11 +2618,13 @@ def sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_graph_path(spark: SparkSession, sf_dir: str) -> str:
     import pathlib
 
-    from exact_spark.artifacts import materialize
+    from exact_spark.artifacts import builder_salt, materialize
 
+    # builder-version salt (ADVICE r08): a sim_knn_graph code change
+    # re-fingerprints the artifact so graph consumers can't serve stale edges
     return materialize(
         pathlib.Path(sf_dir).resolve() / "embeddings.parquet",
-        "knng",
+        "knng_" + builder_salt("sim_knn_graph"),
         lambda staging: sim_knn_graph(spark, sf_dir)
         .write.mode("overwrite")
         .parquet(staging),

@@ -133,9 +133,13 @@ def profile_table_path(spark: SparkSession, sf_dir: str) -> str:
 
     from exact_spark.artifacts import materialize
 
+    from exact_spark.artifacts import builder_salt
+
+    # builder-version salt (ADVICE r08): a text_profile code change
+    # re-fingerprints the artifact so consumers can't serve stale profiles
     return materialize(
         pathlib.Path(sf_dir).resolve() / "documents.parquet",
-        "textprof",
+        "textprof_" + builder_salt("text_profile"),
         lambda staging: _text_profile_frame(spark, sf_dir)
         .write.mode("overwrite")
         .parquet(staging),

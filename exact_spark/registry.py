@@ -40,14 +40,14 @@ def register(name: str, sql: str | None, doc: str = ""):
 
 # The round driver records correctness for the FIRST 50 entries of
 # ``queries()`` (observed count cap: exactly 50 rows in CORRECTNESS_r01-r04).
-# With 244 registered queries, iteration order decides which get a driver
-# record, so it is managed explicitly. r08 policy (VERDICT r07 item 5: the
-# never-recorded backlog is retired, so the slots now rotate onto the OLDEST
-# records first): never-recorded queries lead (this round: the 5 new r08
-# operators), then queries whose results changed since their last record
-# (_FORCE_RERECORD in the rotation tool — the occupancy-k semantic-dedup
-# change), then least-recently-recorded first, so no certification goes
-# stale. The full registry is still covered every round by
+# With 248 registered queries (r09), iteration order decides which get a driver
+# record, so it is managed explicitly. Rotation policy (since r08; VERDICT
+# r07 item 5 — the never-recorded backlog is retired, so the slots rotate
+# onto the OLDEST records first): never-recorded queries lead (this round:
+# the 2 new r09 operators), then queries whose results changed since their
+# last record (_FORCE_RERECORD in the rotation tool — empty for r09), then
+# least-recently-recorded first (this round: the r04-vintage block), so no
+# certification goes stale. The full registry is still covered every round by
 # tools/record_correctness.py (driver-identical compare, sf0.01) committed
 # as CORRECTNESS_LOCAL_r{N}.json.
 # Round the current window was rotated FOR: the window must avoid driver
@@ -55,61 +55,12 @@ def register(name: str, sql: str | None, doc: str = ""):
 # the driver commits it) matches the window by construction and is excluded,
 # so the gate stays green across the round boundary. rotate_driver_window.py
 # rewrites this alongside DRIVER_ORDER.
-DRIVER_WINDOW_ROUND: int = 8
+DRIVER_WINDOW_ROUND: int = 9
 
 DRIVER_ORDER: list[str] = [
     # --- window (slots 1-50): best available recording spend ---
-    "sim_ivfpq_recall",
-    "sim_topk_ivfpq",
-    "dedup_method_agreement",
-    "dedup_substring_spans",
-    "dedup_url_canonical",
-    "decontaminate_fingerprint",
-    "multimodal_phash_neardup",
-    "dedup_semantic",
-    "sim_cluster_profile",
-    "g5_percentile_threshold",
-    "g6_ndcg",
-    "g8_class_counts",
-    "inject_methods",
-    "j1_flag_writeback",
-    "ml_per_key_threshold",
-    "multimodal_binary_meta",
-    "multimodal_decode_features",
-    "multimodal_frame_features",
-    "multimodal_frame_sample",
-    "p13_alignment",
-    "p7_impute",
-    "rel_distinct_two_phase",
-    "rel_order_priority_smj",
-    "rel_pricing_summary",
-    "rel_region_revenue",
-    "rel_revenue_rollup",
-    "rel_top_customers",
-    "sim_ivf_recall",
-    "sim_knn_classify",
-    "sim_topk_cosine",
-    "sim_topk_ivf",
-    "sketch_approx_stats",
-    "sketch_mergeable_rollup",
-    "text_curation_manifest",
-    "text_filter_pipeline",
-    "text_profile",
-    "text_sample_stratified",
-    "text_vocab_topk",
-    "ts_asof_join",
-    "ts_balanced_sample",
-    "ts_canonicalize",
-    "ts_column_stats",
-    "ts_downsample_m4",
-    "ts_gap_fill",
-    "ts_hourly_rollup",
-    "ts_interarrival",
-    "ts_time_range_scan",
-    "ts_train_test_split",
-    "api_get_data",
-    "catalog_lifecycle",
-    # --- outside the window (rotates into it next round) ---
+    "dedup_method_union_components",
+    "dedup_substring_scrub",
     "decontaminate_ngram",
     "dedup_chunk_exact",
     "dedup_incremental",
@@ -158,6 +109,7 @@ DRIVER_ORDER: list[str] = [
     "xai_methods_ndcg",
     "dedup_cluster_purity",
     "dedup_survivorship",
+    # --- outside the window (rotates into it next round) ---
     "dq_benford_audit",
     "dq_crossmodal_consistency",
     "dq_expectations",
@@ -306,6 +258,56 @@ DRIVER_ORDER: list[str] = [
     "ts_spearman_corr",
     "ts_user_growth",
     "ts_value_k_corr",
+    "api_get_data",
+    "catalog_lifecycle",
+    "decontaminate_fingerprint",
+    "dedup_method_agreement",
+    "dedup_semantic",
+    "dedup_substring_spans",
+    "dedup_url_canonical",
+    "g5_percentile_threshold",
+    "g6_ndcg",
+    "g8_class_counts",
+    "inject_methods",
+    "j1_flag_writeback",
+    "ml_per_key_threshold",
+    "multimodal_binary_meta",
+    "multimodal_decode_features",
+    "multimodal_frame_features",
+    "multimodal_frame_sample",
+    "multimodal_phash_neardup",
+    "p13_alignment",
+    "p7_impute",
+    "rel_distinct_two_phase",
+    "rel_order_priority_smj",
+    "rel_pricing_summary",
+    "rel_region_revenue",
+    "rel_revenue_rollup",
+    "rel_top_customers",
+    "sim_cluster_profile",
+    "sim_ivf_recall",
+    "sim_ivfpq_recall",
+    "sim_knn_classify",
+    "sim_topk_cosine",
+    "sim_topk_ivf",
+    "sim_topk_ivfpq",
+    "sketch_approx_stats",
+    "sketch_mergeable_rollup",
+    "text_curation_manifest",
+    "text_filter_pipeline",
+    "text_profile",
+    "text_sample_stratified",
+    "text_vocab_topk",
+    "ts_asof_join",
+    "ts_balanced_sample",
+    "ts_canonicalize",
+    "ts_column_stats",
+    "ts_downsample_m4",
+    "ts_gap_fill",
+    "ts_hourly_rollup",
+    "ts_interarrival",
+    "ts_time_range_scan",
+    "ts_train_test_split",
 ]
 
 

@@ -317,6 +317,13 @@ def test_substring_spans_plan_shape(spark, sf_dir):
     # exactly one join in the whole plan: gram positions against the
     # reduced dup-gram set (no pairwise doc-doc join exists anywhere)
     assert plan.count("Join") == 1
+    # VERDICT r08 item 1: every exchange of the L-gram position table is
+    # keyed on the fixed-width 128-bit hash pair (h1, h2), never the raw
+    # 40-char gram — the shuffle byte-width fix. The gram string must not
+    # appear as any partitioning key.
+    assert "hashpartitioning(h1" in plan
+    assert "hashpartitioning(g#" not in plan
+    assert "xxhash64" in plan
 
 
 def test_pair_consumers_read_artifacts_not_corpus(spark, sf_dir):

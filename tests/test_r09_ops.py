@@ -1,0 +1,153 @@
+"""r09 operator contracts: substring-span SCRUB (removal stage) and the
+union-of-methods component census.
+
+Oracle parity at the gate SFs is covered by record_correctness; these pin
+the behavioral contracts the hash compare can't express — literal
+brute-force text reassembly, and a from-scratch union-find over the union
+of the four pair sets.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR_MID
+
+from tests.test_r08b_ops import _brute_spans
+
+
+def _brute_scrub(text: str, spans: list[tuple[int, int]]) -> str:
+    """Cut 1-based inclusive [s, e] spans out of text, keep the rest in
+    order — the literal definition of the removal stage."""
+    keep, cur = [], 1
+    for s, e in sorted(spans):
+        keep.append(text[cur - 1 : s - 1])
+        cur = e + 1
+    keep.append(text[cur - 1 :])
+    return "".join(keep)
+
+
+def test_substring_scrub_matches_brute_force(spark, sf_dir):
+    from exact_spark import io
+    from exact_spark.operators.dedup import _SUB_L, dedup_substring_scrub
+
+    docs = io.load(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    texts = dict(zip(docs.doc_id, docs.text))
+    want_spans = _brute_spans(texts, _SUB_L)
+    got = dedup_substring_scrub(spark, sf_dir).toPandas().set_index("doc_id")
+    assert set(got.index) == set(texts)  # every doc survives as a row
+    for d, t in texts.items():
+        sp = want_spans.get(d, [])
+        assert got.loc[d, "n_spans"] == len(sp)
+        assert got.loc[d, "removed_chars"] == sum(e - s + 1 for s, e in sp)
+        assert got.loc[d, "clean_text"] == _brute_scrub(t, sp)
+
+
+def test_substring_scrub_geometry(spark):
+    """Cross-stage consistency at sf0.01: clean length == original minus
+    removed everywhere, untouched docs pass through verbatim, and the
+    scrub's span accounting equals the census query's."""
+    from exact_spark import io
+    from exact_spark.operators.dedup import (
+        dedup_substring_scrub,
+        dedup_substring_spans,
+    )
+
+    docs = (
+        io.load(spark, SF_DIR_MID, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    got = dedup_substring_scrub(spark, SF_DIR_MID).toPandas().set_index("doc_id")
+    census = (
+        dedup_substring_spans(spark, SF_DIR_MID).toPandas().set_index("doc_id")
+    )
+    for d, r in got.iterrows():
+        assert len(r.clean_text) == len(docs.loc[d, "text"]) - r.removed_chars
+        if r.n_spans == 0:
+            assert r.clean_text == docs.loc[d, "text"]
+    touched = got[got.n_spans > 0]
+    assert set(touched.index) == set(census.index)
+    for d in census.index:
+        assert touched.loc[d, "n_spans"] == census.loc[d, "n_spans"]
+        assert touched.loc[d, "removed_chars"] == census.loc[d, "dup_chars"]
+
+
+def test_span_artifact_matches_fresh_compute(spark, sf_dir):
+    """The scrub serves spans from the per-corpus artifact; its content
+    must be identical to a fresh _substring_span_table computation —
+    the honesty pin that keeps the composed scrub oracle valid."""
+    from exact_spark.operators.dedup import (
+        _substring_span_table,
+        substring_span_table,
+    )
+
+    fresh = (
+        _substring_span_table(spark, sf_dir)
+        .toPandas()
+        .sort_values(["doc_id", "s"], ignore_index=True)
+    )
+    served = (
+        substring_span_table(spark, sf_dir)
+        .toPandas()
+        .sort_values(["doc_id", "s"], ignore_index=True)
+    )
+    assert fresh.equals(served[fresh.columns])
+
+
+# --- union-of-methods components -----------------------------------------------
+
+
+def _union_find_sizes(edges: set[tuple[int, int]]) -> dict[int, int]:
+    """Literal union-find; returns size distribution {n_members: n_components}."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    sizes = Counter(find(x) for x in parent)
+    dist = Counter(sizes.values())
+    return dict(dist)
+
+
+def test_union_components_match_union_find(spark, sf_dir):
+    from exact_spark.operators.dedup import (
+        _PAIR_METHODS,
+        dedup_method_union_components,
+        pair_table,
+    )
+
+    edges: set[tuple[int, int]] = set()
+    for m in _PAIR_METHODS:
+        pdf = pair_table(spark, sf_dir, m).select("doc_a", "doc_b").toPandas()
+        edges |= set(zip(pdf.doc_a, pdf.doc_b))
+    want = _union_find_sizes(edges)
+    got = dedup_method_union_components(spark, sf_dir).toPandas()
+    assert dict(zip(got.n_members, got.n_components)) == want
+    assert (got.n_docs == got.n_members * got.n_components).all()
+
+
+def test_union_components_superset_of_single_method(spark):
+    """The union's duplicate mass dominates any single method's: every
+    doc in the minhash-only components appears in some union component,
+    and union components can only merge, never split (component count at
+    a fixed doc coverage is <= the single method's)."""
+    from exact_spark.operators.dedup import (
+        dedup_method_union_components,
+        pair_table,
+    )
+
+    got = dedup_method_union_components(spark, SF_DIR_MID).toPandas()
+    union_docs = int(got.n_docs.sum())
+    mh = pair_table(spark, SF_DIR_MID, "minhash_lsh").toPandas()
+    mh_docs = len(set(mh.doc_a) | set(mh.doc_b))
+    assert union_docs >= mh_docs
+    assert (got.n_members >= 2).all()  # only edge-touched docs are counted

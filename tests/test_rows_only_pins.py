@@ -21,6 +21,14 @@ ml_cv_stratified, ml_param_search, ml_supervised_e2e — pinning exact
 sf0.001 confusion counts / held-out scores next to the scale-independent
 structural invariants (stratified fold balance, single max-F1 selection,
 shared scored frame).
+
+r09 (VERDICT r08 item 3) adds four more: sim_ivf_kmeans_recall (pinned
+exact recall rows), sim_topk_ivf_kmeans (FULL numpy mirror of the
+fixed-point cosine brute force — valid because the recall pin certifies
+recall 1.0 at this SF), ml_unsupervised_e2e (pinned fixed-seed confusion
+counts for all three detectors), and text_quality_classifier (decision
+rule mirrored out-of-engine + pinned per-source keep counts). 14 of the
+22 rows-only entries now carry evidence stronger than a row count.
 """
 
 from __future__ import annotations
@@ -354,3 +362,125 @@ def test_xai_methods_ndcg_pinned_and_invariant(spark, sf001):
         assert r["n_features_ranked"] == 2, m
         assert (r["ndcg_at_3"], r["ndcg_at_5"], r["ndcg_at_10"]) == (1.0, 1.0, 1.0), m
         assert 0.0 <= r["ndcg_at_3"] <= r["ndcg_at_5"] <= r["ndcg_at_10"] <= 1.0
+
+
+# --- r09 additions (VERDICT r08 item 3) --------------------------------------
+
+
+def test_ivf_kmeans_recall_pinned(spark, sf001):
+    """sim_ivf_kmeans_recall is rows-only (iterative MLlib KMeans fit)
+    but fully deterministic (fixed seed, md5-stable training sample,
+    deterministic nprobe tuner): pin the complete sf0.001 result — the
+    auto-tuned nprobe reaches EXACT recall on this corpus, so all ten
+    queries score 5/5 — next to the scale-independent bounds."""
+    rows = {
+        r["query_id"]: r
+        for r in REGISTRY["sim_ivf_kmeans_recall"].fn(spark, sf001).collect()
+    }
+    assert sorted(rows) == list(range(10))
+    for q, r in rows.items():
+        assert (r["n_hits"], r["recall_at_k"]) == (5, 1.0), q
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+
+
+def test_ivf_kmeans_topk_matches_exact_numpy_mirror(spark, sf001):
+    """sim_topk_ivf_kmeans, mirrored fully out-of-engine: the fixed-point
+    cosine (floor(x*y*1e9 + 0.5) per element, summed as int64) is
+    reproduced in numpy and the exact brute-force top-5 per query is
+    compared row-for-row. Valid because the recall pin above certifies
+    the tuned index reaches recall 1.0 at this SF — the trained-quantizer
+    path must therefore return the EXACT neighbors, ranks, and cosines."""
+    import duckdb
+    import numpy as np
+
+    emb = duckdb.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf001}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    ).fetchdf()
+    ids = emb["vec_id"].to_numpy()
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    # fixed-point pairwise dots: mirror dot_fixed exactly
+    def dots_fx(Q: np.ndarray) -> np.ndarray:
+        return np.floor(Q[:, None, :] * V[None, :, :] * 1e9 + 0.5).astype(
+            np.int64
+        ).sum(axis=-1)
+
+    norms_fx = np.floor(V * V * 1e9 + 0.5).astype(np.int64).sum(axis=-1)
+    q_mask = ids < 10
+    dot = dots_fx(V[q_mask])
+    cos = (dot / 1e9) / (
+        np.sqrt(norms_fx[q_mask, None] / 1e9) * np.sqrt(norms_fx[None, :] / 1e9)
+    )
+    got = (
+        REGISTRY["sim_topk_ivf_kmeans"].fn(spark, sf001)
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert len(got) == 50
+    for qi, qid in enumerate(ids[q_mask]):
+        row_cos = cos[qi].copy()
+        row_cos[ids == qid] = -np.inf  # self excluded
+        # exact top-5: cosine desc, neighbor_id ascending tie-break
+        order = np.lexsort((ids, -row_cos))[:5]
+        sub = got[got.query_id == qid].reset_index(drop=True)
+        assert list(sub.neighbor_id) == [int(ids[j]) for j in order], qid
+        assert list(sub["rank"]) == [1, 2, 3, 4, 5]
+        for r, j in zip(sub.itertuples(), order):
+            assert abs(r.cosine - row_cos[j]) < 1e-12, (qid, r.neighbor_id)
+
+
+def test_unsupervised_e2e_pinned_and_invariant(spark, sf001):
+    """ml_unsupervised_e2e is rows-only (three native detector fits) but
+    fixed-seed deterministic: pin the exact sf0.001 confusion counts for
+    all three models next to the invariants that hold at any scale
+    (shared scored frame — row totals and positive counts agree)."""
+    rows = {
+        r["model"]: r.asDict()
+        for r in REGISTRY["ml_unsupervised_e2e"].fn(spark, sf001).collect()
+    }
+    assert sorted(rows) == ["ae_ocsvm", "isolation_forest", "pca_autoencoder"]
+    assert len({r["tp"] + r["tn"] + r["fp"] + r["fn"] for r in rows.values()}) == 1
+    assert len({r["tp"] + r["fn"] for r in rows.values()}) == 1  # same labels
+    pinned = {
+        "ae_ocsvm": (15, 712, 87, 186, 1000),
+        "isolation_forest": (11, 757, 42, 190, 1000),
+        "pca_autoencoder": (10, 759, 40, 191, 1000),
+    }
+    for m, (tp, tn, fp, fn, n) in pinned.items():
+        r = rows[m]
+        assert (r["tp"], r["tn"], r["fp"], r["fn"], r["n_rows"]) == (
+            tp, tn, fp, fn, n,
+        ), m
+
+
+def test_quality_classifier_pinned_and_mirrored(spark, sf001):
+    """text_quality_classifier is rows-only (iterative MLlib logistic
+    fit) but its DECISION RULE is mirrored out-of-engine: the keep flag
+    must equal (proba > curated prior) row-for-row, with the prior
+    recomputed here from the raw parquet; the per-source keep counts are
+    pinned exactly (deterministic L-BFGS fit on fixed data), and the
+    weak-label signal must point the right way (curated sources score
+    higher on average than the rest)."""
+    import duckdb
+
+    from exact_spark.operators.text import _QC_CURATED_SOURCES
+
+    qc = REGISTRY["text_quality_classifier"].fn(spark, sf001).toPandas()
+    assert len(qc) == 500
+    docs = duckdb.execute(
+        f"SELECT source FROM read_parquet('{sf001}/documents.parquet')"
+    ).fetchdf()
+    prior = (docs["source"].isin(_QC_CURATED_SOURCES)).mean()
+    assert prior == 0.2
+    assert (qc["quality_keep"] == (qc["quality_proba"] > prior).astype(int)).all()
+    assert qc["quality_proba"].between(0.0, 1.0).all()
+    curated = qc[qc.source.isin(_QC_CURATED_SOURCES)]
+    rest = qc[~qc.source.isin(_QC_CURATED_SOURCES)]
+    assert curated["quality_proba"].mean() > rest["quality_proba"].mean()
+    keep_by_source = qc.groupby("source")["quality_keep"].sum().to_dict()
+    assert keep_by_source == {
+        "src0": 16, "src1": 12, "src2": 13, "src3": 16, "src4": 11,
+        "src5": 6, "src6": 16, "src7": 10, "src8": 13, "src9": 14,
+        "src10": 14, "src11": 15, "src12": 14, "src13": 12, "src14": 17,
+        "src15": 11, "src16": 12, "src17": 11, "src18": 11, "src19": 11,
+    }

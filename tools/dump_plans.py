@@ -72,7 +72,9 @@ HEADLINERS = [
     ("multimodal_phash_neardup", "hash = one doc_id-keyed map-side-combinable groupBy (per-doc byte explode is in-row); candidates = ONE (band,value)-keyed exchange with capped in-place pair expansion; Hamming recheck joins 32-char strings only"),
     ("decontaminate_fingerprint", "holding corpus collapses to a distinct-fingerprint SET (no cap, no pair expansion anywhere); arriving side left-joins on the fp key; one per-doc rollup"),
     ("dedup_url_canonical", "canonicalization entirely inside the scan projection — the only exchanges are the canonical-URL aggregate's own two-phase distinct (count(DISTINCT raw) partials, then the final groupBy key)"),
-    ("dedup_substring_spans", "L-gram expansion in-row (explode of a sequence over the scan — no pre-shuffle); cross-doc test = ONE gram-keyed aggregate + a co-partitioned join back (positions marked, pairs NEVER expand — no cap needed); island merge windows per doc_id, sort bounded by doc length"),
+    ("dedup_substring_spans", "L-gram expansion in-row (explode of a sequence over the scan — no pre-shuffle); cross-doc test = ONE aggregate + a co-partitioned join back, BOTH keyed on a fixed-width 128-bit gram hash (two xxhash64 BIGINTs — the raw 40-char gram never leaves the scan stage, ~3x narrower shuffle of the ~L-times-inflated position table); positions marked, pairs NEVER expand — no cap needed; island merge windows per doc_id, sort bounded by doc length"),
+    ("dedup_substring_scrub", "removal stage served from the per-corpus span-table artifact (parquet scan — the L-gram marking pass runs once per corpus snapshot, attributed to the census builder); ONE per-doc groupBy collects the doc's own spans (bounded by doc_len/L) + in-row fold reassembles the gaps — no window, no extra shuffle beyond the join back to the corpus"),
+    ("dedup_method_union_components", "four pair-table artifact scans (pure consumer) -> distinct on the unioned edges -> shared connected_components kernel (min-label propagation + pointer jumping, O(log diameter) iterations, lineage truncated per step) -> two tiny aggregates for the size census"),
     ("dedup_method_agreement", "pure consumer: all four pair sets are parquet scans of the per-corpus pair-table artifacts (no corpus rescan, no method recompute — builders stay the registered method queries); agreement adds a single (doc_a,doc_b)-keyed self-join plus two broadcast method-count joins"),
 ]
 

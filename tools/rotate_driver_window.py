@@ -47,12 +47,12 @@ _FAMILY_PRIORITY = ("rel_", "dq_", "emb_", "sim_", "ml_", "text_", "ts_", "dedup
 # by the current round's fixes) — their stale certification is worthless, so
 # they sort ahead of the plain least-recently-recorded rotation. Update this
 # set each round; names not in the registry are ignored.
-_FORCE_RERECORD: set[str] = {
-    # r08: occupancy-driven semantic-dedup k (commit 06cfe22) changed both
-    # queries' row counts; their r04 records certify the old fixed-k results
-    "dedup_semantic",
-    "sim_cluster_profile",
-}
+_FORCE_RERECORD: set[str] = set()
+# r09: empty — the r08 occupancy-k pair (dedup_semantic,
+# sim_cluster_profile) got fresh r08 records, and none of the r09 code
+# changes moved any query's results (the substring-span hashed shuffle
+# key and the agreement matrix's fixed 6-row shape are output-identical
+# at the gate SFs — parity tests + oracle hashes confirm).
 # r10-safe: matches CORRECTNESS_r12.json, not CORRECTNESS_LOCAL_r05.json.
 _RECORD_RE = re.compile(r"^CORRECTNESS_r(\d+)\.json$")
 
