@@ -2498,6 +2498,13 @@ _SUB_REASSEMBLE = """
 )
 def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
+    return _scrub_frame(spark, sf_dir)
+
+
+def _scrub_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_spans, removed_chars, clean_text) for EVERY doc — the
+    scrub query's frame, shared with dedup_survivor_corpus so the
+    removal semantics cannot drift between the two."""
     spans = substring_span_table(spark, sf_dir)
     agg = spans.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("s", "e"))).alias("sp"),
@@ -2732,4 +2739,207 @@ def dedup_method_union_components(spark: SparkSession, sf_dir: str) -> DataFrame
     return sizes.groupBy("n_members").agg(
         F.count(F.lit(1)).alias("n_components"),
         (F.col("n_members") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+
+
+# --- the pipeline funnel and the survivor corpus -------------------------------
+#
+# The two reads that END a production dedup pipeline: the funnel census a
+# pipeline owner signs off on ("raw -> exact -> near-dup components ->
+# substring scrub: how many docs/chars survive each stage") and the
+# materialized survivor corpus itself (canonical component representatives
+# with duplicated spans excised — the dataset that actually ships to
+# training). Both are pure CONSUMERS of already-materialized structure:
+# the duplicate-group components artifact and the span-table artifact.
+
+
+def _funnel_sql() -> str:
+    from exact_spark.registry import REGISTRY as _R
+
+    return f"""
+    WITH comp AS MATERIALIZED (
+        SELECT doc_id, component_id FROM ({_R["dedup_components"].sql})
+    ),
+    sp AS MATERIALIZED (
+        SELECT doc_id, dup_chars FROM ({_R["dedup_substring_spans"].sql})
+    ),
+    norm AS (
+        SELECT doc_id, length(text) AS len,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS text_hash
+        FROM documents
+    ),
+    raw AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS c FROM norm),
+    exact_kept AS (
+        SELECT doc_id, len FROM (
+            SELECT doc_id, len,
+                   min(doc_id) OVER (PARTITION BY text_hash) AS keeper
+            FROM norm
+        ) WHERE doc_id = keeper
+    ),
+    comp_kept AS (
+        SELECT n.doc_id, n.len
+        FROM norm n LEFT JOIN comp c USING (doc_id)
+        WHERE c.component_id IS NULL OR c.component_id = n.doc_id
+    ),
+    scrubbed AS (
+        SELECT k.doc_id, k.len - COALESCE(s.dup_chars, 0) AS len
+        FROM comp_kept k LEFT JOIN sp s USING (doc_id)
+    ),
+    stages AS (
+        SELECT 0 AS stage_idx, 'raw' AS stage, n, c FROM raw
+        UNION ALL
+        SELECT 1, 'exact_dedup', count(*), CAST(sum(len) AS BIGINT)
+        FROM exact_kept
+        UNION ALL
+        SELECT 2, 'near_dup_components', count(*), CAST(sum(len) AS BIGINT)
+        FROM comp_kept
+        UNION ALL
+        SELECT 3, 'substring_scrub', count(*), CAST(sum(len) AS BIGINT)
+        FROM scrubbed
+    )
+    SELECT stage_idx, stage, n AS n_docs, c AS n_chars,
+           CAST(n AS DOUBLE) / (SELECT n FROM raw) AS docs_frac,
+           CAST(c AS DOUBLE) / (SELECT c FROM raw) AS chars_frac
+    FROM stages
+    """
+
+
+@register(
+    "dedup_pipeline_funnel",
+    sql=_funnel_sql(),  # composes the components + substring-span specs
+    doc="The dedup-pipeline funnel census — the sign-off report a corpus "
+    "owner reads before shipping a training set: docs and chars "
+    "surviving each stage (raw -> exact dedup -> near-dup component "
+    "survivorship -> substring scrub), each as a count and a fraction "
+    "of raw. Stage semantics compose the registered specs verbatim: "
+    "exact keeps the min-doc_id representative per normalized text "
+    "hash (dedup_exact), component survivorship keeps component_id == "
+    "doc_id over the minhash+exact duplicate groups (dedup_components, "
+    "served from the per-corpus artifact), and the scrub stage "
+    "subtracts each survivor's duplicated-span chars "
+    "(dedup_substring_spans, served from the span-table artifact). "
+    "Plan shape at 100 TB: one corpus scan for lengths/hashes, one "
+    "map-side-combinable groupBy for the exact stage, two artifact "
+    "parquet scans with per-doc joins, and four single-row aggregates "
+    "unioned — no pairwise work anywhere; both expensive structures "
+    "are built once per corpus snapshot and only READ here.",
+)
+def dedup_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("len"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+        ).alias("text_hash"),
+    )
+    raw = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("len").cast("long").alias("c")
+    )
+    # exact stage: ONE groupBy (min_by fetches the keeper's length without
+    # a second window pass over the corpus)
+    exact = (
+        docs.groupBy("text_hash")
+        .agg(F.min_by("len", "doc_id").alias("len"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("len").cast("long").alias("c"))
+    )
+    comp = components_table(spark, sf_dir).select("doc_id", "component_id")
+    kept = docs.join(comp, "doc_id", "left").filter(
+        F.col("component_id").isNull() | (F.col("component_id") == F.col("doc_id"))
+    )
+    comp_agg = kept.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("len").cast("long").alias("c")
+    )
+    sp = (
+        substring_span_table(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_chars"))
+    )
+    scrubbed = (
+        kept.join(sp, "doc_id", "left")
+        .select(
+            (F.col("len") - F.coalesce("dup_chars", F.lit(0))).alias("len")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("len").cast("long").alias("c"))
+    )
+    def tag(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n"),
+            F.col("c"),
+        )
+
+    stages = (
+        tag(raw, 0, "raw")
+        .unionByName(tag(exact, 1, "exact_dedup"))
+        .unionByName(tag(comp_agg, 2, "near_dup_components"))
+        .unionByName(tag(scrubbed, 3, "substring_scrub"))
+    )
+    base = raw.select(F.col("n").alias("rn"), F.col("c").alias("rc"))
+    return stages.join(F.broadcast(base)).select(
+        "stage_idx",
+        "stage",
+        F.col("n").alias("n_docs"),
+        F.col("c").alias("n_chars"),
+        (F.col("n").cast("double") / F.col("rn")).alias("docs_frac"),
+        (F.col("c").cast("double") / F.col("rc")).alias("chars_frac"),
+    )
+
+
+def _survivor_sql() -> str:
+    from exact_spark.registry import REGISTRY as _R
+
+    return f"""
+    WITH comp AS MATERIALIZED (
+        SELECT doc_id, component_id FROM ({_R["dedup_components"].sql})
+    ),
+    sc AS MATERIALIZED (
+        SELECT doc_id, n_spans, removed_chars, clean_text
+        FROM ({_R["dedup_substring_scrub"].sql})
+    )
+    SELECT d.doc_id, d.source, CAST(length(d.text) AS BIGINT) AS orig_len,
+           sc.n_spans, sc.removed_chars, sc.clean_text
+    FROM documents d
+    JOIN sc ON sc.doc_id = d.doc_id
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    WHERE c.component_id IS NULL OR c.component_id = d.doc_id
+    """
+
+
+@register(
+    "dedup_survivor_corpus",
+    sql=_survivor_sql(),  # composes the components + scrub specs
+    doc="The materialized OUTPUT of the dedup pipeline — the corpus that "
+    "actually ships to training: every canonical component "
+    "representative (component_id == doc_id over the minhash+exact "
+    "duplicate groups; docs in no group pass through), carrying its "
+    "substring-scrubbed text and removal accounting. Composes the "
+    "registered dedup_components and dedup_substring_scrub specs "
+    "verbatim, so 'what ships' provably equals 'what the diagnostics "
+    "measured'. Plan shape at 100 TB: two artifact parquet scans "
+    "(duplicate groups + span table, both built once per corpus "
+    "snapshot), one per-doc join each, and the in-row reassembly fold "
+    "— no window, no pairwise work; the output is written straight "
+    "back out as the next pipeline stage's input.",
+)
+def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("orig_len")
+    )
+    sc = _scrub_frame(spark, sf_dir)
+    comp = components_table(spark, sf_dir).select("doc_id", "component_id")
+    return (
+        docs.join(sc, "doc_id")
+        .join(comp, "doc_id", "left")
+        .filter(
+            F.col("component_id").isNull()
+            | (F.col("component_id") == F.col("doc_id"))
+        )
+        .select(
+            "doc_id", "source", "orig_len", "n_spans", "removed_chars",
+            "clean_text",
+        )
     )

@@ -151,3 +151,86 @@ def test_union_components_superset_of_single_method(spark):
     mh_docs = len(set(mh.doc_a) | set(mh.doc_b))
     assert union_docs >= mh_docs
     assert (got.n_members >= 2).all()  # only edge-touched docs are counted
+
+
+# --- pipeline funnel + survivor corpus -------------------------------------------
+
+
+def test_funnel_matches_literal_recompute(spark, sf_dir):
+    """dedup_pipeline_funnel against a from-scratch pandas recompute of
+    every stage (exact keepers via the normalized hash, component
+    survivorship from the artifact, scrub chars from brute-force spans)."""
+    import hashlib
+    import re
+
+    from exact_spark import io
+    from exact_spark.operators.dedup import (
+        _SUB_L,
+        components_table,
+        dedup_pipeline_funnel,
+    )
+
+    docs = io.load(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    texts = dict(zip(docs.doc_id, docs.text))
+    raw_docs, raw_chars = len(texts), sum(len(t) for t in texts.values())
+    keeper: dict[str, int] = {}
+    for d in sorted(texts):
+        h = hashlib.md5(
+            re.sub(r"[^a-z0-9]+", " ", texts[d].lower()).strip().encode()
+        ).hexdigest()
+        keeper.setdefault(h, d)
+    exact_docs = len(keeper)
+    exact_chars = sum(len(texts[d]) for d in keeper.values())
+    comp = components_table(spark, sf_dir).toPandas()
+    dropped = set(comp[comp.component_id != comp.doc_id].doc_id)
+    kept = [d for d in texts if d not in dropped]
+    spans = _brute_spans(texts, _SUB_L)
+    scrub_chars = sum(
+        len(texts[d]) - sum(e - s + 1 for s, e in spans.get(d, []))
+        for d in kept
+    )
+    got = (
+        dedup_pipeline_funnel(spark, sf_dir)
+        .toPandas()
+        .set_index("stage_idx")
+        .sort_index()
+    )
+    assert list(got.stage) == [
+        "raw", "exact_dedup", "near_dup_components", "substring_scrub",
+    ]
+    assert (got.loc[0, "n_docs"], got.loc[0, "n_chars"]) == (raw_docs, raw_chars)
+    assert (got.loc[1, "n_docs"], got.loc[1, "n_chars"]) == (exact_docs, exact_chars)
+    assert (got.loc[2, "n_docs"], got.loc[2, "n_chars"]) == (len(kept), sum(len(texts[d]) for d in kept))
+    assert (got.loc[3, "n_docs"], got.loc[3, "n_chars"]) == (len(kept), scrub_chars)
+    # funnel is monotone in both measures, and fractions normalize to raw
+    assert got.n_docs.is_monotonic_decreasing
+    assert got.n_chars.is_monotonic_decreasing
+    assert (got.docs_frac == got.n_docs / raw_docs).all()
+    assert (got.chars_frac == got.n_chars / raw_chars).all()
+
+
+def test_survivor_corpus_composes_components_and_scrub(spark, sf_dir):
+    """dedup_survivor_corpus must be EXACTLY 'scrub frame restricted to
+    component survivors' — what ships equals what the diagnostics
+    measured."""
+    from exact_spark import io
+    from exact_spark.operators.dedup import (
+        components_table,
+        dedup_substring_scrub,
+        dedup_survivor_corpus,
+    )
+
+    scrub = (
+        dedup_substring_scrub(spark, sf_dir).toPandas().set_index("doc_id")
+    )
+    comp = components_table(spark, sf_dir).toPandas()
+    dropped = set(comp[comp.component_id != comp.doc_id].doc_id)
+    docs = io.load(spark, sf_dir, "documents").select("doc_id", "source", "text").toPandas().set_index("doc_id")
+    got = dedup_survivor_corpus(spark, sf_dir).toPandas().set_index("doc_id")
+    assert set(got.index) == set(docs.index) - dropped
+    for d, r in got.iterrows():
+        assert r.source == docs.loc[d, "source"]
+        assert r.orig_len == len(docs.loc[d, "text"])
+        assert r.n_spans == scrub.loc[d, "n_spans"]
+        assert r.removed_chars == scrub.loc[d, "removed_chars"]
+        assert r.clean_text == scrub.loc[d, "clean_text"]

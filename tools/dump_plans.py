@@ -75,6 +75,8 @@ HEADLINERS = [
     ("dedup_substring_spans", "L-gram expansion in-row (explode of a sequence over the scan — no pre-shuffle); cross-doc test = ONE aggregate + a co-partitioned join back, BOTH keyed on a fixed-width 128-bit gram hash (two xxhash64 BIGINTs — the raw 40-char gram never leaves the scan stage, ~3x narrower shuffle of the ~L-times-inflated position table); positions marked, pairs NEVER expand — no cap needed; island merge windows per doc_id, sort bounded by doc length"),
     ("dedup_substring_scrub", "removal stage served from the per-corpus span-table artifact (parquet scan — the L-gram marking pass runs once per corpus snapshot, attributed to the census builder); ONE per-doc groupBy collects the doc's own spans (bounded by doc_len/L) + in-row fold reassembles the gaps — no window, no extra shuffle beyond the join back to the corpus"),
     ("dedup_method_union_components", "four pair-table artifact scans (pure consumer) -> distinct on the unioned edges -> shared connected_components kernel (min-label propagation + pointer jumping, O(log diameter) iterations, lineage truncated per step) -> two tiny aggregates for the size census"),
+    ("dedup_pipeline_funnel", "one corpus scan for lengths/hashes; exact stage = ONE map-side-combinable groupBy (min_by fetches the keeper's length, no second window); components + span-table read as artifacts with per-doc joins; four single-row aggregates unioned — no pairwise work anywhere"),
+    ("dedup_survivor_corpus", "two artifact parquet scans (duplicate groups + span table) with one per-doc join each + the in-row reassembly fold — what ships composes exactly the specs the diagnostics measured; no window, no pairwise work"),
     ("dedup_method_agreement", "pure consumer: all four pair sets are parquet scans of the per-corpus pair-table artifacts (no corpus rescan, no method recompute — builders stay the registered method queries); agreement adds a single (doc_a,doc_b)-keyed self-join plus two broadcast method-count joins"),
 ]
 
