@@ -27,8 +27,21 @@ exact recall rows), sim_topk_ivf_kmeans (FULL numpy mirror of the
 fixed-point cosine brute force — valid because the recall pin certifies
 recall 1.0 at this SF), ml_unsupervised_e2e (pinned fixed-seed confusion
 counts for all three detectors), and text_quality_classifier (decision
-rule mirrored out-of-engine + pinned per-source keep counts). 14 of the
-22 rows-only entries now carry evidence stronger than a row count.
+rule mirrored out-of-engine + pinned per-source keep counts).
+
+A second r09 batch adds six: ml_sequence_window_e2e (pinned fixed-seed
+confusion counts), sketch_approx_stats / sketch_hll_intersection /
+sketch_mergeable_rollup (pinned deterministic sketch estimates next to
+their honesty invariants — error columns literally |approx-exact|,
+inclusion-exclusion, merged == direct), catalog_partition_stats (FULL
+filesystem + DuckDB mirror of the per-partition report and the
+bin-packing rule), and dedup_semantic_kmeans (FULL numpy mirror of
+everything downstream of the KMeans fit: fixed-point argmax assignment,
+quantized-prefix chunking, within-chunk pair expansion, keep-lowest
+rule). 20 of the 22 rows-only entries now carry evidence stronger than
+a row count; the remaining two (catalog_lifecycle, stream_replay_e2e)
+are multi-step lifecycle/e2e flows whose value is the sequence of side
+effects, not a reproducible frame.
 """
 
 from __future__ import annotations
@@ -484,3 +497,183 @@ def test_quality_classifier_pinned_and_mirrored(spark, sf001):
         "src10": 14, "src11": 15, "src12": 14, "src13": 12, "src14": 17,
         "src15": 11, "src16": 12, "src17": 11, "src18": 11, "src19": 11,
     }
+
+
+# --- r09 second batch: sketches, sequence e2e, partition stats, semdedup ------
+
+
+def test_sequence_window_e2e_pinned(spark, sf001):
+    """ml_sequence_window_e2e is rows-only (native recurrent-AE fit) but
+    fixed-seed deterministic: pin the exact sf0.001 confusion counts."""
+    rows = REGISTRY["ml_sequence_window_e2e"].fn(spark, sf001).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["tp"], r["tn"], r["fp"], r["fn"], r["n_rows"]) == (
+        14, 740, 59, 187, 1000,
+    )
+
+
+def test_sketch_approx_stats_pinned_and_invariant(spark, sf001):
+    """sketch_approx_stats is rows-only (sketch internals are
+    engine-specific) but deterministic on fixed data: pin the sketch
+    estimates AND the exact sides, and check the error columns are
+    literally |approx - exact| — the sketch's honesty contract."""
+    r = REGISTRY["sketch_approx_stats"].fn(spark, sf001).collect()[0]
+    assert r["n_rows"] == 1000
+    assert r["approx_p50"] == 35.62
+    assert r["approx_p95"] == 143.51
+    assert abs(r["exact_p95"] - 143.6075) < 1e-9
+    assert (r["approx_users"], r["exact_users"]) == (15, 15)
+    assert abs(r["p95_abs_err"] - abs(r["approx_p95"] - r["exact_p95"])) < 1e-12
+    assert r["users_rel_err"] == abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
+
+
+def test_sketch_hll_intersection_pinned_and_invariant(spark, sf001):
+    """sketch_hll_intersection is rows-only (HLL binaries are
+    engine-internal) but deterministic: pin all four rows (at sf0.001 the
+    15-user universe estimates exactly) and check inclusion-exclusion
+    holds between the estimate rows at ANY scale."""
+    rows = {r["metric"]: r for r in REGISTRY["sketch_hll_intersection"].fn(spark, sf001).collect()}
+    assert sorted(rows) == [
+        "intersection_users", "union_users", "week_a_users", "week_b_users",
+    ]
+    for m, r in rows.items():
+        assert (r["estimate"], r["exact"]) == (15.0, 15.0), m
+    assert rows["intersection_users"]["estimate"] == (
+        rows["week_a_users"]["estimate"]
+        + rows["week_b_users"]["estimate"]
+        - rows["union_users"]["estimate"]
+    )
+
+
+def test_sketch_mergeable_rollup_pinned_and_invariant(spark, sf001):
+    """sketch_mergeable_rollup is rows-only (HLL binaries) but
+    deterministic: pin the sf0.001 row and check the mergeability
+    contract the query exists to demonstrate — merged == direct
+    (lossless union), both estimating the exact count here."""
+    r = REGISTRY["sketch_mergeable_rollup"].fn(spark, sf001).collect()[0]
+    assert (r["n_days"], r["merged_estimate"], r["direct_estimate"]) == (30, 15, 15)
+    assert r["exact_users"] == 15 and r["sum_daily_users"] == 397
+    assert r["merge_lossless"] and r["rel_err"] == 0.0
+    assert r["merged_estimate"] == r["direct_estimate"]
+    assert r["sum_daily_users"] >= r["exact_users"]  # re-visits collapse
+
+
+def test_partition_stats_matches_filesystem_mirror(spark, sf001):
+    """catalog_partition_stats mirrored out-of-engine: per-partition file
+    counts and byte totals recomputed by walking the canonical table's
+    directory, row counts recomputed by DuckDB over the same parquet,
+    and the bin-packing rule (target = max(1, ceil(bytes/128MiB)),
+    needs_compaction = n_files > target) applied literally."""
+    import math
+    import pathlib
+    from collections import defaultdict
+
+    import duckdb
+
+    from exact_spark.operators.timeseries import canonical_table_path
+
+    base = pathlib.Path(canonical_table_path(spark, sf001))
+    files = defaultdict(list)
+    for p in base.rglob("*.parquet"):
+        part = [seg for seg in p.parts if seg.startswith("__date=")]
+        if part:
+            files[part[0].split("=", 1)[1]].append(p)
+    got = {
+        r["partition"]: r
+        for r in REGISTRY["catalog_partition_stats"].fn(spark, sf001).collect()
+    }
+    assert set(got) == set(files)
+    for part, ps in files.items():
+        r = got[part]
+        total = sum(p.stat().st_size for p in ps)
+        nrows = duckdb.execute(
+            f"SELECT count(*) FROM read_parquet({[str(p) for p in ps]!r})"
+        ).fetchone()[0]
+        target = max(1, math.ceil(total / (128 * 1024 * 1024)))
+        assert r["n_files"] == len(ps), part
+        assert r["total_bytes"] == total, part
+        assert r["n_rows"] == nrows, part
+        assert r["target_files"] == target, part
+        assert r["needs_compaction"] == (len(ps) > target), part
+
+
+def test_semantic_kmeans_matches_numpy_mirror(spark, sf001):
+    """dedup_semantic_kmeans mirrored out-of-engine DOWNSTREAM of the
+    KMeans fit (the fit itself is the one non-mirrorable stage — its
+    centroids are the trained artifact): numpy reproduces the
+    fixed-point argmax-cosine assignment, the quantized-prefix chunking,
+    the within-chunk i<j pair expansion at tau=0.30, and the
+    keep-lowest-representative drop rule, row for row."""
+    import duckdb
+    import numpy as np
+
+    from exact_spark.operators.similarity import (
+        _SEM_CLUSTER_CAP,
+        _SEM_DUP_COS,
+        _SEM_PREFIX_DIMS,
+        _kmeans_centroids,
+        _sem_corpus_n,
+        _sem_k,
+    )
+
+    emb = duckdb.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf001}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    ).fetchdf()
+    ids = emb["vec_id"].to_numpy()
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    k = _sem_k(_sem_corpus_n(spark, sf001))
+    cent = sorted(
+        _kmeans_centroids(spark, sf001, k).select("cell", "c_embedding").collect(),
+        key=lambda r: r["cell"],
+    )
+    assert [r["cell"] for r in cent] == list(range(k))
+    C = np.asarray([r["c_embedding"] for r in cent], dtype=np.float64)
+
+    def dots_fx(A, B):
+        return np.floor(A[:, None, :] * B[None, :, :] * 1e9 + 0.5).astype(
+            np.int64
+        ).sum(axis=-1)
+
+    nfx_v = np.floor(V * V * 1e9 + 0.5).astype(np.int64).sum(axis=-1)
+    nfx_c = np.floor(C * C * 1e9 + 0.5).astype(np.int64).sum(axis=-1)
+    cos_vc = (dots_fx(V, C) / 1e9) / (
+        np.sqrt(nfx_v[:, None] / 1e9) * np.sqrt(nfx_c[None, :] / 1e9)
+    )
+    # argmax cosine, tie-break lowest cell id (row_number over cos desc, cell)
+    cluster = np.array([
+        min(range(k), key=lambda c: (-cos_vc[i, c], c)) for i in range(len(ids))
+    ])
+    # quantized-prefix chunk order inside each cluster, chunks of <= cap
+    want: dict[int, tuple[int, float]] = {}
+    for cl in range(k):
+        members = [int(i) for i in np.where(cluster == cl)[0]]
+        members.sort(
+            key=lambda i: tuple(
+                np.floor(V[i, d] * 8.0) for d in range(_SEM_PREFIX_DIMS)
+            ) + (ids[i],)
+        )
+        for c0 in range(0, len(members), _SEM_CLUSTER_CAP):
+            chunk = sorted(members[c0 : c0 + _SEM_CLUSTER_CAP], key=lambda i: ids[i])
+            for bi, b in enumerate(chunk):
+                for a in chunk[:bi]:
+                    cos = (
+                        float(
+                            np.floor(V[a] * V[b] * 1e9 + 0.5).astype(np.int64).sum()
+                        )
+                        / 1e9
+                    ) / (np.sqrt(nfx_v[a] / 1e9) * np.sqrt(nfx_v[b] / 1e9))
+                    if cos >= _SEM_DUP_COS and (
+                        int(ids[b]) not in want or ids[a] < want[int(ids[b])][0]
+                    ):
+                        want[int(ids[b])] = (int(ids[a]), cos)
+    got = (
+        REGISTRY["dedup_semantic_kmeans"].fn(spark, sf001)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert set(got.index) == set(want)
+    for b, (a, cos) in want.items():
+        assert got.loc[b, "dup_of"] == a, b
+        assert abs(got.loc[b, "cosine"] - cos) < 1e-12, b
