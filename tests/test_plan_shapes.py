@@ -363,3 +363,52 @@ def test_pair_consumers_read_artifacts_not_corpus(spark, sf_dir):
     # TRUTH pairs must come from the artifact
     plan = _plan(dedup_winnow_recall(spark, sf_dir))
     assert "exact_spark_pairs_ngram_jaccard" in plan
+
+
+def test_r09_consumers_read_artifacts_not_corpus(spark, sf_dir):
+    """The r09 pipeline-closing queries must SERVE from the per-corpus
+    artifacts: the scrub and survivor corpus read the span table (the
+    L-gram marking pass never re-runs in a consumer plan), union
+    components reads all four pair tables, and the funnel reads both the
+    components and span artifacts (its only corpus scan is the
+    lengths/hashes projection)."""
+    from exact_spark.operators.dedup import (
+        components_path,
+        dedup_method_union_components,
+        dedup_pipeline_funnel,
+        dedup_substring_scrub,
+        dedup_survivor_corpus,
+        pair_table_path,
+        substring_span_path,
+    )
+
+    for m in ("minhash_lsh", "simhash", "ngram_jaccard", "fuzzy_edit"):
+        pair_table_path(spark, sf_dir, m)
+    substring_span_path(spark, sf_dir)
+    components_path(spark, sf_dir)
+
+    plan = _plan(dedup_substring_scrub(spark, sf_dir))
+    assert "exact_spark_subspans_" in plan
+    assert "xxhash64" not in plan  # the marking pass never re-runs here
+    assert "collect_list" in plan  # per-doc span list (bounded by doc_len/L)
+
+    plan = _plan(dedup_survivor_corpus(spark, sf_dir))
+    assert "exact_spark_subspans_" in plan
+    assert "exact_spark_dupcc_" in plan
+    assert "xxhash64" not in plan
+
+    # union components checkpoints its CC iterations (lineage truncation is
+    # part of its scale contract), so the FINAL plan reads the label RDD —
+    # the artifact-vs-corpus property shows up as: no corpus scan anywhere,
+    # and the label frame arriving pre-materialized instead of re-deriving
+    # the four methods (agreement's plan test pins the pairs_* serving path
+    # for the same artifact layer)
+    plan = _plan(dedup_method_union_components(spark, sf_dir))
+    assert "documents.parquet" not in plan  # pure consumer
+    assert "Scan ExistingRDD" in plan  # checkpointed labels, lineage cut
+
+    plan = _plan(dedup_pipeline_funnel(spark, sf_dir))
+    assert "exact_spark_subspans_" in plan
+    assert "exact_spark_dupcc_" in plan
+    # the exact stage's one corpus scan reads only doc_id + text
+    assert "documents.parquet" in plan
