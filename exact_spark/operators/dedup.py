@@ -2312,24 +2312,8 @@ def _substring_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-collision-freedom at test SFs is what the brute-force parity
     tests (tests/test_r08b_ops.py) certify.
     """
-    docs = (
-        io.load(spark, sf_dir, "documents", spread=True)
-        .select("doc_id", "text")
-        .filter(F.length("text") >= _SUB_L)
-    )
-    grams = docs.select(
-        "doc_id",
-        "text",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - _SUB_L + 1)
-        ).alias("pos"),
-    ).select(
-        "doc_id",
-        F.col("pos").cast("long").alias("pos"),
-        # 128-bit gram key as two BIGINTs; subexpression elimination keeps
-        # the substring computed once inside the codegen stage
-        F.expr(f"xxhash64(substring(text, pos, {_SUB_L}))").alias("h1"),
-        F.expr(f"xxhash64(substring(text, pos, {_SUB_L}), 1L)").alias("h2"),
+    grams = _gram_table(
+        io.load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     )
     dup_g = (
         grams.groupBy("h1", "h2")
@@ -2338,6 +2322,35 @@ def _substring_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h1", "h2")
     )
     hits = grams.join(dup_g, ["h1", "h2"]).select("doc_id", "pos")
+    return _merge_islands(hits)
+
+
+def _gram_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h1, h2): every L-gram position of every doc, keyed by
+    the fixed-width 128-bit gram hash. Projection-only — the gram string
+    never leaves this codegen stage (subexpression elimination keeps the
+    substring computed once)."""
+    return (
+        docs.filter(F.length("text") >= _SUB_L)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - _SUB_L + 1)
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(f"xxhash64(substring(text, pos, {_SUB_L}))").alias("h1"),
+            F.expr(f"xxhash64(substring(text, pos, {_SUB_L}), 1L)").alias("h2"),
+        )
+    )
+
+
+def _merge_islands(hits: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of marked gram positions into maximal spans
+    (doc_id, s, e); the per-doc window sort is bounded by doc length."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w) > _SUB_L, 1).otherwise(0)
     grp = hits.withColumn("brk", brk).withColumn(
@@ -2942,4 +2955,188 @@ def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "orig_len", "n_spans", "removed_chars",
             "clean_text",
         )
+    )
+
+
+# --- span-level benchmark decontamination + source attribution ------------------
+
+
+@register(
+    "decontaminate_spans",
+    sql=f"""
+    WITH pos_tab AS (
+        SELECT doc_id, source, text,
+               unnest(range(1, length(text) - {_SUB_L} + 2)) AS pos
+        FROM documents WHERE length(text) >= {_SUB_L}
+    ),
+    grams AS (
+        SELECT doc_id, source, CAST(pos AS BIGINT) AS pos,
+               substr(text, CAST(pos AS INT), {_SUB_L}) AS g
+        FROM pos_tab
+    ),
+    eval_g AS MATERIALIZED (
+        SELECT DISTINCT g FROM grams WHERE source = '{_CONTAM_EVAL_SOURCE}'
+    ),
+    hits AS (
+        SELECT gr.doc_id, gr.pos FROM grams gr JOIN eval_g USING (g)
+        WHERE gr.source <> '{_CONTAM_EVAL_SOURCE}'
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        > {_SUB_L}
+                    THEN 1 ELSE 0 END AS brk
+        FROM hits
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + {_SUB_L} - 1 AS e
+        FROM grp GROUP BY doc_id, island
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS contam_chars
+        FROM spans GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_spans, a.contam_chars,
+           CAST(a.contam_chars AS DOUBLE) / length(d.text) AS contam_frac
+    FROM agg a JOIN documents d USING (doc_id)
+    """,
+    doc="Span-level benchmark decontamination — the GPT-3/PaLM appendix "
+    "method: every maximal span of a TRAINING document covered by a "
+    "40-gram that appears verbatim anywhere in the eval source "
+    "(src0, the same arriving-source convention as "
+    "decontaminate_fingerprint) is reported with its char count and "
+    "fraction of the doc — the spans a decontamination scrub would "
+    "excise before training. Character-exact where the fingerprint "
+    "gate is sampled (winnowing keeps ~1/w of grams): this is the "
+    "precise-recall complement. Plan shape at 100 TB: the eval side "
+    "(tiny by definition) collapses to a distinct 128-bit gram-hash "
+    "set — one groupBy, broadcastable; training grams are marked by "
+    "ONE membership join (a benchmark gram shared by any number of "
+    "training docs costs one set row — positions marked, no pair "
+    "expansion, no cap); island merge windows per doc. The eval "
+    "source itself is excluded from the output by definition.",
+)
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "source", "text"
+    )
+    ev_g = (
+        _gram_table(
+            docs.filter(F.col("source") == _CONTAM_EVAL_SOURCE).select(
+                "doc_id", "text"
+            )
+        )
+        .select("h1", "h2")
+        .distinct()
+    )
+    hits = (
+        _gram_table(
+            docs.filter(F.col("source") != _CONTAM_EVAL_SOURCE).select(
+                "doc_id", "text"
+            )
+        )
+        .join(ev_g, ["h1", "h2"])
+        .select("doc_id", "pos")
+    )
+    agg = _merge_islands(hits).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("contam_chars"),
+    )
+    lens = docs.select("doc_id", F.length("text").alias("len"))
+    return agg.join(lens, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "contam_chars",
+        (F.col("contam_chars").cast("double") / F.col("len")).alias(
+            "contam_frac"
+        ),
+    )
+
+
+def _span_attribution_sql() -> str:
+    from exact_spark.registry import REGISTRY as _R
+
+    return f"""
+    WITH sp AS MATERIALIZED (
+        SELECT doc_id, dup_chars FROM ({_R["dedup_substring_spans"].sql})
+    ),
+    j AS (
+        SELECT d.source, length(d.text) AS len, COALESCE(s.dup_chars, 0) AS dup
+        FROM documents d LEFT JOIN sp s USING (doc_id)
+    ),
+    per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_affected,
+               CAST(sum(dup) AS BIGINT) AS dup_chars,
+               CAST(sum(len) AS BIGINT) AS total_chars
+        FROM j GROUP BY source
+    )
+    SELECT source, n_docs, n_docs_affected, dup_chars, total_chars,
+           CAST(dup_chars AS DOUBLE) / total_chars AS dup_frac,
+           CASE WHEN (SELECT CAST(SUM(dup_chars) AS BIGINT) FROM per) = 0
+                THEN NULL
+                ELSE CAST(dup_chars AS DOUBLE)
+                     / (SELECT CAST(SUM(dup_chars) AS BIGINT) FROM per)
+           END AS corpus_share
+    FROM per
+    """
+
+
+@register(
+    "dedup_span_attribution",
+    sql=_span_attribution_sql(),  # composes the substring-span spec
+    doc="Per-source attribution of duplicated-span mass — the 'where does "
+    "the boilerplate come from' read a corpus owner runs before "
+    "adjusting the source mix: for each source, docs affected, "
+    "duplicated chars, the source's own duplication fraction, and its "
+    "share of the corpus-wide duplicated mass. Composes the registered "
+    "dedup_substring_spans spec (served from the span-table artifact), "
+    "so attribution cannot drift from the census. Plan shape at 100 TB: "
+    "one artifact parquet scan + one per-doc aggregate, one corpus scan "
+    "for lengths, one map-side-combinable groupBy on source, and a "
+    "broadcast single-row total for the share — no pairwise work.",
+)
+def dedup_span_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    sp = (
+        substring_span_table(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup"))
+    )
+    docs = io.load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("len")
+    )
+    j = docs.join(sp, "doc_id", "left").select(
+        "source", "len", F.coalesce("dup", F.lit(0)).alias("dup")
+    )
+    per = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("dup") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_affected"),
+        F.sum("dup").cast("long").alias("dup_chars"),
+        F.sum("len").cast("long").alias("total_chars"),
+    )
+    tot = per.agg(F.sum("dup_chars").cast("long").alias("tot_dup"))
+    return per.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_docs_affected",
+        "dup_chars",
+        "total_chars",
+        (F.col("dup_chars").cast("double") / F.col("total_chars")).alias(
+            "dup_frac"
+        ),
+        F.when(F.col("tot_dup") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("dup_chars").cast("double") / F.col("tot_dup"))
+        .alias("corpus_share"),
     )

@@ -40,11 +40,11 @@ def register(name: str, sql: str | None, doc: str = ""):
 
 # The round driver records correctness for the FIRST 50 entries of
 # ``queries()`` (observed count cap: exactly 50 rows in CORRECTNESS_r01-r04).
-# With 250 registered queries (r09), iteration order decides which get a driver
+# With 252 registered queries (r09), iteration order decides which get a driver
 # record, so it is managed explicitly. Rotation policy (since r08; VERDICT
 # r07 item 5 — the never-recorded backlog is retired, so the slots rotate
 # onto the OLDEST records first): never-recorded queries lead (this round:
-# the 4 new r09 operators), then queries whose results changed since their
+# the 6 new r09 operators), then queries whose results changed since their
 # last record (_FORCE_RERECORD in the rotation tool — empty for r09), then
 # least-recently-recorded first (this round: the r04-vintage block), so no
 # certification goes stale. The full registry is still covered every round by
@@ -61,8 +61,10 @@ DRIVER_ORDER: list[str] = [
     # --- window (slots 1-50): best available recording spend ---
     "dedup_method_union_components",
     "dedup_pipeline_funnel",
+    "dedup_span_attribution",
     "dedup_substring_scrub",
     "dedup_survivor_corpus",
+    "decontaminate_spans",
     "decontaminate_ngram",
     "dedup_chunk_exact",
     "dedup_incremental",
@@ -107,9 +109,9 @@ DRIVER_ORDER: list[str] = [
     "ts_seasonal_naive",
     "ts_sessionize",
     "w1_sliding_features",
+    # --- outside the window (rotates into it next round) ---
     "w3_sampling_strategies",
     "xai_methods_ndcg",
-    # --- outside the window (rotates into it next round) ---
     "dedup_cluster_purity",
     "dedup_survivorship",
     "dq_benford_audit",

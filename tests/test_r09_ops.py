@@ -234,3 +234,105 @@ def test_survivor_corpus_composes_components_and_scrub(spark, sf_dir):
         assert r.n_spans == scrub.loc[d, "n_spans"]
         assert r.removed_chars == scrub.loc[d, "removed_chars"]
         assert r.clean_text == scrub.loc[d, "clean_text"]
+
+
+# --- span decontamination + source attribution -----------------------------------
+
+
+def _brute_contam_spans(
+    texts: dict[int, str], sources: dict[int, str], eval_src: str, L: int
+) -> dict[int, list[tuple[int, int]]]:
+    """Literal definition: positions in TRAINING docs whose L-gram occurs
+    anywhere in the eval source's docs, merged into maximal intervals."""
+    eval_grams = {
+        t[i : i + L]
+        for d, t in texts.items()
+        if sources[d] == eval_src
+        for i in range(len(t) - L + 1)
+    }
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for d, t in texts.items():
+        if sources[d] == eval_src:
+            continue
+        marked = [
+            i + 1
+            for i in range(len(t) - L + 1)
+            if t[i : i + L] in eval_grams
+        ]
+        if not marked:
+            continue
+        out, s, prev = [], marked[0], marked[0]
+        for p in marked[1:]:
+            if p - prev > L:
+                out.append((s, prev + L - 1))
+                s = p
+            prev = p
+        out.append((s, prev + L - 1))
+        spans[d] = out
+    return spans
+
+
+def test_decontaminate_spans_match_brute_force(spark):
+    from exact_spark import io
+    from exact_spark.operators.dedup import (
+        _CONTAM_EVAL_SOURCE,
+        _SUB_L,
+        decontaminate_spans,
+    )
+
+    docs = (
+        io.load(spark, SF_DIR_MID, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    texts = dict(zip(docs.doc_id, docs.text))
+    sources = dict(zip(docs.doc_id, docs.source))
+    want = _brute_contam_spans(texts, sources, _CONTAM_EVAL_SOURCE, _SUB_L)
+    got = decontaminate_spans(spark, SF_DIR_MID).toPandas().set_index("doc_id")
+    assert set(got.index) == set(want)
+    for d, sp in want.items():
+        assert sources[d] != _CONTAM_EVAL_SOURCE  # eval side never reported
+        chars = sum(e - s + 1 for s, e in sp)
+        assert got.loc[d, "n_spans"] == len(sp)
+        assert got.loc[d, "contam_chars"] == chars
+        assert got.loc[d, "contam_frac"] == chars / len(texts[d])
+
+
+def test_span_attribution_matches_literal_recompute(spark, sf_dir):
+    from exact_spark import io
+    from exact_spark.operators.dedup import (
+        _SUB_L,
+        dedup_span_attribution,
+    )
+
+    docs = (
+        io.load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    texts = dict(zip(docs.doc_id, docs.text))
+    sources = dict(zip(docs.doc_id, docs.source))
+    spans = _brute_spans(texts, _SUB_L)
+    per: dict[str, dict] = {}
+    for d, t in texts.items():
+        e = per.setdefault(
+            sources[d],
+            {"n_docs": 0, "n_docs_affected": 0, "dup_chars": 0, "total_chars": 0},
+        )
+        dup = sum(b - a + 1 for a, b in spans.get(d, []))
+        e["n_docs"] += 1
+        e["n_docs_affected"] += int(dup > 0)
+        e["dup_chars"] += dup
+        e["total_chars"] += len(t)
+    tot = sum(e["dup_chars"] for e in per.values())
+    got = dedup_span_attribution(spark, sf_dir).toPandas().set_index("source")
+    assert set(got.index) == set(per)
+    for src, e in per.items():
+        r = got.loc[src]
+        assert (r.n_docs, r.n_docs_affected, r.dup_chars, r.total_chars) == (
+            e["n_docs"], e["n_docs_affected"], e["dup_chars"], e["total_chars"],
+        ), src
+        assert r.dup_frac == e["dup_chars"] / e["total_chars"]
+        assert r.corpus_share == (e["dup_chars"] / tot if tot else None)
+    # shares partition the duplicated mass
+    assert abs(got.corpus_share.sum() - 1.0) < 1e-9
