@@ -130,6 +130,16 @@ def main() -> None:
     # state without discarding a full measured suite run. All the warms
     # above have already run at this point; the timed loop never starts.
     if "--warm-only" in sys.argv:
+        # The staged streaming replay sources (ssrc_* artifacts) are built
+        # lazily INSIDE each streaming demo, so the warms above never
+        # touch them — drive each streaming query once here; their ssrc
+        # parquet is the on-disk piece a later process inherits. (Driver-
+        # side memos — KMeans centers, PQ codebooks — die with this
+        # process regardless; only /tmp artifacts carry across.)
+        for name in sorted(REGISTRY):
+            if name.startswith("stream_"):
+                REGISTRY[name].fn(spark, sf_dir).count()
+                spark.catalog.clearCache()
         print(
             json.dumps(
                 {

@@ -111,17 +111,23 @@ def source_fingerprint(source: str | pathlib.Path) -> str:
     return hashlib.md5((str(src) + "|" + "|".join(parts)).encode()).hexdigest()[:12]
 
 
-def builder_salt(*query_names: str) -> str:
+def builder_salt(*query_names: str, helpers: tuple = ()) -> str:
     """Short digest of the registered builder spec(s) behind an artifact,
     folded into the artifact tag so a BUILDER CODE change re-fingerprints
     the artifact automatically (ADVICE r08: keying only on the corpus
     fingerprint lets a warm artifact silently serve a stale pair table
     after the builder is edited — the consumers' content-equality pins
     only catch that in an environment where the stale artifact survives
-    into a test run). The digest covers the registered oracle SQL (which
-    interpolates every semantic parameter: thresholds, band counts,
-    hash families) and falls back to the Spark function source when a
-    builder has no oracle."""
+    into a test run). The digest covers BOTH the registered oracle SQL
+    (which interpolates every semantic parameter: thresholds, band
+    counts, hash families) AND the Spark builder's function source — a
+    Spark-side-only change (e.g. the gram-hash keying, which the oracle
+    deliberately spells differently) must also re-fingerprint, and the
+    SQL alone cannot see it. Registered fns are often thin wrappers, so
+    call sites pass the content-bearing helper functions via ``helpers``
+    and their sources join the digest; helpers not passed are not
+    transitively digested (the content-equality pins are the backstop
+    for that residual class)."""
     import inspect
 
     from exact_spark.registry import REGISTRY
@@ -129,7 +135,10 @@ def builder_salt(*query_names: str) -> str:
     parts = []
     for q in query_names:
         spec = REGISTRY[q]
-        parts.append(spec.sql if spec.sql is not None else inspect.getsource(spec.fn))
+        parts.append(spec.sql or "")
+        parts.append(inspect.getsource(spec.fn))
+    for h in helpers:
+        parts.append(inspect.getsource(h))
     return hashlib.md5("||".join(parts).encode()).hexdigest()[:8]
 
 

@@ -657,17 +657,20 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def components_path(spark: SparkSession, sf_dir: str) -> str:
     import pathlib
 
-    from exact_spark.artifacts import materialize
+    from exact_spark.artifacts import builder_salt, materialize
 
-    from exact_spark.artifacts import builder_salt
-
-    # builder-version salt (ADVICE r08): a dedup_components code change
-    # re-fingerprints the artifact; the salt also covers the minhash pair
-    # spec this builder consumes via pair_table
+    # builder-version salt (ADVICE r08): an oracle-SQL or Spark-builder
+    # change to dedup_components (or to the CC kernel / the minhash pair
+    # spec this builder consumes via pair_table) re-fingerprints the
+    # artifact so consumers can't serve stale groups
     return materialize(
         pathlib.Path(sf_dir).resolve() / "documents.parquet",
         "dupcc_"
-        + builder_salt("dedup_components", _PAIR_BUILDER_QUERY["minhash_lsh"]),
+        + builder_salt(
+            "dedup_components",
+            _PAIR_BUILDER_QUERY["minhash_lsh"],
+            helpers=(connected_components,),
+        ),
         lambda staging: dedup_components(spark, sf_dir)
         .write.mode("overwrite")
         .parquet(staging),
@@ -2302,7 +2305,9 @@ def _substring_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     row inflation of the corpus, and BOTH of its exchanges — the dup-gram
     groupBy and the position-marking join back — are keyed on a
     fixed-width 128-bit gram hash (two independent xxhash64 halves, the
-    second salted by hashing (gram, 1L)), NOT the raw 40-char string: at
+    second hashing (1L, gram) — constant FIRST, because Spark's multi-arg
+    xxhash64 chains and (gram, 1L) would be a pure function of the first
+    hash), NOT the raw 40-char string: at
     100 TB the shuffle byte-width is the dominant cost and the 16-byte
     key is ~3x narrower. 64 bits alone would NOT be enough — at 1e14
     distinct grams birthday collisions are expected; at 128 bits the
@@ -2343,7 +2348,14 @@ def _gram_table(docs: DataFrame) -> DataFrame:
             "doc_id",
             F.col("pos").cast("long").alias("pos"),
             F.expr(f"xxhash64(substring(text, pos, {_SUB_L}))").alias("h1"),
-            F.expr(f"xxhash64(substring(text, pos, {_SUB_L}), 1L)").alias("h2"),
+            # the constant comes FIRST: Spark's multi-arg xxhash64 CHAINS
+            # (each arg hashes with the running result as seed), so
+            # xxhash64(g, 1L) would be a pure function of xxhash64(g) —
+            # h1-collisions would imply h2-collisions and the pair would
+            # carry only 64 bits. xxhash64(1L, g) instead hashes the gram
+            # bytes under seed XXH64(1L, 42) — an independent family
+            # member, giving the pair true 128-bit collision resistance
+            F.expr(f"xxhash64(1L, substring(text, pos, {_SUB_L}))").alias("h2"),
         )
     )
 
@@ -2417,7 +2429,11 @@ def substring_span_path(spark: SparkSession, sf_dir: str) -> str:
 
     return materialize(
         pathlib.Path(sf_dir).resolve() / "documents.parquet",
-        "subspans_" + builder_salt("dedup_substring_spans"),
+        "subspans_"
+        + builder_salt(
+            "dedup_substring_spans",
+            helpers=(_substring_span_table, _gram_table, _merge_islands),
+        ),
         lambda staging: _substring_span_table(spark, sf_dir)
         .write.mode("overwrite")
         .parquet(staging),
@@ -2511,22 +2527,28 @@ _SUB_REASSEMBLE = """
 )
 def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    return _scrub_frame(spark, sf_dir)
+    return _scrub_frame(spark, sf_dir).select(
+        "doc_id", "n_spans", "removed_chars", "clean_text"
+    )
 
 
 def _scrub_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_spans, removed_chars, clean_text) for EVERY doc — the
-    scrub query's frame, shared with dedup_survivor_corpus so the
-    removal semantics cannot drift between the two."""
+    """(doc_id, source, orig_len, n_spans, removed_chars, clean_text) for
+    EVERY doc — the scrub query's frame, shared with
+    dedup_survivor_corpus so the removal semantics cannot drift between
+    the two. source/orig_len ride along from the one corpus scan so the
+    survivor query never re-scans documents for them."""
     spans = substring_span_table(spark, sf_dir)
     agg = spans.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("s", "e"))).alias("sp"),
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("removed_chars"),
     )
-    docs = io.load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = io.load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return docs.join(agg, "doc_id", "left").select(
         "doc_id",
+        "source",
+        F.length("text").cast("long").alias("orig_len"),
         F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce("removed_chars", F.lit(0)).cast("long").alias("removed_chars"),
         F.when(F.col("sp").isNull(), F.col("text"))
@@ -2931,22 +2953,20 @@ def _survivor_sql() -> str:
     "substring-scrubbed text and removal accounting. Composes the "
     "registered dedup_components and dedup_substring_scrub specs "
     "verbatim, so 'what ships' provably equals 'what the diagnostics "
-    "measured'. Plan shape at 100 TB: two artifact parquet scans "
-    "(duplicate groups + span table, both built once per corpus "
-    "snapshot), one per-doc join each, and the in-row reassembly fold "
-    "— no window, no pairwise work; the output is written straight "
-    "back out as the next pipeline stage's input.",
+    "measured'. Plan shape at 100 TB: ONE corpus scan (text + "
+    "source/length, shared with the scrub frame) plus two artifact "
+    "parquet scans (duplicate groups + span table, both built once per "
+    "corpus snapshot), one per-doc join each, and the in-row "
+    "reassembly fold — no window, no pairwise work; the output is "
+    "written straight back out as the next pipeline stage's input.",
 )
 def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    docs = io.load(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.length("text").cast("long").alias("orig_len")
-    )
+    # ONE corpus scan: the scrub frame already carries source/orig_len
     sc = _scrub_frame(spark, sf_dir)
     comp = components_table(spark, sf_dir).select("doc_id", "component_id")
     return (
-        docs.join(sc, "doc_id")
-        .join(comp, "doc_id", "left")
+        sc.join(comp, "doc_id", "left")
         .filter(
             F.col("component_id").isNull()
             | (F.col("component_id") == F.col("doc_id"))

@@ -131,15 +131,16 @@ def profile_table_path(spark: SparkSession, sf_dir: str) -> str:
     tests/test_r08b_ops.py."""
     import pathlib
 
-    from exact_spark.artifacts import materialize
+    from exact_spark.artifacts import builder_salt, materialize
 
-    from exact_spark.artifacts import builder_salt
-
-    # builder-version salt (ADVICE r08): a text_profile code change
-    # re-fingerprints the artifact so consumers can't serve stale profiles
+    # builder-version salt (ADVICE r08): a text_profile oracle or builder
+    # change (the content lives in _text_profile_frame, passed as a
+    # helper) re-fingerprints the artifact so consumers can't serve stale
+    # profiles
     return materialize(
         pathlib.Path(sf_dir).resolve() / "documents.parquet",
-        "textprof_" + builder_salt("text_profile"),
+        "textprof_"
+        + builder_salt("text_profile", helpers=(_text_profile_frame,)),
         lambda staging: _text_profile_frame(spark, sf_dir)
         .write.mode("overwrite")
         .parquet(staging),

@@ -324,6 +324,13 @@ def test_substring_spans_plan_shape(spark, sf_dir):
     assert "hashpartitioning(h1" in plan
     assert "hashpartitioning(g#" not in plan
     assert "xxhash64" in plan
+    # h2 must be an INDEPENDENT family member: Spark's multi-arg xxhash64
+    # chains (each arg hashes with the running result as seed), so
+    # xxhash64(g, 1) would be a pure function of h1 — h1-collisions would
+    # imply h2-collisions and the pair would carry only 64 bits. The
+    # constant must come FIRST: xxhash64(1, g) re-seeds over the gram.
+    assert "xxhash64(1," in plan
+    assert "xxhash64(substring" in plan
 
 
 def test_pair_consumers_read_artifacts_not_corpus(spark, sf_dir):
@@ -396,6 +403,9 @@ def test_r09_consumers_read_artifacts_not_corpus(spark, sf_dir):
     assert "exact_spark_subspans_" in plan
     assert "exact_spark_dupcc_" in plan
     assert "xxhash64" not in plan
+    # exactly ONE corpus scan: source/orig_len ride the scrub frame's
+    # documents read — a second scan + doc_id re-join is the regression
+    assert plan.count("documents.parquet") == 1
 
     # union components checkpoints its CC iterations (lineage truncation is
     # part of its scale contract), so the FINAL plan reads the label RDD —

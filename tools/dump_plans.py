@@ -76,7 +76,7 @@ HEADLINERS = [
     ("dedup_substring_scrub", "removal stage served from the per-corpus span-table artifact (parquet scan — the L-gram marking pass runs once per corpus snapshot, attributed to the census builder); ONE per-doc groupBy collects the doc's own spans (bounded by doc_len/L) + in-row fold reassembles the gaps — no window, no extra shuffle beyond the join back to the corpus"),
     ("dedup_method_union_components", "four pair-table artifact scans (pure consumer) -> distinct on the unioned edges -> shared connected_components kernel (min-label propagation + pointer jumping, O(log diameter) iterations, lineage truncated per step) -> two tiny aggregates for the size census"),
     ("dedup_pipeline_funnel", "one corpus scan for lengths/hashes; exact stage = ONE map-side-combinable groupBy (min_by fetches the keeper's length, no second window); components + span-table read as artifacts with per-doc joins; four single-row aggregates unioned — no pairwise work anywhere"),
-    ("dedup_survivor_corpus", "two artifact parquet scans (duplicate groups + span table) with one per-doc join each + the in-row reassembly fold — what ships composes exactly the specs the diagnostics measured; no window, no pairwise work"),
+    ("dedup_survivor_corpus", "ONE corpus scan (shared with the scrub frame — source/orig_len ride along, never a second documents read) + two artifact parquet scans (duplicate groups + span table) with one per-doc join each + the in-row reassembly fold — what ships composes exactly the specs the diagnostics measured; no window, no pairwise work"),
     ("decontaminate_spans", "eval side collapses to a distinct 128-bit gram-hash set (one groupBy, broadcastable — tiny by definition); training grams marked by ONE membership join (no pair expansion, no cap); island merge windows per doc — the GPT-3-style span-level benchmark overlap"),
     ("dedup_span_attribution", "span-table artifact scan + per-doc aggregate, one corpus scan for lengths, one map-side-combinable groupBy on source, broadcast single-row total for the corpus share — no pairwise work"),
     ("dedup_method_agreement", "pure consumer: all four pair sets are parquet scans of the per-corpus pair-table artifacts (no corpus rescan, no method recompute — builders stay the registered method queries); agreement adds a single (doc_a,doc_b)-keyed self-join plus two broadcast method-count joins"),
