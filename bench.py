@@ -13,7 +13,10 @@ Flags: ``--record-rows`` opts in to refreshing BENCH_ROWS.json (the
 round-record step passes it; a plain measurement run never mutates the
 committed reference, and a record run with drift outstanding writes
 BENCH_ROWS.pending.json instead so the flag persists until deliberately
-promoted).
+promoted). ``--warm-only`` builds every /tmp artifact (canonical table,
+kNN graph, pair tables, span table, profile, components, streaming
+sources) and exits without timing anything — run it once after a cold
+start so the first measured suite isn't an artifact-build discard.
 """
 
 from __future__ import annotations
@@ -159,6 +162,14 @@ def main() -> None:
     rows: dict[str, int] = {}
     failures: dict[str, str] = {}
     retried: list[str] = []
+    retry_loads: dict[str, float] = {}
+    # Ambient-load evidence (VERDICT r09 "what's wrong" #1): the box has
+    # noisy Firecracker neighbors, and adjudicating whether a flagged run
+    # was burst-contaminated has been a prose exercise ("the 15-min load
+    # was still draining"). Record the 1/5/15-min load averages at suite
+    # start and end — and the 1-min load at each retry trigger — so a
+    # discard-with-cause is a recorded measurement, not a narrative.
+    load_start = [round(v, 2) for v in os.getloadavg()]
     total = 0.0
     for name in sorted(REGISTRY):
         fn = REGISTRY[name].fn
@@ -179,6 +190,7 @@ def main() -> None:
             )
             if was_retried:
                 retried.append(name)
+                retry_loads[name] = round(os.getloadavg()[0], 2)
         except Exception as exc:  # one broken query must not lose the suite
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
@@ -214,9 +226,12 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "n_failures": len(failures),
+        "load_start": load_start,
+        "load_end": [round(v, 2) for v in os.getloadavg()],
     }
     if retried:
         compact["n_retried"] = len(retried)
+        compact["retry_loads"] = retry_loads
     if baseline:
         ratios = {
             n: round(t / baseline[n], 2)

@@ -111,6 +111,52 @@ def source_fingerprint(source: str | pathlib.Path) -> str:
     return hashlib.md5((str(src) + "|" + "|".join(parts)).encode()).hexdigest()[:12]
 
 
+def _fold_transitive(fn, parts: list, seen: set) -> None:
+    """Append ``fn``'s source plus everything it transitively references
+    by global name inside exact_spark — helper FUNCTIONS (their sources,
+    recursively) and module-level CONSTANTS (their reprs) — to ``parts``.
+
+    This closes the residual class ADVICE r09 pointed at: a salt that
+    digests only the explicitly-passed helpers misses a Spark-side edit
+    to a helper the builder calls (sim_knn_graph's content lives in
+    sim_neardup_lsh; the pair builders' lives in _lsh_bands/_shingled/
+    _self_pairs), so a warm artifact could serve stale content until a
+    content-equality pin happened to run. Walking ``__code__.co_names``
+    (including nested code objects — lambdas, comprehensions) makes the
+    digest see every reachable helper and semantic constant without call
+    sites having to enumerate them."""
+    import inspect
+    import types
+
+    key = getattr(fn, "__qualname__", None), getattr(fn, "__module__", None)
+    if key in seen:
+        return
+    seen.add(key)
+    try:
+        parts.append(inspect.getsource(fn))
+    except (OSError, TypeError):  # builtins / C-level: name alone suffices
+        parts.append(repr(key))
+        return
+    g = getattr(fn, "__globals__", {})
+    names: set[str] = set()
+    stack = [fn.__code__]
+    while stack:
+        code = stack.pop()
+        names.update(code.co_names)
+        stack.extend(c for c in code.co_consts if isinstance(c, types.CodeType))
+    for name in sorted(names):
+        if name not in g:
+            continue
+        val = g[name]
+        if isinstance(val, types.FunctionType) and getattr(
+            val, "__module__", ""
+        ).startswith("exact_spark"):
+            _fold_transitive(val, parts, seen)
+        elif isinstance(val, (int, float, str, bytes, bool, tuple, frozenset)):
+            # module-level semantic constants (caps, band counts, seeds)
+            parts.append(f"{name}={val!r}")
+
+
 def builder_salt(*query_names: str, helpers: tuple = ()) -> str:
     """Short digest of the registered builder spec(s) behind an artifact,
     folded into the artifact tag so a BUILDER CODE change re-fingerprints
@@ -123,23 +169,57 @@ def builder_salt(*query_names: str, helpers: tuple = ()) -> str:
     counts, hash families) AND the Spark builder's function source — a
     Spark-side-only change (e.g. the gram-hash keying, which the oracle
     deliberately spells differently) must also re-fingerprint, and the
-    SQL alone cannot see it. Registered fns are often thin wrappers, so
-    call sites pass the content-bearing helper functions via ``helpers``
-    and their sources join the digest; helpers not passed are not
-    transitively digested (the content-equality pins are the backstop
-    for that residual class)."""
+    SQL alone cannot see it. The walk is TRANSITIVE (ADVICE r09): every
+    exact_spark function the builder reaches by name joins the digest,
+    plus module-level constants, so thin registered wrappers no longer
+    hide their content-bearing helpers; explicit ``helpers`` remain for
+    functions reached dynamically (dispatch dicts, getattr)."""
     import inspect
 
     from exact_spark.registry import REGISTRY
 
-    parts = []
+    parts: list = []
+    seen: set = set()
     for q in query_names:
         spec = REGISTRY[q]
         parts.append(spec.sql or "")
-        parts.append(inspect.getsource(spec.fn))
+        _fold_transitive(spec.fn, parts, seen)
     for h in helpers:
-        parts.append(inspect.getsource(h))
+        _fold_transitive(h, parts, seen)
     return hashlib.md5("||".join(parts).encode()).hexdigest()[:8]
+
+
+_SALT_RE = None  # compiled lazily; module-level so tests can reach it
+
+
+def _gc_stale_salts(tag: str, fp: str) -> None:
+    """Best-effort removal of COMPLETED sibling artifacts that differ from
+    ``tag`` only in the trailing builder-salt segment (ADVICE r09: every
+    builder edit mints a new salted tag, and without GC the orphaned
+    exact_spark_<prefix>_<oldsalt>_<fp> dirs accumulate in /tmp across
+    rounds). Runs only on a cache miss for the CURRENT salt, and only
+    touches dirs with the same prefix + same corpus fingerprint + a
+    different 8-hex salt — no current-code path can be reading those
+    (the old salt is unreachable once the builder changed), and same-salt
+    concurrent builds are untouched. Incomplete dirs (no _SUCCESS) are
+    left for materialize's own crashed-build handling."""
+    import re
+
+    global _SALT_RE
+    if _SALT_RE is None:
+        _SALT_RE = re.compile(r"^(.*)_([0-9a-f]{8})$")
+    m = _SALT_RE.match(tag)
+    if not m:
+        return  # unsalted tag: nothing to GC against
+    prefix, salt = m.groups()
+    tmp = pathlib.Path(tempfile.gettempdir())
+    pat = re.compile(
+        rf"^exact_spark_{re.escape(prefix)}_([0-9a-f]{{8}})_{re.escape(fp)}$"
+    )
+    for d in tmp.glob(f"exact_spark_{prefix}_*_{fp}"):
+        g = pat.match(d.name)
+        if g and g.group(1) != salt and (d / "_SUCCESS").exists():
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def materialize(
@@ -159,6 +239,7 @@ def materialize(
     base = pathlib.Path(tempfile.gettempdir()) / f"exact_spark_{tag}_{fp}"
     if (base / "_SUCCESS").exists():
         return str(base)
+    _gc_stale_salts(tag, fp)
     staging = base.with_name(base.name + "." + uuid.uuid4().hex[:8] + ".tmp")
     build(str(staging))
     # Publication order matters: a COMPLETED artifact (base/_SUCCESS) is

@@ -2621,10 +2621,14 @@ def knn_graph_path(spark: SparkSession, sf_dir: str) -> str:
     from exact_spark.artifacts import builder_salt, materialize
 
     # builder-version salt (ADVICE r08): a sim_knn_graph code change
-    # re-fingerprints the artifact so graph consumers can't serve stale edges
+    # re-fingerprints the artifact so graph consumers can't serve stale
+    # edges. The graph's CONTENT lives in sim_neardup_lsh (ADVICE r09):
+    # named explicitly so its oracle SQL joins the digest, and the
+    # transitive walk inside builder_salt covers its Spark helpers
+    # (_emb_sigs/_emb_bands) and semantic constants
     return materialize(
         pathlib.Path(sf_dir).resolve() / "embeddings.parquet",
-        "knng_" + builder_salt("sim_knn_graph"),
+        "knng_" + builder_salt("sim_knn_graph", "sim_neardup_lsh"),
         lambda staging: sim_knn_graph(spark, sf_dir)
         .write.mode("overwrite")
         .parquet(staging),

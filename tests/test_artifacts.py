@@ -148,3 +148,71 @@ def test_memo_put_fifo_eviction():
     # re-putting an existing key never evicts
     memo_put(memo, "k39", 99, cap=32)
     assert len(memo) == 32 and memo["k39"] == 99
+
+
+def test_gc_removes_stale_salt_siblings_only(tmp_path, monkeypatch):
+    """ADVICE r09: a cache miss for a salted tag removes COMPLETED sibling
+    artifacts with the same prefix + corpus fingerprint but a different
+    8-hex salt (the builder was edited; nothing can serve them), and
+    leaves everything else alone — other fingerprints, other prefixes,
+    incomplete builds, and unsalted tags."""
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    src = tmp_path / "g.parquet"
+    _touch(src, b"data")
+    fp = source_fingerprint(src)
+
+    def done(d: pathlib.Path) -> pathlib.Path:
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").write_text("")
+        return d
+
+    stale = done(tmp_path / f"exact_spark_pairs_x_00000000_{fp}")
+    other_fp = done(tmp_path / f"exact_spark_pairs_x_00000000_{'f' * 12}")
+    other_prefix = done(tmp_path / f"exact_spark_knng_00000000_{fp}")
+    incomplete = tmp_path / f"exact_spark_pairs_x_11111111_{fp}"
+    incomplete.mkdir()  # no _SUCCESS: a live concurrent build, untouched
+
+    def build(staging: str) -> None:
+        d = pathlib.Path(staging)
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").write_text("")
+
+    p = materialize(src, "pairs_x_aaaaaaaa", build)
+    assert (pathlib.Path(p) / "_SUCCESS").exists()
+    assert not stale.exists()  # GC'd: same prefix+fp, different salt
+    assert other_fp.exists() and other_prefix.exists() and incomplete.exists()
+    # the freshly published artifact itself survives a SECOND miss-free call
+    assert materialize(src, "pairs_x_aaaaaaaa", build) == p
+    assert (pathlib.Path(p) / "_SUCCESS").exists()
+    # an UNSALTED tag never GCs (no salt segment to match on)
+    done(tmp_path / f"exact_spark_unit_extra_{fp}")
+    materialize(src, "unit", build)
+    assert (tmp_path / f"exact_spark_unit_extra_{fp}").exists()
+
+
+def test_builder_salt_sees_transitive_helpers():
+    """ADVICE r09: the salt digest walks co_names transitively, so an edit
+    to a helper the registered builder merely CALLS (not one passed via
+    ``helpers``) still re-fingerprints the artifact."""
+    import exact_spark.operators.dedup as dd
+    from exact_spark.artifacts import builder_salt
+    from exact_spark.registry import _load_all
+
+    _load_all()
+    before = builder_salt("dedup_minhash_lsh")
+    # simulate a Spark-side-only edit of a helper the builder reaches by
+    # name (dedup_minhash_lsh -> _lsh_bands): swap in a copy with a
+    # different source body
+    orig = dd._lsh_bands
+
+    def _lsh_bands(spark, sf_dir):  # pragma: no cover - digest fodder
+        return orig(spark, sf_dir)  # EDITED
+
+    try:
+        dd._lsh_bands = _lsh_bands
+        assert builder_salt("dedup_minhash_lsh") != before
+    finally:
+        dd._lsh_bands = orig
+    assert builder_salt("dedup_minhash_lsh") == before  # restore exact
