@@ -91,6 +91,13 @@ def main() -> None:
 
     substring_span_path(spark, sf_dir)
 
+    # and the contamination-span table (r10): decontaminate_scrub serves
+    # from it; the eval-gram membership-join cost is attributed to the
+    # census builder query (decontaminate_spans) via this warm
+    from exact_spark.operators.dedup import contam_span_path
+
+    contam_span_path(spark, sf_dir)
+
     # and the document-profile artifact: three curation consumers
     # (source_mix, quality_classifier, token_budget_select) read the
     # materialized profile; the per-doc feature compute is attributed to

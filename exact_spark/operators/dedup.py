@@ -2980,11 +2980,11 @@ def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- span-level benchmark decontamination + source attribution ------------------
 
-
-@register(
-    "decontaminate_spans",
-    sql=f"""
-    WITH pos_tab AS (
+# Shared contamination-span CTE chain ending at spans(doc_id, island, s, e):
+# the census (decontaminate_spans) and the removal stage
+# (decontaminate_scrub) compose ONE definition, the same discipline as
+# _SUB_SPAN_CTES, so the two stages cannot drift.
+_CONTAM_SPAN_CTES = f"""pos_tab AS (
         SELECT doc_id, source, text,
                unnest(range(1, length(text) - {_SUB_L} + 2)) AS pos
         FROM documents WHERE length(text) >= {_SUB_L}
@@ -3017,7 +3017,45 @@ def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans AS (
         SELECT doc_id, island, min(pos) AS s, max(pos) + {_SUB_L} - 1 AS e
         FROM grp GROUP BY doc_id, island
-    ),
+    )"""
+
+
+def _contam_span_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal eval-contaminated spans of TRAINING docs: (doc_id, s, e),
+    1-based inclusive — the span table decontaminate_spans censuses and
+    decontaminate_scrub excises. Same 128-bit gram-hash keying as
+    _substring_span_table (the gram string never leaves the scan); the
+    eval side collapses to a distinct hash set before the ONE membership
+    join, so a benchmark gram shared by any number of training docs costs
+    one set row — no pair expansion, no cap."""
+    docs = io.load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "source", "text"
+    )
+    ev_g = (
+        _gram_table(
+            docs.filter(F.col("source") == _CONTAM_EVAL_SOURCE).select(
+                "doc_id", "text"
+            )
+        )
+        .select("h1", "h2")
+        .distinct()
+    )
+    hits = (
+        _gram_table(
+            docs.filter(F.col("source") != _CONTAM_EVAL_SOURCE).select(
+                "doc_id", "text"
+            )
+        )
+        .join(ev_g, ["h1", "h2"])
+        .select("doc_id", "pos")
+    )
+    return _merge_islands(hits)
+
+
+@register(
+    "decontaminate_spans",
+    sql=f"""
+    WITH {_CONTAM_SPAN_CTES},
     agg AS (
         SELECT doc_id, count(*) AS n_spans,
                CAST(sum(e - s + 1) AS BIGINT) AS contam_chars
@@ -3045,32 +3083,13 @@ def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    docs = io.load(spark, sf_dir, "documents", spread=True).select(
-        "doc_id", "source", "text"
-    )
-    ev_g = (
-        _gram_table(
-            docs.filter(F.col("source") == _CONTAM_EVAL_SOURCE).select(
-                "doc_id", "text"
-            )
-        )
-        .select("h1", "h2")
-        .distinct()
-    )
-    hits = (
-        _gram_table(
-            docs.filter(F.col("source") != _CONTAM_EVAL_SOURCE).select(
-                "doc_id", "text"
-            )
-        )
-        .join(ev_g, ["h1", "h2"])
-        .select("doc_id", "pos")
-    )
-    agg = _merge_islands(hits).groupBy("doc_id").agg(
+    agg = _contam_span_fresh(spark, sf_dir).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("contam_chars"),
     )
-    lens = docs.select("doc_id", F.length("text").alias("len"))
+    lens = io.load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("len")
+    )
     return agg.join(lens, "doc_id").select(
         "doc_id",
         "n_spans",
@@ -3159,4 +3178,285 @@ def dedup_span_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("tot_dup") == 0, F.lit(None).cast("double"))
         .otherwise(F.col("dup_chars").cast("double") / F.col("tot_dup"))
         .alias("corpus_share"),
+    )
+
+
+# --- the contamination-span artifact + the decontamination REMOVAL stage -----
+#
+# Same two-stage discipline as substring dedup: decontaminate_spans is the
+# honest fresh BUILDER of the eval-contaminated span table (its bench time
+# carries the gram-marking cost), the artifact materializes it once per
+# corpus snapshot, and the scrub CONSUMES the artifact — at 100 TB the
+# eval-gram membership join runs once, however many training runs ship
+# decontaminated corpora from it.
+
+
+def contam_span_path(spark: SparkSession, sf_dir: str) -> str:
+    import pathlib
+
+    from exact_spark.artifacts import builder_salt, materialize
+
+    # builder-version salt: the transitive walk digests _contam_span_fresh,
+    # _gram_table, _merge_islands and the semantic constants (_SUB_L,
+    # _CONTAM_EVAL_SOURCE) reached from the registered builder
+    return materialize(
+        pathlib.Path(sf_dir).resolve() / "documents.parquet",
+        "consp_" + builder_salt("decontaminate_spans"),
+        lambda staging: _contam_span_fresh(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(staging),
+    )
+
+
+def contam_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination-span table served from its per-corpus artifact
+    (content identical to _contam_span_fresh — pinned in
+    tests/test_r10_ops.py — so the composed scrub oracle stays valid)."""
+    tune_session(spark)
+    return spark.read.parquet(contam_span_path(spark, sf_dir))
+
+
+def _decon_scrub_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, orig_len, n_spans, removed_chars, clean_text) for
+    every TRAINING doc (the eval source ships nowhere) — the
+    decontamination scrub's frame, shared with corpus_release_manifest so
+    the removal semantics cannot drift between the two."""
+    spans = contam_span_table(spark, sf_dir)
+    agg = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("sp"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("removed_chars"),
+    )
+    docs = (
+        io.load(spark, sf_dir, "documents")
+        .filter(F.col("source") != _CONTAM_EVAL_SOURCE)
+        .select("doc_id", "source", "text")
+    )
+    return docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("orig_len"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("removed_chars", F.lit(0)).cast("long").alias("removed_chars"),
+        F.when(F.col("sp").isNull(), F.col("text"))
+        .otherwise(F.expr(_SUB_REASSEMBLE))
+        .alias("clean_text"),
+    )
+
+
+@register(
+    "decontaminate_scrub",
+    sql=f"""
+    WITH {_CONTAM_SPAN_CTES},
+    sp AS MATERIALIZED (SELECT doc_id, s, e FROM spans),
+    seg AS (
+        SELECT doc_id, s, e,
+               COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+                   AS prev_e
+        FROM sp
+    ),
+    mid AS (
+        SELECT g.doc_id, g.s AS ord,
+               substr(d.text, CAST(g.prev_e + 1 AS INT),
+                      CAST(g.s - g.prev_e - 1 AS INT)) AS piece
+        FROM seg g JOIN documents d USING (doc_id)
+    ),
+    tails AS (
+        SELECT g.doc_id, CAST(length(d.text) + 1 AS BIGINT) AS ord,
+               substr(d.text, CAST(g.mx + 1 AS INT)) AS piece
+        FROM (SELECT doc_id, max(e) AS mx FROM sp GROUP BY doc_id) g
+        JOIN documents d USING (doc_id)
+    ),
+    pieces AS (SELECT * FROM mid UNION ALL SELECT * FROM tails),
+    clean AS (
+        SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+        FROM pieces GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT doc_id, count(*) AS n_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+        FROM sp GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(st.removed_chars, 0) AS BIGINT) AS removed_chars,
+           COALESCE(c.clean_text, d.text) AS clean_text
+    FROM documents d
+    LEFT JOIN stats st USING (doc_id)
+    LEFT JOIN clean c USING (doc_id)
+    WHERE d.source <> '{_CONTAM_EVAL_SOURCE}'
+    """,
+    doc="The REMOVAL stage of span-level benchmark decontamination — the "
+    "GPT-3/PaLM pipelines don't just census eval-overlapping spans, they "
+    "cut them out of the training corpus: every maximal span of a "
+    "training doc covered by a 40-gram that appears verbatim in the "
+    "eval source (the same registered span spec decontaminate_spans "
+    "censuses, one CTE definition so the stages cannot drift) is "
+    "excised and the surviving text reassembled in original order; "
+    "uncontaminated docs pass through intact, the eval source itself "
+    "ships nowhere. Plan shape at 100 TB: the span table is SERVED "
+    "from the per-corpus artifact (the eval-gram membership join — see "
+    "decontaminate_spans, which stays the honest fresh builder — runs "
+    "once per corpus snapshot; content pinned identical), then ONE "
+    "per-doc groupBy collecting the doc's own spans and the same "
+    "in-row reassembly fold as dedup_substring_scrub — no gram "
+    "re-marking, no window, no extra shuffle beyond the join back to "
+    "the corpus.",
+)
+def decontaminate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return _decon_scrub_frame(spark, sf_dir).select(
+        "doc_id", "n_spans", "removed_chars", "clean_text"
+    )
+
+
+# --- the corpus release manifest ----------------------------------------------
+
+
+def _release_manifest_sql() -> str:
+    from exact_spark.registry import REGISTRY as _R
+
+    return f"""
+    WITH man AS MATERIALIZED (
+        SELECT doc_id, quality_keep, mix_keep, decon_keep, selected
+        FROM ({_R["text_curation_manifest"].sql})
+    ),
+    comp AS MATERIALIZED (
+        SELECT doc_id, component_id FROM ({_R["dedup_components"].sql})
+    ),
+    spc AS MATERIALIZED (
+        SELECT doc_id, dup_chars FROM ({_R["dedup_substring_spans"].sql})
+    ),
+    norm AS (
+        SELECT doc_id, source, CAST(length(text) AS BIGINT) AS orig_len,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS text_hash
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id,
+               (doc_id = min(doc_id) OVER (PARTITION BY text_hash))
+                   AS exact_keep
+        FROM norm
+    ),
+    flags AS (
+        SELECT n.doc_id, n.source, n.orig_len,
+               (n.doc_id >= {_EVAL_N}) AS in_pool,
+               e.exact_keep,
+               (c.component_id IS NULL OR c.component_id = n.doc_id)
+                   AS dedup_keep,
+               COALESCE(m.quality_keep, FALSE) AS quality_keep,
+               COALESCE(m.mix_keep, FALSE) AS mix_keep,
+               COALESCE(m.decon_keep, FALSE) AS decon_keep,
+               COALESCE(s.dup_chars, 0) AS scrub_removed_chars
+        FROM norm n
+        JOIN ex e USING (doc_id)
+        LEFT JOIN comp c USING (doc_id)
+        LEFT JOIN man m USING (doc_id)
+        LEFT JOIN spc s USING (doc_id)
+    )
+    SELECT doc_id, source, orig_len, in_pool, exact_keep, dedup_keep,
+           quality_keep, mix_keep, decon_keep,
+           CAST(scrub_removed_chars AS BIGINT) AS scrub_removed_chars,
+           CAST(orig_len - scrub_removed_chars AS BIGINT) AS final_len,
+           (in_pool AND dedup_keep AND quality_keep AND mix_keep
+                AND decon_keep) AS ship,
+           CASE
+               WHEN NOT in_pool THEN 'eval_holdout'
+               WHEN NOT exact_keep THEN 'exact_dup'
+               WHEN NOT dedup_keep THEN 'near_dup'
+               WHEN NOT quality_keep THEN 'quality'
+               WHEN NOT mix_keep THEN 'mix'
+               WHEN NOT decon_keep THEN 'decontamination'
+               ELSE 'shipped'
+           END AS drop_stage
+    FROM flags
+    """
+
+
+@register(
+    "corpus_release_manifest",
+    sql=_release_manifest_sql(),  # composes four registered specs
+    doc="The per-document SHIP table a training run is signed off on — the "
+    "AND of everything the pipeline measured: curation "
+    "(text_curation_manifest: quality x language-mix x benchmark "
+    "decontamination), dedup survivorship (dedup_components artifact; "
+    "exact-dup keepers carried separately for the funnel rollup), and "
+    "the substring-scrub accounting (dedup_substring_spans artifact: "
+    "removed chars and the final shipped length). drop_stage attributes "
+    "every non-shipped doc to the FIRST stage that dropped it in "
+    "pipeline order (eval holdout -> exact dup -> near-dup component -> "
+    "quality -> mix -> decontamination); exact-dup losers are always "
+    "near-dup losers too (components subsume exact-dup stars with "
+    "min-doc_id roots), so ship = in_pool AND dedup_keep AND curation. "
+    "Every input composes a registered spec or serves a per-corpus "
+    "artifact, so the funnel census provably equals this manifest "
+    "rolled up (pinned in tests/test_r10_ops.py). Plan shape at "
+    "100 TB: one corpus scan, one map-side-combinable exact-keeper "
+    "groupBy joined back on text_hash, two artifact parquet scans plus "
+    "the curation frame, all per-doc equi-joins — no pairwise work, no "
+    "window over the corpus, no driver-side state.",
+)
+def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    docs = io.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("orig_len"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+        ).alias("text_hash"),
+    )
+    # exact-keeper: ONE groupBy + co-partitioned join back on text_hash
+    # (the min-doc_id star center, the same rule the funnel censuses)
+    keepers = docs.groupBy("text_hash").agg(F.min("doc_id").alias("keeper"))
+    ex = docs.join(keepers, "text_hash").select(
+        "doc_id",
+        "source",
+        "orig_len",
+        (F.col("doc_id") == F.col("keeper")).alias("exact_keep"),
+    )
+    comp = components_table(spark, sf_dir).select("doc_id", "component_id")
+    spc = (
+        substring_span_table(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_chars"))
+    )
+    man = text_curation_manifest(spark, sf_dir).select(
+        "doc_id", "quality_keep", "mix_keep", "decon_keep"
+    )
+    j = (
+        ex.join(comp, "doc_id", "left")
+        .join(spc, "doc_id", "left")
+        .join(man, "doc_id", "left")
+    )
+    in_pool = F.col("doc_id") >= _EVAL_N
+    dedup_keep = F.col("component_id").isNull() | (
+        F.col("component_id") == F.col("doc_id")
+    )
+    quality = F.coalesce("quality_keep", F.lit(False))
+    mix = F.coalesce("mix_keep", F.lit(False))
+    decon = F.coalesce("decon_keep", F.lit(False))
+    removed = F.coalesce("dup_chars", F.lit(0))
+    return j.select(
+        "doc_id",
+        "source",
+        "orig_len",
+        in_pool.alias("in_pool"),
+        "exact_keep",
+        dedup_keep.alias("dedup_keep"),
+        quality.alias("quality_keep"),
+        mix.alias("mix_keep"),
+        decon.alias("decon_keep"),
+        removed.cast("long").alias("scrub_removed_chars"),
+        (F.col("orig_len") - removed).cast("long").alias("final_len"),
+        (in_pool & dedup_keep & quality & mix & decon).alias("ship"),
+        F.when(~in_pool, "eval_holdout")
+        .when(~F.col("exact_keep"), "exact_dup")
+        .when(~dedup_keep, "near_dup")
+        .when(~quality, "quality")
+        .when(~mix, "mix")
+        .when(~decon, "decontamination")
+        .otherwise("shipped")
+        .alias("drop_stage"),
     )

@@ -55,61 +55,12 @@ def register(name: str, sql: str | None, doc: str = ""):
 # the driver commits it) matches the window by construction and is excluded,
 # so the gate stays green across the round boundary. rotate_driver_window.py
 # rewrites this alongside DRIVER_ORDER.
-DRIVER_WINDOW_ROUND: int = 9
+DRIVER_WINDOW_ROUND: int = 10
 
 DRIVER_ORDER: list[str] = [
     # --- window (slots 1-50): best available recording spend ---
-    "dedup_method_union_components",
-    "dedup_pipeline_funnel",
-    "dedup_span_attribution",
-    "dedup_substring_scrub",
-    "dedup_survivor_corpus",
-    "decontaminate_spans",
-    "decontaminate_ngram",
-    "dedup_chunk_exact",
-    "dedup_incremental",
-    "dedup_leakage_safe_split",
-    "dedup_lsh_recall",
-    "dedup_ngram_jaccard",
-    "emb_pq_encode",
-    "ingest_json_e2e",
-    "ml_cv_stratified",
-    "ml_isotonic_calibration",
-    "ml_param_search",
-    "ml_sequence_window_e2e",
-    "ml_supervised_e2e",
-    "ml_unsupervised_e2e",
-    "rel_bloom_semijoin",
-    "rel_inactive_customers",
-    "rel_local_supplier_volume",
-    "rel_top_parts_per_type",
-    "sim_neardup_lsh",
-    "sim_range_search",
-    "sim_topk_pq",
-    "sketch_heavy_hitters",
-    "sketch_quantile_rollup",
-    "stream_replay_e2e",
-    "text_lm_score",
-    "text_novelty_curve",
-    "text_pack_sequences",
-    "text_repetition_profile",
-    "text_shard_assign",
-    "text_source_mix",
-    "text_temperature_mix",
-    "text_token_budget_select",
-    "text_tokenize_ids",
-    "text_weighted_sample",
-    "ts_anomaly_spans",
-    "ts_classical_decompose",
-    "ts_ewma_band",
-    "ts_funnel",
-    "ts_interval_join",
-    "ts_props_extract",
-    "ts_retention_cohorts",
-    "ts_seasonal_naive",
-    "ts_sessionize",
-    "w1_sliding_features",
-    # --- outside the window (rotates into it next round) ---
+    "corpus_release_manifest",
+    "decontaminate_scrub",
     "w3_sampling_strategies",
     "xai_methods_ndcg",
     "dedup_cluster_purity",
@@ -158,6 +109,7 @@ DRIVER_ORDER: list[str] = [
     "rel_sole_blame_supplier",
     "rel_supplier_cnt_by_part",
     "rel_top_supplier",
+    # --- outside the window (rotates into it next round) ---
     "rel_yoy_growth",
     "sim_graph_pagerank",
     "sim_knn_graph",
@@ -312,6 +264,56 @@ DRIVER_ORDER: list[str] = [
     "ts_interarrival",
     "ts_time_range_scan",
     "ts_train_test_split",
+    "decontaminate_ngram",
+    "decontaminate_spans",
+    "dedup_chunk_exact",
+    "dedup_incremental",
+    "dedup_leakage_safe_split",
+    "dedup_lsh_recall",
+    "dedup_method_union_components",
+    "dedup_ngram_jaccard",
+    "dedup_pipeline_funnel",
+    "dedup_span_attribution",
+    "dedup_substring_scrub",
+    "dedup_survivor_corpus",
+    "emb_pq_encode",
+    "ingest_json_e2e",
+    "ml_cv_stratified",
+    "ml_isotonic_calibration",
+    "ml_param_search",
+    "ml_sequence_window_e2e",
+    "ml_supervised_e2e",
+    "ml_unsupervised_e2e",
+    "rel_bloom_semijoin",
+    "rel_inactive_customers",
+    "rel_local_supplier_volume",
+    "rel_top_parts_per_type",
+    "sim_neardup_lsh",
+    "sim_range_search",
+    "sim_topk_pq",
+    "sketch_heavy_hitters",
+    "sketch_quantile_rollup",
+    "stream_replay_e2e",
+    "text_lm_score",
+    "text_novelty_curve",
+    "text_pack_sequences",
+    "text_repetition_profile",
+    "text_shard_assign",
+    "text_source_mix",
+    "text_temperature_mix",
+    "text_token_budget_select",
+    "text_tokenize_ids",
+    "text_weighted_sample",
+    "ts_anomaly_spans",
+    "ts_classical_decompose",
+    "ts_ewma_band",
+    "ts_funnel",
+    "ts_interval_join",
+    "ts_props_extract",
+    "ts_retention_cohorts",
+    "ts_seasonal_naive",
+    "ts_sessionize",
+    "w1_sliding_features",
 ]
 
 

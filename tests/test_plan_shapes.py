@@ -422,3 +422,39 @@ def test_r09_consumers_read_artifacts_not_corpus(spark, sf_dir):
     assert "exact_spark_dupcc_" in plan
     # the exact stage's one corpus scan reads only doc_id + text
     assert "documents.parquet" in plan
+
+
+def test_r10_consumers_read_artifacts_not_corpus(spark, sf_dir):
+    """The r10 queries must SERVE from the per-corpus artifacts:
+    decontaminate_scrub reads the contamination-span table (the eval-gram
+    membership join never re-runs in the consumer plan — that cost
+    belongs to decontaminate_spans, the honest fresh builder), and the
+    release manifest reads the components + span artifacts (never
+    re-deriving either) with per-doc equi-joins only."""
+    from exact_spark.operators.dedup import (
+        components_path,
+        contam_span_path,
+        corpus_release_manifest,
+        decontaminate_scrub,
+        substring_span_path,
+    )
+
+    contam_span_path(spark, sf_dir)
+    components_path(spark, sf_dir)
+    substring_span_path(spark, sf_dir)
+
+    plan = _plan(decontaminate_scrub(spark, sf_dir))
+    assert "exact_spark_consp_" in plan
+    assert "xxhash64" not in plan  # the gram-marking pass never re-runs
+    assert "collect_list" in plan  # per-doc span list (bounded by len/L)
+    # exactly ONE corpus scan, with the eval-source exclusion PUSHED to it
+    assert plan.count("documents.parquet") == 1
+    assert "Not(EqualTo(source,src0))" in plan
+
+    plan = _plan(corpus_release_manifest(spark, sf_dir))
+    assert "exact_spark_dupcc_" in plan
+    assert "exact_spark_subspans_" in plan
+    assert "xxhash64" not in plan
+    # per-doc equi-joins only — no pairwise/cartesian shape anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

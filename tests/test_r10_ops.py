@@ -1,0 +1,227 @@
+"""r10 operator contracts: span-level decontamination REMOVAL
+(decontaminate_scrub) and the corpus release manifest.
+
+Oracle parity at the gate SFs is covered by record_correctness; these pin
+the behavioral contracts the hash compare can't express — literal
+brute-force contaminated-span excision, the contamination-span artifact's
+content honesty, and the release manifest's row-for-row agreement with
+the funnel census it claims to equal.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR_MID
+from tests.test_r09_ops import _brute_scrub
+
+
+def _brute_contam_spans(
+    texts: dict[int, str], sources: dict[int, str], eval_source: str, L: int
+) -> dict[int, list[tuple[int, int]]]:
+    """Literal definition: training-doc positions whose L-gram occurs
+    verbatim anywhere in the eval source, merged into maximal intervals
+    (1-based, inclusive)."""
+    eval_grams = {
+        t[i : i + L]
+        for d, t in texts.items()
+        if sources[d] == eval_source
+        for i in range(len(t) - L + 1)
+    }
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for d, t in texts.items():
+        if sources[d] == eval_source:
+            continue
+        marked = [
+            i + 1 for i in range(len(t) - L + 1) if t[i : i + L] in eval_grams
+        ]
+        if not marked:
+            continue
+        out, s, prev = [], marked[0], marked[0]
+        for p in marked[1:]:
+            if p - prev > L:
+                out.append((s, prev + L - 1))
+                s = p
+            prev = p
+        out.append((s, prev + L - 1))
+        spans[d] = out
+    return spans
+
+
+def test_decontaminate_scrub_matches_brute_force(spark, sf_dir):
+    from exact_spark import io
+    from exact_spark.operators.dedup import (
+        _CONTAM_EVAL_SOURCE,
+        _SUB_L,
+        decontaminate_scrub,
+    )
+
+    docs = (
+        io.load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    texts = dict(zip(docs.doc_id, docs.text))
+    sources = dict(zip(docs.doc_id, docs.source))
+    want = _brute_contam_spans(texts, sources, _CONTAM_EVAL_SOURCE, _SUB_L)
+    got = decontaminate_scrub(spark, sf_dir).toPandas().set_index("doc_id")
+    training = {d for d, s in sources.items() if s != _CONTAM_EVAL_SOURCE}
+    assert set(got.index) == training  # eval source ships nowhere
+    for d in training:
+        sp = want.get(d, [])
+        assert got.loc[d, "n_spans"] == len(sp)
+        assert got.loc[d, "removed_chars"] == sum(e - s + 1 for s, e in sp)
+        assert got.loc[d, "clean_text"] == _brute_scrub(texts[d], sp)
+
+
+def test_contam_span_artifact_matches_fresh_compute(spark, sf_dir):
+    """The scrub serves contamination spans from the per-corpus artifact;
+    its content must be identical to a fresh _contam_span_fresh
+    computation — the honesty pin that keeps the composed oracle valid."""
+    from exact_spark.operators.dedup import (
+        _contam_span_fresh,
+        contam_span_table,
+    )
+
+    fresh = (
+        _contam_span_fresh(spark, sf_dir)
+        .toPandas()
+        .sort_values(["doc_id", "s"], ignore_index=True)
+    )
+    served = (
+        contam_span_table(spark, sf_dir)
+        .toPandas()
+        .sort_values(["doc_id", "s"], ignore_index=True)
+    )
+    assert fresh.equals(served[fresh.columns])
+
+
+def test_decontaminate_scrub_geometry(spark):
+    """Cross-stage consistency at sf0.01: clean length == original minus
+    removed everywhere, untouched docs pass through verbatim, and the
+    scrub's span accounting equals the census query's (decontaminate_spans
+    reports exactly the spans the scrub removes)."""
+    from exact_spark import io
+    from exact_spark.operators.dedup import (
+        _CONTAM_EVAL_SOURCE,
+        decontaminate_scrub,
+        decontaminate_spans,
+    )
+
+    docs = (
+        io.load(spark, SF_DIR_MID, "documents")
+        .filter(f"source <> '{_CONTAM_EVAL_SOURCE}'")
+        .select("doc_id", "text")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    got = decontaminate_scrub(spark, SF_DIR_MID).toPandas().set_index("doc_id")
+    census = (
+        decontaminate_spans(spark, SF_DIR_MID).toPandas().set_index("doc_id")
+    )
+    for d, r in got.iterrows():
+        assert len(r.clean_text) == len(docs.loc[d, "text"]) - r.removed_chars
+        if r.n_spans == 0:
+            assert r.clean_text == docs.loc[d, "text"]
+    touched = got[got.n_spans > 0]
+    assert set(touched.index) == set(census.index)
+    for d in census.index:
+        assert touched.loc[d, "n_spans"] == census.loc[d, "n_spans"]
+        assert touched.loc[d, "removed_chars"] == census.loc[d, "contam_chars"]
+
+
+# --- corpus release manifest -----------------------------------------------
+
+
+def test_release_manifest_rollup_equals_funnel(spark):
+    """The VERDICT r09 'done' condition: the manifest rolled up by its own
+    flags reproduces the funnel census row-for-row — raw, exact-dedup,
+    near-dup-component, and scrub stages, docs AND chars."""
+    from exact_spark.operators.dedup import (
+        corpus_release_manifest,
+        dedup_pipeline_funnel,
+    )
+
+    man = corpus_release_manifest(spark, SF_DIR_MID).toPandas()
+    fun = (
+        dedup_pipeline_funnel(spark, SF_DIR_MID)
+        .toPandas()
+        .set_index("stage")
+    )
+    rollup = {
+        "raw": (len(man), man.orig_len.sum()),
+        "exact_dedup": (
+            int(man.exact_keep.sum()),
+            man[man.exact_keep].orig_len.sum(),
+        ),
+        "near_dup_components": (
+            int(man.dedup_keep.sum()),
+            man[man.dedup_keep].orig_len.sum(),
+        ),
+        "substring_scrub": (
+            int(man.dedup_keep.sum()),
+            man[man.dedup_keep].final_len.sum(),
+        ),
+    }
+    assert set(rollup) == set(fun.index)
+    for stage, (n, c) in rollup.items():
+        assert fun.loc[stage, "n_docs"] == n, stage
+        assert fun.loc[stage, "n_chars"] == c, stage
+
+
+def test_release_manifest_invariants(spark, sf_dir):
+    """Structural contracts that must hold at ANY scale: drop_stage is the
+    first-failing stage in pipeline order and 'shipped' iff ship; exact-dup
+    losers are always near-dup losers (components subsume exact stars);
+    curation flags agree with the registered curation manifest; lengths
+    reconcile; every doc of the corpus appears exactly once."""
+    from exact_spark import io
+    from exact_spark.operators.dedup import (
+        _EVAL_N,
+        corpus_release_manifest,
+        text_curation_manifest,
+    )
+
+    man = corpus_release_manifest(spark, sf_dir).toPandas()
+    n_docs = io.load(spark, sf_dir, "documents").count()
+    assert len(man) == n_docs and man.doc_id.is_unique
+    assert (man.final_len == man.orig_len - man.scrub_removed_chars).all()
+    assert (man.final_len >= 0).all() and (man.scrub_removed_chars >= 0).all()
+    assert (man.in_pool == (man.doc_id >= _EVAL_N)).all()
+    # components subsume exact-dup stars
+    assert not ((~man.exact_keep) & man.dedup_keep).any()
+    # drop_stage: first-failing stage, 'shipped' iff ship
+    order = [
+        ("eval_holdout", ~man.in_pool),
+        ("exact_dup", ~man.exact_keep),
+        ("near_dup", ~man.dedup_keep),
+        ("quality", ~man.quality_keep),
+        ("mix", ~man.mix_keep),
+        ("decontamination", ~man.decon_keep),
+    ]
+    import numpy as np
+
+    expect = np.full(len(man), "shipped", dtype=object)
+    taken = np.zeros(len(man), dtype=bool)
+    for stage, fail in order:
+        hit = fail.to_numpy() & ~taken
+        expect[hit] = stage
+        taken |= hit
+    assert (man.drop_stage.to_numpy() == expect).all()
+    assert (man.ship == (man.drop_stage == "shipped")).all()
+    assert (
+        man.ship
+        == (
+            man.in_pool
+            & man.dedup_keep
+            & man.quality_keep
+            & man.mix_keep
+            & man.decon_keep
+        )
+    ).all()
+    # curation flags agree with the registered curation manifest
+    cm = text_curation_manifest(spark, sf_dir).toPandas().set_index("doc_id")
+    pool = man[man.in_pool].set_index("doc_id")
+    assert set(pool.index) == set(cm.index)
+    cm = cm.reindex(pool.index)  # row order differs between the two frames
+    for col in ("quality_keep", "mix_keep", "decon_keep"):
+        assert (pool[col] == cm[col]).all(), col
+    assert (pool.ship == (cm.selected & pool.dedup_keep)).all()

@@ -80,6 +80,8 @@ HEADLINERS = [
     ("decontaminate_spans", "eval side collapses to a distinct 128-bit gram-hash set (one groupBy, broadcastable — tiny by definition); training grams marked by ONE membership join (no pair expansion, no cap); island merge windows per doc — the GPT-3-style span-level benchmark overlap"),
     ("dedup_span_attribution", "span-table artifact scan + per-doc aggregate, one corpus scan for lengths, one map-side-combinable groupBy on source, broadcast single-row total for the corpus share — no pairwise work"),
     ("dedup_method_agreement", "pure consumer: all four pair sets are parquet scans of the per-corpus pair-table artifacts (no corpus rescan, no method recompute — builders stay the registered method queries); agreement adds a single (doc_a,doc_b)-keyed self-join plus two broadcast method-count joins"),
+    ("decontaminate_scrub", "removal stage served from the per-corpus contamination-span artifact (parquet scan — the eval-gram membership join runs once per corpus snapshot, attributed to the census builder decontaminate_spans); eval-source exclusion PUSHED to the one corpus scan; ONE per-doc groupBy collects the doc's own spans + the same in-row reassembly fold as dedup_substring_scrub — no gram re-marking, no window"),
+    ("corpus_release_manifest", "the per-doc ship table: components + span-table read as ARTIFACTS (never re-derived), exact-keeper = one map-side-combinable groupBy joined back on text_hash, curation flags join the composed manifest frame — every join a per-doc equi-join (broadcast or co-partitioned SMJ), no pairwise work, no corpus-wide window"),
 ]
 
 

@@ -48,11 +48,12 @@ _FAMILY_PRIORITY = ("rel_", "dq_", "emb_", "sim_", "ml_", "text_", "ts_", "dedup
 # they sort ahead of the plain least-recently-recorded rotation. Update this
 # set each round; names not in the registry are ignored.
 _FORCE_RERECORD: set[str] = set()
-# r09: empty — the r08 occupancy-k pair (dedup_semantic,
-# sim_cluster_profile) got fresh r08 records, and none of the r09 code
-# changes moved any query's results (the substring-span hashed shuffle
-# key and the agreement matrix's fixed 6-row shape are output-identical
-# at the gate SFs — parity tests + oracle hashes confirm).
+# r10: empty — no r10 code change moves any existing query's results:
+# the decontaminate_spans refactor only factors its span CTEs into the
+# shared _CONTAM_SPAN_CTES constant and its Spark body into
+# _contam_span_fresh (same expressions; full-registry oracle record
+# confirms), and the builder_salt transitive walk only re-fingerprints
+# /tmp artifacts whose CONTENT is pinned identical to fresh compute.
 # r10-safe: matches CORRECTNESS_r12.json, not CORRECTNESS_LOCAL_r05.json.
 _RECORD_RE = re.compile(r"^CORRECTNESS_r(\d+)\.json$")
 
