@@ -3460,3 +3460,373 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("shipped")
         .alias("drop_stage"),
     )
+
+
+# --- per-source contamination attribution --------------------------------------
+
+
+def _contam_attribution_sql() -> str:
+    return f"""
+    WITH {_CONTAM_SPAN_CTES},
+    sp AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS contam
+        FROM spans GROUP BY doc_id
+    ),
+    j AS (
+        SELECT d.source, length(d.text) AS len, COALESCE(s.contam, 0) AS contam
+        FROM documents d LEFT JOIN sp s USING (doc_id)
+        WHERE d.source <> '{_CONTAM_EVAL_SOURCE}'
+    ),
+    per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN contam > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_affected,
+               CAST(sum(contam) AS BIGINT) AS contam_chars,
+               CAST(sum(len) AS BIGINT) AS total_chars
+        FROM j GROUP BY source
+    )
+    SELECT source, n_docs, n_docs_affected, contam_chars, total_chars,
+           CAST(contam_chars AS DOUBLE) / total_chars AS contam_frac,
+           CASE WHEN (SELECT CAST(SUM(contam_chars) AS BIGINT) FROM per) = 0
+                THEN NULL
+                ELSE CAST(contam_chars AS DOUBLE)
+                     / (SELECT CAST(SUM(contam_chars) AS BIGINT) FROM per)
+           END AS corpus_share
+    FROM per
+    """
+
+
+@register(
+    "decontaminate_attribution",
+    sql=_contam_attribution_sql(),  # composes the contamination-span spec
+    doc="Per-source attribution of eval-contamination mass — the 'which "
+    "source leaked the benchmark' read a corpus owner runs before "
+    "deciding what to re-crawl: for each TRAINING source, docs "
+    "affected, contaminated chars, the source's own contamination "
+    "fraction, and its share of the corpus-wide contaminated mass "
+    "(NULL when no contamination exists). The sibling of "
+    "dedup_span_attribution over the contamination-span spec, so the "
+    "attribution cannot drift from the census or the scrub. Plan shape "
+    "at 100 TB: one contamination-span artifact scan + per-doc "
+    "aggregate, one corpus scan for lengths (eval filter pushed), one "
+    "map-side-combinable groupBy on source, broadcast single-row total "
+    "for the share — no pairwise work.",
+)
+def decontaminate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    sp = (
+        contam_span_table(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("contam"))
+    )
+    docs = (
+        io.load(spark, sf_dir, "documents")
+        .filter(F.col("source") != _CONTAM_EVAL_SOURCE)
+        .select("doc_id", "source", F.length("text").cast("long").alias("len"))
+    )
+    j = docs.join(sp, "doc_id", "left").select(
+        "source", "len", F.coalesce("contam", F.lit(0)).alias("contam")
+    )
+    per = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("contam") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_affected"),
+        F.sum("contam").cast("long").alias("contam_chars"),
+        F.sum("len").cast("long").alias("total_chars"),
+    )
+    tot = per.agg(F.sum("contam_chars").cast("long").alias("tot_c"))
+    return per.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_docs_affected",
+        "contam_chars",
+        "total_chars",
+        (F.col("contam_chars").cast("double") / F.col("total_chars")).alias(
+            "contam_frac"
+        ),
+        F.when(F.col("tot_c") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("contam_chars").cast("double") / F.col("tot_c"))
+        .alias("corpus_share"),
+    )
+
+
+# --- the full-pipeline release funnel -------------------------------------------
+
+# (stage_idx, stage name, cumulative-survivor condition column) in pipeline
+# order; each stage's survivors are the docs that passed IT AND every
+# stage before it — exactly the drop_stage precedence of the manifest.
+_RELEASE_STAGES = [
+    ("raw", None),
+    ("eval_holdout", "in_pool"),
+    ("exact_dedup", "exact_keep"),
+    ("near_dup", "dedup_keep"),
+    ("quality", "quality_keep"),
+    ("mix", "mix_keep"),
+    ("decontamination", "decon_keep"),
+]
+
+
+def _release_funnel_sql() -> str:
+    from exact_spark.registry import REGISTRY as _R
+
+    conds: list[str] = []
+    rows = []
+    for i, (stage, col) in enumerate(_RELEASE_STAGES):
+        if col is not None:
+            conds.append(col)
+        cond = " AND ".join(conds) if conds else "TRUE"
+        rows.append(
+            f"SELECT {i} AS stage_idx, '{stage}' AS stage,"
+            f" CAST(count(*) FILTER (WHERE {cond}) AS BIGINT) AS n_docs,"
+            f" CAST(COALESCE(sum(orig_len) FILTER (WHERE {cond}), 0) AS BIGINT)"
+            f" AS n_chars FROM man"
+        )
+    ship_cond = " AND ".join(conds)
+    rows.append(
+        f"SELECT {len(_RELEASE_STAGES)} AS stage_idx,"
+        f" 'shipped_scrubbed' AS stage,"
+        f" CAST(count(*) FILTER (WHERE {ship_cond}) AS BIGINT) AS n_docs,"
+        f" CAST(COALESCE(sum(final_len) FILTER (WHERE {ship_cond}), 0)"
+        f" AS BIGINT) AS n_chars FROM man"
+    )
+    stage_rows = " UNION ALL ".join(rows)
+    return f"""
+    WITH man AS MATERIALIZED ({_R["corpus_release_manifest"].sql}),
+    stages AS ({stage_rows}),
+    raw AS (SELECT n_docs AS rn, n_chars AS rc FROM stages WHERE stage_idx = 0)
+    SELECT s.stage_idx, s.stage, s.n_docs, s.n_chars,
+           CAST(s.n_docs AS DOUBLE) / r.rn AS docs_frac,
+           CAST(s.n_chars AS DOUBLE) / r.rc AS chars_frac
+    FROM stages s, raw r
+    """
+
+
+@register(
+    "corpus_release_funnel",
+    sql=_release_funnel_sql(),  # composes the release-manifest spec
+    doc="The FULL-pipeline release funnel — the dedup funnel "
+    "(dedup_pipeline_funnel) extended through curation to the shipped "
+    "dataset: docs and chars surviving each stage in pipeline order "
+    "(raw -> eval holdout -> exact dedup -> near-dup components -> "
+    "quality -> mix -> decontamination -> shipped-after-scrub), each as "
+    "a count and a fraction of raw. Every stage is the CUMULATIVE "
+    "survivor set of the composed corpus_release_manifest spec — the "
+    "same AND-precedence its drop_stage attributes — so the funnel, "
+    "the manifest, and the shipped dataset provably agree (pinned in "
+    "tests/test_r10_ops.py). Plan shape at 100 TB: the manifest frame "
+    "once, then ONE map-side-combinable aggregate computing every "
+    "stage's conditional count/sum in a single pass (8 stages = 16 "
+    "aggregate cells, not 8 corpus scans), unpivoted in-row from the "
+    "1-row result; the fraction join broadcasts a single row.",
+)
+def corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    man = corpus_release_manifest(spark, sf_dir)
+    aggs = []
+    conds: list = []
+    for i, (stage, col) in enumerate(_RELEASE_STAGES):
+        if col is not None:
+            conds.append(F.col(col))
+        cond = conds[0] if conds else F.lit(True)
+        for c in conds[1:]:
+            cond = cond & c
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{i}"))
+        aggs.append(
+            F.sum(F.when(cond, F.col("orig_len")).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+        )
+    ship = conds[0]
+    for c in conds[1:]:
+        ship = ship & c
+    k = len(_RELEASE_STAGES)
+    aggs.append(F.sum(F.when(ship, 1).otherwise(0)).cast("long").alias(f"n{k}"))
+    aggs.append(
+        F.sum(F.when(ship, F.col("final_len")).otherwise(0))
+        .cast("long")
+        .alias(f"c{k}")
+    )
+    one = man.agg(*aggs)
+    names = [s for s, _ in _RELEASE_STAGES] + ["shipped_scrubbed"]
+    stack = ", ".join(
+        f"{i}L, '{name}', n{i}, c{i}" for i, name in enumerate(names)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(names)}, {stack}) AS (stage_idx, stage, n_docs, n_chars)"
+        ),
+        F.col("n0").alias("rn"),
+        F.col("c0").alias("rc"),
+    ).select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        "n_chars",
+        (F.col("n_docs").cast("double") / F.col("rn")).alias("docs_frac"),
+        (F.col("n_chars").cast("double") / F.col("rc")).alias("chars_frac"),
+    )
+
+
+# --- the shipped dataset itself -------------------------------------------------
+
+
+def _prefix_ctes(ctes: str, prefix: str, names: tuple[str, ...]) -> str:
+    """Prefix every CTE name in a shared span-chain constant so two chains
+    can coexist in one WITH clause (both _SUB_SPAN_CTES and
+    _CONTAM_SPAN_CTES end at `spans` and share intermediate names). The
+    names list is exactly the chain's CTE names — none collides with a
+    column identifier in either constant."""
+    import re
+
+    return re.compile(r"\b(" + "|".join(names) + r")\b").sub(
+        lambda m: prefix + m.group(1), ctes
+    )
+
+
+def _release_dataset_sql() -> str:
+    from exact_spark.registry import REGISTRY as _R
+
+    sub = _prefix_ctes(
+        _SUB_SPAN_CTES,
+        "a_",
+        ("pos_tab", "grams", "dup_g", "hits", "isl", "grp", "spans"),
+    )
+    con = _prefix_ctes(
+        _CONTAM_SPAN_CTES,
+        "b_",
+        ("pos_tab", "grams", "eval_g", "hits", "isl", "grp", "spans"),
+    )
+    return f"""
+    WITH {sub},
+    {con},
+    man AS MATERIALIZED (
+        SELECT doc_id FROM ({_R["corpus_release_manifest"].sql}) WHERE ship
+    ),
+    united AS (
+        SELECT doc_id, s, e FROM a_spans
+        UNION ALL
+        SELECT doc_id, s, e FROM b_spans
+    ),
+    ordd AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pm
+        FROM united
+    ),
+    brks AS (
+        SELECT doc_id, s, e,
+               CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END AS brk
+        FROM ordd
+    ),
+    grps AS (
+        SELECT doc_id, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM brks
+    ),
+    merged AS MATERIALIZED (
+        SELECT doc_id, min(s) AS s, max(e) AS e
+        FROM grps GROUP BY doc_id, island
+    ),
+    seg AS (
+        SELECT doc_id, s, e,
+               COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+                   AS prev_e
+        FROM merged
+    ),
+    mid AS (
+        SELECT g.doc_id, g.s AS ord,
+               substr(d.text, CAST(g.prev_e + 1 AS INT),
+                      CAST(g.s - g.prev_e - 1 AS INT)) AS piece
+        FROM seg g JOIN documents d USING (doc_id)
+    ),
+    tails AS (
+        SELECT g.doc_id, CAST(length(d.text) + 1 AS BIGINT) AS ord,
+               substr(d.text, CAST(g.mx + 1 AS INT)) AS piece
+        FROM (SELECT doc_id, max(e) AS mx FROM merged GROUP BY doc_id) g
+        JOIN documents d USING (doc_id)
+    ),
+    pieces AS (SELECT * FROM mid UNION ALL SELECT * FROM tails),
+    clean AS (
+        SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+        FROM pieces GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT doc_id, count(*) AS n_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+        FROM merged GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.source, CAST(length(d.text) AS BIGINT) AS orig_len,
+           CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(st.removed_chars, 0) AS BIGINT) AS removed_chars,
+           COALESCE(c.clean_text, d.text) AS final_text
+    FROM man m
+    JOIN documents d USING (doc_id)
+    LEFT JOIN stats st USING (doc_id)
+    LEFT JOIN clean c USING (doc_id)
+    """
+
+
+@register(
+    "corpus_release_dataset",
+    sql=_release_dataset_sql(),  # composes manifest + both span specs
+    doc="The dataset that actually ships to training — the release "
+    "manifest's ship set with BOTH span removals applied to the text: "
+    "duplicated substrings (dedup_substring_spans) and residual "
+    "eval-contaminated spans (decontaminate_spans — doc-level "
+    "decontamination already dropped heavy offenders, span excision "
+    "removes what slipped under that threshold, the GPT-3 "
+    "belt-and-suspenders). The two span sets are UNION-merged on "
+    "original coordinates (overlapping or adjacent spans coalesce into "
+    "maximal intervals — sequential excision on shifted coordinates "
+    "would corrupt text) and cut out by the same in-row reassembly "
+    "fold; removed_chars therefore >= the manifest's substring-only "
+    "scrub accounting, per doc (pinned in tests/test_r10_ops.py). Plan "
+    "shape at 100 TB: two span-artifact scans unioned, one per-doc "
+    "island-merge window (sort bounded by the doc's own span count), "
+    "one per-doc groupBy, one corpus scan joined to the ship set — no "
+    "gram re-marking, no pairwise work.",
+)
+def corpus_release_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ship = corpus_release_manifest(spark, sf_dir).filter("ship").select("doc_id")
+    united = (
+        substring_span_table(spark, sf_dir)
+        .select("doc_id", "s", "e")
+        .unionByName(contam_span_table(spark, sf_dir).select("doc_id", "s", "e"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    pm = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grp = united.withColumn(
+        "brk",
+        F.when(pm.isNull() | (F.col("s") > pm + 1), 1).otherwise(0),
+    ).withColumn(
+        "island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = grp.groupBy("doc_id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    agg = merged.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("sp"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("removed_chars"),
+    )
+    docs = io.load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return (
+        docs.join(ship, "doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("orig_len"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("removed_chars", F.lit(0))
+            .cast("long")
+            .alias("removed_chars"),
+            F.when(F.col("sp").isNull(), F.col("text"))
+            .otherwise(F.expr(_SUB_REASSEMBLE))
+            .alias("final_text"),
+        )
+    )

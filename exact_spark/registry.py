@@ -59,7 +59,10 @@ DRIVER_WINDOW_ROUND: int = 10
 
 DRIVER_ORDER: list[str] = [
     # --- window (slots 1-50): best available recording spend ---
+    "corpus_release_dataset",
+    "corpus_release_funnel",
     "corpus_release_manifest",
+    "decontaminate_attribution",
     "decontaminate_scrub",
     "w3_sampling_strategies",
     "xai_methods_ndcg",
@@ -106,10 +109,10 @@ DRIVER_ORDER: list[str] = [
     "rel_ship_latency_percentiles",
     "rel_shipping_priority",
     "rel_small_qty_revenue",
+    # --- outside the window (rotates into it next round) ---
     "rel_sole_blame_supplier",
     "rel_supplier_cnt_by_part",
     "rel_top_supplier",
-    # --- outside the window (rotates into it next round) ---
     "rel_yoy_growth",
     "sim_graph_pagerank",
     "sim_knn_graph",

@@ -458,3 +458,44 @@ def test_r10_consumers_read_artifacts_not_corpus(spark, sf_dir):
     # per-doc equi-joins only — no pairwise/cartesian shape anywhere
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_r10_batch2_plans(spark, sf_dir):
+    """Batch-2 r10 queries: attribution and the shipped dataset serve the
+    span tables from artifacts (no gram re-marking anywhere); the release
+    funnel reads the components + span artifacts through the composed
+    manifest; no pairwise/cartesian shape — the only
+    BroadcastNestedLoopJoin is attribution's single-row corpus total
+    (the accepted 1x1 pattern)."""
+    from exact_spark.operators.dedup import (
+        components_path,
+        contam_span_path,
+        corpus_release_dataset,
+        corpus_release_funnel,
+        decontaminate_attribution,
+        substring_span_path,
+    )
+
+    contam_span_path(spark, sf_dir)
+    components_path(spark, sf_dir)
+    substring_span_path(spark, sf_dir)
+
+    plan = _plan(decontaminate_attribution(spark, sf_dir))
+    assert "exact_spark_consp_" in plan
+    assert "xxhash64" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row total only
+
+    plan = _plan(corpus_release_funnel(spark, sf_dir))
+    assert "exact_spark_subspans_" in plan
+    assert "exact_spark_dupcc_" in plan
+    assert "xxhash64" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(corpus_release_dataset(spark, sf_dir))
+    assert "exact_spark_consp_" in plan
+    assert "exact_spark_subspans_" in plan
+    assert "exact_spark_dupcc_" in plan
+    assert "xxhash64" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -225,3 +225,166 @@ def test_release_manifest_invariants(spark, sf_dir):
     for col in ("quality_keep", "mix_keep", "decon_keep"):
         assert (pool[col] == cm[col]).all(), col
     assert (pool.ship == (cm.selected & pool.dedup_keep)).all()
+
+
+# --- second r10 batch: attribution, full-pipeline funnel, shipped dataset ----
+
+
+def test_decontaminate_attribution_matches_literal_recompute(spark, sf_dir):
+    from exact_spark import io
+    from exact_spark.operators.dedup import (
+        _CONTAM_EVAL_SOURCE,
+        _SUB_L,
+        decontaminate_attribution,
+    )
+
+    docs = (
+        io.load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    texts = dict(zip(docs.doc_id, docs.text))
+    sources = dict(zip(docs.doc_id, docs.source))
+    spans = _brute_contam_spans(texts, sources, _CONTAM_EVAL_SOURCE, _SUB_L)
+    per: dict[str, dict] = {}
+    for d, t in texts.items():
+        if sources[d] == _CONTAM_EVAL_SOURCE:
+            continue
+        e = per.setdefault(
+            sources[d],
+            {"n_docs": 0, "n_docs_affected": 0, "contam_chars": 0,
+             "total_chars": 0},
+        )
+        c = sum(b - a + 1 for a, b in spans.get(d, []))
+        e["n_docs"] += 1
+        e["n_docs_affected"] += int(c > 0)
+        e["contam_chars"] += c
+        e["total_chars"] += len(t)
+    tot = sum(e["contam_chars"] for e in per.values())
+    got = (
+        decontaminate_attribution(spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+    )
+    assert set(got.index) == set(per)  # eval source excluded by definition
+    for src, e in per.items():
+        r = got.loc[src]
+        assert (
+            r.n_docs, r.n_docs_affected, r.contam_chars, r.total_chars
+        ) == (
+            e["n_docs"], e["n_docs_affected"], e["contam_chars"],
+            e["total_chars"],
+        ), src
+        assert r.contam_frac == e["contam_chars"] / e["total_chars"]
+        assert r.corpus_share == (e["contam_chars"] / tot if tot else None)
+    if tot:
+        assert abs(got.corpus_share.sum() - 1.0) < 1e-9
+
+
+def test_release_funnel_agrees_with_manifest(spark):
+    """The funnel is the manifest's OWN cumulative rollup: each stage's
+    row equals the manifest filtered by the AND of every condition up to
+    that stage; counts are monotone nonincreasing; the shipped row
+    matches the ship flag and the scrubbed-chars accounting."""
+    from exact_spark.operators.dedup import (
+        _RELEASE_STAGES,
+        corpus_release_funnel,
+        corpus_release_manifest,
+    )
+
+    man = corpus_release_manifest(spark, SF_DIR_MID).toPandas()
+    fun = (
+        corpus_release_funnel(spark, SF_DIR_MID)
+        .toPandas()
+        .sort_values("stage_idx", ignore_index=True)
+        .set_index("stage")
+    )
+    mask = man.doc_id.notna()  # all-true start
+    for stage, col in _RELEASE_STAGES:
+        if col is not None:
+            mask = mask & man[col]
+        assert fun.loc[stage, "n_docs"] == int(mask.sum()), stage
+        assert fun.loc[stage, "n_chars"] == man[mask].orig_len.sum(), stage
+    assert (mask == man.ship).all()  # cumulative AND == the ship flag
+    assert fun.loc["shipped_scrubbed", "n_docs"] == int(man.ship.sum())
+    assert (
+        fun.loc["shipped_scrubbed", "n_chars"] == man[man.ship].final_len.sum()
+    )
+    n = fun.n_docs.to_numpy()
+    assert (n[:-1] >= n[1:]).all()  # a funnel only narrows
+    assert fun.loc["raw", "docs_frac"] == 1.0
+    assert (
+        fun.docs_frac == fun.n_docs / fun.loc["raw", "n_docs"]
+    ).all()
+
+
+def test_release_dataset_matches_brute_force(spark, sf_dir):
+    """Literal recompute of the shipped dataset: union the brute-force
+    duplicated-substring spans and contaminated spans, merge overlapping
+    or adjacent intervals, excise — per shipped doc, the engine's
+    n_spans/removed_chars/final_text must match exactly."""
+    from exact_spark import io
+    from exact_spark.operators.dedup import (
+        _CONTAM_EVAL_SOURCE,
+        _SUB_L,
+        corpus_release_dataset,
+        corpus_release_manifest,
+    )
+    from tests.test_r08b_ops import _brute_spans
+
+    docs = (
+        io.load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    texts = dict(zip(docs.doc_id, docs.text))
+    sources = dict(zip(docs.doc_id, docs.source))
+    dup = _brute_spans(texts, _SUB_L)
+    con = _brute_contam_spans(texts, sources, _CONTAM_EVAL_SOURCE, _SUB_L)
+
+    def merge(spans: list[tuple[int, int]]) -> list[tuple[int, int]]:
+        out: list[list[int]] = []
+        for s, e in sorted(spans):
+            if out and s <= out[-1][1] + 1:
+                out[-1][1] = max(out[-1][1], e)
+            else:
+                out.append([s, e])
+        return [(s, e) for s, e in out]
+
+    man = corpus_release_manifest(spark, sf_dir).toPandas()
+    shipped = set(man[man.ship].doc_id)
+    got = corpus_release_dataset(spark, sf_dir).toPandas().set_index("doc_id")
+    assert set(got.index) == shipped
+    for d in shipped:
+        sp = merge(dup.get(d, []) + con.get(d, []))
+        assert got.loc[d, "n_spans"] == len(sp)
+        assert got.loc[d, "removed_chars"] == sum(e - s + 1 for s, e in sp)
+        assert got.loc[d, "final_text"] == _brute_scrub(texts[d], sp)
+        assert len(got.loc[d, "final_text"]) == len(texts[d]) - got.loc[
+            d, "removed_chars"
+        ]
+
+
+def test_release_dataset_vs_manifest_accounting(spark):
+    """The dataset's union-merged removal is at least the manifest's
+    substring-only scrub accounting per doc (contaminated spans can only
+    add), and the length algebra reconciles everywhere at sf0.01."""
+    from exact_spark.operators.dedup import (
+        corpus_release_dataset,
+        corpus_release_manifest,
+    )
+
+    man = (
+        corpus_release_manifest(spark, SF_DIR_MID)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    got = (
+        corpus_release_dataset(spark, SF_DIR_MID).toPandas().set_index("doc_id")
+    )
+    sub = man.loc[got.index]
+    assert (got.removed_chars >= sub.scrub_removed_chars).all()
+    assert (got.orig_len == sub.orig_len).all()
+    assert (
+        got.final_text.str.len() == got.orig_len - got.removed_chars
+    ).all()

@@ -82,6 +82,9 @@ HEADLINERS = [
     ("dedup_method_agreement", "pure consumer: all four pair sets are parquet scans of the per-corpus pair-table artifacts (no corpus rescan, no method recompute — builders stay the registered method queries); agreement adds a single (doc_a,doc_b)-keyed self-join plus two broadcast method-count joins"),
     ("decontaminate_scrub", "removal stage served from the per-corpus contamination-span artifact (parquet scan — the eval-gram membership join runs once per corpus snapshot, attributed to the census builder decontaminate_spans); eval-source exclusion PUSHED to the one corpus scan; ONE per-doc groupBy collects the doc's own spans + the same in-row reassembly fold as dedup_substring_scrub — no gram re-marking, no window"),
     ("corpus_release_manifest", "the per-doc ship table: components + span-table read as ARTIFACTS (never re-derived), exact-keeper = one map-side-combinable groupBy joined back on text_hash, curation flags join the composed manifest frame — every join a per-doc equi-join (broadcast or co-partitioned SMJ), no pairwise work, no corpus-wide window"),
+    ("decontaminate_attribution", "contamination-span artifact scan + per-doc aggregate, one corpus scan for lengths (eval exclusion pushed), one map-side-combinable groupBy on source, broadcast single-row total for the corpus share — the sibling of dedup_span_attribution over the contamination spec; no gram re-marking, no pairwise work"),
+    ("corpus_release_funnel", "the full-pipeline census in ONE aggregate pass: every stage's cumulative-survivor count/chars computed as conditional sums over the composed manifest frame (8 stages = 16 cells of a single 1-row aggregate, not 8 corpus scans), unpivoted in-row by stack() — fractions ride the same row, zero extra joins"),
+    ("corpus_release_dataset", "the shipped text: BOTH span artifacts (subspans + consp) unioned and island-merged by a per-doc window (sort bounded by the doc's own span count), ONE per-doc groupBy collects the merged spans, in-row fold excises them; ship set joins per-doc — no gram re-marking, no pairwise shape anywhere"),
 ]
 
 
