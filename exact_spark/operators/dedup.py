@@ -3830,3 +3830,148 @@ def corpus_release_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("final_text"),
         )
     )
+
+
+# --- per-source release attribution + shipped token accounting ------------------
+
+_DROP_STAGES = (
+    "eval_holdout",
+    "exact_dup",
+    "near_dup",
+    "quality",
+    "mix",
+    "decontamination",
+    "shipped",
+)
+
+
+def _release_attribution_sql() -> str:
+    from exact_spark.registry import REGISTRY as _R
+
+    stage_cols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE drop_stage = '{s}') AS BIGINT) AS n_{s}"
+        for s in _DROP_STAGES
+    )
+    return f"""
+    WITH man AS MATERIALIZED ({_R["corpus_release_manifest"].sql})
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {stage_cols},
+           CAST(count(*) FILTER (WHERE ship) AS DOUBLE) / count(*)
+               AS ship_rate,
+           CAST(COALESCE(sum(orig_len), 0) AS BIGINT) AS orig_chars,
+           CAST(COALESCE(sum(final_len) FILTER (WHERE ship), 0) AS BIGINT)
+               AS shipped_chars
+    FROM man GROUP BY source
+    """
+
+
+@register(
+    "corpus_release_attribution",
+    sql=_release_attribution_sql(),  # composes the release-manifest spec
+    doc="Per-source release attribution — 'what fraction of each source "
+    "ships, and which stage eats the rest': for every source, the doc "
+    "count lost to each drop_stage of the composed release manifest "
+    "(eval holdout / exact dup / near-dup / quality / mix / "
+    "decontamination / shipped), the ship rate, and original vs "
+    "shipped chars. The read a corpus owner does before re-negotiating "
+    "a source mix: a source with a high near_dup share needs "
+    "crawl-side dedup, one with a high quality share needs filtering "
+    "upstream. The stage columns partition n_docs exactly (pinned in "
+    "tests/test_r10_ops.py). Plan shape at 100 TB: the manifest frame "
+    "once, then ONE map-side-combinable groupBy on source computing "
+    "every stage count as a conditional sum — no second corpus pass, "
+    "no joins beyond the manifest's own.",
+)
+def corpus_release_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    man = corpus_release_manifest(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for s in _DROP_STAGES:
+        aggs.append(
+            F.sum(F.when(F.col("drop_stage") == s, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{s}")
+        )
+    aggs.append(
+        (
+            F.sum(F.when(F.col("ship"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ship_rate")
+    )
+    aggs.append(F.sum("orig_len").cast("long").alias("orig_chars"))
+    aggs.append(
+        F.sum(F.when(F.col("ship"), F.col("final_len")).otherwise(0))
+        .cast("long")
+        .alias("shipped_chars")
+    )
+    return man.groupBy("source").agg(*aggs)
+
+
+def _release_tokens_sql() -> str:
+    # the shared deterministic tokenizer spec (operators/text.py): lowercase,
+    # split on non-alphanumeric runs, drop empties — engine pair of the
+    # Spark expression below
+    toks = (
+        "list_filter(regexp_split_to_array(lower(final_text), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    )
+    return f"""
+    WITH ds AS MATERIALIZED ({_release_dataset_sql()}),
+    per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(final_text)) AS BIGINT) AS shipped_chars,
+               CAST(sum(len({toks})) AS BIGINT) AS shipped_tokens
+        FROM ds GROUP BY source
+    )
+    SELECT source, n_docs, shipped_chars, shipped_tokens,
+           CAST(shipped_tokens AS DOUBLE)
+               / (SELECT CAST(SUM(shipped_tokens) AS BIGINT) FROM per)
+               AS token_share
+    FROM per
+    """
+
+
+@register(
+    "corpus_release_tokens",
+    sql=_release_tokens_sql(),  # composes the release-dataset spec
+    doc="Shipped token accounting — THE sign-off number of a training-data "
+    "run ('how many tokens are we actually training on, from where'): "
+    "per source over the composed corpus_release_dataset spec (the ship "
+    "set with both span removals applied), doc count, shipped chars, "
+    "shipped tokens under the engine's shared deterministic tokenizer "
+    "(lowercase, split on non-alphanumeric runs — the same spec every "
+    "text_* operator pairs across Spark and the oracle), and each "
+    "source's share of the shipped token budget. Plan shape at 100 TB: "
+    "the shipped frame once, tokenization folded into the scan "
+    "projection (size(filter(split())) — no explode, no shuffle of "
+    "token rows), ONE map-side-combinable groupBy on source, broadcast "
+    "single-row total for the share.",
+)
+def corpus_release_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    ds = corpus_release_dataset(spark, sf_dir)
+    n_toks = F.size(
+        F.filter(
+            F.split(F.lower(F.col("final_text")), "[^a-z0-9]+"),
+            lambda x: x != "",
+        )
+    )
+    per = ds.select("source", F.length("final_text").alias("flen"), n_toks.alias("ntk")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("flen").cast("long").alias("shipped_chars"),
+        F.sum("ntk").cast("long").alias("shipped_tokens"),
+    )
+    tot = per.agg(F.sum("shipped_tokens").cast("long").alias("tt"))
+    return per.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "shipped_chars",
+        "shipped_tokens",
+        (F.col("shipped_tokens").cast("double") / F.col("tt")).alias(
+            "token_share"
+        ),
+    )

@@ -59,9 +59,11 @@ DRIVER_WINDOW_ROUND: int = 10
 
 DRIVER_ORDER: list[str] = [
     # --- window (slots 1-50): best available recording spend ---
+    "corpus_release_attribution",
     "corpus_release_dataset",
     "corpus_release_funnel",
     "corpus_release_manifest",
+    "corpus_release_tokens",
     "decontaminate_attribution",
     "decontaminate_scrub",
     "w3_sampling_strategies",
@@ -107,9 +109,9 @@ DRIVER_ORDER: list[str] = [
     "rel_rolling_revenue",
     "rel_ship_lag_priority",
     "rel_ship_latency_percentiles",
+    # --- outside the window (rotates into it next round) ---
     "rel_shipping_priority",
     "rel_small_qty_revenue",
-    # --- outside the window (rotates into it next round) ---
     "rel_sole_blame_supplier",
     "rel_supplier_cnt_by_part",
     "rel_top_supplier",

@@ -388,3 +388,67 @@ def test_release_dataset_vs_manifest_accounting(spark):
     assert (
         got.final_text.str.len() == got.orig_len - got.removed_chars
     ).all()
+
+
+def test_release_attribution_partitions_manifest(spark, sf_dir):
+    """The per-source stage counts are a literal pivot of the manifest's
+    drop_stage column: every stage column recomputed from the manifest
+    frame, the stage columns partition n_docs exactly, and the ship
+    accounting reconciles."""
+    from exact_spark.operators.dedup import (
+        _DROP_STAGES,
+        corpus_release_attribution,
+        corpus_release_manifest,
+    )
+
+    man = corpus_release_manifest(spark, sf_dir).toPandas()
+    got = (
+        corpus_release_attribution(spark, sf_dir)
+        .toPandas()
+        .set_index("source")
+    )
+    assert set(got.index) == set(man.source)
+    for src, g in man.groupby("source"):
+        r = got.loc[src]
+        assert r.n_docs == len(g)
+        for s in _DROP_STAGES:
+            assert r[f"n_{s}"] == int((g.drop_stage == s).sum()), (src, s)
+        assert sum(r[f"n_{s}"] for s in _DROP_STAGES) == r.n_docs  # partition
+        assert r.n_shipped == int(g.ship.sum())
+        assert r.ship_rate == g.ship.sum() / len(g)
+        assert r.orig_chars == g.orig_len.sum()
+        assert r.shipped_chars == g[g.ship].final_len.sum()
+
+
+def test_release_tokens_matches_literal_recompute(spark, sf_dir):
+    """Full out-of-engine mirror: re-tokenize the shipped dataset's
+    final_text in Python with the shared deterministic tokenizer spec
+    (lowercase, split on non-alphanumeric runs, drop empties) and
+    reproduce every cell including the token shares."""
+    import re
+
+    from exact_spark.operators.dedup import (
+        corpus_release_dataset,
+        corpus_release_tokens,
+    )
+
+    ds = corpus_release_dataset(spark, sf_dir).toPandas()
+    per: dict[str, dict] = {}
+    for src, txt in zip(ds.source, ds.final_text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        e = per.setdefault(
+            src, {"n_docs": 0, "shipped_chars": 0, "shipped_tokens": 0}
+        )
+        e["n_docs"] += 1
+        e["shipped_chars"] += len(txt)
+        e["shipped_tokens"] += len(toks)
+    tot = sum(e["shipped_tokens"] for e in per.values())
+    got = corpus_release_tokens(spark, sf_dir).toPandas().set_index("source")
+    assert set(got.index) == set(per)
+    for src, e in per.items():
+        r = got.loc[src]
+        assert (r.n_docs, r.shipped_chars, r.shipped_tokens) == (
+            e["n_docs"], e["shipped_chars"], e["shipped_tokens"],
+        ), src
+        assert r.token_share == e["shipped_tokens"] / tot
+    assert abs(got.token_share.sum() - 1.0) < 1e-9

@@ -85,6 +85,8 @@ HEADLINERS = [
     ("decontaminate_attribution", "contamination-span artifact scan + per-doc aggregate, one corpus scan for lengths (eval exclusion pushed), one map-side-combinable groupBy on source, broadcast single-row total for the corpus share — the sibling of dedup_span_attribution over the contamination spec; no gram re-marking, no pairwise work"),
     ("corpus_release_funnel", "the full-pipeline census in ONE aggregate pass: every stage's cumulative-survivor count/chars computed as conditional sums over the composed manifest frame (8 stages = 16 cells of a single 1-row aggregate, not 8 corpus scans), unpivoted in-row by stack() — fractions ride the same row, zero extra joins"),
     ("corpus_release_dataset", "the shipped text: BOTH span artifacts (subspans + consp) unioned and island-merged by a per-doc window (sort bounded by the doc's own span count), ONE per-doc groupBy collects the merged spans, in-row fold excises them; ship set joins per-doc — no gram re-marking, no pairwise shape anywhere"),
+    ("corpus_release_attribution", "per-source stage attribution in ONE map-side-combinable groupBy over the composed manifest frame — every drop_stage count a conditional sum, no second corpus pass, no joins beyond the manifest's own"),
+    ("corpus_release_tokens", "shipped token accounting: tokenization folds into the scan projection (size(filter(split())) — token rows never explode or shuffle), ONE source-keyed groupBy over the composed shipped-dataset frame, broadcast single-row total for the share"),
 ]
 
 
