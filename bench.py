@@ -114,6 +114,20 @@ def main() -> None:
 
     components_path(spark, sf_dir)
 
+    # and the release-layer artifacts (r10): the manifest serves four reads
+    # (funnel, attribution, the dataset's ship set, tokens via the dataset)
+    # and the shipped dataset serves token accounting — derivation cost is
+    # attributed to the registered builders (corpus_release_manifest /
+    # corpus_release_dataset) via these warms. Manifest BEFORE dataset: the
+    # dataset artifact build consumes the manifest artifact
+    from exact_spark.operators.dedup import (
+        release_dataset_path,
+        release_manifest_path,
+    )
+
+    release_manifest_path(spark, sf_dir)
+    release_dataset_path(spark, sf_dir)
+
     # and for the two KMeans coarse-quantizer fits (memoized driver-side
     # centers, exact_spark.artifacts.memo_put discipline): without the warm
     # each configuration's alphabetically-first consumer times the MLlib

@@ -485,17 +485,41 @@ def test_r10_batch2_plans(spark, sf_dir):
     assert "xxhash64" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row total only
 
+    # the funnel and attribution serve the MANIFEST artifact (the
+    # curation + exact-keeper derivation never re-runs in a consumer
+    # plan); the dataset reads the ship set from it plus both span
+    # artifacts; tokens reads the shipped-dataset artifact — accounting
+    # over the file that actually shipped
+    from exact_spark.operators.dedup import (
+        corpus_release_attribution,
+        corpus_release_tokens,
+        release_dataset_path,
+        release_manifest_path,
+    )
+
+    release_manifest_path(spark, sf_dir)
+    release_dataset_path(spark, sf_dir)
+
     plan = _plan(corpus_release_funnel(spark, sf_dir))
-    assert "exact_spark_subspans_" in plan
-    assert "exact_spark_dupcc_" in plan
+    assert "exact_spark_relman_" in plan
+    assert "documents.parquet" not in plan  # pure artifact consumer
     assert "xxhash64" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
+    plan = _plan(corpus_release_attribution(spark, sf_dir))
+    assert "exact_spark_relman_" in plan
+    assert "documents.parquet" not in plan
+    assert plan.count("Join") == 0  # one artifact scan + one groupBy
+
     plan = _plan(corpus_release_dataset(spark, sf_dir))
+    assert "exact_spark_relman_" in plan
     assert "exact_spark_consp_" in plan
     assert "exact_spark_subspans_" in plan
-    assert "exact_spark_dupcc_" in plan
     assert "xxhash64" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(corpus_release_tokens(spark, sf_dir))
+    assert "exact_spark_reldata_" in plan
+    assert "documents.parquet" not in plan  # reads what shipped

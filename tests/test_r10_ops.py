@@ -452,3 +452,42 @@ def test_release_tokens_matches_literal_recompute(spark, sf_dir):
         ), src
         assert r.token_share == e["shipped_tokens"] / tot
     assert abs(got.token_share.sum() - 1.0) < 1e-9
+
+
+def test_release_artifacts_match_fresh_compute(spark, sf_dir):
+    """The manifest and shipped-dataset artifacts must be content-identical
+    to a fresh run of their registered builders — the honesty pin that
+    keeps every composed release oracle valid while the four consumers
+    serve from parquet."""
+    from exact_spark.operators.dedup import (
+        corpus_release_dataset,
+        corpus_release_manifest,
+        release_dataset_table,
+        release_manifest_table,
+    )
+
+    fresh = (
+        corpus_release_manifest(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    served = (
+        release_manifest_table(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert fresh.equals(served[fresh.columns])
+
+    # the dataset builder itself consumes the manifest artifact, so this
+    # compares the artifact against a SECOND evaluation of the builder
+    fresh = (
+        corpus_release_dataset(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    served = (
+        release_dataset_table(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert fresh.equals(served[fresh.columns])
