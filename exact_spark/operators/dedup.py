@@ -3934,9 +3934,11 @@ def _release_tokens_sql() -> str:
         FROM ds GROUP BY source
     )
     SELECT source, n_docs, shipped_chars, shipped_tokens,
-           CAST(shipped_tokens AS DOUBLE)
-               / (SELECT CAST(SUM(shipped_tokens) AS BIGINT) FROM per)
-               AS token_share
+           CASE WHEN (SELECT CAST(SUM(shipped_tokens) AS BIGINT) FROM per) = 0
+                THEN NULL
+                ELSE CAST(shipped_tokens AS DOUBLE)
+                     / (SELECT CAST(SUM(shipped_tokens) AS BIGINT) FROM per)
+           END AS token_share
     FROM per
     """
 
@@ -3981,9 +3983,9 @@ def corpus_release_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "shipped_chars",
         "shipped_tokens",
-        (F.col("shipped_tokens").cast("double") / F.col("tt")).alias(
-            "token_share"
-        ),
+        F.when(F.col("tt") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("shipped_tokens").cast("double") / F.col("tt"))
+        .alias("token_share"),
     )
 
 

@@ -184,3 +184,80 @@ def test_drift_bins_mass_and_conservation(spark, sf_dir):
     assert agg["mn"] >= 0.0 and agg["mx"] <= 2.0  # triangular discrimination bound
     n_total = canonical_events(spark, sf_dir).count()
     assert agg["nt"] + agg["ne"] == n_total
+
+
+def _write_sourced_docs(tmp_path_factory, docs):
+    """docs: list of (doc_id, text, source)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array([d[2] for d in docs], pa.string()),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    out = tmp_path_factory.mktemp("edge_rel_docs")
+    pq.write_table(tbl, out / "documents.parquet")
+    return str(out)
+
+
+def test_decontaminate_scrub_without_eval_source(spark, tmp_path_factory):
+    """A corpus with NO eval-source docs has an empty contamination-span
+    table: every training doc passes through verbatim with zero removal
+    (the COALESCE fallbacks, not an error)."""
+    from exact_spark.operators.dedup import _SUB_L, decontaminate_scrub
+
+    long_a = "alpha bravo charlie delta " * 4  # > _SUB_L chars
+    assert len(long_a) >= _SUB_L
+    d = _write_sourced_docs(
+        tmp_path_factory, [(100, long_a, "src7"), (101, "tiny", "src8")]
+    )
+    got = decontaminate_scrub(spark, d).toPandas().set_index("doc_id")
+    assert set(got.index) == {100, 101}
+    assert (got.n_spans == 0).all() and (got.removed_chars == 0).all()
+    assert got.loc[100, "clean_text"] == long_a
+    assert got.loc[101, "clean_text"] == "tiny"
+
+
+def test_release_layer_on_all_holdout_corpus(spark, tmp_path_factory):
+    """A corpus whose doc_ids all sit below the eval-holdout line ships
+    NOTHING — the whole composed release stack (manifest, funnel,
+    attribution, dataset, tokens) must degrade gracefully: ship all
+    false, drop_stage 'eval_holdout' everywhere, shipped stages zero,
+    empty dataset and token table (the token-share zero guard means no
+    NaN/NULL divergence anywhere)."""
+    from exact_spark.operators.dedup import (
+        _EVAL_N,
+        corpus_release_attribution,
+        corpus_release_dataset,
+        corpus_release_funnel,
+        corpus_release_manifest,
+        corpus_release_tokens,
+    )
+
+    docs = [
+        (i, f"document number {i} with words " + "filler " * i, f"src{i % 2 + 1}")
+        for i in range(4)
+    ]
+    assert all(i < _EVAL_N for i, _, _ in docs)
+    d = _write_sourced_docs(tmp_path_factory, docs)
+
+    man = corpus_release_manifest(spark, d).toPandas()
+    assert len(man) == 4 and not man.ship.any() and not man.in_pool.any()
+    assert (man.drop_stage == "eval_holdout").all()
+
+    fun = corpus_release_funnel(spark, d).toPandas().set_index("stage")
+    assert fun.loc["raw", "n_docs"] == 4
+    assert fun.loc["eval_holdout", "n_docs"] == 0  # survivors PAST holdout
+    assert fun.loc["shipped_scrubbed", "n_docs"] == 0
+    assert fun.loc["shipped_scrubbed", "n_chars"] == 0
+
+    att = corpus_release_attribution(spark, d).toPandas().set_index("source")
+    assert att.n_docs.sum() == 4
+    assert (att.n_eval_holdout == att.n_docs).all()
+    assert (att.n_shipped == 0).all() and (att.ship_rate == 0.0).all()
+    assert (att.shipped_chars == 0).all()
+
+    assert corpus_release_dataset(spark, d).count() == 0
+    assert corpus_release_tokens(spark, d).count() == 0
