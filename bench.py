@@ -34,6 +34,31 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    # --wait-idle (VERDICT r10 item 8): block until the 1-min load average
+    # drains below a threshold before doing ANY work, bounded by a timeout —
+    # replaces the manual "sleep until the 15-min load from the previous
+    # pytest/record run drains" step the record protocol needed. Runs before
+    # the JVM starts so our own session never counts against the gate.
+    if "--wait-idle" in sys.argv:
+        thresh = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD", "4.0"))
+        deadline = time.time() + float(
+            os.environ.get("SPARK_GRAFT_IDLE_TIMEOUT_S", "900")
+        )
+        while True:
+            load1 = os.getloadavg()[0]
+            if load1 < thresh:
+                print(f"# wait-idle: load {load1:.2f} < {thresh}", file=sys.stderr)
+                break
+            if time.time() >= deadline:
+                print(
+                    f"# wait-idle: TIMEOUT with load {load1:.2f} >= {thresh} — "
+                    "proceeding anyway (the compact line's load_start records it)",
+                    file=sys.stderr,
+                )
+                break
+            print(f"# wait-idle: load {load1:.2f} >= {thresh}, waiting", file=sys.stderr)
+            time.sleep(10.0)
+
     from exact_spark.registry import REGISTRY, _load_all
     from exact_spark.session import get_spark
 

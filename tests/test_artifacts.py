@@ -150,27 +150,42 @@ def test_memo_put_fifo_eviction():
     assert len(memo) == 32 and memo["k39"] == 99
 
 
+def _done(d: pathlib.Path, age_s: float = 0.0) -> pathlib.Path:
+    import os
+    import time
+
+    d.mkdir(parents=True)
+    (d / "_SUCCESS").write_text("")
+    if age_s:
+        old = time.time() - age_s
+        os.utime(d / "_SUCCESS", (old, old))
+    return d
+
+
 def test_gc_removes_stale_salt_siblings_only(tmp_path, monkeypatch):
     """ADVICE r09: a cache miss for a salted tag removes COMPLETED sibling
     artifacts with the same prefix + corpus fingerprint but a different
-    8-hex salt (the builder was edited; nothing can serve them), and
-    leaves everything else alone — other fingerprints, other prefixes,
-    incomplete builds, and unsalted tags."""
+    8-hex salt (the builder was edited; nothing can serve them) once they
+    age past the cross-version grace window (ADVICE r10), and leaves
+    everything else alone — other fingerprints, other prefixes, incomplete
+    builds, RECENT old-salt dirs (a pre-edit process may still read its
+    own salt), and unsalted tags."""
     import tempfile
+
+    from exact_spark import artifacts as A
 
     monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
     src = tmp_path / "g.parquet"
     _touch(src, b"data")
     fp = source_fingerprint(src)
 
-    def done(d: pathlib.Path) -> pathlib.Path:
-        d.mkdir(parents=True)
-        (d / "_SUCCESS").write_text("")
-        return d
-
-    stale = done(tmp_path / f"exact_spark_pairs_x_00000000_{fp}")
-    other_fp = done(tmp_path / f"exact_spark_pairs_x_00000000_{'f' * 12}")
-    other_prefix = done(tmp_path / f"exact_spark_knng_00000000_{fp}")
+    old = A._GC_STALE_SALT_MIN_AGE_S + 60
+    stale = _done(tmp_path / f"exact_spark_pairs_x_00000000_{fp}", age_s=old)
+    recent = _done(tmp_path / f"exact_spark_pairs_x_22222222_{fp}")
+    other_fp = _done(
+        tmp_path / f"exact_spark_pairs_x_00000000_{'f' * 12}", age_s=old
+    )
+    other_prefix = _done(tmp_path / f"exact_spark_knng_00000000_{fp}", age_s=old)
     incomplete = tmp_path / f"exact_spark_pairs_x_11111111_{fp}"
     incomplete.mkdir()  # no _SUCCESS: a live concurrent build, untouched
 
@@ -181,15 +196,56 @@ def test_gc_removes_stale_salt_siblings_only(tmp_path, monkeypatch):
 
     p = materialize(src, "pairs_x_aaaaaaaa", build)
     assert (pathlib.Path(p) / "_SUCCESS").exists()
-    assert not stale.exists()  # GC'd: same prefix+fp, different salt
+    assert not stale.exists()  # GC'd: same prefix+fp, different salt, aged out
+    assert recent.exists()  # inside the cross-version grace window
     assert other_fp.exists() and other_prefix.exists() and incomplete.exists()
     # the freshly published artifact itself survives a SECOND miss-free call
     assert materialize(src, "pairs_x_aaaaaaaa", build) == p
     assert (pathlib.Path(p) / "_SUCCESS").exists()
     # an UNSALTED tag never GCs (no salt segment to match on)
-    done(tmp_path / f"exact_spark_unit_extra_{fp}")
+    _done(tmp_path / f"exact_spark_unit_extra_{fp}", age_s=old)
     materialize(src, "unit", build)
     assert (tmp_path / f"exact_spark_unit_extra_{fp}").exists()
+
+
+def test_gc_expired_fingerprints_sweeps_idle_artifacts(tmp_path, monkeypatch):
+    """VERDICT r10 item 7: a cache miss also sweeps COMPLETED artifacts of
+    ANY fingerprint that have gone unserved past the idle gate (retired
+    corpus snapshots) — while recently-served dirs, recently-built dirs,
+    and incomplete dirs all survive. Serving an artifact refreshes its
+    _SERVED stamp, so actively-used corpora never expire."""
+    import tempfile
+    import time
+
+    from exact_spark import artifacts as A
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    src = tmp_path / "g.parquet"
+    _touch(src, b"data")
+
+    idle = A._GC_EXPIRED_FP_MAX_IDLE_S + 60
+    expired = _done(tmp_path / f"exact_spark_relic_00000000_{'a' * 12}", age_s=idle)
+    fresh_build = _done(tmp_path / f"exact_spark_relic_00000000_{'b' * 12}")
+    served = _done(tmp_path / f"exact_spark_relic_00000000_{'c' * 12}", age_s=idle)
+    (served / "_SERVED").write_text("")  # stamped recently: in active use
+    incomplete = tmp_path / f"exact_spark_relic_00000000_{'d' * 12}"
+    incomplete.mkdir()
+    old_t = time.time() - idle
+    import os
+
+    os.utime(incomplete, (old_t, old_t))
+
+    def build(staging: str) -> None:
+        d = pathlib.Path(staging)
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").write_text("")
+
+    p = materialize(src, "sweepunit", build)
+    assert not expired.exists()  # idle past the gate: swept
+    assert fresh_build.exists() and served.exists() and incomplete.exists()
+    # a cache HIT touches the _SERVED stamp (the sweep's recency signal)
+    assert materialize(src, "sweepunit", build) == p
+    assert (pathlib.Path(p) / "_SERVED").exists()
 
 
 def test_builder_salt_sees_transitive_helpers():
