@@ -623,10 +623,17 @@ def ml_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("long").alias("n_train"),
         F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).cast("long").alias("n_test"),
     )
-    tot = counts.agg(
-        F.sum("n_train").cast("long").alias("tt"), F.sum("n_test").cast("long").alias("te")
+    # global totals as a window over the tiny binned frame — ONE lineage
+    # (the broadcast-rejoin shape re-scanned the events for the total
+    # branch; VERDICT r10 sweep)
+    from pyspark.sql.window import Window as _W
+
+    j = counts.withColumns(
+        {
+            "tt": F.sum("n_train").over(_W.partitionBy()).cast("long"),
+            "te": F.sum("n_test").over(_W.partitionBy()).cast("long"),
+        }
     )
-    j = counts.crossJoin(F.broadcast(tot))
     p_train = F.col("n_train").cast("double") / F.col("tt")
     p_test = F.col("n_test").cast("double") / F.col("te")
     return j.select(
@@ -1063,11 +1070,16 @@ def ml_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("label").cast("long").alias("n_pos"))
     )
-    tot = per.agg(
-        F.sum("n").cast("long").alias("nt"), F.sum("n_pos").cast("long").alias("pt")
+    # totals via a window over the 10-row decile frame (one lineage; the
+    # broadcast-rejoin shape re-scanned the scored events — VERDICT r10)
+    per = per.withColumns(
+        {
+            "nt": F.sum("n").over(W.partitionBy()).cast("long"),
+            "pt": F.sum("n_pos").over(W.partitionBy()).cast("long"),
+        }
     )
     w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
-    return per.crossJoin(F.broadcast(tot)).select(
+    return per.select(
         "decile",
         "n",
         "n_pos",
@@ -1606,16 +1618,18 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("c1"),
     )
     w = W.orderBy("v_fx").rowsBetween(W.unboundedPreceding, 0)
+    # running ECDFs and the GLOBAL n0/n1 from the same window pass over
+    # the value-grid frame (one lineage; the broadcast-rejoin total branch
+    # re-scanned the events — VERDICT r10 sweep)
     cum = counts.select(
         "v_fx",
         F.sum("c0").over(w).alias("f0"),
         F.sum("c1").over(w).alias("f1"),
-    )
-    tot = counts.agg(
-        F.sum("c0").cast("long").alias("n0"), F.sum("c1").cast("long").alias("n1")
+        F.sum("c0").over(W.partitionBy()).cast("long").alias("n0"),
+        F.sum("c1").over(W.partitionBy()).cast("long").alias("n1"),
     )
     d_int = F.abs(F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0"))
-    dev = cum.crossJoin(F.broadcast(tot)).select(
+    dev = cum.select(
         "v_fx",
         "n0",
         "n1",
@@ -1981,8 +1995,12 @@ def ml_brier_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", "c_cell", (F.col("cum") - F.col("cnt") + 1).alias("rnk")
         )
     )
-    tot = fx.agg(F.count(F.lit(1)).alias("n"))
-    j = cells.crossJoin(F.broadcast(tot))
+    # n = sum of cell counts (every fx row lands in exactly one cell), as
+    # a window over the tiny grid frame — one lineage, no second fx scan
+    # for the total branch (VERDICT r10 sweep)
+    j = cells.withColumn(
+        "n", F.sum("c_cell").over(Window.partitionBy()).cast("long")
+    )
     diff = F.col("rnk") - F.col("label") * F.col("n")
     agg = j.groupBy("n").agg(
         F.sum(F.col("c_cell") * diff * diff).cast("long").alias("sum_sq_fx")
@@ -2063,10 +2081,16 @@ def ml_score_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).cast("long").alias("n_pos"),
         F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).cast("long").alias("n_neg"),
     )
-    tot = cells.agg(
-        F.sum("n_pos").cast("long").alias("np"), F.sum("n_neg").cast("long").alias("nn")
+    from pyspark.sql.window import Window as _W
+
+    # totals via a window over the binned frame (one lineage; the
+    # broadcast-rejoin shape re-scanned the events — VERDICT r10 sweep)
+    j = cells.withColumns(
+        {
+            "np": F.sum("n_pos").over(_W.partitionBy()).cast("long"),
+            "nn": F.sum("n_neg").over(_W.partitionBy()).cast("long"),
+        }
     )
-    j = cells.crossJoin(F.broadcast(tot))
     term = F.least(F.col("n_pos") * F.col("nn"), F.col("n_neg") * F.col("np"))
     agg = j.groupBy("np", "nn").agg(F.sum(term).cast("long").alias("overlap_num_fx"))
     return agg.select(

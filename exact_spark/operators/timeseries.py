@@ -1427,9 +1427,16 @@ def ts_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     census = seq.groupBy("e1", "e2", "e3").agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
-    tot = census.agg(F.sum("n_occurrences").cast("long").alias("n_total"))
+    from pyspark.sql.window import Window as _W
+
+    # support's global total as a window over the census frame — one
+    # lineage (the broadcast-rejoin shape re-scanned the event sequence
+    # for the total branch; VERDICT r10 sweep)
     return (
-        census.crossJoin(F.broadcast(tot))
+        census.withColumn(
+            "n_total",
+            F.sum("n_occurrences").over(_W.partitionBy()).cast("long"),
+        )
         .select(
             "e1",
             "e2",

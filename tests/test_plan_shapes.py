@@ -481,9 +481,14 @@ def test_r10_batch2_plans(spark, sf_dir):
     substring_span_path(spark, sf_dir)
 
     plan = _plan(decontaminate_attribution(spark, sf_dir))
-    assert "exact_spark_consp_" in plan
+    # ONE span-artifact scan and ONE corpus scan (VERDICT r10 item 3: the
+    # broadcast-rejoin total branch used to re-expand the lineage and scan
+    # both twice; the share's total is a window over the per-source frame
+    # now, so no BroadcastNestedLoopJoin remains at all)
+    assert plan.count("exact_spark_consp_") == 1
+    assert plan.count("documents.parquet") == 1
     assert "xxhash64" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row total only
+    assert "BroadcastNestedLoopJoin" not in plan
 
     # the funnel and attribution serve the MANIFEST artifact (the
     # curation + exact-keeper derivation never re-runs in a consumer
@@ -521,5 +526,9 @@ def test_r10_batch2_plans(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
     plan = _plan(corpus_release_tokens(spark, sf_dir))
-    assert "exact_spark_reldata_" in plan
+    # ONE shipped-dataset artifact scan: the sign-off number tokenizes the
+    # shipped corpus exactly once (VERDICT r10 item 3 — the total branch
+    # used to run the tokenize projection a second time)
+    assert plan.count("exact_spark_reldata_") == 1
     assert "documents.parquet" not in plan  # reads what shipped
+    assert "BroadcastNestedLoopJoin" not in plan

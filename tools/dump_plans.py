@@ -54,7 +54,7 @@ HEADLINERS = [
     ("dedup_semantic", "argmax assignment vs 8 BROADCAST centroids (no shuffle); over-cap clusters chunked by the cluster-keyed row_number window BEFORE collect_list — every collected row <= cap members, pair cosines expand in place"),
     ("text_winnow_fingerprints", "the only exchange keys doc_id (per-doc window sort); both census groupBys ride that same partitioning"),
     ("ts_spearman_corr", "rank windows partitioned per event_type (no global sort); moment sums reduce to one cell per type"),
-    ("ml_brier_rank_score", "single-partition window over DISTINCT-VALUE grid cardinality only; cells crossJoin a broadcast 1-row total"),
+    ("ml_brier_rank_score", "single-partition window over DISTINCT-VALUE grid cardinality only; the n total is a window over the same grid frame (one corpus scan)"),
     ("dedup_leakage_safe_split", "split hash projects off the component map — one left join beyond the CC fixpoint, assignment row-local"),
     ("text_temperature_mix", "5-row language census broadcast back onto the corpus; ONE exchange (the per-language rank window)"),
     ("text_token_budget_select", "profile features come from the materialized document-profile artifact (no corpus re-profile); rank + running token sum share ONE source-keyed window sort; the shuffle carries (id, tokens, score), never text"),
@@ -78,15 +78,15 @@ HEADLINERS = [
     ("dedup_pipeline_funnel", "one corpus scan for lengths/hashes; exact stage = ONE map-side-combinable groupBy (min_by fetches the keeper's length, no second window); components + span-table read as artifacts with per-doc joins; four single-row aggregates unioned — no pairwise work anywhere"),
     ("dedup_survivor_corpus", "ONE corpus scan (shared with the scrub frame — source/orig_len ride along, never a second documents read) + two artifact parquet scans (duplicate groups + span table) with one per-doc join each + the in-row reassembly fold — what ships composes exactly the specs the diagnostics measured; no window, no pairwise work"),
     ("decontaminate_spans", "eval side collapses to a distinct 128-bit gram-hash set (one groupBy, broadcastable — tiny by definition); training grams marked by ONE membership join (no pair expansion, no cap); island merge windows per doc — the GPT-3-style span-level benchmark overlap"),
-    ("dedup_span_attribution", "span-table artifact scan + per-doc aggregate, one corpus scan for lengths, one map-side-combinable groupBy on source, broadcast single-row total for the corpus share — no pairwise work"),
+    ("dedup_span_attribution", "ONE span-table artifact scan + per-doc aggregate, one corpus scan for lengths, one map-side-combinable groupBy on source; the corpus share's total is a window over the tiny per-source frame (no rejoin, no doubled lineage) — no pairwise work"),
     ("dedup_method_agreement", "pure consumer: all four pair sets are parquet scans of the per-corpus pair-table artifacts (no corpus rescan, no method recompute — builders stay the registered method queries); agreement adds a single (doc_a,doc_b)-keyed self-join plus two broadcast method-count joins"),
     ("decontaminate_scrub", "removal stage served from the per-corpus contamination-span artifact (parquet scan — the eval-gram membership join runs once per corpus snapshot, attributed to the census builder decontaminate_spans); eval-source exclusion PUSHED to the one corpus scan; ONE per-doc groupBy collects the doc's own spans + the same in-row reassembly fold as dedup_substring_scrub — no gram re-marking, no window"),
     ("corpus_release_manifest", "the per-doc ship table: components + span-table read as ARTIFACTS (never re-derived), exact-keeper = one map-side-combinable groupBy joined back on text_hash, curation flags join the composed manifest frame — every join a per-doc equi-join (broadcast or co-partitioned SMJ), no pairwise work, no corpus-wide window"),
-    ("decontaminate_attribution", "contamination-span artifact scan + per-doc aggregate, one corpus scan for lengths (eval exclusion pushed), one map-side-combinable groupBy on source, broadcast single-row total for the corpus share — the sibling of dedup_span_attribution over the contamination spec; no gram re-marking, no pairwise work"),
+    ("decontaminate_attribution", "ONE contamination-span artifact scan + per-doc aggregate, one corpus scan for lengths (eval exclusion pushed), one map-side-combinable groupBy on source; corpus share via a window over the per-source frame (VERDICT r10: the rejoin shape scanned the artifact twice) — no gram re-marking, no pairwise work"),
     ("corpus_release_funnel", "the full-pipeline census in ONE aggregate pass: every stage's cumulative-survivor count/chars computed as conditional sums over the composed manifest frame (8 stages = 16 cells of a single 1-row aggregate, not 8 corpus scans), unpivoted in-row by stack() — fractions ride the same row, zero extra joins"),
     ("corpus_release_dataset", "the shipped text: BOTH span artifacts (subspans + consp) unioned and island-merged by a per-doc window (sort bounded by the doc's own span count), ONE per-doc groupBy collects the merged spans, in-row fold excises them; ship set joins per-doc — no gram re-marking, no pairwise shape anywhere"),
     ("corpus_release_attribution", "per-source stage attribution in ONE map-side-combinable groupBy over the composed manifest frame — every drop_stage count a conditional sum, no second corpus pass, no joins beyond the manifest's own"),
-    ("corpus_release_tokens", "shipped token accounting: tokenization folds into the scan projection (size(filter(split())) — token rows never explode or shuffle), ONE source-keyed groupBy over the composed shipped-dataset frame, broadcast single-row total for the share"),
+    ("corpus_release_tokens", "shipped token accounting: ONE shipped-dataset artifact scan with tokenization folded into the scan projection (size(filter(split())) — token rows never explode or shuffle), ONE source-keyed groupBy; the token share's total is a window over the per-source frame, so the shipped corpus is tokenized exactly once (VERDICT r10 item 3)"),
 ]
 
 
