@@ -153,6 +153,15 @@ def main() -> None:
     release_manifest_path(spark, sf_dir)
     release_dataset_path(spark, sf_dir)
 
+    # and the previous-release snapshot chain (r11): corpus_release_diff
+    # serves BOTH manifests from artifacts; the snapshot corpus is itself a
+    # per-corpus artifact whose own pair/components/span/curation/manifest
+    # chain builds once per release pair — warm it here so the timed diff
+    # measures the diff, not the snapshot pipeline build
+    from exact_spark.operators.dedup import prev_snapshot_dir
+
+    release_manifest_path(spark, prev_snapshot_dir(spark, sf_dir))
+
     # and for the two KMeans coarse-quantizer fits (memoized driver-side
     # centers, exact_spark.artifacts.memo_put discipline): without the warm
     # each configuration's alphabetically-first consumer times the MLlib

@@ -2360,22 +2360,25 @@ def _gram_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def _merge_islands(hits: DataFrame) -> DataFrame:
+def _merge_islands(hits: DataFrame, keys: tuple = ("doc_id",)) -> DataFrame:
     """Gaps-and-islands merge of marked gram positions into maximal spans
-    (doc_id, s, e); the per-doc window sort is bounded by doc length."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    (*keys, s, e); the per-key window sort is bounded by doc length.
+    Extra keys (e.g. the benchmark in decontaminate_by_benchmark) merge
+    each key-slice independently — the window partitioning widens with
+    the key, so state per task stays bounded by one doc's positions."""
+    w = Window.partitionBy(*keys).orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(w) > _SUB_L, 1).otherwise(0)
     grp = hits.withColumn("brk", brk).withColumn(
         "island",
         F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return (
-        grp.groupBy("doc_id", "island")
+        grp.groupBy(*keys, "island")
         .agg(
             F.min("pos").alias("s"),
             (F.max("pos") + _SUB_L - 1).alias("e"),
         )
-        .select("doc_id", "s", "e")
+        .select(*keys, "s", "e")
     )
 
 
@@ -3366,6 +3369,7 @@ def _release_manifest_sql() -> str:
     flags AS (
         SELECT n.doc_id, n.source, n.orig_len,
                (n.doc_id >= {_EVAL_N}) AS in_pool,
+               (n.source <> '{_CONTAM_EVAL_SOURCE}') AS eval_source_keep,
                e.exact_keep,
                (c.component_id IS NULL OR c.component_id = n.doc_id)
                    AS dedup_keep,
@@ -3379,14 +3383,15 @@ def _release_manifest_sql() -> str:
         LEFT JOIN man m USING (doc_id)
         LEFT JOIN spc s USING (doc_id)
     )
-    SELECT doc_id, source, orig_len, in_pool, exact_keep, dedup_keep,
-           quality_keep, mix_keep, decon_keep,
+    SELECT doc_id, source, orig_len, in_pool, eval_source_keep, exact_keep,
+           dedup_keep, quality_keep, mix_keep, decon_keep,
            CAST(scrub_removed_chars AS BIGINT) AS scrub_removed_chars,
            CAST(orig_len - scrub_removed_chars AS BIGINT) AS final_len,
-           (in_pool AND dedup_keep AND quality_keep AND mix_keep
-                AND decon_keep) AS ship,
+           (in_pool AND eval_source_keep AND dedup_keep AND quality_keep
+                AND mix_keep AND decon_keep) AS ship,
            CASE
                WHEN NOT in_pool THEN 'eval_holdout'
+               WHEN NOT eval_source_keep THEN 'eval_source'
                WHEN NOT exact_keep THEN 'exact_dup'
                WHEN NOT dedup_keep THEN 'near_dup'
                WHEN NOT quality_keep THEN 'quality'
@@ -3405,14 +3410,20 @@ def _release_manifest_sql() -> str:
     "AND of everything the pipeline measured: curation "
     "(text_curation_manifest: quality x language-mix x benchmark "
     "decontamination), dedup survivorship (dedup_components artifact; "
-    "exact-dup keepers carried separately for the funnel rollup), and "
+    "exact-dup keepers carried separately for the funnel rollup), the "
+    "eval-source exclusion (ADVICE r10: the benchmark source src0 "
+    "participates in dedup/contamination structure — its duplicates and "
+    "grams are real — but SHIPS NOWHERE, honoring decontaminate_scrub's "
+    "contract; eval_source_keep carries the flag), and "
     "the substring-scrub accounting (dedup_substring_spans artifact: "
     "removed chars and the final shipped length). drop_stage attributes "
     "every non-shipped doc to the FIRST stage that dropped it in "
-    "pipeline order (eval holdout -> exact dup -> near-dup component -> "
+    "pipeline order (eval holdout -> eval source -> exact dup -> "
+    "near-dup component -> "
     "quality -> mix -> decontamination); exact-dup losers are always "
     "near-dup losers too (components subsume exact-dup stars with "
-    "min-doc_id roots), so ship = in_pool AND dedup_keep AND curation. "
+    "min-doc_id roots), so ship = in_pool AND eval_source_keep AND "
+    "dedup_keep AND curation. "
     "Every input composes a registered spec or serves a per-corpus "
     "artifact, so the funnel census provably equals this manifest "
     "rolled up (pinned in tests/test_r10_ops.py). Plan shape at "
@@ -3455,6 +3466,7 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(man, "doc_id", "left")
     )
     in_pool = F.col("doc_id") >= _EVAL_N
+    eval_src_keep = F.col("source") != _CONTAM_EVAL_SOURCE
     dedup_keep = F.col("component_id").isNull() | (
         F.col("component_id") == F.col("doc_id")
     )
@@ -3467,6 +3479,7 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "orig_len",
         in_pool.alias("in_pool"),
+        eval_src_keep.alias("eval_source_keep"),
         "exact_keep",
         dedup_keep.alias("dedup_keep"),
         quality.alias("quality_keep"),
@@ -3474,8 +3487,11 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         decon.alias("decon_keep"),
         removed.cast("long").alias("scrub_removed_chars"),
         (F.col("orig_len") - removed).cast("long").alias("final_len"),
-        (in_pool & dedup_keep & quality & mix & decon).alias("ship"),
+        (in_pool & eval_src_keep & dedup_keep & quality & mix & decon).alias(
+            "ship"
+        ),
         F.when(~in_pool, "eval_holdout")
+        .when(~eval_src_keep, "eval_source")
         .when(~F.col("exact_keep"), "exact_dup")
         .when(~dedup_keep, "near_dup")
         .when(~quality, "quality")
@@ -3576,131 +3592,6 @@ def decontaminate_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- the full-pipeline release funnel -------------------------------------------
-
-# (stage_idx, stage name, cumulative-survivor condition column) in pipeline
-# order; each stage's survivors are the docs that passed IT AND every
-# stage before it — exactly the drop_stage precedence of the manifest.
-_RELEASE_STAGES = [
-    ("raw", None),
-    ("eval_holdout", "in_pool"),
-    ("exact_dedup", "exact_keep"),
-    ("near_dup", "dedup_keep"),
-    ("quality", "quality_keep"),
-    ("mix", "mix_keep"),
-    ("decontamination", "decon_keep"),
-]
-
-
-def _release_funnel_sql() -> str:
-    from exact_spark.registry import REGISTRY as _R
-
-    conds: list[str] = []
-    rows = []
-    for i, (stage, col) in enumerate(_RELEASE_STAGES):
-        if col is not None:
-            conds.append(col)
-        cond = " AND ".join(conds) if conds else "TRUE"
-        rows.append(
-            f"SELECT {i} AS stage_idx, '{stage}' AS stage,"
-            f" CAST(count(*) FILTER (WHERE {cond}) AS BIGINT) AS n_docs,"
-            f" CAST(COALESCE(sum(orig_len) FILTER (WHERE {cond}), 0) AS BIGINT)"
-            f" AS n_chars FROM man"
-        )
-    ship_cond = " AND ".join(conds)
-    rows.append(
-        f"SELECT {len(_RELEASE_STAGES)} AS stage_idx,"
-        f" 'shipped_scrubbed' AS stage,"
-        f" CAST(count(*) FILTER (WHERE {ship_cond}) AS BIGINT) AS n_docs,"
-        f" CAST(COALESCE(sum(final_len) FILTER (WHERE {ship_cond}), 0)"
-        f" AS BIGINT) AS n_chars FROM man"
-    )
-    stage_rows = " UNION ALL ".join(rows)
-    return f"""
-    WITH man AS MATERIALIZED ({_R["corpus_release_manifest"].sql}),
-    stages AS ({stage_rows}),
-    raw AS (SELECT n_docs AS rn, n_chars AS rc FROM stages WHERE stage_idx = 0)
-    SELECT s.stage_idx, s.stage, s.n_docs, s.n_chars,
-           CAST(s.n_docs AS DOUBLE) / r.rn AS docs_frac,
-           CAST(s.n_chars AS DOUBLE) / r.rc AS chars_frac
-    FROM stages s, raw r
-    """
-
-
-@register(
-    "corpus_release_funnel",
-    sql=_release_funnel_sql(),  # composes the release-manifest spec
-    doc="The FULL-pipeline release funnel — the dedup funnel "
-    "(dedup_pipeline_funnel) extended through curation to the shipped "
-    "dataset: docs and chars surviving each stage in pipeline order "
-    "(raw -> eval holdout -> exact dedup -> near-dup components -> "
-    "quality -> mix -> decontamination -> shipped-after-scrub), each as "
-    "a count and a fraction of raw. Every stage is the CUMULATIVE "
-    "survivor set of the composed corpus_release_manifest spec — the "
-    "same AND-precedence its drop_stage attributes — so the funnel, "
-    "the manifest, and the shipped dataset provably agree (pinned in "
-    "tests/test_r10_ops.py). Plan shape at 100 TB: the manifest is "
-    "SERVED from its per-corpus artifact (one parquet scan — the "
-    "curation + exact-keeper derivation runs once per corpus snapshot "
-    "in the registered builder; content pinned identical), then ONE "
-    "map-side-combinable aggregate computing every "
-    "stage's conditional count/sum in a single pass (8 stages = 16 "
-    "aggregate cells, not 8 corpus scans), unpivoted in-row from the "
-    "1-row result; the fraction join broadcasts a single row.",
-)
-def corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune_session(spark)
-    # served from the per-corpus manifest artifact (content pinned
-    # identical to the registered builder, so the composed oracle holds)
-    man = release_manifest_table(spark, sf_dir)
-    aggs = []
-    conds: list = []
-    for i, (stage, col) in enumerate(_RELEASE_STAGES):
-        if col is not None:
-            conds.append(F.col(col))
-        cond = conds[0] if conds else F.lit(True)
-        for c in conds[1:]:
-            cond = cond & c
-        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{i}"))
-        aggs.append(
-            F.sum(F.when(cond, F.col("orig_len")).otherwise(0))
-            .cast("long")
-            .alias(f"c{i}")
-        )
-    ship = conds[0]
-    for c in conds[1:]:
-        ship = ship & c
-    k = len(_RELEASE_STAGES)
-    aggs.append(F.sum(F.when(ship, 1).otherwise(0)).cast("long").alias(f"n{k}"))
-    aggs.append(
-        F.sum(F.when(ship, F.col("final_len")).otherwise(0))
-        .cast("long")
-        .alias(f"c{k}")
-    )
-    one = man.agg(*aggs)
-    names = [s for s, _ in _RELEASE_STAGES] + ["shipped_scrubbed"]
-    stack = ", ".join(
-        f"{i}L, '{name}', n{i}, c{i}" for i, name in enumerate(names)
-    )
-    return one.select(
-        F.expr(
-            f"stack({len(names)}, {stack}) AS (stage_idx, stage, n_docs, n_chars)"
-        ),
-        F.col("n0").alias("rn"),
-        F.col("c0").alias("rc"),
-    ).select(
-        "stage_idx",
-        "stage",
-        "n_docs",
-        "n_chars",
-        (F.col("n_docs").cast("double") / F.col("rn")).alias("docs_frac"),
-        (F.col("n_chars").cast("double") / F.col("rc")).alias("chars_frac"),
-    )
-
-
-# --- the shipped dataset itself -------------------------------------------------
-
-
 def _prefix_ctes(ctes: str, prefix: str, names: tuple[str, ...]) -> str:
     """Prefix every CTE name in a shared span-chain constant so two chains
     can coexist in one WITH clause (both _SUB_SPAN_CTES and
@@ -3799,6 +3690,149 @@ def _release_dataset_sql() -> str:
     """
 
 
+
+# --- the full-pipeline release funnel -------------------------------------------
+
+# (stage_idx, stage name, cumulative-survivor condition column) in pipeline
+# order; each stage's survivors are the docs that passed IT AND every
+# stage before it — exactly the drop_stage precedence of the manifest.
+_RELEASE_STAGES = [
+    ("raw", None),
+    ("eval_holdout", "in_pool"),
+    ("eval_source", "eval_source_keep"),
+    ("exact_dedup", "exact_keep"),
+    ("near_dup", "dedup_keep"),
+    ("quality", "quality_keep"),
+    ("mix", "mix_keep"),
+    ("decontamination", "decon_keep"),
+]
+
+
+def _release_funnel_sql() -> str:
+    from exact_spark.registry import REGISTRY as _R
+
+    conds: list[str] = []
+    rows = []
+    for i, (stage, col) in enumerate(_RELEASE_STAGES):
+        if col is not None:
+            conds.append(col)
+        cond = " AND ".join(conds) if conds else "TRUE"
+        rows.append(
+            f"SELECT {i} AS stage_idx, '{stage}' AS stage,"
+            f" CAST(count(*) FILTER (WHERE {cond}) AS BIGINT) AS n_docs,"
+            f" CAST(COALESCE(sum(orig_len) FILTER (WHERE {cond}), 0) AS BIGINT)"
+            f" AS n_chars FROM fman"
+        )
+    # Terminal row from the SHIPPED DATASET spec, not the manifest's
+    # final_len rollup: the dataset additionally excises residual
+    # contamination spans, so summing manifest final_len would overstate
+    # what corpus_release_tokens measures from the shipped file (ADVICE
+    # r10). Sourcing the row from the dataset makes funnel sign-off chars
+    # EQUAL token accounting's shipped_chars by construction.
+    rows.append(
+        f"SELECT {len(_RELEASE_STAGES)} AS stage_idx,"
+        f" 'shipped_scrubbed' AS stage,"
+        f" CAST(count(*) AS BIGINT) AS n_docs,"
+        f" CAST(COALESCE(sum(length(final_text)), 0) AS BIGINT) AS n_chars"
+        f" FROM ds"
+    )
+    stage_rows = " UNION ALL ".join(rows)
+    return f"""
+    WITH fman AS MATERIALIZED ({_R["corpus_release_manifest"].sql}),
+    ds AS MATERIALIZED ({_release_dataset_sql()}),
+    stages AS ({stage_rows}),
+    raw AS (SELECT n_docs AS rn, n_chars AS rc FROM stages WHERE stage_idx = 0)
+    SELECT s.stage_idx, s.stage, s.n_docs, s.n_chars,
+           CAST(s.n_docs AS DOUBLE) / r.rn AS docs_frac,
+           CAST(s.n_chars AS DOUBLE) / r.rc AS chars_frac
+    FROM stages s, raw r
+    """
+
+
+@register(
+    "corpus_release_funnel",
+    sql=_release_funnel_sql(),  # composes the release-manifest spec
+    doc="The FULL-pipeline release funnel — the dedup funnel "
+    "(dedup_pipeline_funnel) extended through curation to the shipped "
+    "dataset: docs and chars surviving each stage in pipeline order "
+    "(raw -> eval holdout -> eval source -> exact dedup -> near-dup "
+    "components -> "
+    "quality -> mix -> decontamination -> shipped-after-scrub), each as "
+    "a count and a fraction of raw. Every manifest stage is the "
+    "CUMULATIVE "
+    "survivor set of the composed corpus_release_manifest spec — the "
+    "same AND-precedence its drop_stage attributes — and the TERMINAL "
+    "row is measured from the composed corpus_release_dataset spec "
+    "(ADVICE r10: the manifest's final_len accounts only substring-"
+    "dedup removal; the shipped file also excises residual "
+    "contamination spans, so sign-off chars here EQUAL "
+    "corpus_release_tokens' shipped_chars by construction — pinned in "
+    "tests/test_r10_ops.py). Plan shape at 100 TB: the manifest and the "
+    "shipped dataset are SERVED from their per-corpus artifacts (two "
+    "parquet scans — derivation runs once per corpus snapshot in the "
+    "registered builders; content pinned identical), then ONE "
+    "map-side-combinable aggregate computing every "
+    "stage's conditional count/sum in a single pass (8 manifest stages "
+    "= 16 aggregate cells, not 8 corpus scans) plus the dataset's 1-row "
+    "total, combined by a broadcast 1-row x 1-row join and unpivoted "
+    "in-row; the fraction join broadcasts a single row.",
+)
+def corpus_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    # served from the per-corpus manifest artifact (content pinned
+    # identical to the registered builder, so the composed oracle holds)
+    man = release_manifest_table(spark, sf_dir)
+    aggs = []
+    conds: list = []
+    for i, (stage, col) in enumerate(_RELEASE_STAGES):
+        if col is not None:
+            conds.append(F.col(col))
+        cond = conds[0] if conds else F.lit(True)
+        for c in conds[1:]:
+            cond = cond & c
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{i}"))
+        aggs.append(
+            F.sum(F.when(cond, F.col("orig_len")).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+        )
+    k = len(_RELEASE_STAGES)
+    # terminal row measured from the shipped-dataset ARTIFACT (ADVICE r10:
+    # manifest final_len omits the residual contamination excision, so the
+    # sign-off chars must come from the file that actually ships — the
+    # same source corpus_release_tokens reads); the 1-row x 1-row combine
+    # is the accepted broadcast nested-loop pattern (a literal-key equi
+    # join constant-folds back to it anyway)
+    ds_tot = release_dataset_table(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias(f"n{k}"),
+        F.coalesce(F.sum(F.length("final_text")), F.lit(0))
+        .cast("long")
+        .alias(f"c{k}"),
+    )
+    one = man.agg(*aggs).crossJoin(F.broadcast(ds_tot))
+    names = [s for s, _ in _RELEASE_STAGES] + ["shipped_scrubbed"]
+    stack = ", ".join(
+        f"{i}L, '{name}', n{i}, c{i}" for i, name in enumerate(names)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(names)}, {stack}) AS (stage_idx, stage, n_docs, n_chars)"
+        ),
+        F.col("n0").alias("rn"),
+        F.col("c0").alias("rc"),
+    ).select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        "n_chars",
+        (F.col("n_docs").cast("double") / F.col("rn")).alias("docs_frac"),
+        (F.col("n_chars").cast("double") / F.col("rc")).alias("chars_frac"),
+    )
+
+
+# --- the shipped dataset itself -------------------------------------------------
+
+
 @register(
     "corpus_release_dataset",
     sql=_release_dataset_sql(),  # composes manifest + both span specs
@@ -3869,6 +3903,7 @@ def corpus_release_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DROP_STAGES = (
     "eval_holdout",
+    "eval_source",
     "exact_dup",
     "near_dup",
     "quality",
@@ -3911,7 +3946,12 @@ def _release_attribution_sql() -> str:
     "a source mix: a source with a high near_dup share needs "
     "crawl-side dedup, one with a high quality share needs filtering "
     "upstream. The stage columns partition n_docs exactly (pinned in "
-    "tests/test_r10_ops.py). Plan shape at 100 TB: ONE scan of the "
+    "tests/test_r10_ops.py). shipped_chars is the MANIFEST's accounting "
+    "(orig minus substring-dedup removal) — the per-source counterpart "
+    "measured from the shipped file itself, including residual "
+    "contamination excision, is corpus_release_tokens' shipped_chars; "
+    "keeping this query a zero-join single-artifact scan is the "
+    "documented trade (ADVICE r10). Plan shape at 100 TB: ONE scan of the "
     "per-corpus manifest artifact, then ONE map-side-combinable "
     "groupBy on source computing every stage count as a conditional "
     "sum — no corpus pass, no joins at all.",
@@ -4073,3 +4113,837 @@ def release_dataset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to corpus_release_dataset, the builder)."""
     tune_session(spark)
     return spark.read.parquet(release_dataset_path(spark, sf_dir))
+
+
+# --- quality-aware survivor selection (r11) -------------------------------------
+#
+# Every dedup stage above keeps the MIN-doc_id member of a duplicate group
+# (component_id is the min-id root) — an ARBITRARY survivor. Production
+# pipelines keep the BEST member: the quality signal already exists
+# (text_profile.quality_score, the same 1e-4-rounded composite the curation
+# manifest thresholds on), so the policy operator picks argmax-quality per
+# component (tie-break min doc_id) and censuses what changes vs the min-id
+# policy — how many groups flip survivor, and what it does to shipped chars.
+
+
+def _survivor_policy_sql() -> str:
+    from exact_spark.registry import REGISTRY as _R
+
+    return f"""
+    WITH comp AS MATERIALIZED (
+        SELECT doc_id, component_id, n_members FROM ({_R["dedup_components"].sql})
+    ),
+    prof AS MATERIALIZED (
+        SELECT doc_id, quality_score FROM ({_R["text_profile"].sql})
+    ),
+    m AS (
+        SELECT c.component_id, c.n_members, c.doc_id,
+               COALESCE(p.quality_score, 0.0) AS q,
+               d.n_chars
+        FROM comp c
+        JOIN documents d USING (doc_id)
+        LEFT JOIN prof p USING (doc_id)
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY component_id
+                                  ORDER BY q DESC, doc_id ASC) AS rk_pol,
+               row_number() OVER (PARTITION BY component_id
+                                  ORDER BY doc_id ASC) AS rk_min
+        FROM m
+    ),
+    pol AS (
+        SELECT component_id, n_members, doc_id AS survivor_policy_id,
+               q AS q_policy, n_chars AS chars_policy
+        FROM r WHERE rk_pol = 1
+    ),
+    mn AS (
+        SELECT component_id, doc_id AS survivor_min_id, q AS q_min_id,
+               n_chars AS chars_min_id
+        FROM r WHERE rk_min = 1
+    )
+    SELECT p.component_id,
+           CAST(p.n_members AS BIGINT) AS n_members,
+           CAST(n.survivor_min_id AS BIGINT) AS survivor_min_id,
+           CAST(p.survivor_policy_id AS BIGINT) AS survivor_policy_id,
+           (p.survivor_policy_id <> n.survivor_min_id) AS changed,
+           n.q_min_id, p.q_policy,
+           CAST(n.chars_min_id AS BIGINT) AS chars_min_id,
+           CAST(p.chars_policy AS BIGINT) AS chars_policy,
+           CAST(p.chars_policy - n.chars_min_id AS BIGINT) AS chars_delta
+    FROM pol p JOIN mn n USING (component_id)
+    """
+
+
+@register(
+    "dedup_survivor_policy",
+    sql=_survivor_policy_sql(),  # composes components + profile specs
+    doc="Quality-aware survivor selection (VERDICT r10 item 1): per "
+    "duplicate group, the survivor the ARGMAX-QUALITY policy keeps "
+    "(text_profile.quality_score, tie-break min doc_id; empty-token "
+    "docs score 0.0) next to the min-doc_id survivor every dedup stage "
+    "above keeps today, with both survivors' quality and char "
+    "accounting and the per-group shipped-chars delta — the evidence a "
+    "corpus owner needs before switching keeper policy. Composes the "
+    "components artifact and the document-profile artifact (both "
+    "content-pinned to their registered builders). Plan shape at "
+    "100 TB: ONE components-artifact scan + ONE profile-artifact scan + "
+    "one corpus scan reading only (doc_id, n_chars) — never text — "
+    "joined per-doc, then ONE per-component aggregate (struct-max "
+    "argmax + struct-min, map-side combinable; no window, no pairwise "
+    "work).",
+)
+def dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exact_spark.operators.text import profile_table
+
+    tune_session(spark)
+    comp = components_table(spark, sf_dir).select(
+        "doc_id", "component_id", "n_members"
+    )
+    prof = profile_table(spark, sf_dir).select("doc_id", "quality_score")
+    lens = io.load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    m = (
+        comp.join(lens, "doc_id")
+        .join(prof, "doc_id", "left")
+        .select(
+            "component_id",
+            "n_members",
+            "doc_id",
+            F.coalesce("quality_score", F.lit(0.0)).alias("q"),
+            "n_chars",
+        )
+    )
+    # argmax(q, tie min doc_id) and the min-id row in ONE aggregate pass:
+    # struct-max orders by (q, -doc_id) so quality ties resolve to the
+    # smaller id; struct-min orders by doc_id. Both carry their row's
+    # quality + chars through the aggregation — no second join back.
+    agg = m.groupBy("component_id").agg(
+        F.max("n_members").cast("long").alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("q").alias("q"),
+                (-F.col("doc_id")).alias("nid"),
+                F.col("n_chars").alias("nc"),
+            )
+        ).alias("best"),
+        F.min(
+            F.struct(
+                F.col("doc_id").alias("doc_id"),
+                F.col("q").alias("q"),
+                F.col("n_chars").alias("nc"),
+            )
+        ).alias("first"),
+    )
+    return agg.select(
+        "component_id",
+        "n_members",
+        F.col("first.doc_id").cast("long").alias("survivor_min_id"),
+        (-F.col("best.nid")).cast("long").alias("survivor_policy_id"),
+        (-F.col("best.nid") != F.col("first.doc_id")).alias("changed"),
+        F.col("first.q").alias("q_min_id"),
+        F.col("best.q").alias("q_policy"),
+        F.col("first.nc").cast("long").alias("chars_min_id"),
+        F.col("best.nc").cast("long").alias("chars_policy"),
+        (F.col("best.nc") - F.col("first.nc")).cast("long").alias("chars_delta"),
+    )
+
+
+@register(
+    "dedup_survivor_policy_census",
+    sql=f"""
+    WITH pol AS MATERIALIZED ({_survivor_policy_sql()})
+    SELECT CAST(count(*) AS BIGINT) AS n_components,
+           CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS frac_changed,
+           CAST(sum(chars_min_id) AS BIGINT) AS chars_min_id_total,
+           CAST(sum(chars_policy) AS BIGINT) AS chars_policy_total,
+           CAST(sum(chars_delta) AS BIGINT) AS chars_delta_total
+    FROM pol
+    """,
+    doc="The one-row census over dedup_survivor_policy a keeper-policy "
+    "decision actually reads: how many duplicate groups change survivor "
+    "under argmax-quality, and the total shipped-chars delta vs the "
+    "min-doc_id policy. Composes the policy spec; same plan shape "
+    "reduced to a single aggregate row.",
+)
+def dedup_survivor_policy_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    pol = dedup_survivor_policy(spark, sf_dir)
+    return pol.agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum(F.when(F.col("changed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_changed"),
+        (
+            F.sum(F.when(F.col("changed"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("frac_changed"),
+        F.sum("chars_min_id").cast("long").alias("chars_min_id_total"),
+        F.sum("chars_policy").cast("long").alias("chars_policy_total"),
+        F.sum("chars_delta").cast("long").alias("chars_delta_total"),
+    )
+
+
+# --- per-benchmark decontamination attribution (r11) ----------------------------
+#
+# The GPT-3/PaLM appendices report overlap PER EVALUATION BENCHMARK, not
+# one pooled eval source. The synthetic eval source (src0) stands in for a
+# benchmark SUITE; its per-language slices play the individual benchmarks
+# (benchmark := 'bench_' || lang of the eval doc). A gram appearing in
+# several benchmarks attributes to each — the honest read for "which
+# benchmark leaked" — so per-benchmark spans may overlap across benchmarks;
+# merging their union reproduces the pooled decontaminate_spans table
+# exactly (pinned in tests/test_r11_ops.py).
+
+_CONTAM_BENCH_CTES = f"""pos_tab AS (
+        SELECT doc_id, source, lang, text,
+               unnest(range(1, length(text) - {_SUB_L} + 2)) AS pos
+        FROM documents WHERE length(text) >= {_SUB_L}
+    ),
+    grams AS (
+        SELECT doc_id, source, lang, CAST(pos AS BIGINT) AS pos,
+               substr(text, CAST(pos AS INT), {_SUB_L}) AS g
+        FROM pos_tab
+    ),
+    eval_gb AS MATERIALIZED (
+        SELECT DISTINCT g, 'bench_' || lang AS benchmark
+        FROM grams WHERE source = '{_CONTAM_EVAL_SOURCE}'
+    ),
+    hits AS (
+        SELECT e.benchmark, gr.doc_id, gr.pos
+        FROM grams gr JOIN eval_gb e USING (g)
+        WHERE gr.source <> '{_CONTAM_EVAL_SOURCE}'
+    ),
+    isl AS (
+        SELECT benchmark, doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY benchmark, doc_id
+                                              ORDER BY pos) > {_SUB_L}
+                    THEN 1 ELSE 0 END AS brk
+        FROM hits
+    ),
+    grp AS (
+        SELECT benchmark, doc_id, pos,
+               sum(brk) OVER (PARTITION BY benchmark, doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT benchmark, doc_id, island, min(pos) AS s,
+               max(pos) + {_SUB_L} - 1 AS e
+        FROM grp GROUP BY benchmark, doc_id, island
+    )"""
+
+
+def _contam_bench_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(benchmark, doc_id, s, e): maximal eval-contaminated spans of
+    TRAINING docs attributed per benchmark — the per-benchmark sibling of
+    _contam_span_fresh, same 128-bit gram-hash keying; the eval side
+    collapses to a distinct (hash, benchmark) set before the ONE
+    membership join, and island-merge partitions by (benchmark, doc_id)."""
+    docs = io.load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "source", "lang", "text"
+    )
+    ev = docs.filter(F.col("source") == _CONTAM_EVAL_SOURCE)
+    ev_gb = (
+        _gram_table(ev.select("doc_id", "text"))
+        .join(
+            F.broadcast(
+                ev.select(
+                    "doc_id",
+                    F.concat(F.lit("bench_"), F.col("lang")).alias("benchmark"),
+                )
+            ),
+            "doc_id",
+        )
+        .select("h1", "h2", "benchmark")
+        .distinct()
+    )
+    hits = (
+        _gram_table(
+            docs.filter(F.col("source") != _CONTAM_EVAL_SOURCE).select(
+                "doc_id", "text"
+            )
+        )
+        .join(ev_gb, ["h1", "h2"])
+        .select("benchmark", "doc_id", "pos")
+    )
+    return _merge_islands(hits, keys=("benchmark", "doc_id"))
+
+
+@register(
+    "decontaminate_by_benchmark",
+    sql=f"""
+    WITH {_CONTAM_BENCH_CTES},
+    per_doc AS (
+        SELECT benchmark, doc_id,
+               CAST(sum(e - s + 1) AS BIGINT) AS contam
+        FROM spans GROUP BY benchmark, doc_id
+    ),
+    per_src AS (
+        SELECT p.benchmark, d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(p.contam) AS BIGINT) AS chars
+        FROM per_doc p JOIN documents d USING (doc_id)
+        GROUP BY p.benchmark, d.source
+    ),
+    top AS (
+        SELECT benchmark, source AS top_source, chars AS top_source_chars
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY benchmark
+                                         ORDER BY chars DESC, source ASC) AS rk
+            FROM per_src
+        ) WHERE rk = 1
+    ),
+    tot AS (
+        SELECT benchmark,
+               CAST(sum(n_docs) AS BIGINT) AS n_docs_affected,
+               CAST(sum(chars) AS BIGINT) AS contam_chars
+        FROM per_src GROUP BY benchmark
+    ),
+    census AS (
+        SELECT 'bench_' || lang AS benchmark,
+               CAST(count(*) AS BIGINT) AS n_eval_docs
+        FROM documents WHERE source = '{_CONTAM_EVAL_SOURCE}'
+        GROUP BY lang
+    )
+    SELECT c.benchmark, c.n_eval_docs,
+           CAST(COALESCE(t.n_docs_affected, 0) AS BIGINT) AS n_docs_affected,
+           CAST(COALESCE(t.contam_chars, 0) AS BIGINT) AS contam_chars,
+           p.top_source, p.top_source_chars
+    FROM census c
+    LEFT JOIN tot t USING (benchmark)
+    LEFT JOIN top p USING (benchmark)
+    """,
+    doc="Per-benchmark decontamination attribution (VERDICT r10 item 2) — "
+    "the GPT-3/PaLM appendix table: for each benchmark (the eval "
+    "source's per-language slices stand in for individual benchmarks), "
+    "how many training docs carry verbatim 40-gram overlap with THAT "
+    "benchmark, the contaminated char mass, and the training source "
+    "leaking the most of it (tie-break min source; NULL when the "
+    "benchmark leaks nowhere). A gram in several benchmarks attributes "
+    "to each, so the union of per-benchmark spans island-merges back to "
+    "exactly the pooled decontaminate_spans table (pinned in "
+    "tests/test_r11_ops.py). Plan shape at 100 TB: the eval side "
+    "collapses to a distinct (128-bit gram hash, benchmark) set — the "
+    "benchmark ID rides the SAME single membership join the pooled "
+    "census uses (no per-benchmark pass, no pair expansion); island "
+    "merge windows per (benchmark, doc); everything after is per-doc "
+    "equi-joins and map-side-combinable groupBys, with the top-source "
+    "rank a window over per-benchmark source rows (<= sources per "
+    "benchmark).",
+)
+def decontaminate_by_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    sp = _contam_bench_spans(spark, sf_dir)
+    per_doc = sp.groupBy("benchmark", "doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("contam")
+    )
+    src = io.load(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = (
+        per_doc.join(src, "doc_id")
+        .groupBy("benchmark", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("contam").cast("long").alias("chars"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("benchmark").orderBy(
+            F.col("chars").desc(), F.col("source").asc()
+        )
+    )
+    top = (
+        per_src.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "benchmark",
+            F.col("source").alias("top_source"),
+            F.col("chars").alias("top_source_chars"),
+        )
+    )
+    tot = per_src.groupBy("benchmark").agg(
+        F.sum("n_docs").cast("long").alias("n_docs_affected"),
+        F.sum("chars").cast("long").alias("contam_chars"),
+    )
+    census = (
+        io.load(spark, sf_dir, "documents")
+        .filter(F.col("source") == _CONTAM_EVAL_SOURCE)
+        .groupBy(F.concat(F.lit("bench_"), F.col("lang")).alias("benchmark"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eval_docs"))
+    )
+    return (
+        census.join(tot, "benchmark", "left")
+        .join(top, "benchmark", "left")
+        .select(
+            "benchmark",
+            "n_eval_docs",
+            F.coalesce("n_docs_affected", F.lit(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+            F.coalesce("contam_chars", F.lit(0))
+            .cast("long")
+            .alias("contam_chars"),
+            "top_source",
+            "top_source_chars",
+        )
+    )
+
+
+# --- packing the shipped dataset for the trainer (r11) --------------------------
+
+
+def _release_packed_sql() -> str:
+    from exact_spark.operators.text import _PACK_BUDGET
+
+    toks = (
+        "list_filter(regexp_split_to_array(lower(final_text), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    )
+    b = _PACK_BUDGET
+    return f"""
+    WITH ds AS MATERIALIZED ({_release_dataset_sql()}),
+    per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({toks})) AS BIGINT) AS total_tokens
+        FROM ds GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens,
+           CAST(total_tokens // {b} AS BIGINT) AS n_full_seqs,
+           CAST(total_tokens % {b} AS BIGINT) AS tail_tokens,
+           CAST((total_tokens // {b}) * {b} AS BIGINT) AS full_seq_tokens,
+           CASE WHEN total_tokens = 0 THEN NULL
+                ELSE CAST(total_tokens AS DOUBLE)
+                     / (((total_tokens + {b} - 1) // {b}) * {b})
+           END AS fill_rate
+    FROM per
+    """
+
+
+@register(
+    "corpus_release_packed",
+    sql=_release_packed_sql(),  # composes the release-dataset spec
+    doc="The release -> trainer handoff (VERDICT r10 item 6): the shipped "
+    "dataset packed into fixed-budget training sequences "
+    "(text_pack_sequences' concat-and-chunk layout, its _PACK_BUDGET "
+    "context length, its shared deterministic tokenizer), packed PER "
+    "SOURCE (the source-stratified shard layout a mixing-weighted "
+    "training run loads): per source, full-sequence count, the tail "
+    "tokens a drop-remainder loader wastes, full-sequence token mass, "
+    "and the fill rate against the padded budget. full_seq_tokens + "
+    "tail_tokens reproduces corpus_release_tokens' shipped_tokens per "
+    "source exactly (pinned in tests/test_r11_ops.py). Per-doc pack "
+    "COORDINATES stay text_pack_sequences' job (its distributed prefix "
+    "sum); this roll-up needs only per-source token totals, so the plan "
+    "at 100 TB is ONE shipped-dataset artifact scan with tokenization "
+    "folded into the scan projection and ONE map-side-combinable "
+    "groupBy on source — no window, no prefix sum, no token-row "
+    "explode.",
+)
+def corpus_release_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exact_spark.operators.text import _PACK_BUDGET
+
+    tune_session(spark)
+    b = _PACK_BUDGET
+    ds = release_dataset_table(spark, sf_dir)
+    n_toks = F.size(
+        F.filter(
+            F.split(F.lower(F.col("final_text")), "[^a-z0-9]+"),
+            lambda x: x != "",
+        )
+    )
+    per = (
+        ds.select("source", n_toks.alias("ntk"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntk").cast("long").alias("total_tokens"),
+        )
+    )
+    tt = F.col("total_tokens")
+    n_padded = F.floor((tt + b - 1) / b)
+    return per.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.floor(tt / b).cast("long").alias("n_full_seqs"),
+        (tt % b).cast("long").alias("tail_tokens"),
+        (F.floor(tt / b) * b).cast("long").alias("full_seq_tokens"),
+        F.when(tt == 0, F.lit(None).cast("double"))
+        .otherwise(tt.cast("double") / (n_padded * b))
+        .alias("fill_rate"),
+    )
+
+
+# --- release-to-release diff over the versioned-snapshot layer (r11) ------------
+#
+# The read a corpus owner does between release snapshots: which docs enter
+# or leave the ship set, and how drop_stage transitions explain it. The
+# "previous release" is a deterministic sub-corpus (the corpus before the
+# latest crawl batch landed: every doc_id % 7 == 3 doc is the new batch),
+# materialized ONCE per corpus snapshot as a pseudo-sf_dir artifact so the
+# full manifest pipeline (pair tables -> components -> spans -> curation ->
+# manifest) runs over it with the same per-corpus artifact discipline as
+# the current corpus. The two manifests then commit as v1/v2 of a
+# VersionedTable (sources/versioned.py) and the diff is the time-travel
+# read of the pair — the lakehouse CDC shape of catalog_snapshot_diff
+# applied to the release layer.
+
+_DIFF_SNAP_MOD, _DIFF_SNAP_RESIDUE = 7, 3  # doc_id % 7 == 3 is the new batch
+
+
+def _prev_snapshot_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The previous release's document corpus (deterministic sub-corpus)."""
+    return io.load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % _DIFF_SNAP_MOD) != _DIFF_SNAP_RESIDUE
+    )
+
+
+def prev_snapshot_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the previous-release corpus as a pseudo-sf_dir artifact
+    (a directory holding documents.parquet), so every sf_dir-parameterized
+    builder in the manifest chain runs over it unchanged and keys its own
+    artifacts off the snapshot corpus's fingerprint."""
+    import pathlib
+
+    from exact_spark.artifacts import builder_salt, materialize
+
+    def build(staging: str) -> None:
+        _prev_snapshot_docs(spark, sf_dir).write.mode("overwrite").parquet(
+            str(pathlib.Path(staging) / "documents.parquet")
+        )
+        (pathlib.Path(staging) / "_SUCCESS").write_text("")
+
+    return materialize(
+        pathlib.Path(sf_dir).resolve() / "documents.parquet",
+        "relsnap_" + builder_salt(helpers=(_prev_snapshot_docs,)),
+        build,
+    )
+
+
+def _release_diff_sql() -> str:
+    import re
+
+    man = _release_manifest_sql()
+    # the previous snapshot's manifest is the SAME composed spec computed
+    # over the sub-corpus: every table reference rebinds to the snapshot
+    # CTE (the word `documents` appears in these specs only as the table)
+    man_prev = re.sub(r"\bdocuments\b", "snap_a", man)
+    return f"""
+    WITH snap_a AS MATERIALIZED (
+        SELECT * FROM documents
+        WHERE doc_id % {_DIFF_SNAP_MOD} <> {_DIFF_SNAP_RESIDUE}
+    ),
+    a AS MATERIALIZED ({man_prev}),
+    b AS MATERIALIZED ({man}),
+    j AS (
+        SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+               COALESCE(b.source, a.source) AS source,
+               COALESCE(a.drop_stage, 'absent') AS stage_prev,
+               COALESCE(b.drop_stage, 'absent') AS stage_cur,
+               COALESCE(a.ship, FALSE) AS ship_prev,
+               COALESCE(b.ship, FALSE) AS ship_cur,
+               CASE WHEN a.doc_id IS NULL THEN 'new_doc'
+                    WHEN b.doc_id IS NULL THEN 'removed_doc'
+                    ELSE 'stage_changed' END AS transition
+        FROM b FULL OUTER JOIN a USING (doc_id)
+    )
+    SELECT * FROM j WHERE stage_prev <> stage_cur
+    """
+
+
+@register(
+    "corpus_release_diff",
+    sql=_release_diff_sql(),  # the manifest spec over two snapshots
+    doc="Release-to-release diff (VERDICT r10 item 5): the manifest spec "
+    "computed over the PREVIOUS release snapshot (the corpus minus the "
+    "latest crawl batch) and the current corpus, committed as v1/v2 of "
+    "a snapshot-versioned table (sources/versioned.py) and full-outer "
+    "diffed on doc_id — every doc whose drop_stage changed between "
+    "releases, with ship-set entries/exits and the transition class "
+    "(new_doc / removed_doc / stage_changed). New docs don't just add "
+    "rows: they mint duplicate components, shift the stratified mix "
+    "ranks, and add contamination grams, flipping INCUMBENT docs' "
+    "stages — exactly what this read surfaces (diff(A,A) is empty and "
+    "the funnel deltas reconcile; pinned in tests/test_r11_ops.py). "
+    "Plan shape at 100 TB: both manifests are SERVED from their "
+    "per-corpus artifacts (the snapshot corpus is itself a per-corpus "
+    "artifact, so its pair/components/span/manifest chain builds once "
+    "per release pair); the diff is ONE doc_id equi-join of two "
+    "manifest scans; the versioned commits write manifest-sized "
+    "parquet, never corpus-sized. The bounded run materializes the "
+    "(small) changed-doc set before vacuuming the demo warehouse — at "
+    "scale the diff frame writes to a sink instead.",
+)
+def _release_diff_frame(cur: DataFrame, prev: DataFrame) -> DataFrame:
+    """Changed-doc rows between two release manifests: full-outer join on
+    doc_id, keep rows whose drop_stage differs (absence counts as the
+    'absent' stage — diff(X, X) is therefore empty by construction)."""
+    a = prev.select("doc_id", "source", "drop_stage", "ship")
+    b = cur.select("doc_id", "source", "drop_stage", "ship")
+    j = b.alias("b").join(a.alias("a"), "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("b.source"), F.col("a.source")).alias("source"),
+        F.coalesce(F.col("a.drop_stage"), F.lit("absent")).alias("stage_prev"),
+        F.coalesce(F.col("b.drop_stage"), F.lit("absent")).alias("stage_cur"),
+        F.coalesce(F.col("a.ship"), F.lit(False)).alias("ship_prev"),
+        F.coalesce(F.col("b.ship"), F.lit(False)).alias("ship_cur"),
+        F.when(F.col("a.doc_id").isNull(), "new_doc")
+        .when(F.col("b.doc_id").isNull(), "removed_doc")
+        .otherwise("stage_changed")
+        .alias("transition"),
+    )
+    return j.filter(F.col("stage_prev") != F.col("stage_cur"))
+
+
+def corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from exact_spark.sources.versioned import VersionedTable
+
+    tune_session(spark)
+    man_prev = release_manifest_table(spark, prev_snapshot_dir(spark, sf_dir))
+    man_cur = release_manifest_table(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="exact_spark_reldiff_")
+    try:
+        t = VersionedTable(spark, work, "release_manifest")
+        t.create(man_prev, note="previous release")
+        t.overwrite(man_cur, note="current release")
+        out = _release_diff_frame(t.read(2), t.read(1))
+        # materialize BEFORE the finally deletes the warehouse — the
+        # returned frame must not lazily re-read vacuumed files
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# --- what-if: the ship set under the argmax-quality keeper policy (r11) ---------
+
+
+def _policy_delta_sql() -> str:
+    from exact_spark.registry import REGISTRY as _R
+
+    return f"""
+    WITH rman AS MATERIALIZED ({_release_manifest_sql()}),
+    polx AS MATERIALIZED (
+        SELECT component_id, survivor_policy_id FROM ({_survivor_policy_sql()})
+    ),
+    compmap AS MATERIALIZED (
+        SELECT doc_id, component_id FROM ({_R["dedup_components"].sql})
+    ),
+    mx AS (
+        SELECT r.*,
+               (c.doc_id IS NULL OR r.doc_id = p.survivor_policy_id)
+                   AS policy_dedup_keep
+        FROM rman r
+        LEFT JOIN compmap c USING (doc_id)
+        LEFT JOIN polx p USING (component_id)
+    ),
+    fx AS (
+        SELECT source, ship,
+               (in_pool AND eval_source_keep AND policy_dedup_keep
+                AND quality_keep AND mix_keep AND decon_keep) AS ship_policy,
+               final_len
+        FROM mx
+    )
+    SELECT source,
+           CAST(count(*) FILTER (WHERE ship) AS BIGINT) AS n_ship_min_id,
+           CAST(count(*) FILTER (WHERE ship_policy) AS BIGINT)
+               AS n_ship_policy,
+           CAST(count(*) FILTER (WHERE ship_policy AND NOT ship) AS BIGINT)
+               AS n_enter,
+           CAST(count(*) FILTER (WHERE ship AND NOT ship_policy) AS BIGINT)
+               AS n_leave,
+           CAST(COALESCE(sum(final_len) FILTER (WHERE ship), 0) AS BIGINT)
+               AS chars_min_id,
+           CAST(COALESCE(sum(final_len) FILTER (WHERE ship_policy), 0)
+                AS BIGINT) AS chars_policy
+    FROM fx GROUP BY source
+    """
+
+
+@register(
+    "corpus_release_policy_delta",
+    sql=_policy_delta_sql(),  # composes manifest + policy + components specs
+    doc="The what-if read that closes the survivor-policy loop into the "
+    "ship manifest: per source, how the ship set changes if every "
+    "duplicate group keeps its ARGMAX-QUALITY member "
+    "(dedup_survivor_policy) instead of the min-doc_id member the "
+    "manifest ships today — docs entering (the policy survivor passes "
+    "curation where the min-id one failed or simply moves between "
+    "sources), docs leaving, and the manifest-accounting char mass "
+    "under each policy. Every input composes a registered spec: the "
+    "manifest, the policy table, and the component map, so the what-if "
+    "cannot drift from either policy's real definition. Plan shape at "
+    "100 TB: the manifest is SERVED from its artifact, the policy and "
+    "component map from the components/profile artifacts, all per-doc "
+    "equi-joins (component_id join is per-doc, never per-pair), ONE "
+    "map-side-combinable groupBy on source.",
+)
+def corpus_release_policy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    man = release_manifest_table(spark, sf_dir)
+    pol = dedup_survivor_policy(spark, sf_dir).select(
+        "component_id", "survivor_policy_id"
+    )
+    compmap = components_table(spark, sf_dir).select("doc_id", "component_id")
+    m = (
+        man.join(compmap, "doc_id", "left")
+        .join(pol, "component_id", "left")
+        .withColumn(
+            "policy_dedup_keep",
+            F.col("component_id").isNull()
+            | (F.col("doc_id") == F.col("survivor_policy_id")),
+        )
+    )
+    ship_policy = (
+        F.col("in_pool")
+        & F.col("eval_source_keep")
+        & F.col("policy_dedup_keep")
+        & F.col("quality_keep")
+        & F.col("mix_keep")
+        & F.col("decon_keep")
+    )
+    f = m.select("source", "ship", ship_policy.alias("ship_policy"), "final_len")
+    return f.groupBy("source").agg(
+        F.sum(F.when(F.col("ship"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ship_min_id"),
+        F.sum(F.when(F.col("ship_policy"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ship_policy"),
+        F.sum(F.when(F.col("ship_policy") & ~F.col("ship"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_enter"),
+        F.sum(F.when(F.col("ship") & ~F.col("ship_policy"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_leave"),
+        F.sum(F.when(F.col("ship"), F.col("final_len")).otherwise(0))
+        .cast("long")
+        .alias("chars_min_id"),
+        F.sum(F.when(F.col("ship_policy"), F.col("final_len")).otherwise(0))
+        .cast("long")
+        .alias("chars_policy"),
+    )
+
+
+# --- the one-row dataset card (r11) ---------------------------------------------
+
+
+def _release_card_sql() -> str:
+    toks = (
+        "list_filter(regexp_split_to_array(lower(final_text), '[^a-z0-9]+'),"
+        " x -> x <> '')"
+    )
+    return f"""
+    WITH cman AS MATERIALIZED ({_release_manifest_sql()}),
+    cds AS MATERIALIZED ({_release_dataset_sql()}),
+    ms AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs_raw,
+               CAST(sum(orig_len) AS BIGINT) AS chars_raw,
+               CAST(count(*) FILTER (WHERE ship) AS BIGINT) AS n_docs_shipped,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources_raw,
+               CAST(count(DISTINCT source) FILTER (WHERE ship) AS BIGINT)
+                   AS n_sources_shipped,
+               CAST(count(*) FILTER (WHERE drop_stage IN
+                    ('exact_dup', 'near_dup')) AS BIGINT) AS n_dropped_dedup,
+               CAST(count(*) FILTER (WHERE drop_stage IN
+                    ('quality', 'mix', 'decontamination')) AS BIGINT)
+                   AS n_dropped_curation
+        FROM cman
+    ),
+    dss AS (
+        SELECT CAST(COALESCE(sum(length(final_text)), 0) AS BIGINT)
+                   AS chars_shipped,
+               CAST(COALESCE(sum(len({toks})), 0) AS BIGINT)
+                   AS tokens_shipped,
+               CAST(COALESCE(sum(removed_chars), 0) AS BIGINT)
+                   AS chars_excised
+        FROM cds
+    )
+    SELECT ms.n_docs_raw, ms.n_docs_shipped,
+           CAST(ms.n_docs_shipped AS DOUBLE) / ms.n_docs_raw AS ship_rate,
+           ms.n_sources_raw, ms.n_sources_shipped,
+           ms.n_dropped_dedup, ms.n_dropped_curation,
+           ms.chars_raw, dss.chars_shipped, dss.chars_excised,
+           dss.tokens_shipped
+    FROM ms, dss
+    """
+
+
+@register(
+    "corpus_release_card",
+    sql=_release_card_sql(),  # composes manifest + dataset specs
+    doc="The one-row DATASET CARD a release publishes next to the shipped "
+    "corpus — the headline numbers every dataset documentation standard "
+    "asks for: raw vs shipped doc counts and the ship rate, source "
+    "counts on both sides, docs lost to dedup vs curation, raw chars vs "
+    "the shipped file's chars (with the excised span mass separated), "
+    "and the shipped token count under the engine's shared tokenizer. "
+    "Chars/tokens are measured from the composed corpus_release_dataset "
+    "spec — the file that actually ships — never from manifest "
+    "accounting. Plan shape at 100 TB: one manifest-artifact scan + one "
+    "shipped-dataset-artifact scan, each reduced by ONE map-side-"
+    "combinable aggregate, combined by a broadcast 1-row x 1-row join.",
+)
+def corpus_release_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    man = release_manifest_table(spark, sf_dir)
+    ship = F.col("ship")
+    ms = man.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_raw"),
+        F.sum("orig_len").cast("long").alias("chars_raw"),
+        F.sum(F.when(ship, 1).otherwise(0)).cast("long").alias("n_docs_shipped"),
+        F.countDistinct("source").cast("long").alias("n_sources_raw"),
+        F.countDistinct(F.when(ship, F.col("source")))
+        .cast("long")
+        .alias("n_sources_shipped"),
+        F.sum(
+            F.when(F.col("drop_stage").isin("exact_dup", "near_dup"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dropped_dedup"),
+        F.sum(
+            F.when(
+                F.col("drop_stage").isin("quality", "mix", "decontamination"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dropped_curation"),
+    )
+    ds = release_dataset_table(spark, sf_dir)
+    n_toks = F.size(
+        F.filter(
+            F.split(F.lower(F.col("final_text")), "[^a-z0-9]+"),
+            lambda x: x != "",
+        )
+    )
+    dss = ds.agg(
+        F.coalesce(F.sum(F.length("final_text")), F.lit(0))
+        .cast("long")
+        .alias("chars_shipped"),
+        F.coalesce(F.sum(n_toks), F.lit(0)).cast("long").alias("tokens_shipped"),
+        F.coalesce(F.sum("removed_chars"), F.lit(0))
+        .cast("long")
+        .alias("chars_excised"),
+    )
+    return ms.crossJoin(F.broadcast(dss)).select(
+        "n_docs_raw",
+        "n_docs_shipped",
+        (F.col("n_docs_shipped").cast("double") / F.col("n_docs_raw")).alias(
+            "ship_rate"
+        ),
+        "n_sources_raw",
+        "n_sources_shipped",
+        "n_dropped_dedup",
+        "n_dropped_curation",
+        "chars_raw",
+        "chars_shipped",
+        "chars_excised",
+        "tokens_shipped",
+    )

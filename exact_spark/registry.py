@@ -319,6 +319,13 @@ DRIVER_ORDER: list[str] = [
     "ts_seasonal_naive",
     "ts_sessionize",
     "w1_sliding_features",
+    "dedup_survivor_policy",
+    "dedup_survivor_policy_census",
+    "decontaminate_by_benchmark",
+    "corpus_release_packed",
+    "corpus_release_diff",
+    "corpus_release_policy_delta",
+    "corpus_release_card",
 ]
 
 

@@ -506,11 +506,17 @@ def test_r10_batch2_plans(spark, sf_dir):
     release_dataset_path(spark, sf_dir)
 
     plan = _plan(corpus_release_funnel(spark, sf_dir))
-    assert "exact_spark_relman_" in plan
+    assert plan.count("exact_spark_relman_") == 1
+    # terminal row reads the shipped-dataset artifact (ADVICE r10: funnel
+    # sign-off chars equal token accounting by construction)
+    assert plan.count("exact_spark_reldata_") == 1
     assert "documents.parquet" not in plan  # pure artifact consumer
     assert "xxhash64" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly ONE BroadcastNestedLoopJoin: the 1-row x 1-row combine of
+    # the manifest rollup with the dataset terminal total (accepted 1x1
+    # pattern — a literal-key equi join constant-folds back to it)
+    assert plan.count("BroadcastNestedLoopJoin") == 1
 
     plan = _plan(corpus_release_attribution(spark, sf_dir))
     assert "exact_spark_relman_" in plan

@@ -191,6 +191,7 @@ def test_release_manifest_invariants(spark, sf_dir):
     # drop_stage: first-failing stage, 'shipped' iff ship
     order = [
         ("eval_holdout", ~man.in_pool),
+        ("eval_source", ~man.eval_source_keep),
         ("exact_dup", ~man.exact_keep),
         ("near_dup", ~man.dedup_keep),
         ("quality", ~man.quality_keep),
@@ -211,12 +212,21 @@ def test_release_manifest_invariants(spark, sf_dir):
         man.ship
         == (
             man.in_pool
+            & man.eval_source_keep
             & man.dedup_keep
             & man.quality_keep
             & man.mix_keep
             & man.decon_keep
         )
     ).all()
+    # ADVICE r10: the eval source ships nowhere — eval_source_keep is
+    # exactly the source flag, and no shipped doc carries the eval source
+    from exact_spark.operators.dedup import _CONTAM_EVAL_SOURCE
+
+    assert (
+        man.eval_source_keep == (man.source != _CONTAM_EVAL_SOURCE)
+    ).all()
+    assert not (man.ship & (man.source == _CONTAM_EVAL_SOURCE)).any()
     # curation flags agree with the registered curation manifest
     cm = text_curation_manifest(spark, sf_dir).toPandas().set_index("doc_id")
     pool = man[man.in_pool].set_index("doc_id")
@@ -224,7 +234,9 @@ def test_release_manifest_invariants(spark, sf_dir):
     cm = cm.reindex(pool.index)  # row order differs between the two frames
     for col in ("quality_keep", "mix_keep", "decon_keep"):
         assert (pool[col] == cm[col]).all(), col
-    assert (pool.ship == (cm.selected & pool.dedup_keep)).all()
+    assert (
+        pool.ship == (cm.selected & pool.dedup_keep & pool.eval_source_keep)
+    ).all()
 
 
 # --- second r10 batch: attribution, full-pipeline funnel, shipped dataset ----
@@ -307,8 +319,20 @@ def test_release_funnel_agrees_with_manifest(spark):
         assert fun.loc[stage, "n_chars"] == man[mask].orig_len.sum(), stage
     assert (mask == man.ship).all()  # cumulative AND == the ship flag
     assert fun.loc["shipped_scrubbed", "n_docs"] == int(man.ship.sum())
+    # ADVICE r10: the terminal row is measured from the SHIPPED DATASET
+    # (both span removals applied), so its chars are at most the
+    # manifest's substring-only accounting and exactly equal the shipped
+    # file's final_text lengths — i.e. corpus_release_tokens' chars
+    from exact_spark.operators.dedup import corpus_release_dataset
+
+    ds = corpus_release_dataset(spark, SF_DIR_MID).toPandas()
+    assert fun.loc["shipped_scrubbed", "n_docs"] == len(ds)
     assert (
-        fun.loc["shipped_scrubbed", "n_chars"] == man[man.ship].final_len.sum()
+        fun.loc["shipped_scrubbed", "n_chars"] == ds.final_text.str.len().sum()
+    )
+    assert (
+        fun.loc["shipped_scrubbed", "n_chars"]
+        <= man[man.ship].final_len.sum()
     )
     n = fun.n_docs.to_numpy()
     assert (n[:-1] >= n[1:]).all()  # a funnel only narrows

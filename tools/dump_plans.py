@@ -87,6 +87,9 @@ HEADLINERS = [
     ("corpus_release_dataset", "the shipped text: BOTH span artifacts (subspans + consp) unioned and island-merged by a per-doc window (sort bounded by the doc's own span count), ONE per-doc groupBy collects the merged spans, in-row fold excises them; ship set joins per-doc — no gram re-marking, no pairwise shape anywhere"),
     ("corpus_release_attribution", "per-source stage attribution in ONE map-side-combinable groupBy over the composed manifest frame — every drop_stage count a conditional sum, no second corpus pass, no joins beyond the manifest's own"),
     ("corpus_release_tokens", "shipped token accounting: ONE shipped-dataset artifact scan with tokenization folded into the scan projection (size(filter(split())) — token rows never explode or shuffle), ONE source-keyed groupBy; the token share's total is a window over the per-source frame, so the shipped corpus is tokenized exactly once (VERDICT r10 item 3)"),
+    ("dedup_survivor_policy", "quality-aware survivor selection: ONE components-artifact scan + ONE profile-artifact scan + a (doc_id, n_chars)-pruned corpus scan, per-doc equi-joins, then ONE per-component struct-max/struct-min aggregate (argmax quality, tie min id) — no window, no pairwise work"),
+    ("decontaminate_by_benchmark", "per-benchmark contamination attribution: eval side collapses to a distinct (128-bit gram hash, benchmark) set riding the SAME single membership join as the pooled census; island merge windows per (benchmark, doc); top-source rank windows over per-benchmark source rows only"),
+    ("corpus_release_packed", "release->trainer packing roll-up: ONE shipped-dataset artifact scan with tokenization folded into the scan projection, ONE map-side-combinable groupBy on source — per-doc pack coordinates stay text_pack_sequences' prefix-sum job"),
 ]
 
 
