@@ -4656,6 +4656,27 @@ def _release_diff_sql() -> str:
     """
 
 
+def _release_diff_frame(cur: DataFrame, prev: DataFrame) -> DataFrame:
+    """Changed-doc rows between two release manifests: full-outer join on
+    doc_id, keep rows whose drop_stage differs (absence counts as the
+    'absent' stage — diff(X, X) is therefore empty by construction)."""
+    a = prev.select("doc_id", "source", "drop_stage", "ship")
+    b = cur.select("doc_id", "source", "drop_stage", "ship")
+    j = b.alias("b").join(a.alias("a"), "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("b.source"), F.col("a.source")).alias("source"),
+        F.coalesce(F.col("a.drop_stage"), F.lit("absent")).alias("stage_prev"),
+        F.coalesce(F.col("b.drop_stage"), F.lit("absent")).alias("stage_cur"),
+        F.coalesce(F.col("a.ship"), F.lit(False)).alias("ship_prev"),
+        F.coalesce(F.col("b.ship"), F.lit(False)).alias("ship_cur"),
+        F.when(F.col("a.doc_id").isNull(), "new_doc")
+        .when(F.col("b.doc_id").isNull(), "removed_doc")
+        .otherwise("stage_changed")
+        .alias("transition"),
+    )
+    return j.filter(F.col("stage_prev") != F.col("stage_cur"))
+
+
 @register(
     "corpus_release_diff",
     sql=_release_diff_sql(),  # the manifest spec over two snapshots
@@ -4679,27 +4700,6 @@ def _release_diff_sql() -> str:
     "(small) changed-doc set before vacuuming the demo warehouse — at "
     "scale the diff frame writes to a sink instead.",
 )
-def _release_diff_frame(cur: DataFrame, prev: DataFrame) -> DataFrame:
-    """Changed-doc rows between two release manifests: full-outer join on
-    doc_id, keep rows whose drop_stage differs (absence counts as the
-    'absent' stage — diff(X, X) is therefore empty by construction)."""
-    a = prev.select("doc_id", "source", "drop_stage", "ship")
-    b = cur.select("doc_id", "source", "drop_stage", "ship")
-    j = b.alias("b").join(a.alias("a"), "doc_id", "full_outer").select(
-        "doc_id",
-        F.coalesce(F.col("b.source"), F.col("a.source")).alias("source"),
-        F.coalesce(F.col("a.drop_stage"), F.lit("absent")).alias("stage_prev"),
-        F.coalesce(F.col("b.drop_stage"), F.lit("absent")).alias("stage_cur"),
-        F.coalesce(F.col("a.ship"), F.lit(False)).alias("ship_prev"),
-        F.coalesce(F.col("b.ship"), F.lit(False)).alias("ship_cur"),
-        F.when(F.col("a.doc_id").isNull(), "new_doc")
-        .when(F.col("b.doc_id").isNull(), "removed_doc")
-        .otherwise("stage_changed")
-        .alias("transition"),
-    )
-    return j.filter(F.col("stage_prev") != F.col("stage_cur"))
-
-
 def corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
