@@ -55,61 +55,22 @@ def register(name: str, sql: str | None, doc: str = ""):
 # the driver commits it) matches the window by construction and is excluded,
 # so the gate stays green across the round boundary. rotate_driver_window.py
 # rewrites this alongside DRIVER_ORDER.
-DRIVER_WINDOW_ROUND: int = 10
+DRIVER_WINDOW_ROUND: int = 11
 
 DRIVER_ORDER: list[str] = [
     # --- window (slots 1-50): best available recording spend ---
+    "dedup_survivor_policy",
+    "dedup_survivor_policy_census",
+    "corpus_release_card",
+    "corpus_release_diff",
+    "corpus_release_packed",
+    "corpus_release_policy_delta",
+    "decontaminate_by_benchmark",
     "corpus_release_attribution",
     "corpus_release_dataset",
     "corpus_release_funnel",
     "corpus_release_manifest",
     "corpus_release_tokens",
-    "decontaminate_attribution",
-    "decontaminate_scrub",
-    "w3_sampling_strategies",
-    "xai_methods_ndcg",
-    "dedup_cluster_purity",
-    "dedup_survivorship",
-    "dq_benford_audit",
-    "dq_crossmodal_consistency",
-    "dq_expectations",
-    "dq_key_uniqueness",
-    "dq_referential_integrity",
-    "dq_schema_profile",
-    "emb_centroid_drift",
-    "emb_dim_stats",
-    "emb_hamming_recall",
-    "emb_hamming_topk",
-    "emb_index_manifest",
-    "emb_matryoshka_fidelity",
-    "emb_norm_profile",
-    "emb_pq_distortion",
-    "emb_random_projection",
-    "ml_ab_welch",
-    "rel_bilateral_trade",
-    "rel_customer_percentile",
-    "rel_customer_rfm",
-    "rel_disjunctive_revenue",
-    "rel_dominant_supplier",
-    "rel_forecast_revenue",
-    "rel_grouping_sets",
-    "rel_important_parts",
-    "rel_join_cardinality_check",
-    "rel_large_orders",
-    "rel_market_basket",
-    "rel_market_share",
-    "rel_min_cost_supplier",
-    "rel_order_count_distribution",
-    "rel_pareto_abc",
-    "rel_pivot_priority_year",
-    "rel_priority_semijoin",
-    "rel_product_profit",
-    "rel_promo_revenue",
-    "rel_returned_revenue",
-    "rel_rolling_revenue",
-    "rel_ship_lag_priority",
-    "rel_ship_latency_percentiles",
-    # --- outside the window (rotates into it next round) ---
     "rel_shipping_priority",
     "rel_small_qty_revenue",
     "rel_sole_blame_supplier",
@@ -148,6 +109,7 @@ DRIVER_ORDER: list[str] = [
     "text_chunk_overlap",
     "text_chunk_scrub",
     "text_cooccurrence_pmi",
+    # --- outside the window (rotates into it next round) ---
     "text_feature_hashing",
     "text_idf_keywords",
     "text_jaccard_sweep",
@@ -319,13 +281,51 @@ DRIVER_ORDER: list[str] = [
     "ts_seasonal_naive",
     "ts_sessionize",
     "w1_sliding_features",
-    "dedup_survivor_policy",
-    "dedup_survivor_policy_census",
-    "decontaminate_by_benchmark",
-    "corpus_release_packed",
-    "corpus_release_diff",
-    "corpus_release_policy_delta",
-    "corpus_release_card",
+    "decontaminate_attribution",
+    "decontaminate_scrub",
+    "dedup_cluster_purity",
+    "dedup_survivorship",
+    "dq_benford_audit",
+    "dq_crossmodal_consistency",
+    "dq_expectations",
+    "dq_key_uniqueness",
+    "dq_referential_integrity",
+    "dq_schema_profile",
+    "emb_centroid_drift",
+    "emb_dim_stats",
+    "emb_hamming_recall",
+    "emb_hamming_topk",
+    "emb_index_manifest",
+    "emb_matryoshka_fidelity",
+    "emb_norm_profile",
+    "emb_pq_distortion",
+    "emb_random_projection",
+    "ml_ab_welch",
+    "rel_bilateral_trade",
+    "rel_customer_percentile",
+    "rel_customer_rfm",
+    "rel_disjunctive_revenue",
+    "rel_dominant_supplier",
+    "rel_forecast_revenue",
+    "rel_grouping_sets",
+    "rel_important_parts",
+    "rel_join_cardinality_check",
+    "rel_large_orders",
+    "rel_market_basket",
+    "rel_market_share",
+    "rel_min_cost_supplier",
+    "rel_order_count_distribution",
+    "rel_pareto_abc",
+    "rel_pivot_priority_year",
+    "rel_priority_semijoin",
+    "rel_product_profit",
+    "rel_promo_revenue",
+    "rel_returned_revenue",
+    "rel_rolling_revenue",
+    "rel_ship_lag_priority",
+    "rel_ship_latency_percentiles",
+    "w3_sampling_strategies",
+    "xai_methods_ndcg",
 ]
 
 

@@ -47,13 +47,21 @@ _FAMILY_PRIORITY = ("rel_", "dq_", "emb_", "sim_", "ml_", "text_", "ts_", "dedup
 # by the current round's fixes) — their stale certification is worthless, so
 # they sort ahead of the plain least-recently-recorded rotation. Update this
 # set each round; names not in the registry are ignored.
-_FORCE_RERECORD: set[str] = set()
-# r10: empty — no r10 code change moves any existing query's results:
-# the decontaminate_spans refactor only factors its span CTEs into the
-# shared _CONTAM_SPAN_CTES constant and its Spark body into
-# _contam_span_fresh (same expressions; full-registry oracle record
-# confirms), and the builder_salt transitive walk only re-fingerprints
-# /tmp artifacts whose CONTENT is pinned identical to fresh compute.
+_FORCE_RERECORD: set[str] = {
+    # r11: the eval-source ship exclusion (ADVICE r10) changes the release
+    # manifest's schema/ship set, the funnel's rows (new stage + terminal
+    # row measured from the shipped dataset), the dataset's doc set, the
+    # token table's source set, and the attribution's schema — their r10
+    # driver records certify superseded results, so they outrank the plain
+    # least-recently-recorded rotation. The window-total rewrite (VERDICT
+    # r10 item 3) changes NO values, only plans, so those queries are not
+    # listed.
+    "corpus_release_manifest",
+    "corpus_release_funnel",
+    "corpus_release_dataset",
+    "corpus_release_tokens",
+    "corpus_release_attribution",
+}
 # r10-safe: matches CORRECTNESS_r12.json, not CORRECTNESS_LOCAL_r05.json.
 _RECORD_RE = re.compile(r"^CORRECTNESS_r(\d+)\.json$")
 
