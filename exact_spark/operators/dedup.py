@@ -4255,13 +4255,16 @@ def dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH pol AS MATERIALIZED ({_survivor_policy_sql()})
     SELECT CAST(count(*) AS BIGINT) AS n_components,
-           CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_changed,
-           CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS DOUBLE)
-               / count(*) AS frac_changed,
-           CAST(sum(chars_min_id) AS BIGINT) AS chars_min_id_total,
-           CAST(sum(chars_policy) AS BIGINT) AS chars_policy_total,
-           CAST(sum(chars_delta) AS BIGINT) AS chars_delta_total
+           CAST(COALESCE(sum(CASE WHEN changed THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_changed,
+           CASE WHEN count(*) = 0 THEN NULL
+                ELSE CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) END AS frac_changed,
+           CAST(COALESCE(sum(chars_min_id), 0) AS BIGINT)
+               AS chars_min_id_total,
+           CAST(COALESCE(sum(chars_policy), 0) AS BIGINT)
+               AS chars_policy_total,
+           CAST(COALESCE(sum(chars_delta), 0) AS BIGINT) AS chars_delta_total
     FROM pol
     """,
     doc="The one-row census over dedup_survivor_policy a keeper-policy "
@@ -4273,18 +4276,29 @@ def dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_survivor_policy_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     pol = dedup_survivor_policy(spark, sf_dir)
+    n = F.count(F.lit(1))
+    # zero guards: a dup-free corpus has no components — every sum
+    # coalesces to 0 and the changed fraction is NULL, not 0/0 (the same
+    # degenerate-input discipline as the token-share guard)
     return pol.agg(
-        F.count(F.lit(1)).cast("long").alias("n_components"),
-        F.sum(F.when(F.col("changed"), 1).otherwise(0))
+        n.cast("long").alias("n_components"),
+        F.coalesce(F.sum(F.when(F.col("changed"), 1).otherwise(0)), F.lit(0))
         .cast("long")
         .alias("n_changed"),
-        (
-            F.sum(F.when(F.col("changed"), 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("frac_changed"),
-        F.sum("chars_min_id").cast("long").alias("chars_min_id_total"),
-        F.sum("chars_policy").cast("long").alias("chars_policy_total"),
-        F.sum("chars_delta").cast("long").alias("chars_delta_total"),
+        F.when(n == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.sum(F.when(F.col("changed"), 1).otherwise(0)).cast("double") / n
+        )
+        .alias("frac_changed"),
+        F.coalesce(F.sum("chars_min_id"), F.lit(0))
+        .cast("long")
+        .alias("chars_min_id_total"),
+        F.coalesce(F.sum("chars_policy"), F.lit(0))
+        .cast("long")
+        .alias("chars_policy_total"),
+        F.coalesce(F.sum("chars_delta"), F.lit(0))
+        .cast("long")
+        .alias("chars_delta_total"),
     )
 
 

@@ -261,3 +261,78 @@ def test_release_layer_on_all_holdout_corpus(spark, tmp_path_factory):
 
     assert corpus_release_dataset(spark, d).count() == 0
     assert corpus_release_tokens(spark, d).count() == 0
+
+
+def test_survivor_policy_on_dup_free_corpus(spark, tmp_path_factory):
+    """A corpus with no duplicate pairs has NO components: the policy
+    table is empty and the census degrades to zeros with a NULL changed
+    fraction (never 0/0) — the degenerate-input contract."""
+    from exact_spark.operators.dedup import (
+        dedup_survivor_policy,
+        dedup_survivor_policy_census,
+    )
+
+    words = [
+        "apple banana cherry damson elder fig grape haw ivy jujube",
+        "kale lemon mango nutmeg olive peach quince radish sage thyme",
+        "ugli vanilla walnut xigua yam zucchini basil chive dill endive",
+        "fennel ginger horseradish iceberg jalapeno kohlrabi leek mint",
+    ]
+    docs = [
+        (100 + i, (w + " ") * 8, "srcA") for i, w in enumerate(words)
+    ]
+    d = _write_sourced_docs(tmp_path_factory, docs)
+    assert dedup_survivor_policy(spark, d).count() == 0
+    c = dedup_survivor_policy_census(spark, d).toPandas().iloc[0]
+    assert c.n_components == 0 and c.n_changed == 0
+    assert c.chars_min_id_total == 0 and c.chars_policy_total == 0
+    assert c.chars_delta_total == 0
+    import pandas as pd
+
+    assert pd.isna(c.frac_changed)
+
+
+def test_benchmark_attribution_without_eval_source(spark, tmp_path_factory):
+    """No eval-source docs -> no benchmarks: the per-benchmark table is
+    EMPTY (the census drives the output), not an error."""
+    from exact_spark.operators.dedup import decontaminate_by_benchmark
+
+    long_a = "golf hotel india juliet kilo lima " * 3
+    d = _write_sourced_docs(
+        tmp_path_factory, [(100, long_a, "src7"), (101, long_a, "src8")]
+    )
+    assert decontaminate_by_benchmark(spark, d).count() == 0
+
+
+def test_r11_release_reads_on_all_holdout_corpus(spark, tmp_path_factory):
+    """The r11 release reads degrade like their r10 siblings on a corpus
+    that ships nothing: packed is empty, the policy delta shows zero
+    shipping under BOTH keeper policies, and the card's one row carries
+    zero shipped mass with a 0.0 ship rate."""
+    from exact_spark.operators.dedup import (
+        _EVAL_N,
+        corpus_release_card,
+        corpus_release_packed,
+        corpus_release_policy_delta,
+    )
+
+    docs = [
+        (i, f"holdout document number {i} with words " + "pad " * (20 + i), f"src{i % 2 + 1}")
+        for i in range(4)
+    ]
+    assert all(i < _EVAL_N for i, _, _ in docs)
+    d = _write_sourced_docs(tmp_path_factory, docs)
+
+    assert corpus_release_packed(spark, d).count() == 0
+
+    delta = corpus_release_policy_delta(spark, d).toPandas()
+    assert delta.n_ship_min_id.sum() == 0 and delta.n_ship_policy.sum() == 0
+    assert delta.n_enter.sum() == 0 and delta.n_leave.sum() == 0
+    assert delta.chars_min_id.sum() == 0 and delta.chars_policy.sum() == 0
+
+    card = corpus_release_card(spark, d).toPandas().iloc[0]
+    assert card.n_docs_raw == 4 and card.n_docs_shipped == 0
+    assert card.ship_rate == 0.0
+    assert card.n_sources_shipped == 0
+    assert card.chars_shipped == 0 and card.tokens_shipped == 0
+    assert card.chars_excised == 0
