@@ -402,3 +402,59 @@ def test_release_card_reconciles_layers(spark):
         + card.n_dropped_dedup
         + card.n_dropped_curation
     )
+
+
+def test_merge_islands_keyed_equals_interval_merge(spark):
+    """Property check of the by-benchmark decomposition's core identity,
+    on randomized position sets (fixed seed): for ANY assignment of hit
+    positions to benchmarks, island-merging per (benchmark, doc) and then
+    interval-merging the union per doc equals island-merging the pooled
+    positions per doc — i.e. per-benchmark span tables lose nothing and
+    invent nothing relative to the pooled census."""
+    import random
+
+    from exact_spark.operators.dedup import _SUB_L, _merge_islands
+
+    rng = random.Random(42)
+    rows = []
+    for doc in range(25):
+        n = rng.randint(0, 40)
+        positions = sorted(rng.sample(range(1, 2000), n)) if n else []
+        for pos in positions:
+            for bench in set(
+                rng.choices(["a", "b", "c"], k=rng.randint(1, 3))
+            ):
+                rows.append((bench, doc, pos))
+    df = spark.createDataFrame(rows, "benchmark string, doc_id long, pos long")
+
+    per_bench = _merge_islands(df, keys=("benchmark", "doc_id")).collect()
+    pooled = _merge_islands(df.select("doc_id", "pos").distinct()).collect()
+
+    def merge(spans):
+        out = []
+        for s, e in sorted(spans):
+            if out and s <= out[-1][1] + 1:
+                out[-1][1] = max(out[-1][1], e)
+            else:
+                out.append([s, e])
+        return [(s, e) for s, e in out]
+
+    union: dict[int, list] = {}
+    for r in per_bench:
+        union.setdefault(r.doc_id, []).append((r.s, r.e))
+    got = {d: merge(sp) for d, sp in union.items()}
+    want: dict[int, list] = {}
+    for r in pooled:
+        want.setdefault(r.doc_id, []).append((r.s, r.e))
+    want = {d: sorted(sp) for d, sp in want.items()}
+    assert got == want
+    # and every per-benchmark span is a maximal island of its own slice:
+    # no two spans of one (benchmark, doc) overlap or sit within L of
+    # each other (the island gap rule)
+    per: dict[tuple, list] = {}
+    for r in per_bench:
+        per.setdefault((r.benchmark, r.doc_id), []).append((r.s, r.e))
+    for sp in per.values():
+        sp.sort()
+        for (s1, e1), (s2, e2) in zip(sp, sp[1:]):
+            assert s2 > e1 + 1  # disjoint, non-adjacent islands
