@@ -458,46 +458,72 @@ def _simhash_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     sims = _simhash_df(spark, sf_dir)
-    probes = _simhash_probes(spark, sf_dir)
-    # one shuffle keyed on probe (a self-join would shuffle the probe table
-    # twice and recompute the signature aggregation per side); capped
-    # bucket lists expand to pairs in place
+
+    def flip(p: int) -> Column:
+        flipped = F.when(F.substring("simhash", p, 1) == "1", F.lit("0")).otherwise(
+            F.lit("1")
+        )
+        return F.concat(
+            F.substring("simhash", 1, p - 1),
+            flipped,
+            F.expr(f"substring(simhash, {p + 1})"),
+        )
+
+    # Carry the SIGNATURE through the probe rows (guide §8: move the
+    # decision metadata with the key) so the Hamming recheck reads it
+    # in-row from the bucket list — the former shape re-joined the
+    # candidate pairs against two more copies of the signature table,
+    # which re-ran the tokenize+md5+vote aggregation (the dominant corpus
+    # pass) THREE times and paid two join exchanges; this one runs it
+    # once. One shuffle keyed on probe; capped bucket lists expand to
+    # pairs in place with both signatures at hand.
+    probes = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(F.col("simhash"), *[flip(p) for p in range(1, _SIMHASH_BITS + 1)])
+        ).alias("probe"),
+    )
     grouped = (
         probes.groupBy("probe")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ids")
+        )
         .filter((F.size("ids") > 1) & (F.size("ids") <= _LSH_BUCKET_CAP))
     )
+
     pair_arr = F.flatten(
         F.transform(
             F.col("ids"),
             lambda x, i: F.transform(
                 F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["simhash"].alias("ha"),
+                    y["simhash"].alias("hb"),
+                ),
             ),
         )
     )
-    cand = (
-        grouped.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+    # Hamming OUTSIDE the lambda: higher-order array functions run
+    # interpreted, so the recheck lives in the codegen'd Project after the
+    # explode — and as one xor+popcount over the parsed bit strings, not
+    # 32 substring compares. Identical value: bit_count(a^b) IS the
+    # per-position disagreement count of two equal-length bit strings.
+    ham = F.bit_count(
+        F.conv(F.col("p.ha"), 2, 10)
+        .cast("long")
+        .bitwiseXOR(F.conv(F.col("p.hb"), 2, 10).cast("long"))
     )
-    sa, sb = sims.alias("sa"), sims.alias("sb")
-    hamming = sum(
-        (
-            F.when(
-                F.substring(F.col("sa.simhash"), p, 1)
-                != F.substring(F.col("sb.simhash"), p, 1),
-                1,
-            ).otherwise(0)
-            for p in range(1, _SIMHASH_BITS + 1)
-        ),
-        F.lit(0),
-    )
+    # hamming is a function of the pair, so filtering before the distinct
+    # yields exactly the rows the old join+filter produced — with the
+    # recheck now pruning candidate copies BEFORE the dedup exchange
     return (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= _SIMHASH_MAX_HD)
+        .distinct()
     )
 
 

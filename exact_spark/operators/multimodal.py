@@ -933,8 +933,17 @@ _SQL_PHASH = f"""
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     hashes = _phash_df(spark, sf_dir)
+    # Carry the HASH through the band probes (guide §8: move the decision
+    # metadata with the key): the Hamming recheck reads both hashes
+    # in-row from the bucket list, so the per-byte posexplode + 66-way
+    # vote aggregation behind _phash_df runs ONCE instead of three times
+    # (probe branch + one re-join per pair side), and both join
+    # exchanges disappear. Unlike the simhash Hamming ball, a shared
+    # band does NOT bound the full-width distance, so the recheck here
+    # also prunes candidates before the pair-dedup exchange.
     probes = hashes.select(
         "doc_id",
+        "phash",
         F.explode(
             F.array(
                 *[
@@ -948,43 +957,41 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("p"),
-    ).select("doc_id", "p.band", "p.val")
+    ).select("doc_id", "phash", "p.band", "p.val")
     grouped = (
         probes.groupBy("band", "val")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "phash"))).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= _PHASH_BUCKET_CAP))
     )
+
     pair_arr = F.flatten(
         F.transform(
             F.col("ids"),
             lambda x, i: F.transform(
                 F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["phash"].alias("ha"),
+                    y["phash"].alias("hb"),
+                ),
             ),
         )
     )
-    cand = (
-        grouped.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
-    ha, hb = hashes.alias("ha"), hashes.alias("hb")
-    hamming = sum(
-        (
-            F.when(
-                F.substring(F.col("ha.phash"), p, 1)
-                != F.substring(F.col("hb.phash"), p, 1),
-                1,
-            ).otherwise(0)
-            for p in range(1, _PHASH_BITS + 1)
-        ),
-        F.lit(0),
+    # Hamming OUTSIDE the lambda (higher-order array functions are
+    # interpreted; this Project is codegen'd) and as one xor+popcount
+    # over the parsed bit strings — identical value to the 32-position
+    # compare: bit_count(a^b) IS the disagreement count.
+    ham = F.bit_count(
+        F.conv(F.col("p.ha"), 2, 10)
+        .cast("long")
+        .bitwiseXOR(F.conv(F.col("p.hb"), 2, 10).cast("long"))
     )
     return (
-        cand.join(ha, F.col("doc_a") == F.col("ha.doc_id"))
-        .join(hb, F.col("doc_b") == F.col("hb.doc_id"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= _PHASH_MAX_HD)
+        .distinct()
     )
 
 

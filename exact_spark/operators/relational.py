@@ -1207,11 +1207,22 @@ _MB_BASKET_CAP = 30  # skew guard: a basket of B items expands to B^2/2 pairs
 def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = io.load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    grouped = (
-        items.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
-        .filter((F.size("parts") >= 2) & (F.size("parts") <= _MB_BASKET_CAP))
+    # ONE pass over the fact table (guide §1.2 / §8): the old shape
+    # derived items = distinct(orderkey, partkey) FOUR times (basket
+    # grouping, two census sides, the order count) — four lineitem scans
+    # and four distinct exchanges per query. collect_set folds the
+    # distinct INTO the one per-order aggregation (map-side combined), and
+    # the small per-order frame — one row per order, exactly the "decide
+    # on small rows" proxy — is cached for its three consumers.
+    # sort_array(collect_set(..)) == sort_array(collect_list over the
+    # distinct pairs), so every downstream value is unchanged.
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .cache()
+    )
+    grouped = baskets.filter(
+        (F.size("parts") >= 2) & (F.size("parts") <= _MB_BASKET_CAP)
     )
     pair_structs = F.flatten(
         F.transform(
@@ -1228,8 +1239,15 @@ def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .filter(F.col("n_baskets") >= _MB_MIN_SUPPORT)
     )
-    ic = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    n_orders = items.select("l_orderkey").distinct().count()
+    # per-part distinct-order census and the order count, both read from
+    # the cached basket frame (the census explodes the already-distinct
+    # per-order part sets — identical to counting the old items rows)
+    ic = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_orders = baskets.count()
     j = pairs.join(
         F.broadcast(ic.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("n_a"))),
         "part_a",
