@@ -43,12 +43,22 @@ def cross_validate(
     """Per-fold train/eval (the reference's StratifiedKFold CV loop,
     XGBoost.py:431-470 shape): fit on k-1 folds, score the held-out fold,
     G1/G2 metrics per fold."""
+    from concurrent.futures import ThreadPoolExecutor
+
     par = df.sparkSession.sparkContext.defaultParallelism
     # repartition before caching: the fold window leaves few partitions;
     # every per-fold fit/eval job should run parallel from the cache
     folded = stratified_kfold(df, label_col, k, seed).repartition(min(par, 8)).cache()
-    out = []
-    for fold in range(k):
+    # materialize the cache ONCE before fanning out, so the concurrent
+    # fold branches read it instead of racing to build it
+    folded.count()
+
+    def one_fold(fold: int) -> dict:
+        # each fold's fit/eval is independent of the others, so the k
+        # iteration-bound (individually under-parallel) MLlib fits run
+        # CONCURRENTLY over the shared cache — the ml_supervised_e2e
+        # branch pattern; fold assignment, fits and metrics are
+        # deterministic, so the rows are byte-identical to the serial loop
         train = folded.filter(F.col(FOLD_COL) != fold)
         test = folded.filter(F.col(FOLD_COL) == fold)
         model = model_factory()
@@ -68,15 +78,16 @@ def cross_validate(
         n = tp + tn + fp + fn
         prec = tp / (tp + fp) if tp + fp else 0.0
         rec = tp / (tp + fn) if tp + fn else 0.0
-        out.append(
-            {
-                "fold": fold,
-                "tp": tp, "tn": tn, "fp": fp, "fn": fn,
-                "accuracy": round((tp + tn) / n, 4) if n else 0.0,
-                "precision": round(prec, 4),
-                "recall": round(rec, 4),
-                "f1": round(2 * prec * rec / (prec + rec), 4) if prec + rec else 0.0,
-            }
-        )
+        return {
+            "fold": fold,
+            "tp": tp, "tn": tn, "fp": fp, "fn": fn,
+            "accuracy": round((tp + tn) / n, 4) if n else 0.0,
+            "precision": round(prec, 4),
+            "recall": round(rec, 4),
+            "f1": round(2 * prec * rec / (prec + rec), 4) if prec + rec else 0.0,
+        }
+
+    with ThreadPoolExecutor(k) as ex:
+        out = list(ex.map(one_fold, range(k)))
     folded.unpersist()
     return out

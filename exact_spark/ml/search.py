@@ -103,9 +103,15 @@ def param_search(
     )
     train = folded.filter(F.col(FOLD_COL) != 0)
     heldout = folded.filter(F.col(FOLD_COL) == 0)
+    # materialize the cache ONCE before fanning out, so the concurrent
+    # candidate branches read it instead of racing to build it
+    folded.count()
 
-    results = []
-    for combo in sample_grid(grid, n_iter, seed):
+    def one_candidate(combo: dict) -> dict:
+        # candidates are independent: run the (individually under-parallel,
+        # iteration-bound) MLlib fits CONCURRENTLY over the shared cache —
+        # the ml_supervised_e2e branch pattern; fits and metrics are
+        # deterministic, so the rows are byte-identical to the serial loop
         model = get_model(algo, seed=seed, params=combo)
         model.run(train, feature_cols, label_col)
         det = model.detect(heldout, feature_cols).select("id", "predicted")
@@ -127,15 +133,19 @@ def param_search(
         prec = tp / (tp + fp) if tp + fp else 0.0
         rec = tp / (tp + fn) if tp + fn else 0.0
         f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
-        results.append(
-            {
-                "params": json.dumps(combo, sort_keys=True),
-                "f1": round(f1, 4),
-                "precision": round(prec, 4),
-                "recall": round(rec, 4),
-                "selected": False,
-            }
-        )
+        return {
+            "params": json.dumps(combo, sort_keys=True),
+            "f1": round(f1, 4),
+            "precision": round(prec, 4),
+            "recall": round(rec, 4),
+            "selected": False,
+        }
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    combos = sample_grid(grid, n_iter, seed)
+    with ThreadPoolExecutor(max(len(combos), 1)) as ex:
+        results = list(ex.map(one_candidate, combos))
     folded.unpersist()
 
     best_i = max(range(len(results)), key=lambda i: (results[i]["f1"], results[i]["params"]))

@@ -708,7 +708,7 @@ def components_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to dedup_components — the builder — so every composed oracle
     stays valid)."""
     tune_session(spark)
-    return spark.read.parquet(components_path(spark, sf_dir))
+    return io.read_parquet_memo(spark, components_path(spark, sf_dir))
 
 
 # --- benchmark decontamination ----------------------------------------------
@@ -2262,7 +2262,7 @@ def pair_table(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
     (content identical to the registered builder query — see the module
     comment above)."""
     tune_session(spark)
-    return spark.read.parquet(pair_table_path(spark, sf_dir, method))
+    return io.read_parquet_memo(spark, pair_table_path(spark, sf_dir, method))
 
 
 # --- exact substring-span dedup (Lee et al. 2021) ----------------------------
@@ -2474,7 +2474,7 @@ def substring_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to _substring_span_table — pinned in tests/test_r09_ops.py
     — so the composed scrub oracle stays valid)."""
     tune_session(spark)
-    return spark.read.parquet(substring_span_path(spark, sf_dir))
+    return io.read_parquet_memo(spark, substring_span_path(spark, sf_dir))
 
 
 # In-row reassembly of the non-duplicated text: fold the doc's sorted span
@@ -3262,7 +3262,7 @@ def contam_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (content identical to _contam_span_fresh — pinned in
     tests/test_r10_ops.py — so the composed scrub oracle stays valid)."""
     tune_session(spark)
-    return spark.read.parquet(contam_span_path(spark, sf_dir))
+    return io.read_parquet_memo(spark, contam_span_path(spark, sf_dir))
 
 
 def _decon_scrub_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4117,7 +4117,7 @@ def release_manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to corpus_release_manifest — pinned in tests/test_r10_ops.py
     — so every composed oracle stays valid)."""
     tune_session(spark)
-    return spark.read.parquet(release_manifest_path(spark, sf_dir))
+    return io.read_parquet_memo(spark, release_manifest_path(spark, sf_dir))
 
 
 def release_dataset_path(spark: SparkSession, sf_dir: str) -> str:
@@ -4138,7 +4138,7 @@ def release_dataset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shipped dataset served from its per-corpus artifact (content
     identical to corpus_release_dataset, the builder)."""
     tune_session(spark)
-    return spark.read.parquet(release_dataset_path(spark, sf_dir))
+    return io.read_parquet_memo(spark, release_dataset_path(spark, sf_dir))
 
 
 # --- quality-aware survivor selection (r11) -------------------------------------

@@ -2640,7 +2640,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to sim_knn_graph — the builder — so every composed oracle
     stays valid)."""
     tune_session(spark)
-    return spark.read.parquet(knn_graph_path(spark, sf_dir))
+    return io.read_parquet_memo(spark, knn_graph_path(spark, sf_dir))
 
 
 # --- embedding norm distribution ----------------------------------------------

@@ -151,7 +151,7 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The document profile served from the per-corpus artifact (content
     identical to text_profile — every composed oracle stays valid)."""
     tune_session(spark)
-    return spark.read.parquet(profile_table_path(spark, sf_dir))
+    return io.read_parquet_memo(spark, profile_table_path(spark, sf_dir))
 
 
 def _text_profile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -180,7 +180,7 @@ def canonical_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized table (see ``canonical_table_path``)."""
     tune_session(spark)
     path = canonical_table_path(spark, sf_dir)
-    return spark.read.parquet(path).select(*_CANON_COLS)
+    return io.read_parquet_memo(spark, path).select(*_CANON_COLS)
 
 
 def canonical_events_range(
@@ -193,7 +193,7 @@ def canonical_events_range(
     table. The exact epoch bounds then push into the surviving scans."""
     tune_session(spark)
     path = canonical_table_path(spark, sf_dir)
-    df = spark.read.parquet(path)
+    df = io.read_parquet_memo(spark, path)
     lo = F.to_date(F.timestamp_seconds(F.lit(float(t0))))
     if canonical_granularity(path) == "month":
         # month dirs: a dir dated the 1st holds the whole month, so the
@@ -267,7 +267,7 @@ _T1 = 1705708800.0  # 2024-01-20 00:00:00 UTC
 def ts_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     path = canonical_table_path(spark, sf_dir)
-    df = spark.read.parquet(path)
+    df = io.read_parquet_memo(spark, path)
     lo = F.to_date(F.timestamp_seconds(F.lit(_T0)))
     if canonical_granularity(path) == "month":
         # month dirs: a dir dated the 1st holds the whole month, so the

@@ -27,6 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from exact_spark import io
 from exact_spark.functions import sql_fround
 from exact_spark.registry import register
 
@@ -155,7 +156,7 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )(_bounded_events(spark, sf_dir, days=2.0, user_mod=5)),
             chunks=2,
         )
-        schema = spark.read.parquet(src).schema
+        schema = io.read_parquet_memo(spark, src).schema
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -236,7 +237,7 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: _bounded_events(spark, sf_dir, days=3.0, user_mod=5),
             chunks=2,
         )
-        schema = spark.read.parquet(src).schema
+        schema = io.read_parquet_memo(spark, src).schema
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -290,7 +291,7 @@ def stream_online_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: _bounded_events(spark, sf_dir, days=4.0, user_mod=5),
             chunks=1,
         )
-        schema = spark.read.parquet(src).schema
+        schema = io.read_parquet_memo(spark, src).schema
         stream = spark.readStream.schema(schema).parquet(src)
         scored = streaming_zscore_detector(
             stream, threshold=2.5, min_obs=10, key_col="user_id"
@@ -474,7 +475,7 @@ def stream_cms_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: _bounded_events(spark, sf_dir, days=3.0, user_mod=3),
             chunks=3,
         )
-        schema = spark.read.parquet(src).schema
+        schema = io.read_parquet_memo(spark, src).schema
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -497,7 +498,7 @@ def stream_cms_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
 
-        staged = spark.read.parquet(src)
+        staged = io.read_parquet_memo(spark, src)
         direct = {
             (r["r"], r["idx"]): r["c"] for r in _user_cms_cells(staged).collect()
         }
@@ -566,7 +567,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             chunks=2,
         )
-        schema = spark.read.parquet(src).schema
+        schema = io.read_parquet_memo(spark, src).schema
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -635,7 +636,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: _bounded_events(spark, sf_dir, days=4.0, user_mod=5),
             chunks=2,
         )
-        schema = spark.read.parquet(slice_dir).schema
+        schema = io.read_parquet_memo(spark, slice_dir).schema
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -761,7 +762,7 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: _bounded_events(spark, sf_dir, days=3.0, user_mod=3),
             chunks=3,
         )
-        schema = spark.read.parquet(src).schema
+        schema = io.read_parquet_memo(spark, src).schema
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -785,7 +786,7 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         direct = {
             r["bin"]: r["c"]
-            for r in spark.read.parquet(src)
+            for r in io.read_parquet_memo(spark, src)
             .groupBy(bin_col())
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
@@ -865,7 +866,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: _bounded_events(spark, sf_dir, days=3.0, user_mod=2, with_type=True),
             chunks=2,
         )
-        schema = spark.read.parquet(src).schema
+        schema = io.read_parquet_memo(spark, src).schema
 
         def reader():
             return (
@@ -976,7 +977,7 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: _bounded_events(spark, sf_dir, days=3.0, user_mod=5),
             chunks=2,
         )
-        schema = spark.read.parquet(src).schema
+        schema = io.read_parquet_memo(spark, src).schema
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)

@@ -61,7 +61,9 @@ def stage_stream_source(df: DataFrame, path: str, chunks: int) -> None:
 def read_replay_stream(
     spark: SparkSession, path: str, files_per_trigger: int = 1
 ) -> DataFrame:
-    schema = spark.read.parquet(path).schema
+    from exact_spark import io as _io
+
+    schema = _io.read_parquet_memo(spark, path).schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", files_per_trigger)
