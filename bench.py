@@ -230,9 +230,13 @@ def main() -> None:
         fn = REGISTRY[name].fn
 
         def run() -> tuple[float, int]:
+            # label the query's jobs in the UI/event log (guide §1.5);
+            # free, and makes any profiling run attributable per query
+            spark.sparkContext.setJobDescription(f"bench: {name}")
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()  # materialize the full result
             dt = time.perf_counter() - t0
+            spark.sparkContext.setJobDescription(None)
             # isolate queries: cached frames from one query otherwise survive
             # into the next, making timings order-dependent and prone to
             # mid-suite eviction churn

@@ -67,6 +67,14 @@ def get_spark(
     return builder.getOrCreate()
 
 
+#: applicationIds already tuned — tune_session is called at the top of
+#: every registered query (and again by every helper it composes), and
+#: each call is ~a dozen py4j conf.set round-trips; across a 266-query
+#: suite that is seconds of pure driver chatter for settings that never
+#: change within a session. The set makes repeat calls free.
+_TUNED_APPS: set[str] = set()
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an externally-created
     session (the driver hands us one); safe and idempotent.
@@ -77,8 +85,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
     an untuned session defaults to 200, which turns every small shuffle
     into 200 near-empty tasks locally, while on a big cluster the
     defaultParallelism-based value scales up with the executor count (AQE
-    coalescing then trims per-query).
+    coalescing then trims per-query). Applied once per session
+    (memoized on applicationId); the streaming demos' temporary
+    shuffle-partition override restores the tuned value itself, so
+    skipping repeat calls cannot serve a stale partition count.
     """
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # pragma: no cover - stopped/exotic session
+        app = None
+    if app is not None and app in _TUNED_APPS:
+        return spark
     for k, v in DEFAULT_CONF.items():
         if k == "spark.ui.enabled":  # static conf; only settable at build
             continue
@@ -91,4 +108,6 @@ def tune_session(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.shuffle.partitions", str(max(par, 8)))
     except Exception:  # pragma: no cover
         pass
+    if app is not None:
+        _TUNED_APPS.add(app)
     return spark

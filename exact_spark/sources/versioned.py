@@ -297,9 +297,25 @@ def catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t.compact(target_files=1, note="bin-pack")
 
-        # every snapshot re-read AFTER all commits (time travel)
-        counts = {v: t.read(v).count() for v in t.versions()}
-        flags = {v: t.read(v).filter("flag").count() for v in t.versions()}
+        # every snapshot re-read AFTER all commits (time travel) — all
+        # versions tagged and unioned so the whole census is ONE action
+        # (count + flagged-count per version in the same aggregate; the
+        # former per-version count()/filter().count() loop ran 8 jobs)
+        tagged = None
+        for v in t.versions():
+            piece = t.read(v).select(F.lit(v).alias("__v"), "flag")
+            tagged = piece if tagged is None else tagged.unionByName(piece)
+        stats = {
+            r["__v"]: (r["n"], r["nf"])
+            for r in tagged.groupBy("__v")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("flag").cast("long")).alias("nf"),
+            )
+            .collect()
+        }
+        counts = {v: int(stats[v][0]) for v in stats}
+        flags = {v: int(stats[v][1]) for v in stats}
         t.vacuum(keep_last=2)
         post_vacuum_latest = t.read().count()
         survivors = set(t.versions())
@@ -474,18 +490,44 @@ def catalog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.merge_upsert(updates.unionByName(d2), "event_id", note="cdc apply")
 
         v1, v2 = t.read(1), t.read(2)
-        j = (
-            v1.select("event_id", F.col("value").alias("old_v"))
-            .join(v2.select("event_id", F.col("value").alias("new_v")), "event_id")
+        # ONE full-outer join aggregate replaces the former five separate
+        # count actions (per-side counts, inner-join changed count,
+        # anti-join inserted count): event_id is unique per version, so
+        # side-presence markers recover every census exactly
+        fo = v1.select(
+            "event_id", F.col("value").alias("old_v"), F.lit(1).alias("in1")
+        ).join(
+            v2.select(
+                "event_id", F.col("value").alias("new_v"), F.lit(1).alias("in2")
+            ),
+            "event_id",
+            "full_outer",
         )
+        r = fo.agg(
+            F.sum("in1").cast("long").alias("v1_rows"),
+            F.sum("in2").cast("long").alias("v2_rows"),
+            F.sum(
+                F.when(
+                    F.col("in1").isNotNull()
+                    & F.col("in2").isNotNull()
+                    & (F.col("new_v") != F.col("old_v")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_updated"),
+            F.sum(F.when(F.col("in1").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_inserted"),
+        ).collect()[0]
         out = spark.createDataFrame(
             [
                 {
-                    "v1_rows": v1.count(),
-                    "v2_rows": v2.count(),
-                    "n_updated": j.filter(F.col("new_v") != F.col("old_v")).count(),
-                    "n_inserted": v2.join(v1, "event_id", "left_anti").count(),
-                    "v1_stable": v1.count()
+                    "v1_rows": int(r["v1_rows"]),
+                    "v2_rows": int(r["v2_rows"]),
+                    "n_updated": int(r["n_updated"]),
+                    "n_inserted": int(r["n_inserted"]),
+                    "v1_stable": int(r["v1_rows"])
                     == t.read(1).count(),  # time travel intact post-merge
                 }
             ]
