@@ -23,6 +23,15 @@ DEFAULT_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # guide §3.1/§9: let the planner pick shuffled-hash over sort-merge
+    # when its size conditions hold — skips both sort passes on joins
+    # whose per-partition build side fits (results unaffected; the one
+    # deliberate sort-merge demo, rel_order_priority_smj, pins its
+    # strategy with an explicit merge hint)
+    "spark.sql.join.preferSortMergeJoin": "false",
+    # guide §6: zstd for everything we write (catalog tables, artifacts)
+    # — smaller than snappy at similar read speed
+    "spark.sql.parquet.compression.codec": "zstd",
     # events.parquet timestamp storage has varied across testdata
     # generations: TIMESTAMP(NANOS) needs the legacy long-ns read (Spark
     # rejects NANOS otherwise); micros arrive as TIMESTAMP_NTZ. Both are
