@@ -1286,8 +1286,12 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ch"),
     )
-    cnt = chunks.groupBy("ch").agg(F.count(F.lit(1)).alias("c"))
-    j = chunks.join(cnt, "ch")
+    # corpus census as a window count over the chunk-hash partitioning:
+    # the previous groupBy + join-back consumed `chunks` twice, re-running
+    # the tokenize + chunk explode over the corpus for each side
+    j = chunks.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("ch"))
+    )
     per_doc = j.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
@@ -1914,51 +1918,72 @@ def text_chunk_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = io.load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_col().alias("t"))
-    # filter BEFORE chunking: Spark's sequence(1, 0) descends instead of
-    # being empty, so a short doc would fabricate phantom chunks
-    chunks = toks.filter(F.size("t") >= _CHUNK_TOKENS).select(
+    # ONE tokenize pass: the previous shape consumed `toks`/`chunks` three
+    # times (census, census join-back, tail), re-tokenizing the corpus for
+    # each. Full chunks AND the sub-chunk tail come out of one array
+    # expression; the corpus census is a window count over the chunk-hash
+    # partitioning (tails get a per-doc unique non-hex key, so they never
+    # collide with an md5 and always count 1); stats and reassembly are
+    # ONE conditional per-doc aggregate.
+    # nfull guard stays: Spark's sequence(1, 0) descends instead of being
+    # empty, so a short doc would fabricate phantom chunks.
+    nfull = f"CAST(floor(size(t)/{_CHUNK_TOKENS}) AS INT)"
+    empty = "CAST(array() AS array<struct<pos:int,chtext:string,is_tail:boolean>>)"
+    rows = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, CAST(floor(size(t)/{_CHUNK_TOKENS}) AS INT)),"
-                f" i -> struct(i - 1 AS pos,"
-                f" concat_ws(' ', slice(t, (i-1)*{_CHUNK_TOKENS}+1, {_CHUNK_TOKENS})) AS chtext))"
+                f"concat("
+                f" CASE WHEN size(t) >= {_CHUNK_TOKENS} THEN"
+                f"  transform(sequence(1, {nfull}),"
+                f"   i -> struct(i - 1 AS pos,"
+                f"   concat_ws(' ', slice(t, (i-1)*{_CHUNK_TOKENS}+1, {_CHUNK_TOKENS})) AS chtext,"
+                f"   false AS is_tail))"
+                f" ELSE {empty} END,"
+                f" CASE WHEN size(t) > {nfull}*{_CHUNK_TOKENS} THEN"
+                f"  array(struct({nfull} AS pos,"
+                f"  concat_ws(' ', slice(t, {nfull}*{_CHUNK_TOKENS}+1,"
+                f"            size(t) - {nfull}*{_CHUNK_TOKENS})) AS chtext,"
+                f"  true AS is_tail))"
+                f" ELSE {empty} END)"
             )
         ).alias("s"),
-    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.chtext").alias("chtext"))
-    chunks = chunks.withColumn("h", F.md5("chtext"))
-    census = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
-    j = chunks.join(census, "h")
-    stats = j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias("n_removed"),
-    )
-    tail = toks.select(
+    ).select(
         "doc_id",
-        F.expr(f"CAST(floor(size(t)/{_CHUNK_TOKENS}) AS INT)").alias("pos"),
-        F.expr(
-            f"concat_ws(' ', slice(t, CAST(floor(size(t)/{_CHUNK_TOKENS}) AS INT)*{_CHUNK_TOKENS}+1,"
-            f" size(t) - CAST(floor(size(t)/{_CHUNK_TOKENS}) AS INT)*{_CHUNK_TOKENS}))"
-        ).alias("chtext"),
-    ).filter(F.expr(f"size(t) > CAST(floor(size(t)/{_CHUNK_TOKENS}) AS INT)*{_CHUNK_TOKENS}"))
-    kept = (
-        j.filter(F.col("c") == 1)
-        .select("doc_id", "pos", "chtext")
-        .unionByName(tail)
+        F.col("s.pos").alias("pos"),
+        F.col("s.chtext").alias("chtext"),
+        F.col("s.is_tail").alias("is_tail"),
     )
-    clean = kept.groupBy("doc_id").agg(
+    rows = rows.withColumn(
+        "h",
+        F.when(F.col("is_tail"), F.concat(F.lit("tail:"), F.col("doc_id")))
+        .otherwise(F.md5("chtext")),
+    ).withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    agg = rows.groupBy("doc_id").agg(
+        F.sum(F.when(~F.col("is_tail"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_chunks"),
+        F.sum(F.when(~F.col("is_tail") & (F.col("c") > 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "chtext"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_tail") | (F.col("c") == 1),
+                            F.struct("pos", "chtext"),
+                        )
+                    )
+                ),
                 lambda x: x["chtext"],
             ),
             " ",
-        ).alias("clean_text")
+        ).alias("clean_text"),
     )
     return (
         docs.select("doc_id")
-        .join(stats, "doc_id", "left")
-        .join(clean, "doc_id", "left")
+        .join(agg, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long").alias("n_chunks"),
@@ -2674,7 +2699,18 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = parts[0]
     for p in parts[1:]:
         sets = sets.unionByName(p)
-    sets = sets.distinct()
+    # ONE pass over the union: group each pair down to its sorted method
+    # set (collect_set also dedups, replacing the distinct()), then expand
+    # method singletons and ordered method pairs IN-ROW — the previous
+    # shape consumed the union three times (per-method counts + both
+    # sides of a pair self-join), re-reading all four pair-table
+    # artifacts for each. The grouped frame is pair-count-sized; cache it
+    # for its two consumers.
+    g = (
+        sets.groupBy("doc_a", "doc_b")
+        .agg(F.sort_array(F.collect_set("method")).alias("ms"))
+        .cache()
+    )
     # ADVICE r08: anchor the counts on a LITERAL method list so a method
     # that finds zero pairs still appears with n=0 — the matrix keeps its
     # fixed C(4,2)=6-row shape instead of silently shrinking
@@ -2682,21 +2718,19 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m,) for m in _PAIR_METHODS], "method string"
     )
     counts = meths.join(
-        sets.groupBy("method").agg(F.count(F.lit(1)).alias("n")),
+        g.select(F.explode("ms").alias("method"))
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n")),
         "method",
         "left",
     ).select("method", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
-    a, b = sets.alias("a"), sets.alias("b")
     inter = (
-        a.join(
-            b,
-            (F.col("a.doc_a") == F.col("b.doc_a"))
-            & (F.col("a.doc_b") == F.col("b.doc_b"))
-            & (F.col("a.method") < F.col("b.method")),
+        g.select(
+            F.explode(_self_pairs("ms", "method_a", "method_b")).alias("mp")
         )
         .groupBy(
-            F.col("a.method").alias("method_a"),
-            F.col("b.method").alias("method_b"),
+            F.col("mp.method_a").alias("method_a"),
+            F.col("mp.method_b").alias("method_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
@@ -3468,14 +3502,18 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
         ).alias("text_hash"),
     )
-    # exact-keeper: ONE groupBy + co-partitioned join back on text_hash
-    # (the min-doc_id star center, the same rule the funnel censuses)
-    keepers = docs.groupBy("text_hash").agg(F.min("doc_id").alias("keeper"))
-    ex = docs.join(keepers, "text_hash").select(
+    # exact-keeper: min-doc_id per text_hash (the star center, the same
+    # rule the funnel censuses) as a WINDOW over one pass — the previous
+    # groupBy + join-back shape re-ran the md5-normalize projection over
+    # the whole corpus a second time for the join side (2 text scans)
+    ex = docs.select(
         "doc_id",
         "source",
         "orig_len",
-        (F.col("doc_id") == F.col("keeper")).alias("exact_keep"),
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("text_hash"))
+        ).alias("exact_keep"),
     )
     comp = components_table(spark, sf_dir).select("doc_id", "component_id")
     spc = (
@@ -4491,23 +4529,30 @@ def decontaminate_by_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("contam").cast("long").alias("chars"),
         )
     )
+    # top source AND per-benchmark totals from ONE pass over the tiny
+    # per-(benchmark, source) aggregate: the previous shape consumed
+    # per_src twice (rank filter + groupBy), and each consumption
+    # re-expanded the whole span lineage — the corpus membership join and
+    # island merge ran twice per query. Window sums over the same
+    # benchmark partitioning ride the rank's single exchange.
     rk = F.row_number().over(
         Window.partitionBy("benchmark").orderBy(
             F.col("chars").desc(), F.col("source").asc()
         )
     )
-    top = (
+    wb = Window.partitionBy("benchmark")
+    tt = (
         per_src.withColumn("rk", rk)
+        .withColumn("n_docs_affected", F.sum("n_docs").over(wb).cast("long"))
+        .withColumn("contam_chars", F.sum("chars").over(wb).cast("long"))
         .filter(F.col("rk") == 1)
         .select(
             "benchmark",
+            "n_docs_affected",
+            "contam_chars",
             F.col("source").alias("top_source"),
             F.col("chars").alias("top_source_chars"),
         )
-    )
-    tot = per_src.groupBy("benchmark").agg(
-        F.sum("n_docs").cast("long").alias("n_docs_affected"),
-        F.sum("chars").cast("long").alias("contam_chars"),
     )
     census = (
         io.load(spark, sf_dir, "documents")
@@ -4516,8 +4561,7 @@ def decontaminate_by_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_eval_docs"))
     )
     return (
-        census.join(tot, "benchmark", "left")
-        .join(top, "benchmark", "left")
+        census.join(tt, "benchmark", "left")
         .select(
             "benchmark",
             "n_eval_docs",

@@ -2416,7 +2416,14 @@ def emb_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = pairs.join(F.broadcast(eq), pairs.query_id == eq.q_id).join(
         F.broadcast(ec), pairs.neighbor_id == ec.c_id
     )
-    outs = []
+    # all truncation dims from ONE pass over the pair frame: the previous
+    # union of per-dim aggregates re-expanded the whole pair lineage
+    # (top-k cosine + both embedding attachments) once per dim — 12
+    # embedding scans per query. The per-pair deviations for every dim
+    # come out of one in-row explode; the dims spine keeps the
+    # one-row-per-dim contract (n_pairs=0, null devs) even on an empty
+    # pair frame, exactly as the aggregate-per-dim form behaved.
+    dev_structs = []
     for k in _MRL_DIMS:
         qk = F.slice(F.col("q_emb"), 1, k)
         ck = F.slice(F.col("c_emb"), 1, k)
@@ -2426,20 +2433,30 @@ def emb_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dev_fx = F.floor(F.abs(cos_k - F.col("cosine")) * F.lit(float(_SCALE9)) + F.lit(0.5)).cast(
             "long"
         )
-        outs.append(
-            j.agg(
-                F.lit(k).cast("long").alias("trunc_dim"),
-                F.count(F.lit(1)).alias("n_pairs"),
-                (F.sum(dev_fx) * F.lit(1.0) / (F.lit(float(_SCALE9)) * F.count(F.lit(1)))).alias(
-                    "mean_abs_dev"
-                ),
-                (F.max(dev_fx).cast("double") / F.lit(float(_SCALE9))).alias("max_abs_dev"),
+        dev_structs.append(
+            F.struct(
+                F.lit(k).cast("long").alias("trunc_dim"), dev_fx.alias("dev_fx")
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    per = j.select(F.explode(F.array(*dev_structs)).alias("kd")).select(
+        F.col("kd.trunc_dim").alias("trunc_dim"), F.col("kd.dev_fx").alias("dev_fx")
+    )
+    grouped = per.groupBy("trunc_dim").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum("dev_fx") * F.lit(1.0) / (F.lit(float(_SCALE9)) * F.count(F.lit(1)))).alias(
+            "mean_abs_dev"
+        ),
+        (F.max("dev_fx").cast("double") / F.lit(float(_SCALE9))).alias("max_abs_dev"),
+    )
+    dims = spark.createDataFrame(
+        [(int(k),) for k in _MRL_DIMS], "trunc_dim bigint"
+    )
+    return dims.join(grouped, "trunc_dim", "left").select(
+        "trunc_dim",
+        F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias("n_pairs"),
+        "mean_abs_dev",
+        "max_abs_dev",
+    )
 
 
 # --- semi-supervised label propagation over the kNN graph --------------------

@@ -1027,12 +1027,30 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") / _CMS_BUCKET).cast("long").alias("part"),
         F.explode(tokens_col()).alias("tok"),
     )
-    posting = toks.groupBy("part", "tok").agg(F.count(F.lit(1)).alias("c"))
-    cell_rows = None
-    for r in range(_CMS_ROWS):
-        piece = posting.select("part", F.lit(r).alias("r"), _cms_idx(r, F.col("tok")).alias("idx"), "c")
-        cell_rows = piece if cell_rows is None else cell_rows.unionByName(piece)
-    partials = cell_rows.groupBy("part", "r", "idx").agg(F.sum("c").alias("c"))
+    # ONE corpus tokenization serves both the sketch cells and the exact
+    # top-K truth: the previous shape re-expanded the tokenize lineage
+    # once per CMS row on BOTH the cell side and the lookup side (8 full
+    # corpus scans per query). posting is the small (shard, token-type)
+    # aggregate — cache it, and emit the per-row (r, idx) cells by
+    # in-row explode instead of a self-union.
+    posting = toks.groupBy("part", "tok").agg(F.count(F.lit(1)).alias("c")).cache()
+
+    def _ridx(tok: Column) -> Column:
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cms_idx(r, tok).alias("idx")
+                    )
+                    for r in range(_CMS_ROWS)
+                ]
+            )
+        )
+
+    cells = posting.select(
+        "part", "c", _ridx(F.col("tok")).alias("ri")
+    ).select("part", F.col("ri.r").alias("r"), F.col("ri.idx").alias("idx"), "c")
+    partials = cells.groupBy("part", "r", "idx").agg(F.sum("c").alias("c"))
     merged = partials.groupBy("r", "idx").agg(F.sum("c").cast("long").alias("c"))
     truth = (
         posting.groupBy("tok")
@@ -1040,10 +1058,9 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("true_count").desc(), "tok")
         .limit(_CMS_TOPK)
     )
-    lookups = None
-    for r in range(_CMS_ROWS):
-        piece = truth.select("tok", "true_count", F.lit(r).alias("r"), _cms_idx(r, F.col("tok")).alias("idx"))
-        lookups = piece if lookups is None else lookups.unionByName(piece)
+    lookups = truth.select(
+        "tok", "true_count", _ridx(F.col("tok")).alias("ri")
+    ).select("tok", "true_count", F.col("ri.r").alias("r"), F.col("ri.idx").alias("idx"))
     j = F.broadcast(lookups).join(merged, ["r", "idx"])
     return j.groupBy("tok").agg(
         F.min("true_count").alias("true_count"),
@@ -1115,25 +1132,35 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "p.w1", "p.w2")
     )
-    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    cu = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    # aggregate-first, one lineage: the previous shape consumed `bi` three
+    # times (cb, cu, and the instance side of the scoring join), re-running
+    # the corpus tokenization for each. Group instances down to
+    # (doc_id, w1, w2, n) ONCE, then recover the corpus-wide bigram and
+    # unigram-context counts as window sums over the grouped rows — the
+    # counts (and therefore p_fx) are identical, and the per-doc aggregate
+    # weights each group by its instance count n (integer-exact, so the
+    # fixed-point sums cannot drift from the per-instance form).
+    g = bi.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
     v = base.select(F.explode("t").alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
+    g = g.withColumn(
+        "c", F.sum("n").over(Window.partitionBy("w1", "w2"))
+    ).withColumn("cu", F.sum("n").over(Window.partitionBy("w1")))
     p_fx = fixed((F.col("c") + 1.0) / (F.col("cu") + F.col("v")), 10**9)
-    scored = (
-        bi.join(cb, ["w1", "w2"])
-        .join(cu, "w1")
-        .crossJoin(F.broadcast(v))
-        .select("doc_id", p_fx.alias("p_fx"))
+    scored = g.crossJoin(F.broadcast(v)).select(
+        "doc_id", "n", p_fx.alias("p_fx")
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        (F.sum("p_fx").cast("double") / (F.count(F.lit(1)) * 1e9)).alias(
-            "avg_transition_p"
-        ),
+        F.sum("n").cast("long").alias("n_bigrams"),
+        (
+            F.sum(F.col("p_fx") * F.col("n")).cast("double")
+            / (F.sum("n") * 1e9)
+        ).alias("avg_transition_p"),
         F.sum(
-            F.when(F.col("p_fx") < int(_LM_SURPRISE_P * 1e9), 1).otherwise(0)
+            F.when(
+                F.col("p_fx") < int(_LM_SURPRISE_P * 1e9), F.col("n")
+            ).otherwise(0)
         ).cast("long").alias("n_surprising"),
     )
 
@@ -1503,14 +1530,28 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= _PMI_MIN_PAIR)
     )
-    uc = pos.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
-    n_tok = pos.count()
+    # unigram counts tokenized ONCE: the previous shape re-expanded `pos`
+    # for each join side of `uc` AND ran an eager pos.count() for the
+    # corpus token total — 3 extra tokenize passes per query. The grouped
+    # uc is vocab-sized: cache it, and read the total off it as a window
+    # sum (same exact integer the count() produced).
+    uc = (
+        pos.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+        .withColumn("n_tok", F.sum("c_w").over(Window.partitionBy()))
+        .cache()
+    )
     scored = (
-        pc.join(uc.select(F.col("w").alias("w_a"), F.col("c_w").alias("c_a")), "w_a")
+        pc.join(
+            uc.select(
+                F.col("w").alias("w_a"), F.col("c_w").alias("c_a"), "n_tok"
+            ),
+            "w_a",
+        )
         .join(uc.select(F.col("w").alias("w_b"), F.col("c_w").alias("c_b")), "w_b")
         .withColumn(
             "pmi_ratio",
-            (F.col("c_ab").cast("double") * F.lit(n_tok))
+            (F.col("c_ab").cast("double") * F.col("n_tok"))
             / (F.col("c_a").cast("double") * F.col("c_b")),
         )
     )

@@ -2223,17 +2223,20 @@ from exact_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
     "once, by the decompose stage itself.",
 )
 def ts_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE lineage over the hourly decompose frame: the previous
+    # groupBy + broadcast-join chain re-expanded the whole decomposition
+    # (and its canonical-events scans) once per statistic — 4 expansions
+    # per query. The median and MAD are the same percentile aggregates
+    # computed as windows over the event_type partitioning; both windows
+    # and the final groupBy ride a single exchange.
     res = ts_classical_decompose(spark, sf_dir).select("event_type", "hour", "residual")
-    med = res.groupBy("event_type").agg(
-        F.percentile(F.col("residual"), F.lit(0.5)).alias("med")
+    we = Window.partitionBy("event_type")
+    dev = res.withColumn(
+        "med", F.percentile(F.col("residual"), F.lit(0.5)).over(we)
+    ).withColumn("adev", F.abs(F.col("residual") - F.col("med")))
+    j = dev.withColumn(
+        "mad", F.percentile(F.col("adev"), F.lit(0.5)).over(we)
     )
-    dev = res.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("residual") - F.col("med"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
-    )
-    j = dev.join(F.broadcast(mad), "event_type")
     return (
         j.groupBy("event_type", "med", "mad")
         .agg(
