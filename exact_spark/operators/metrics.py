@@ -12,7 +12,7 @@ the thresholding semantics are identical).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from exact_spark import io
@@ -1500,29 +1500,35 @@ def ml_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("user_id").cast("double"), F.lit(0.5)).alias("m_u"),
     )
     base = df.crossJoin(F.broadcast(med))
-    feats = (
-        base.select(
-            F.lit("value_gt_median").alias("feature"),
-            F.when(v_fx > F.col("m_v"), 1).otherwise(0).alias("side"),
-            "label",
-        )
-        .unionByName(
-            base.select(
-                F.lit("user_gt_median").alias("feature"),
-                F.when(F.col("user_id") > F.col("m_u"), 1).otherwise(0).alias("side"),
-                "label",
+    # one scan for all three candidate splits: the previous 3-way
+    # self-union re-expanded the canonical-events lineage per feature
+    feats = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("value_gt_median").alias("feature"),
+                    F.when(v_fx > F.col("m_v"), 1).otherwise(0).alias("side"),
+                ),
+                F.struct(
+                    F.lit("user_gt_median").alias("feature"),
+                    F.when(F.col("user_id") > F.col("m_u"), 1)
+                    .otherwise(0)
+                    .alias("side"),
+                ),
+                F.struct(
+                    F.lit("hour_ge_12").alias("feature"),
+                    F.when(
+                        F.floor(F.col("ts_epoch") / 3600.0).cast("long") % 24
+                        >= 12,
+                        1,
+                    )
+                    .otherwise(0)
+                    .alias("side"),
+                ),
             )
-        )
-        .unionByName(
-            base.select(
-                F.lit("hour_ge_12").alias("feature"),
-                F.when(
-                    F.floor(F.col("ts_epoch") / 3600.0).cast("long") % 24 >= 12, 1
-                ).otherwise(0).alias("side"),
-                "label",
-            )
-        )
-    )
+        ).alias("fs"),
+        "label",
+    ).select(F.col("fs.feature").alias("feature"), F.col("fs.side").alias("side"), "label")
     cells = feats.groupBy("feature", "side").agg(
         F.count(F.lit(1)).alias("n_s"), F.sum("label").cast("long").alias("p_s")
     )
@@ -1893,18 +1899,21 @@ def ml_best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml_detector_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = canonical_events(spark, sf_dir)
+    # per-stream median and MAD as window percentiles over event_type —
+    # the groupBy + broadcast-join chain re-expanded the canonical-events
+    # lineage once per statistic (ts_residual_outliers' shape). The
+    # global threshold STAYS a broadcast 1-row aggregate: a
+    # whole-table window would shuffle every row to one task at scale,
+    # while the extra scan it costs is column-pruned to `value`.
     thr = df.agg(F.percentile(F.col("value"), F.lit(_P)).alias("t"))
-    med = df.groupBy("event_type").agg(
-        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
-    )
-    dev = df.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
-    )
+    we = Window.partitionBy("event_type")
+    dev = df.withColumn(
+        "med", F.percentile(F.col("value"), F.lit(0.5)).over(we)
+    ).withColumn("adev", F.abs(F.col("value") - F.col("med")))
     flags = (
-        dev.join(F.broadcast(mad), "event_type")
+        dev.withColumn(
+            "mad", F.percentile(F.col("adev"), F.lit(0.5)).over(we)
+        )
         .crossJoin(F.broadcast(thr))
         .select(
             F.when(F.col("value") > F.col("t"), 1).otherwise(0).alias("fa"),

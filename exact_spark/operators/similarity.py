@@ -3715,15 +3715,25 @@ def sim_diversity_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mmr").alias("method"), "query_id", F.col("selected_id").alias("sel_id")
     )
     pick = topk.unionByName(mmr)
-    p1 = pick
-    p2 = pick.select(
-        F.col("method").alias("m2"), F.col("query_id").alias("q2"), F.col("sel_id").alias("s2")
-    )
-    pairs = p1.join(
-        p2,
-        (F.col("m2") == F.col("method"))
-        & (F.col("q2") == F.col("query_id"))
-        & (F.col("s2") > F.col("sel_id")),
+    # ordered within-set pairs by collect-expand instead of a self-join:
+    # the join consumed `pick` twice, re-expanding BOTH composed
+    # selections (top-k cosine and the MMR fold) per side. One groupBy
+    # collects each (method, query) selection (<= k ids) and the ordered
+    # pairs (s2 > sel_id, exactly the join's condition on the sorted
+    # array) expand in-row.
+    from exact_spark.operators.dedup import _self_pairs
+
+    pairs = (
+        pick.groupBy("method", "query_id")
+        .agg(F.sort_array(F.collect_list("sel_id")).alias("ids"))
+        .select(
+            "method",
+            "query_id",
+            F.explode(_self_pairs("ids", "sel_id", "s2")).alias("p"),
+        )
+        .select(
+            "method", "query_id", F.col("p.sel_id").alias("sel_id"), F.col("p.s2").alias("s2")
+        )
     )
     x = norms.select(
         F.col("vec_id").alias("xv"), F.col("embedding").alias("xe"), F.col("norm_fx").alias("xn")
@@ -3738,30 +3748,26 @@ def sim_diversity_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_fixed(F.col("xe"), F.col("ye")), F.col("xn"), F.col("yn")
     )
     cos_fx = F.floor(cos * 1000000.0 + F.lit(0.5)).cast("long")
-    ps = jp.groupBy("method", "query_id").agg(
-        F.sum(cos_fx).cast("long").alias("s_fx"), F.count(F.lit(1)).alias("n_pairs")
+    # both methods' per-query sums from ONE conditional aggregate: the
+    # previous filter-then-self-join on `ps` re-expanded the whole pair
+    # lineage once per method. The inner-join semantics (query present in
+    # BOTH selections) survive as a filter on the two counts.
+    is_t = F.col("method") == "topk"
+    ps = jp.groupBy("query_id").agg(
+        F.sum(F.when(is_t, cos_fx)).cast("long").alias("t_fx"),
+        F.count(F.when(is_t, F.lit(1))).alias("t_n"),
+        F.sum(F.when(~is_t, cos_fx)).cast("long").alias("m_fx"),
+        F.count(F.when(~is_t, F.lit(1))).alias("m_n"),
     )
-    t = ps.filter(F.col("method") == "topk").select(
-        "query_id",
-        (F.col("s_fx").cast("double") / F.col("n_pairs") / 1000000.0).alias(
-            "mean_pairsim_topk"
-        ),
-        (F.col("s_fx").cast("double") / F.col("n_pairs")).alias("t_raw"),
-    )
-    m = ps.filter(F.col("method") == "mmr").select(
-        F.col("query_id").alias("mq"),
-        (F.col("s_fx").cast("double") / F.col("n_pairs") / 1000000.0).alias(
-            "mean_pairsim_mmr"
-        ),
-        (F.col("s_fx").cast("double") / F.col("n_pairs")).alias("m_raw"),
-    )
+    t_raw = F.col("t_fx").cast("double") / F.col("t_n")
+    m_raw = F.col("m_fx").cast("double") / F.col("m_n")
     return (
-        t.join(m, F.col("mq") == F.col("query_id"))
+        ps.filter((F.col("t_n") > 0) & (F.col("m_n") > 0))
         .select(
             "query_id",
-            "mean_pairsim_topk",
-            "mean_pairsim_mmr",
-            ((F.col("t_raw") - F.col("m_raw")) / 1000000.0).alias("diversity_gain"),
+            (t_raw / 1000000.0).alias("mean_pairsim_topk"),
+            (m_raw / 1000000.0).alias("mean_pairsim_mmr"),
+            ((t_raw - m_raw) / 1000000.0).alias("diversity_gain"),
         )
     )
 
