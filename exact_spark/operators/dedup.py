@@ -2063,13 +2063,21 @@ def text_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_common") / F.col("jaccard")).cast("long").alias("denom"),
     )
     taus = spark.range(1, 10).select(F.col("id").cast("long").alias("tau10"))
-    hits = F.broadcast(taus).join(
-        prd, F.col("n_common") * 10 >= F.col("tau10") * F.col("denom")
+    # `hits` feeds the pair census and BOTH doc sides — uncached, each
+    # consumer re-read the pair-table artifact (3 scans). Cache the
+    # (pairs x surviving taus) frame (<= 9x the capped pair count) and
+    # expand the two doc endpoints in-row instead of a self-union.
+    hits = (
+        F.broadcast(taus)
+        .join(prd, F.col("n_common") * 10 >= F.col("tau10") * F.col("denom"))
+        .cache()
     )
     np_ = hits.groupBy("tau10").agg(F.count(F.lit(1)).alias("n_pairs"))
     docs = (
-        hits.select("tau10", F.col("doc_a").alias("d"))
-        .unionByName(hits.select("tau10", F.col("doc_b").alias("d")))
+        hits.select(
+            "tau10",
+            F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("d"),
+        )
         .distinct()
     )
     nd = docs.groupBy("tau10").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -2932,57 +2940,73 @@ def dedup_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
         ).alias("text_hash"),
     )
-    raw = docs.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("len").cast("long").alias("c")
-    )
-    # exact stage: ONE groupBy (min_by fetches the keeper's length without
-    # a second window pass over the corpus)
-    exact = (
-        docs.groupBy("text_hash")
-        .agg(F.min_by("len", "doc_id").alias("len"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("len").cast("long").alias("c"))
-    )
+    # ONE corpus pass for all four stages: the per-stage frames each
+    # re-expanded the md5-normalize projection (documents scanned 5x,
+    # the normalize+md5 recomputed per stage). The exact keeper is a
+    # min window over text_hash (same rows as the old per-hash
+    # min_by groupBy), survivorship and scrub attach as per-doc left
+    # joins, and ONE conditional aggregate emits every stage cell;
+    # the 4-row funnel and its raw-relative fractions expand in-row
+    # (stack), so no broadcast rejoin of the raw totals either.
     comp = components_table(spark, sf_dir).select("doc_id", "component_id")
-    kept = docs.join(comp, "doc_id", "left").filter(
-        F.col("component_id").isNull() | (F.col("component_id") == F.col("doc_id"))
-    )
-    comp_agg = kept.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("len").cast("long").alias("c")
-    )
     sp = (
         substring_span_table(spark, sf_dir)
         .groupBy("doc_id")
         .agg(F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_chars"))
     )
-    scrubbed = (
-        kept.join(sp, "doc_id", "left")
-        .select(
-            (F.col("len") - F.coalesce("dup_chars", F.lit(0))).alias("len")
-        )
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("len").cast("long").alias("c"))
-    )
-    def tag(df: DataFrame, idx: int, name: str) -> DataFrame:
-        return df.select(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            F.col("n"),
-            F.col("c"),
-        )
+    from pyspark.sql import Window as _W
 
-    stages = (
-        tag(raw, 0, "raw")
-        .unionByName(tag(exact, 1, "exact_dedup"))
-        .unionByName(tag(comp_agg, 2, "near_dup_components"))
-        .unionByName(tag(scrubbed, 3, "substring_scrub"))
+    j = (
+        docs.join(comp, "doc_id", "left")
+        .join(sp, "doc_id", "left")
+        .withColumn(
+            "is_exact",
+            F.col("doc_id")
+            == F.min("doc_id").over(_W.partitionBy("text_hash")),
+        )
+        .select(
+            "len",
+            "is_exact",
+            (
+                F.col("component_id").isNull()
+                | (F.col("component_id") == F.col("doc_id"))
+            ).alias("is_kept"),
+            F.coalesce("dup_chars", F.lit(0)).alias("dup"),
+        )
     )
-    base = raw.select(F.col("n").alias("rn"), F.col("c").alias("rc"))
-    return stages.join(F.broadcast(base)).select(
+    row = j.agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.sum("len").cast("long").alias("raw_c"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_exact"), 1)).cast("long"), F.lit(0)
+        ).alias("ex_n"),
+        F.sum(F.when(F.col("is_exact"), F.col("len"))).cast("long").alias("ex_c"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_kept"), 1)).cast("long"), F.lit(0)
+        ).alias("k_n"),
+        F.sum(F.when(F.col("is_kept"), F.col("len"))).cast("long").alias("k_c"),
+        F.sum(F.when(F.col("is_kept"), F.col("len") - F.col("dup")))
+        .cast("long")
+        .alias("scr_c"),
+    )
+    return row.select(
+        F.expr(
+            "stack(4, "
+            "0, 'raw', raw_n, raw_c, "
+            "1, 'exact_dedup', ex_n, ex_c, "
+            "2, 'near_dup_components', k_n, k_c, "
+            "3, 'substring_scrub', k_n, scr_c"
+            ") AS (stage_idx, stage, n_docs, n_chars)"
+        ),
+        "raw_n",
+        "raw_c",
+    ).select(
         "stage_idx",
         "stage",
-        F.col("n").alias("n_docs"),
-        F.col("c").alias("n_chars"),
-        (F.col("n").cast("double") / F.col("rn")).alias("docs_frac"),
-        (F.col("c").cast("double") / F.col("rc")).alias("chars_frac"),
+        "n_docs",
+        "n_chars",
+        (F.col("n_docs").cast("double") / F.col("raw_n")).alias("docs_frac"),
+        (F.col("n_chars").cast("double") / F.col("raw_c")).alias("chars_frac"),
     )
 
 

@@ -492,7 +492,20 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = df.select(
         F.floor(F.col("ts_epoch") / 86400.0).cast("long").alias("day"), "value"
     )
-    b = src.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    # ONE pass computes the global bounds AND the three exact quantiles
+    # (they only need `value`), and the 1-row result is cached: its four
+    # consumers (bin projection, the final bracket join, the exact-q
+    # unpivot) each re-expanded the canonical-events lineage before —
+    # 4 corpus scans; now 2 (this aggregate + the binning pass).
+    b0 = src.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        *[
+            fround(F.percentile(F.col("value"), F.lit(q))).alias(f"q_{i}")
+            for i, q in enumerate(_QSK_QS)
+        ],
+    ).cache()
+    b = b0.select("lo", "hi")
     binned = src.crossJoin(F.broadcast(b)).select(
         "day",
         F.least(
@@ -514,14 +527,9 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q")
         .agg(F.min("bin").alias("qbin"))
     )
-    # F.percentile needs a foldable fraction — compute the three exact
-    # quantiles in ONE agg and unpivot
-    exact = src.agg(
-        *[
-            fround(F.percentile(F.col("value"), F.lit(q))).alias(f"q_{i}")
-            for i, q in enumerate(_QSK_QS)
-        ]
-    ).select(
+    # F.percentile needs a foldable fraction — the three exact quantiles
+    # were computed in the cached bounds aggregate; unpivot them here
+    exact = b0.select(
         F.explode(
             F.array(
                 *[
@@ -976,16 +984,16 @@ _MAD_K = 3.0 * 1.4826  # 3 sigma under the normal-consistency constant
 )
 def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = canonical_events(spark, sf_dir)
-    med = df.groupBy("event_type").agg(
-        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
-    )
-    dev = df.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
-    )
-    j = dev.join(F.broadcast(mad), "event_type")
+    # median and MAD as window percentiles over the event_type
+    # partitioning (the ts_residual_outliers / ml_detector_kappa shape):
+    # the groupBy + broadcast-join chains re-expanded the
+    # canonical-events lineage once per statistic (4 scans); both
+    # percentiles now ride one exchange with the final groupBy.
+    we = Window.partitionBy("event_type")
+    dev = df.withColumn(
+        "med", F.percentile(F.col("value"), F.lit(0.5)).over(we)
+    ).withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    j = dev.withColumn("mad", F.percentile(F.col("adev"), F.lit(0.5)).over(we))
     return j.groupBy("event_type", "med", "mad").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("adev") > _MAD_K * F.col("mad"), 1).otherwise(0))

@@ -60,11 +60,29 @@ def p7_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("event_type"))
         .alias("cat_raw"),
     )
-    stats = holes.agg(favg(F.col("value_raw")).alias("mean_value"))
+    # Both fitted statistics from ONE pass: the separate mean and mode
+    # aggregations each re-expanded the canonical-events lineage (3
+    # corpus scans). value_raw and cat_raw are null on exactly the same
+    # rows (id%10), so the global fixed-point mean reconstructs EXACTLY
+    # from per-category integer sums (favg = sum(fixed)/ (scale*count),
+    # and integer sums are associative); the mode reads the same tiny
+    # cached per-category frame.
+    from exact_spark.functions import SCALE6, fixed
+
+    per = (
+        holes.groupBy("cat_raw")
+        .agg(
+            F.count("value_raw").alias("nv"),
+            F.sum(fixed(F.col("value_raw"))).alias("s_fx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .cache()
+    )
+    stats = per.agg(
+        (F.sum("s_fx") / (F.lit(float(SCALE6)) * F.sum("nv"))).alias("mean_value")
+    )
     mode = (
-        holes.filter(F.col("cat_raw").isNotNull())
-        .groupBy("cat_raw")
-        .agg(F.count(F.lit(1)).alias("n"))
+        per.filter(F.col("cat_raw").isNotNull())
         .orderBy(F.col("n").desc(), F.col("cat_raw"))
         .limit(1)
         .select(F.col("cat_raw").alias("mode_value"))

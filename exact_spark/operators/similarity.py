@@ -2569,7 +2569,17 @@ def sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seeded",
         "true_lab",
     )
-    for _ in range(_LP_ITERS):
+    # Each iteration consumes `labels` twice (vote source + old-label
+    # carry), so WITHOUT lineage truncation the plan doubles per
+    # iteration — 2^t expansion, observed as 15 embeddings scans / 66
+    # Exchanges at 3 iterations. localCheckpoint per iteration (the
+    # documented dedup_components pattern; on a cluster swap for
+    # checkpoint against a durable dir) keeps the per-iteration plan
+    # constant: one edges-sized join + vote census + one vec_id join.
+    # The update also rides on `labels` itself (it already carries
+    # seeded/true_lab, one row per vec_id) instead of re-scanning the
+    # embeddings table every iteration.
+    for it in range(_LP_ITERS):
         votes = (
             edges.join(
                 labels.filter(F.col("lab").isNotNull()).select(
@@ -2588,18 +2598,16 @@ def sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("vec_id", F.col("lab").alias("new_lab"))
         )
-        labels = (
-            emb.join(winner, "vec_id", "left")
-            .join(labels.select("vec_id", F.col("lab").alias("old_lab")), "vec_id", "left")
-            .select(
-                "vec_id",
-                F.when(F.col("seeded"), F.col("true_lab"))
-                .otherwise(F.coalesce(F.col("new_lab"), F.col("old_lab")))
-                .alias("lab"),
-                "seeded",
-                "true_lab",
-            )
+        labels = labels.join(winner, "vec_id", "left").select(
+            "vec_id",
+            F.when(F.col("seeded"), F.col("true_lab"))
+            .otherwise(F.coalesce(F.col("new_lab"), F.col("lab")))
+            .alias("lab"),
+            "seeded",
+            "true_lab",
         )
+        if it < _LP_ITERS - 1:
+            labels = labels.localCheckpoint()
     unl = ~F.col("seeded")
     return labels.agg(
         F.sum(F.when(unl & F.col("lab").isNotNull(), 1).otherwise(0))
@@ -2767,7 +2775,10 @@ def sim_label_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    lab = io.load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    # the (vec_id, label) map feeds three consumers (both edge-endpoint
+    # attaches + the label census) — uncached each re-scanned the
+    # embeddings parquet (3 scans of the corpus for 2 narrow columns)
+    lab = io.load(spark, sf_dir, "embeddings").select("vec_id", "label").cache()
     la = lab.select(F.col("vec_id").alias("a_id"), F.col("label").alias("la"))
     lb = lab.select(F.col("vec_id").alias("b_id"), F.col("label").alias("lb"))
     edges = (

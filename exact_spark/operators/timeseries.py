@@ -818,9 +818,15 @@ _SN_SEASON = 24  # hours; one diurnal cycle
 )
 def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = canonical_events(spark, sf_dir)
+    # The hourly census (one row per occupied hour — span-bounded, tiny
+    # at any corpus size) feeds FOUR consumers: bounds, the dense join,
+    # and both lag sides of the self-join. Uncached, Catalyst re-expands
+    # the canonical-events lineage per consumer (6 corpus scans; and
+    # ts_forecast_backtest composes this spec, inheriting all of them).
+    # Caching the aggregate keeps the corpus scan at exactly one.
     hourly = df.groupBy(
         F.floor(F.col("ts_epoch") / 3600.0).cast("long").alias("hour_bucket")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).cache()
     bounds = hourly.agg(
         F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi")
     )
@@ -1007,9 +1013,12 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = canonical_events(spark, sf_dir)
+    # same shape as ts_dau_wau: the small (user, day) distinct table
+    # feeds the cohort assignment AND the activity join — cache it so
+    # the canonical-events lineage expands once (3 corpus scans -> 1)
     days = df.select(
         "user_id", F.floor(F.col("ts_epoch") / 86400.0).cast("long").alias("day")
-    ).distinct()
+    ).distinct().cache()
     cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     sizes = cohorts.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
     j = days.join(cohorts, "user_id").join(F.broadcast(sizes), "cohort_day")
@@ -1147,9 +1156,12 @@ def ts_event_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = canonical_events(spark, sf_dir)
+    # the (user, day) distinct activity table (at most users x days rows)
+    # feeds three consumers (grid, WAU range join, DAU census) — uncached
+    # each re-expanded the canonical-events lineage (3 corpus scans)
     days = df.select(
         "user_id", F.floor(F.col("ts_epoch") / 86400.0).cast("long").alias("day")
-    ).distinct()
+    ).distinct().cache()
     grid = days.select("day").distinct().withColumnRenamed("day", "g_day")
     wau = (
         days.join(
@@ -2307,9 +2319,13 @@ def ts_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = bounds.select(
         "h0", "h1", F.expr("(h0 + h1 + 1) DIV 2").alias("hm")
     )
-    cnt = (
+    # h0/h1/hm are constant over every row after the broadcast — carry
+    # them THROUGH the groupBy instead of crossJoining `mid` a second
+    # time (the rejoin re-expanded the bounds lineage: 3 corpus scans,
+    # now the inherent 2 — bounds pass + counting pass)
+    j = (
         hrs.crossJoin(F.broadcast(mid))
-        .groupBy("event_type")
+        .groupBy("event_type", "h0", "h1", "hm")
         .agg(
             F.sum(F.when(F.col("hour") < F.col("hm"), 1).otherwise(0))
             .cast("long")
@@ -2319,7 +2335,6 @@ def ts_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_b"),
         )
     )
-    j = cnt.crossJoin(F.broadcast(mid))
     t_a = (F.col("hm") - F.col("h0")).cast("long")
     t_b = (F.col("h1") - F.col("hm") + 1).cast("long")
     rate_a = F.col("n_a").cast("double") / t_a
