@@ -818,15 +818,21 @@ _SN_SEASON = 24  # hours; one diurnal cycle
 )
 def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = canonical_events(spark, sf_dir)
-    # The hourly census (one row per occupied hour — span-bounded, tiny
-    # at any corpus size) feeds FOUR consumers: bounds, the dense join,
-    # and both lag sides of the self-join. Uncached, Catalyst re-expands
-    # the canonical-events lineage per consumer (6 corpus scans; and
-    # ts_forecast_backtest composes this spec, inheriting all of them).
-    # Caching the aggregate keeps the corpus scan at exactly one.
+    # The dense hourly series used to feed a 3-way self-join (current /
+    # -24h / -1h sides), and each side re-expanded the hourly census'
+    # canonical-events lineage: 6 corpus scans. (A .cache() fix measured
+    # slower locally — materialization cost on a sub-second query.)
+    # Instead each dense row FANS OUT to the up-to-3 target hours it
+    # serves (itself, +24h as the seasonal lag, +1h as the persistence
+    # lag — a bounded x3 in-row explode of the tiny dense grid) and one
+    # groupBy per target hour reassembles (d, s, p); requiring all three
+    # roles reproduces the inner joins exactly (the dense grid is
+    # gap-free, so a role is present iff its source hour is in span).
+    # Corpus scans: 2 (bounds pass + census pass — the broadcast-
+    # threshold floor).
     hourly = df.groupBy(
         F.floor(F.col("ts_epoch") / 3600.0).cast("long").alias("hour_bucket")
-    ).agg(F.count(F.lit(1)).alias("n")).cache()
+    ).agg(F.count(F.lit(1)).alias("n"))
     bounds = hourly.agg(
         F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi")
     )
@@ -837,19 +843,44 @@ def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.join(hourly, "hour_bucket", "left")
         .select("hour_bucket", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"))
     )
-    d, s, p = dense.alias("d"), dense.alias("s"), dense.alias("p")
-    j = d.join(
-        s, F.col("s.hour_bucket") == F.col("d.hour_bucket") - _SN_SEASON
-    ).join(p, F.col("p.hour_bucket") == F.col("d.hour_bucket") - 1)
-    err_s = F.abs(F.col("d.n") - F.col("s.n"))
+    roles = dense.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("hour_bucket").alias("t"), F.lit("d").alias("r"), F.col("n")
+                ),
+                F.struct(
+                    (F.col("hour_bucket") + _SN_SEASON).alias("t"),
+                    F.lit("s").alias("r"),
+                    F.col("n"),
+                ),
+                F.struct(
+                    (F.col("hour_bucket") + 1).alias("t"),
+                    F.lit("p").alias("r"),
+                    F.col("n"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.t", "x.r", "x.n")
+    agg = roles.groupBy("t").agg(
+        F.max(F.when(F.col("r") == "d", F.col("n"))).alias("n_d"),
+        F.max(F.when(F.col("r") == "s", F.col("n"))).alias("n_s"),
+        F.max(F.when(F.col("r") == "p", F.col("n"))).alias("n_p"),
+    )
+    j = agg.filter(
+        F.col("n_d").isNotNull()
+        & F.col("n_s").isNotNull()
+        & F.col("n_p").isNotNull()
+    )
+    err_s = F.abs(F.col("n_d") - F.col("n_s"))
     return j.select(
-        F.col("d.hour_bucket").alias("hour_bucket"),
-        F.col("d.n").alias("n_events"),
-        F.col("s.n").alias("n_prev_day"),
-        F.col("p.n").alias("n_prev_hour"),
+        F.col("t").alias("hour_bucket"),
+        F.col("n_d").alias("n_events"),
+        F.col("n_s").alias("n_prev_day"),
+        F.col("n_p").alias("n_prev_hour"),
         err_s.alias("abs_err_seasonal"),
-        F.abs(F.col("d.n") - F.col("p.n")).alias("abs_err_persistence"),
-        (err_s > 3.0 * F.sqrt(F.col("s.n").cast("double") + 1.0)).alias("spike_flag"),
+        F.abs(F.col("n_d") - F.col("n_p")).alias("abs_err_persistence"),
+        (err_s > 3.0 * F.sqrt(F.col("n_s").cast("double") + 1.0)).alias("spike_flag"),
     )
 
 
@@ -1013,15 +1044,26 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = canonical_events(spark, sf_dir)
-    # same shape as ts_dau_wau: the small (user, day) distinct table
-    # feeds the cohort assignment AND the activity join — cache it so
-    # the canonical-events lineage expands once (3 corpus scans -> 1)
+    # ONE scan, no joins: the cohort assignment and the cohort size were
+    # a groupBy + two joins back onto the activity table, re-expanding
+    # the canonical-events lineage per consumer (3 corpus scans). Both
+    # are windows over the small (user, day) distinct table instead:
+    # cohort_day = min(day) per user, and cohort_size counts each
+    # cohort's first-day rows (exactly one per user, since (user, day)
+    # is distinct) over the cohort_day partitioning.
+    from pyspark.sql.window import Window as _W
+
     days = df.select(
         "user_id", F.floor(F.col("ts_epoch") / 86400.0).cast("long").alias("day")
-    ).distinct().cache()
-    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    sizes = cohorts.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
-    j = days.join(cohorts, "user_id").join(F.broadcast(sizes), "cohort_day")
+    ).distinct()
+    j = days.withColumn(
+        "cohort_day", F.min("day").over(_W.partitionBy("user_id"))
+    ).withColumn(
+        "cohort_size",
+        F.sum(
+            F.when(F.col("day") == F.col("cohort_day"), 1).otherwise(0)
+        ).over(_W.partitionBy("cohort_day")),
+    )
     return (
         j.groupBy(
             "cohort_day",
@@ -1156,24 +1198,31 @@ def ts_event_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = canonical_events(spark, sf_dir)
-    # the (user, day) distinct activity table (at most users x days rows)
-    # feeds three consumers (grid, WAU range join, DAU census) — uncached
-    # each re-expanded the canonical-events lineage (3 corpus scans)
+    # ONE scan, ONE aggregation: the previous shape consumed the (user,
+    # day) distinct table three times (grid, WAU range join, DAU census),
+    # re-expanding the canonical-events lineage per consumer (3 corpus
+    # scans; a .cache() fix measured ~2x SLOWER locally — the
+    # materialization serialized the branches). Instead each activity row
+    # fans out to the 7 WAU days it contributes to (a bounded x7 explode
+    # of the tiny distinct table), and one groupBy computes WAU and —
+    # via the day==g_day slice — DAU; dau > 0 keeps exactly the
+    # observed-day grid the old inner join produced.
     days = df.select(
         "user_id", F.floor(F.col("ts_epoch") / 86400.0).cast("long").alias("day")
-    ).distinct().cache()
-    grid = days.select("day").distinct().withColumnRenamed("day", "g_day")
-    wau = (
-        days.join(
-            F.broadcast(grid),
-            F.col("day").between(F.col("g_day") - 6, F.col("g_day")),
-        )
-        .groupBy("g_day")
-        .agg(F.countDistinct("user_id").alias("wau"))
-    )
-    dau = days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    return dau.join(wau, dau.day == wau.g_day).select(
+    ).distinct()
+    acts = days.select(
+        "user_id",
         "day",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("g_day"),
+    )
+    wd = acts.groupBy("g_day").agg(
+        F.countDistinct("user_id").alias("wau"),
+        F.countDistinct(
+            F.when(F.col("day") == F.col("g_day"), F.col("user_id"))
+        ).alias("dau"),
+    )
+    return wd.filter(F.col("dau") > 0).select(
+        F.col("g_day").alias("day"),
         "dau",
         "wau",
         (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),

@@ -538,3 +538,111 @@ def test_r10_batch2_plans(spark, sf_dir):
     assert plan.count("exact_spark_reldata_") == 1
     assert "documents.parquet" not in plan  # reads what shipped
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _scan_locations(df, needle: str) -> int:
+    """Count actual parquet-scan OPERATORS on `needle` in the formatted
+    plan (one Location line per scan node). ``executedPlan().toString()``
+    would over-count: InMemoryTableScan nodes print their cached child
+    plan inline, so a cached subtree's scan appears once per consumer."""
+    fmt = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return sum(1 for l in fmt.splitlines() if "Location" in l and needle in l)
+
+
+def test_r11_single_pass_rewrites(spark, sf_dir):
+    """The r11 optimization round's scan-collapse rewrites, pinned: each
+    query's plan must keep the single-pass shape (a regression that
+    re-expands a shared frame per consumer re-introduces full corpus
+    passes at 100 TB)."""
+    from exact_spark.operators.dedup import (
+        components_path,
+        dedup_pipeline_funnel,
+        substring_span_path,
+        text_jaccard_sweep,
+    )
+    from exact_spark.operators.metrics import (
+        sketch_quantile_rollup,
+        ts_outlier_mad,
+    )
+    from exact_spark.operators.prep import p7_impute
+    from exact_spark.operators.relational import sketch_bloom_fpr
+    from exact_spark.operators.timeseries import (
+        ts_dau_wau,
+        ts_rate_shift,
+        ts_retention_cohorts,
+        ts_seasonal_naive,
+    )
+
+    components_path(spark, sf_dir)
+    substring_span_path(spark, sf_dir)
+
+    try:
+        # ONE corpus scan + the two artifacts; all four stage cells from
+        # one conditional aggregate, funnel rows + fractions in-row
+        df = dedup_pipeline_funnel(spark, sf_dir)
+        assert _scan_locations(df, "documents.parquet") == 1
+        assert _scan_locations(df, "exact_spark_dupcc_") == 1
+        assert _scan_locations(df, "exact_spark_subspans_") == 1
+        assert "BroadcastNestedLoopJoin" not in _plan(df)  # no totals rejoin
+
+        # the 3-way dense self-join became an in-row x3 role fan-out +
+        # one reassembly groupBy: two canonical scans (bounds pass +
+        # census pass), down from six
+        df = ts_seasonal_naive(spark, sf_dir)
+        assert _scan_locations(df, "exact_spark_canon_") == 2
+
+        # median + MAD as event_type window percentiles — single scan,
+        # no broadcast-join chain
+        df = ts_outlier_mad(spark, sf_dir)
+        assert _scan_locations(df, "exact_spark_canon_") == 1
+        assert "BroadcastHashJoin" not in _plan(df)
+
+        # bounds + exact quantiles fold into ONE cached single-row
+        # aggregate: two canonical scans (bounds pass + binning pass)
+        df = sketch_quantile_rollup(spark, sf_dir)
+        assert _scan_locations(df, "exact_spark_canon_") == 2
+
+        # single-pass forms of the activity rollups: WAU/DAU from one
+        # x7-offset fan-out + one aggregate; cohorts from two windows —
+        # ONE canonical scan each, no joins back onto the activity table
+        for fn in (ts_dau_wau, ts_retention_cohorts):
+            df = fn(spark, sf_dir)
+            assert _scan_locations(df, "exact_spark_canon_") == 1, fn.__name__
+
+        # bounds carried through the groupBy — no second crossJoin branch
+        df = ts_rate_shift(spark, sf_dir)
+        assert _scan_locations(df, "exact_spark_canon_") == 2
+
+        # mean + mode from one per-category pass
+        df = p7_impute(spark, sf_dir)
+        assert _scan_locations(df, "exact_spark_canon_") == 2
+
+        # key set cached; n_inserted is a broadcast 1-row aggregate (the
+        # accepted 1x1 combine), not an eager count
+        df = sketch_bloom_fpr(spark, sf_dir)
+        assert _scan_locations(df, "orders.parquet") == 1
+        assert _scan_locations(df, "customer.parquet") == 1
+
+        # the tau-expanded hits frame is cached; ONE pair-artifact scan
+        df = text_jaccard_sweep(spark, sf_dir)
+        assert _scan_locations(df, "exact_spark_pairs_ngram_jaccard_") == 1
+        assert _scan_locations(df, "documents.parquet") == 1
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_r11_label_propagation_constant_plan(spark, sf_dir):
+    """sim_label_propagation truncates lineage per iteration (the
+    dedup_components localCheckpoint kernel): the final plan must NOT
+    re-expand earlier iterations — before the fix the plan doubled per
+    iteration (2^t: 15 embeddings scans / 66 Exchanges at 3 iterations)."""
+    from exact_spark.operators.similarity import knn_graph_path, sim_label_propagation
+
+    knn_graph_path(spark, sf_dir)
+    plan = _plan(sim_label_propagation(spark, sf_dir))
+    # all inputs arrive via the checkpointed RDDs — no parquet re-scan of
+    # embeddings or the graph artifact in the final iteration's plan
+    assert "embeddings.parquet" not in plan
+    assert plan.count("Exchange") <= 12
