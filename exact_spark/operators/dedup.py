@@ -873,20 +873,30 @@ def decontaminate_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = _winnow_selected(spark, sf_dir).select("doc_id", "fp")
     docs = io.load(spark, sf_dir, "documents").select("doc_id", "source")
     posting = sel.join(docs, "doc_id")
-    train_fp = (
-        posting.filter(F.col("source") != _CONTAM_EVAL_SOURCE)
-        .select(F.col("fp").alias("t_fp"))
-        .distinct()
-    )
-    ev = posting.filter(F.col("source") == _CONTAM_EVAL_SOURCE).select(
-        "doc_id", "fp"
+    # ONE pass over the posting: the old holding-set DISTINCT + membership
+    # join consumed `posting` twice, re-running the winnow tokenization
+    # over the whole corpus per side (4 documents scans). One groupBy per
+    # fingerprint computes the holding-side flag (any non-eval occurrence)
+    # and collects the eval occurrences (collect_list skips the nulls the
+    # WHEN emits for holding rows; the eval side is tiny by definition,
+    # so the per-fp list is bounded); exploding those back out and
+    # aggregating per eval doc reproduces the LEFT JOIN counts exactly —
+    # each eval (doc, fp) row counts once, contained iff the fp has any
+    # holding occurrence.
+    per_fp = posting.groupBy("fp").agg(
+        F.max(
+            F.when(F.col("source") != _CONTAM_EVAL_SOURCE, 1).otherwise(0)
+        ).alias("has_train"),
+        F.collect_list(
+            F.when(F.col("source") == _CONTAM_EVAL_SOURCE, F.col("doc_id"))
+        ).alias("ev_docs"),
     )
     hit = (
-        ev.join(train_fp, ev["fp"] == train_fp["t_fp"], "left")
+        per_fp.select("has_train", F.explode("ev_docs").alias("doc_id"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_fp"),
-            F.count("t_fp").cast("long").alias("n_contained"),
+            F.sum("has_train").cast("long").alias("n_contained"),
         )
     )
     return hit.select(
@@ -1670,17 +1680,30 @@ def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = components_table(spark, sf_dir)
     docs = io.load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     j = comp.join(docs, "doc_id")
-    lang_cells = j.groupBy("component_id", "n_members", "lang").agg(
-        F.count(F.lit(1)).alias("n_lang")
+    # ONE pass: the separate language rollup and source census each
+    # re-expanded the components-artifact + documents join (2 scans of
+    # both inputs). Everything now derives from one per-(component,
+    # lang, source) cell aggregate with windows over the tiny cell
+    # frame — no join back.
+    cells = j.groupBy("component_id", "n_members", "lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    agg = lang_cells.groupBy("component_id", "n_members").agg(
-        F.count(F.lit(1)).alias("n_langs"),
-        F.max("n_lang").alias("majority_n"),
+    wcomp = Window.partitionBy("component_id")
+    wlang = Window.partitionBy("component_id", "lang")
+    agg = (
+        cells.withColumn("n_lang", F.sum("n").over(wlang))
+        .withColumn("n_langs", F.size(F.collect_set("lang").over(wcomp)))
+        .withColumn("n_sources", F.size(F.collect_set("source").over(wcomp)))
+        .withColumn("majority_n", F.max(F.col("n_lang")).over(wcomp))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("component_id").orderBy("lang", "source")
+            ),
+        )
+        .filter(F.col("rk") == 1)
     )
-    src = j.groupBy("component_id").agg(
-        F.countDistinct("source").alias("n_sources")
-    )
-    return agg.join(src, "component_id").select(
+    return agg.select(
         "component_id",
         F.col("n_members").cast("long").alias("n_members"),
         F.col("n_langs").cast("long").alias("n_langs"),

@@ -286,11 +286,25 @@ _METHODS_UNION = "\nUNION ALL\n".join(
 )
 def inject_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _span_selected(spark, sf_dir)
-    stats = df.filter(F.col("selected") == 1).agg(
-        favg(F.col("value")).alias("mean_sel"),
-        (F.max("value") - F.min("value")).alias("rng_sel"),
+    # A10 selected-row stats as FULL-FRAME window aggregates riding the
+    # span pass (which already carries the global subsample-rank window)
+    # instead of a filter+aggregate branch: the stats branch re-expanded
+    # the whole span lineage (4 partition-pruned span scans -> 2). The
+    # conditional window sums reproduce favg's fixed-point integers
+    # exactly (same sum(fixed)/count arithmetic, order-independent).
+    from exact_spark.functions import SCALE6, fixed
+
+    _sel = F.col("selected") == 1
+    wall = Window.partitionBy()
+    df = df.withColumn(
+        "mean_sel",
+        F.sum(F.when(_sel, fixed(F.col("value")))).over(wall)
+        / (F.lit(float(SCALE6)) * F.count(F.when(_sel, F.col("value"))).over(wall)),
+    ).withColumn(
+        "rng_sel",
+        F.max(F.when(_sel, F.col("value"))).over(wall)
+        - F.min(F.when(_sel, F.col("value"))).over(wall),
     )
-    df = df.crossJoin(F.broadcast(stats))
     x = F.col("value")
     low = F.greatest(x - F.col("rng_sel") * F.lit(LOWERED_FACTOR), F.lit(0.0))
     branches = {

@@ -1718,22 +1718,37 @@ def sim_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cr") == 1)
         .select("vec_id", "label", F.col("cell").alias("cluster"), "cos")
     )
-    prof = members.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        favg(F.col("cos")).alias("mean_cos"),
-        F.min("cos").alias("min_cos"),
+    # ONE assignment pass: the separate profile and purity groupBys each
+    # re-ran the broadcast-centroid crossJoin + argmax window (the
+    # expensive kernel) — 4 embeddings scans. Both now derive from one
+    # per-(cluster, label) cell aggregate: cluster totals are window
+    # sums over the tiny cell frame (favg's fixed-point integers sum
+    # associatively, so mean_cos is bit-identical), and the majority
+    # label is the rank-1 cell of the same partitioning.
+    from exact_spark.functions import SCALE6, fixed
+
+    per_cell = members.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("ln"),
+        F.sum(fixed(F.col("cos"))).alias("s_fx"),
+        F.count("cos").alias("ncos"),
+        F.min("cos").alias("mn"),
     )
+    wc = Window.partitionBy("cluster")
     wl = Window.partitionBy("cluster").orderBy(F.col("ln").desc(), F.col("label"))
-    lab = (
-        members.groupBy("cluster", "label")
-        .agg(F.count(F.lit(1)).alias("ln"))
+    out = (
+        per_cell.withColumn("n_members", F.sum("ln").over(wc))
+        .withColumn("s_all", F.sum("s_fx").over(wc))
+        .withColumn("ncos_all", F.sum("ncos").over(wc))
+        .withColumn("min_cos", F.min("mn").over(wc))
         .withColumn("lr", F.row_number().over(wl))
         .filter(F.col("lr") == 1)
     )
-    return prof.join(lab, "cluster").select(
+    return out.select(
         "cluster",
         "n_members",
-        "mean_cos",
+        (
+            F.col("s_all") / (F.lit(float(SCALE6)) * F.col("ncos_all"))
+        ).alias("mean_cos"),
         "min_cos",
         F.col("label").alias("top_label"),
         F.col("ln").alias("top_label_n"),
