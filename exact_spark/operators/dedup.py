@@ -1198,11 +1198,12 @@ _SQL_FP = (
     doc="Incremental ingestion dedup — the DAILY-crawl shape: an arriving "
     "batch (partition-stable md5 split standing in for today's delivery) "
     "is checked against the HISTORICAL corpus fingerprint index AND "
-    "within itself, without ever rescanning history pairwise. History "
-    "reduces to one (fingerprint -> first doc) index — at scale a stored "
-    "table the batch shuffle-joins on the fingerprint key; within-batch "
-    "firsts come from one window over the same key. Verdicts: "
-    "dup_of_history / dup_in_batch / new, with dup_of provenance.",
+    "within itself, without ever rescanning history pairwise. Both the "
+    "history first (at scale: a stored fingerprint index keyed the same "
+    "way) and the within-batch first are conditional MINs over one "
+    "fingerprint partitioning — a single corpus pass and a single "
+    "shuffle. Verdicts: dup_of_history / dup_in_batch / new, with "
+    "dup_of provenance.",
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -1218,15 +1219,24 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .isin(*_INC_BATCH_HEX)
         .alias("is_new"),
     )
-    hist = (
-        f.filter(~F.col("is_new"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("hist_min"))
+    # ONE corpus pass: the history index (min doc_id over historical rows)
+    # and the within-batch first are both conditional MINs over the same
+    # fp partitioning, so they ride a single fp shuffle — the previous
+    # hist-groupBy + left-join shape re-expanded the fingerprint
+    # projection (a full tokenize+md5 of every doc) once per branch:
+    # 2 corpus scans and a second join shuffle for the same verdicts
+    # (guide §2.4). At scale the history side would be a STORED
+    # fingerprint index; this demo derives both sides from one scan.
+    w = Window.partitionBy("fp")
+    j = (
+        f.withColumn(
+            "hist_min", F.min(F.when(~F.col("is_new"), F.col("doc_id"))).over(w)
+        )
+        .withColumn(
+            "batch_min", F.min(F.when(F.col("is_new"), F.col("doc_id"))).over(w)
+        )
+        .filter(F.col("is_new"))
     )
-    batch = f.filter(F.col("is_new")).withColumn(
-        "batch_min", F.min("doc_id").over(Window.partitionBy("fp"))
-    )
-    j = batch.join(hist, "fp", "left")
     return j.select(
         "doc_id",
         F.when(F.col("hist_min").isNotNull(), F.lit("dup_of_history"))
@@ -2412,22 +2422,26 @@ def _substring_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _merge_islands(hits)
 
 
-def _gram_table(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, h1, h2): every L-gram position of every doc, keyed by
-    the fixed-width 128-bit gram hash. Projection-only — the gram string
-    never leaves this codegen stage (subexpression elimination keeps the
-    substring computed once)."""
+def _gram_table(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *extra, pos, h1, h2): every L-gram position of every doc,
+    keyed by the fixed-width 128-bit gram hash. Projection-only — the gram
+    string never leaves this codegen stage (subexpression elimination
+    keeps the substring computed once). ``extra`` names input columns to
+    carry through the explode (cheap in-task width; they only cost
+    shuffle bytes on rows that survive whatever join follows)."""
     return (
         docs.filter(F.length("text") >= _SUB_L)
         .select(
             "doc_id",
             "text",
+            *extra,
             F.explode(
                 F.sequence(F.lit(1), F.length("text") - _SUB_L + 1)
             ).alias("pos"),
         )
         .select(
             "doc_id",
+            *extra,
             F.col("pos").cast("long").alias("pos"),
             F.expr(f"xxhash64(substring(text, pos, {_SUB_L}))").alias("h1"),
             # the constant comes FIRST: Spark's multi-arg xxhash64 CHAINS
@@ -3130,14 +3144,24 @@ _CONTAM_SPAN_CTES = f"""pos_tab AS (
     )"""
 
 
-def _contam_span_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _contam_span_fresh(
+    spark: SparkSession, sf_dir: str, with_len: bool = False
+) -> DataFrame:
     """Maximal eval-contaminated spans of TRAINING docs: (doc_id, s, e),
     1-based inclusive — the span table decontaminate_spans censuses and
     decontaminate_scrub excises. Same 128-bit gram-hash keying as
     _substring_span_table (the gram string never leaves the scan); the
     eval side collapses to a distinct hash set before the ONE membership
     join, so a benchmark gram shared by any number of training docs costs
-    one set row — no pair expansion, no cap."""
+    one set row — no pair expansion, no cap.
+
+    ``with_len=True`` additionally carries each training doc's char
+    length through the gram pass (guide §2.4): the membership join is a
+    map-side broadcast of the eval hash set, so the extra long only
+    reaches the island-merge shuffle on SURVIVING hit rows — and the
+    caller's contam_frac then needs no third documents scan just to
+    re-read the text column for its length. The artifact builder keeps
+    the default narrow (doc_id, s, e) schema."""
     docs = io.load(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "source", "text"
     )
@@ -3150,16 +3174,19 @@ def _contam_span_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h1", "h2")
         .distinct()
     )
-    hits = (
-        _gram_table(
-            docs.filter(F.col("source") != _CONTAM_EVAL_SOURCE).select(
-                "doc_id", "text"
-            )
-        )
-        .join(ev_g, ["h1", "h2"])
-        .select("doc_id", "pos")
+    train = docs.filter(F.col("source") != _CONTAM_EVAL_SOURCE).select(
+        "doc_id", "text"
     )
-    return _merge_islands(hits)
+    extra: tuple[str, ...] = ()
+    if with_len:
+        train = train.withColumn("len", F.length("text"))
+        extra = ("len",)
+    hits = (
+        _gram_table(train, extra=extra)
+        .join(ev_g, ["h1", "h2"])
+        .select("doc_id", *extra, "pos")
+    )
+    return _merge_islands(hits, keys=("doc_id", *extra))
 
 
 @register(
@@ -3188,19 +3215,25 @@ def _contam_span_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set — one groupBy, broadcastable; training grams are marked by "
     "ONE membership join (a benchmark gram shared by any number of "
     "training docs costs one set row — positions marked, no pair "
-    "expansion, no cap); island merge windows per doc. The eval "
-    "source itself is excluded from the output by definition.",
+    "expansion, no cap); island merge windows per doc, and the doc "
+    "length rides the gram pass so the contamination fraction needs "
+    "no extra documents scan. The eval source itself is excluded "
+    "from the output by definition.",
 )
 def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    agg = _contam_span_fresh(spark, sf_dir).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("contam_chars"),
+    # with_len carries length(text) through the gram pass, so contam_frac
+    # needs no third documents scan (and no join) — the length rides the
+    # island-merge keys, constant per doc (guide §2.4)
+    agg = (
+        _contam_span_fresh(spark, sf_dir, with_len=True)
+        .groupBy("doc_id", "len")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("contam_chars"),
+        )
     )
-    lens = io.load(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").alias("len")
-    )
-    return agg.join(lens, "doc_id").select(
+    return agg.select(
         "doc_id",
         "n_spans",
         "contam_chars",
@@ -4464,39 +4497,43 @@ _CONTAM_BENCH_CTES = f"""pos_tab AS (
 
 
 def _contam_bench_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(benchmark, doc_id, s, e): maximal eval-contaminated spans of
-    TRAINING docs attributed per benchmark — the per-benchmark sibling of
-    _contam_span_fresh, same 128-bit gram-hash keying; the eval side
+    """(benchmark, doc_id, source, s, e): maximal eval-contaminated spans
+    of TRAINING docs attributed per benchmark — the per-benchmark sibling
+    of _contam_span_fresh, same 128-bit gram-hash keying; the eval side
     collapses to a distinct (hash, benchmark) set before the ONE
-    membership join, and island-merge partitions by (benchmark, doc_id)."""
+    membership join, and island-merge partitions by (benchmark, doc_id).
+
+    Both attaches ride the gram passes (guide §2.4): the eval doc's lang
+    becomes the benchmark IN the eval gram projection (no benchmark-
+    attach join, no second eval scan), and the training doc's source is
+    carried through the train gram pass so the per-source rollup needs
+    no separate documents scan — the membership join is a map-side
+    broadcast, so the extra columns only reach the island-merge shuffle
+    on surviving hit rows."""
     docs = io.load(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "source", "lang", "text"
     )
     ev = docs.filter(F.col("source") == _CONTAM_EVAL_SOURCE)
     ev_gb = (
-        _gram_table(ev.select("doc_id", "text"))
-        .join(
-            F.broadcast(
-                ev.select(
-                    "doc_id",
-                    F.concat(F.lit("bench_"), F.col("lang")).alias("benchmark"),
-                )
-            ),
-            "doc_id",
+        _gram_table(ev.select("doc_id", "text", "lang"), extra=("lang",))
+        .select(
+            "h1",
+            "h2",
+            F.concat(F.lit("bench_"), F.col("lang")).alias("benchmark"),
         )
-        .select("h1", "h2", "benchmark")
         .distinct()
     )
     hits = (
         _gram_table(
             docs.filter(F.col("source") != _CONTAM_EVAL_SOURCE).select(
-                "doc_id", "text"
-            )
+                "doc_id", "source", "text"
+            ),
+            extra=("source",),
         )
         .join(ev_gb, ["h1", "h2"])
-        .select("benchmark", "doc_id", "pos")
+        .select("benchmark", "doc_id", "source", "pos")
     )
-    return _merge_islands(hits, keys=("benchmark", "doc_id"))
+    return _merge_islands(hits, keys=("benchmark", "doc_id", "source"))
 
 
 @register(
@@ -4556,25 +4593,22 @@ def _contam_bench_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collapses to a distinct (128-bit gram hash, benchmark) set — the "
     "benchmark ID rides the SAME single membership join the pooled "
     "census uses (no per-benchmark pass, no pair expansion); island "
-    "merge windows per (benchmark, doc); everything after is per-doc "
-    "equi-joins and map-side-combinable groupBys, with the top-source "
-    "rank a window over per-benchmark source rows (<= sources per "
-    "benchmark).",
+    "merge windows per (benchmark, doc); the training source rides the "
+    "gram pass too, so everything after is map-side-combinable groupBys "
+    "with no documents re-scan, and the top-source rank is a window "
+    "over per-benchmark source rows (<= sources per benchmark).",
 )
 def decontaminate_by_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     sp = _contam_bench_spans(spark, sf_dir)
-    per_doc = sp.groupBy("benchmark", "doc_id").agg(
+    # source arrives WITH the span frame (carried through the gram pass) —
+    # no separate documents scan + join to attribute chars per source
+    per_doc = sp.groupBy("benchmark", "doc_id", "source").agg(
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("contam")
     )
-    src = io.load(spark, sf_dir, "documents").select("doc_id", "source")
-    per_src = (
-        per_doc.join(src, "doc_id")
-        .groupBy("benchmark", "source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("contam").cast("long").alias("chars"),
-        )
+    per_src = per_doc.groupBy("benchmark", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("contam").cast("long").alias("chars"),
     )
     # top source AND per-benchmark totals from ONE pass over the tiny
     # per-(benchmark, source) aggregate: the previous shape consumed
@@ -4911,26 +4945,54 @@ def _policy_delta_sql() -> str:
     "under each policy. Every input composes a registered spec: the "
     "manifest, the policy table, and the component map, so the what-if "
     "cannot drift from either policy's real definition. Plan shape at "
-    "100 TB: the manifest is SERVED from its artifact, the policy and "
-    "component map from the components/profile artifacts, all per-doc "
-    "equi-joins (component_id join is per-doc, never per-pair), ONE "
-    "map-side-combinable groupBy on source.",
+    "100 TB: the manifest is SERVED from its artifact, the component "
+    "map and quality signal from the components/profile artifacts, all "
+    "per-doc equi-joins (component_id join is per-doc, never per-pair), "
+    "ONE map-side-combinable groupBy on source. The per-doc policy "
+    "survivor is the SAME argmax-(quality, min doc_id) the policy spec "
+    "defines, computed as one window over the component partitioning — "
+    "consuming dedup_survivor_policy's grouped output here would make "
+    "Catalyst re-expand the components-artifact scan once per consumer "
+    "(the per-doc map AND the per-component argmax), a doubled "
+    "artifact pass at corpus scale (guide §2.4); the oracle still "
+    "composes the registered policy spec, so the window form cannot "
+    "drift from it.",
 )
 def corpus_release_policy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from exact_spark.operators.text import profile_table
+
     tune_session(spark)
     man = release_manifest_table(spark, sf_dir)
-    pol = dedup_survivor_policy(spark, sf_dir).select(
-        "component_id", "survivor_policy_id"
-    )
-    compmap = components_table(spark, sf_dir).select("doc_id", "component_id")
-    m = (
-        man.join(compmap, "doc_id", "left")
-        .join(pol, "component_id", "left")
-        .withColumn(
-            "policy_dedup_keep",
-            F.col("component_id").isNull()
-            | (F.col("doc_id") == F.col("survivor_policy_id")),
+    # ONE components-artifact scan: survivor_policy_id rides every member
+    # row via a window (max struct(q, -doc_id) == argmax-quality with the
+    # min-id tie-break — identical to the policy spec's per-component
+    # aggregate), so the per-doc component map and the policy verdict
+    # arrive together instead of re-scanning the artifact per branch.
+    # The documents scan the policy table needs for its chars accounting
+    # is not needed here at all — this what-if only reads the survivor id.
+    prof = profile_table(spark, sf_dir).select("doc_id", "quality_score")
+    best = F.max(
+        F.struct(
+            F.coalesce("quality_score", F.lit(0.0)).alias("q"),
+            (-F.col("doc_id")).alias("nid"),
         )
+    ).over(Window.partitionBy("component_id"))
+    compmap = (
+        components_table(spark, sf_dir)
+        .select("doc_id", "component_id")
+        .join(prof, "doc_id", "left")
+        .select(
+            "doc_id",
+            "component_id",
+            (-best.getField("nid")).alias("survivor_policy_id"),
+        )
+    )
+    m = man.join(compmap, "doc_id", "left").withColumn(
+        "policy_dedup_keep",
+        F.col("component_id").isNull()
+        | (F.col("doc_id") == F.col("survivor_policy_id")),
     )
     ship_policy = (
         F.col("in_pool")

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from exact_spark import io
 from exact_spark.registry import register
@@ -406,13 +407,18 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     census = li.select(digit.alias("digit")).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n_obs")
     )
-    tot = li.agg(F.count(F.lit(1)).alias("n"))
+    # the corpus total is the sum of the census itself — a window over the
+    # <=10-row digit census replaces what was a SECOND full lineitem scan
+    # (the `tot` aggregate re-expanded the lineage; guide §2.4). The max
+    # window after the left join re-attaches the constant total to
+    # expected digits the census happens to miss.
+    census = census.withColumn("n", F.sum("n_obs").over(Window.partitionBy()))
     expected = spark.createDataFrame(
         [(d, p) for d, p in _BENFORD_P_FX.items()], "digit bigint, p_fx bigint"
     )
     j = (
         expected.join(census, "digit", "left")
-        .crossJoin(F.broadcast(tot))
+        .withColumn("n", F.max("n").over(Window.partitionBy()))
         .select(
             "digit",
             F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),

@@ -206,15 +206,26 @@ _FRAME_K = 6
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = io.load(spark, sf_dir, "documents")
+    return _frame_idx_explode(docs.select("doc_id", "n_chars")).select(
+        "doc_id", "n_frames", "frame_idx"
+    )
+
+
+def _frame_idx_explode(docs_sel: DataFrame) -> DataFrame:
+    """Uniform-stride frame-index sampling (the multimodal_frame_sample
+    spec), applied in-row: the input needs an ``n_chars`` column; every
+    other column (e.g. the payload) rides through the explode, so a
+    consumer that needs frames WITH payloads gets both from ONE scan
+    instead of re-scanning documents and joining the sample back."""
     n_frames = (1 + F.col("n_chars") % 120).cast("long")
     k = F.least(F.lit(_FRAME_K).cast("long"), F.col("n_frames"))
     idx = F.transform(
         F.sequence(F.lit(0).cast("long"), k - 1),
         lambda j: F.floor(j * F.col("n_frames") / k).cast("long"),
     )
-    return (
-        docs.select("doc_id", n_frames.alias("n_frames"))
-        .select("doc_id", "n_frames", F.explode(idx).alias("frame_idx"))
+    keep = [c for c in docs_sel.columns if c != "n_chars"]
+    return docs_sel.select(*keep, n_frames.alias("n_frames")).select(
+        *keep, "n_frames", F.explode(idx).alias("frame_idx")
     )
 
 
@@ -291,18 +302,27 @@ def frame_features(frames_with_payload: DataFrame) -> DataFrame:
            CAST(frame_sig % 256 AS DOUBLE) / 255.0 AS brightness
     FROM sig
     """,
-    doc="Per-frame feature extraction over the sampled frame set: "
-    "frame_sample explode -> join payloads -> Arrow mapInPandas stub "
-    "decoder (one row per frame in, one feature row per frame out). The "
+    doc="Per-frame feature extraction over the sampled frame set: ONE "
+    "documents scan carries the payload through the frame-index explode "
+    "straight into the Arrow mapInPandas stub decoder (one row per frame "
+    "in, one feature row per frame out) — no second scan, no join. The "
     "md5-based stub signature keeps the whole per-frame path "
     "hash-checked against the DuckDB oracle.",
 )
 def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     docs = io.load(spark, sf_dir, "documents")
-    frames = multimodal_frame_sample(spark, sf_dir)
-    payloads = with_binary_payload(docs, kind="video").select("doc_id", "payload")
-    return frame_features(frames.join(payloads, "doc_id"))
+    # ONE scan: the payload rides through the frame-index explode, so the
+    # sampled frames arrive at the Arrow decoder without the second
+    # documents scan + doc_id shuffle join the old shape paid (guide
+    # §2.4; the explode replicates each payload at most K times, exactly
+    # what the join output held anyway)
+    frames = _frame_idx_explode(
+        docs.select(
+            "doc_id", "n_chars", F.encode(F.col("text"), "UTF-8").alias("payload")
+        )
+    )
+    return frame_features(frames)
 
 
 # --- audio path: overlapped waveform framing --------------------------------
@@ -659,27 +679,60 @@ def _hard_negative_sql() -> str:
     "rank-1 neighbor from the REGISTERED capped-LSH kNN graph (never "
     "all-pairs), and both sides' caption metadata attach for batch "
     "construction. Plan shape: the graph's window rank already isolates "
-    "rank 1; two doc joins on the key complete the training tuple.",
+    "rank 1; each edge fans out to its two (role, doc) sides in-row so "
+    "ONE documents scan serves both metadata attaches — the two-join "
+    "form re-scanned the corpus once per side; one bounded groupBy on "
+    "the edge set (<= one rank-1 edge per anchor) reassembles the "
+    "tuple, with the both-sides-matched filter reproducing the two "
+    "inner joins exactly.",
 )
 def multimodal_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact_spark.operators.similarity import knn_graph
 
     g = knn_graph(spark, sf_dir).filter(F.col("rank") == 1)
     docs = io.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    dp = docs.select(
-        F.col("doc_id").alias("positive_doc"), F.col("n_chars").alias("positive_chars")
-    )
-    dn = docs.select(
-        F.col("doc_id").alias("negative_doc"), F.col("n_chars").alias("negative_chars")
+    # in-row fan-out to (is_pos, doc_id): ONE documents scan attaches both
+    # sides' n_chars (the two-join form scanned the corpus once per side —
+    # guide §2.4). The groupBy key set is exactly the rank-1 edge (unique
+    # per anchor), and requiring both roles back reproduces the two inner
+    # joins: an edge drops iff either side is absent from documents.
+    sides = g.select(
+        "vec_id",
+        "neighbor_id",
+        "cosine",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("is_pos"), F.col("vec_id").alias("doc_id")),
+                F.struct(
+                    F.lit(0).alias("is_pos"), F.col("neighbor_id").alias("doc_id")
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        "vec_id",
+        "neighbor_id",
+        "cosine",
+        F.col("s.is_pos").alias("is_pos"),
+        F.col("s.doc_id").alias("doc_id"),
     )
     return (
-        g.join(dp, g.vec_id == dp.positive_doc)
-        .join(dn, g.neighbor_id == dn.negative_doc)
+        sides.join(docs, "doc_id")
+        .groupBy("vec_id", "neighbor_id", "cosine")
+        .agg(
+            F.max(F.when(F.col("is_pos") == 1, F.col("n_chars"))).alias(
+                "positive_chars"
+            ),
+            F.max(F.when(F.col("is_pos") == 0, F.col("n_chars"))).alias(
+                "negative_chars"
+            ),
+            F.count(F.lit(1)).alias("__n_sides"),
+        )
+        .filter(F.col("__n_sides") == 2)
         .select(
             F.col("vec_id").alias("anchor_vec"),
-            "positive_doc",
+            F.col("vec_id").alias("positive_doc"),
             F.col("neighbor_id").alias("negative_vec"),
-            "negative_doc",
+            F.col("neighbor_id").alias("negative_doc"),
             F.col("cosine").alias("negative_cosine"),
             "positive_chars",
             "negative_chars",

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from exact_spark import io
-from exact_spark.functions import SCALE2, favg, fround, fsum, sql_favg, sql_fixed, sql_fround, sql_fsum
+from exact_spark.functions import SCALE2, favg, fixed, fround, fsum, sql_favg, sql_fixed, sql_fround, sql_fsum
 from exact_spark.registry import register
 from exact_spark.session import tune_session
 
@@ -665,24 +665,33 @@ _Q17_TYPE = "PROMO"
     """,
     doc="TPC-H Q17 small-quantity-order revenue: lineitems of one part "
     "type below half their part's average quantity; yearly revenue slice. "
-    "Plan shape: the correlated per-part average becomes ONE map-side-"
-    "combinable groupBy over lineitem whose result (<=|part| rows) "
-    "BROADCASTS back into the fact scan — the decorrelated two-scan Q17 "
-    "form; the part-type dimension filter also broadcasts, so the fact "
-    "table never shuffles at all; the final aggregate is a scalar.",
+    "Plan shape: the part-type dimension filter broadcasts into ONE "
+    "lineitem scan, and the correlated per-part average is a window over "
+    "the promo-filtered rows — one partkey shuffle of just the promo "
+    "slice, instead of a second full fact scan joined against a "
+    "broadcast per-partkey aggregate (which is |part|-sized and cannot "
+    "broadcast at 100 TB); the final aggregate is a scalar.",
 )
 def rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = io.load(spark, sf_dir, "lineitem")
-    pa = (
-        li.groupBy(F.col("l_partkey").alias("pa_partkey"))
-        .agg(favg(F.col("l_quantity"), SCALE2).alias("avg_qty"))
-    )
     promo = io.load(spark, sf_dir, "part").filter(F.col("p_type") == _Q17_TYPE)
-    j = (
-        li.join(F.broadcast(promo.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(pa), li.l_partkey == F.col("pa_partkey"))
-        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+    j = li.join(
+        F.broadcast(promo.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    # per-part average as a WINDOW over the promo-filtered fact rows
+    # (identical per-part sums/counts: the inner join keeps every lineitem
+    # row of a promo part, and favg is per-part). The previous shape
+    # aggregated avg_qty over ALL parts and broadcast that |part|-sized
+    # frame back into a SECOND lineitem scan — at 100 TB a per-partkey
+    # aggregate is billions of rows and cannot broadcast. Now: one scan,
+    # one partkey shuffle of only the promo slice (guide §2.4, §3.1).
+    w = Window.partitionBy("l_partkey")
+    avg_qty = F.sum(fixed(F.col("l_quantity"), SCALE2)).over(w) / (
+        F.lit(float(SCALE2)) * F.count(F.col("l_quantity")).over(w)
+    )
+    j = j.withColumn("avg_qty", avg_qty).filter(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
     )
     agg = j.agg(
         F.sum(F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast("long")).alias("rev_fx"),
@@ -800,10 +809,10 @@ _PIVOT_NAMES = ("urgent", "high", "medium", "not_specified", "low")
     """,
     doc="Pivot (long->wide conditional aggregation): order counts per "
     "year x priority as one wide row per year, plus totals. Plan shape: "
-    "Spark's pivot with an EXPLICIT value list compiles to the same "
-    "single-pass conditional aggregate as the SQL (no extra "
-    "distinct-collection job to discover pivot values, deterministic "
-    "schema), map-side combinable, one shuffle on the year key.",
+    "one explicit conditional aggregate (the same shape as the SQL) "
+    "computes every priority cell AND the totals in a single pass — "
+    "map-side combinable, one shuffle on the year key, no pivot-value "
+    "discovery job and no separate totals branch to join back.",
 )
 def rel_pivot_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
@@ -813,23 +822,20 @@ def rel_pivot_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "o_totalprice",
     )
-    wide = (
-        base.groupBy("order_year")
-        .pivot("o_orderpriority", list(_PIVOT_PRIORITIES))
-        .agg(F.count(F.lit(1)))
-    )
-    for p, n in zip(_PIVOT_PRIORITIES, _PIVOT_NAMES):
-        wide = wide.withColumnRenamed(p, f"n_{n}")
-    wide = wide.na.fill(0, [f"n_{n}" for n in _PIVOT_NAMES])
-    totals = base.groupBy("order_year").agg(
+    # ONE conditional aggregate (literally the oracle SQL's shape): the
+    # previous pivot + separate totals groupBy consumed `base` twice, so
+    # Catalyst re-expanded the orders scan per branch and joined the two
+    # grouped frames back — 2 scans + a join for what one map-side-
+    # combinable pass computes (guide §1.2 step 1, §2.4).
+    return base.groupBy("order_year").agg(
+        *[
+            F.sum(F.when(F.col("o_orderpriority") == p, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{n}")
+            for p, n in zip(_PIVOT_PRIORITIES, _PIVOT_NAMES)
+        ],
         F.count(F.lit(1)).alias("n_total"),
         fsum(F.col("o_totalprice"), SCALE2).alias("revenue"),
-    )
-    return wide.join(totals, "order_year").select(
-        "order_year",
-        *[F.col(f"n_{n}").cast("long").alias(f"n_{n}") for n in _PIVOT_NAMES],
-        "n_total",
-        "revenue",
     )
 
 
@@ -1582,7 +1588,11 @@ def rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_fx = F.floor(
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0 + F.lit(0.5)
     ).cast("long")
-    srev = li.groupBy("l_suppkey").agg(F.sum(rev_fx).alias("rev_fx"))
+    # cache the supplier-cardinality revenue frame: the scalar-MAX branch
+    # otherwise re-expands the whole lineage and scans lineitem a second
+    # time for one number (guide §2.4, §5 — cache when the reuse saves a
+    # full corpus pass; the frame is one narrow row per active supplier)
+    srev = li.groupBy("l_suppkey").agg(F.sum(rev_fx).alias("rev_fx")).cache()
     mx = srev.agg(F.max("rev_fx").alias("max_fx"))
     supp = io.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -2087,30 +2097,44 @@ def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cardinality, with the over/under ratio as the data's skew "
     "signature — ratio >> 1 means key skew that AQE/salting must "
     "handle, =1 means uniform keys. All-integer inputs, integer "
-    "estimate (floor-div), one divide for the ratio. Plan: two count-"
-    "distinct passes + the real join count (the audit is the point — "
-    "a production engine reads NDVs from column stats instead).",
+    "estimate (floor-div), one divide for the ratio. Plan: ONE pass per "
+    "table to per-key counts, then a full-outer join of the grouped "
+    "frames feeds a single aggregate — n/ndv per side and the actual "
+    "cardinality as sum(c_l*c_o) — so only one row per key is ever "
+    "shuffled (the audit is the point — a production engine reads NDVs "
+    "from column stats instead).",
 )
 def rel_join_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = io.load(spark, sf_dir, "lineitem").select("l_orderkey")
     orders = io.load(spark, sf_dir, "orders").select("o_orderkey")
-    s_l = li.agg(
-        F.count(F.lit(1)).cast("long").alias("n_l"),
-        F.count_distinct(F.col("l_orderkey")).cast("long").alias("d_l"),
-    )
-    s_o = orders.agg(
-        F.count(F.lit(1)).cast("long").alias("n_o"),
-        F.count_distinct(F.col("o_orderkey")).cast("long").alias("d_o"),
-    )
-    actual = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .agg(F.count(F.lit(1)).cast("long").alias("actual"))
+    # ONE pass per table: collapse each side to per-key counts (map-side
+    # combinable), then a full-outer join of the two grouped frames yields
+    # every statistic in a single aggregate — n = sum of counts, ndv = rows
+    # with a non-null key on that side, and the actual join cardinality is
+    # sum(c_l * c_o) over matched keys (each key contributes exactly the
+    # cross product of its row counts). The previous shape scanned each
+    # table TWICE (stats pass + raw join) and shuffled every raw row for
+    # the join; this shuffles one row per key (guide §2.3 aggregate-first,
+    # §2.4) and the groupBy exchanges are reused by the equi-join.
+    gl = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c_l"))
+    go = orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c_o"))
+    stats = gl.join(go, gl.l_orderkey == go.o_orderkey, "full_outer").agg(
+        F.coalesce(F.sum("c_l"), F.lit(0)).cast("long").alias("n_l"),
+        F.count(F.when(F.col("l_orderkey").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("d_l"),
+        F.coalesce(F.sum("c_o"), F.lit(0)).cast("long").alias("n_o"),
+        F.count(F.when(F.col("o_orderkey").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("d_o"),
+        F.coalesce(F.sum(F.col("c_l") * F.col("c_o")), F.lit(0))
+        .cast("long")
+        .alias("actual"),
     )
     est = F.expr("CAST((n_l * n_o) DIV GREATEST(d_l, d_o) AS BIGINT)")
     return (
-        s_l.crossJoin(F.broadcast(s_o))
-        .crossJoin(F.broadcast(actual))
+        stats
         .select(
             F.col("n_l").alias("n_lineitem"),
             F.col("n_o").alias("n_orders"),

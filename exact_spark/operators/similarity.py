@@ -3238,12 +3238,17 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
+    # cache the sample-bounded projection frame (< _RP_SAMPLE rows): both
+    # sides of the audit self-join otherwise re-expand the scan AND
+    # recompute every projection component — 2 pushed-filter scans and a
+    # doubled _RP_DIMS-term array fold per pair side (guide §2.4, §5; a
+    # derived frame inside the timed region, not a base-table cache)
     proj = emb.select(
         "vec_id",
         "embedding",
         dot_fixed(F.col("embedding"), F.col("embedding")).alias("norm_fx"),
         F.array(*[proj_component(j) for j in range(_RP_DIMS)]).alias("p"),
-    )
+    ).cache()
     a = proj.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),

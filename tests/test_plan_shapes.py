@@ -51,15 +51,16 @@ def test_pack_sequences_window_is_partitioned(spark, sf_dir):
     assert "hashpartitioning(bucket" in plan
 
 
-def test_incremental_dedup_joins_index_not_docs(spark, sf_dir):
-    plan = _plan(dedup_incremental(spark, sf_dir))
-    # the history side must be REDUCED (HashAggregate -> fp, min(doc_id))
-    # before the join: grepping the join subtree for the aggregate proves
-    # the batch never joins raw history rows
-    assert "HashAggregate" in plan
-    assert plan.index("HashAggregate") is not None
-    # and there is exactly one left outer join (batch x index)
-    assert plan.count("LeftOuter") == 1
+def test_incremental_dedup_single_pass(spark, sf_dir):
+    # r11 single-pass form: history first AND within-batch first are
+    # conditional MINs over one fp window — one documents scan, one fp
+    # shuffle, no join (the old hist-groupBy + left-join shape re-ran the
+    # full tokenize+md5 fingerprint pass once per branch)
+    df = dedup_incremental(spark, sf_dir)
+    plan = _plan(df)
+    assert _scan_locations(df, "documents.parquet") == 1
+    assert "Join" not in plan
+    assert "hashpartitioning(fp" in plan  # the single fingerprint shuffle
 
 
 def test_large_orders_shape(spark, sf_dir):
@@ -77,10 +78,15 @@ def test_large_orders_shape(spark, sf_dir):
 def test_small_qty_revenue_shape(spark, sf_dir):
     from exact_spark.operators.relational import rel_small_qty_revenue
 
-    plan = _plan(rel_small_qty_revenue(spark, sf_dir))
-    # the decorrelated per-part average and the part-type dim both
-    # broadcast into the fact scan — lineitem itself never shuffles
-    assert plan.count("BroadcastHashJoin") >= 2
+    df = rel_small_qty_revenue(spark, sf_dir)
+    plan = _plan(df)
+    # r11 single-pass form: the part-type dim broadcasts into ONE lineitem
+    # scan and the correlated per-part average is a partkey-partitioned
+    # window over the promo slice — no second fact scan, no |part|-sized
+    # broadcast aggregate (which cannot broadcast at 100 TB)
+    assert _scan_locations(df, "lineitem.parquet") == 1
+    assert plan.count("BroadcastHashJoin") == 1  # promo dim only
+    assert "hashpartitioning(l_partkey" in plan  # the window shuffle
     assert "Exchange rangepartitioning" not in plan
 
 
@@ -646,3 +652,79 @@ def test_r11_label_propagation_constant_plan(spark, sf_dir):
     # embeddings or the graph artifact in the final iteration's plan
     assert "embeddings.parquet" not in plan
     assert plan.count("Exchange") <= 12
+
+
+def test_r11b_single_pass_rewrites(spark, sf_dir):
+    """Second r11 batch of scan-collapse rewrites, pinned (same contract
+    as test_r11_single_pass_rewrites: a regression that re-expands a
+    shared frame per consumer re-introduces full corpus passes)."""
+    from exact_spark.operators.dedup import decontaminate_spans
+    from exact_spark.operators.dq import dq_benford_audit
+    from exact_spark.operators.multimodal import multimodal_frame_features
+    from exact_spark.operators.relational import (
+        rel_join_cardinality_check,
+        rel_pivot_priority_year,
+        rel_top_supplier,
+    )
+
+    try:
+        # per-key counts + full-outer join of the grouped frames: ONE scan
+        # per table (the old shape scanned each twice and shuffled raw rows)
+        df = rel_join_cardinality_check(spark, sf_dir)
+        assert _scan_locations(df, "lineitem.parquet") == 1
+        assert _scan_locations(df, "orders.parquet") == 1
+
+        # one conditional aggregate: priority cells + totals in one pass
+        df = rel_pivot_priority_year(spark, sf_dir)
+        assert _scan_locations(df, "orders.parquet") == 1
+        assert "Join" not in _plan(df)
+
+        # srev cached: the scalar-MAX branch must not re-scan lineitem
+        df = rel_top_supplier(spark, sf_dir)
+        assert _scan_locations(df, "lineitem.parquet") == 1
+
+        # the corpus total is a window sum over the <=10-row digit census
+        df = dq_benford_audit(spark, sf_dir)
+        assert _scan_locations(df, "lineitem.parquet") == 1
+
+        # payload rides the frame-index explode into the Arrow decoder:
+        # one scan, no join back onto documents
+        df = multimodal_frame_features(spark, sf_dir)
+        assert _scan_locations(df, "documents.parquet") == 1
+        assert "Join" not in _plan(df)
+
+        # doc length rides the gram pass: two documents scans (the two
+        # inherent gram sides), no third scan for the length attach
+        df = decontaminate_spans(spark, sf_dir)
+        assert _scan_locations(df, "documents.parquet") == 2
+        assert _plan(df).count("Join") == 1  # the one membership join
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_r11c_single_pass_rewrites(spark, sf_dir):
+    """Third r11 batch: artifact/corpus scan collapses in the release
+    what-if, hard-negative mining, and the JL projection audit."""
+    from exact_spark.operators.dedup import corpus_release_policy_delta
+    from exact_spark.operators.multimodal import multimodal_hard_negatives
+    from exact_spark.operators.similarity import emb_random_projection
+
+    try:
+        # survivor via window: ONE components-artifact scan (the grouped
+        # policy consumer re-expanded it), and no documents scan at all —
+        # the what-if reads only the survivor id, never chars
+        df = corpus_release_policy_delta(spark, sf_dir)
+        assert _scan_locations(df, "exact_spark_dupcc") == 1
+        assert _scan_locations(df, "documents.parquet") == 0
+
+        # role fan-out: ONE documents scan serves both metadata attaches
+        df = multimodal_hard_negatives(spark, sf_dir)
+        assert _scan_locations(df, "documents.parquet") == 1
+
+        # the sample-bounded projection frame is cached: one embeddings
+        # scan, both self-join sides read the InMemoryTableScan
+        df = emb_random_projection(spark, sf_dir)
+        assert _scan_locations(df, "embeddings.parquet") == 1
+        assert "InMemoryTableScan" in _plan(df)
+    finally:
+        spark.catalog.clearCache()
