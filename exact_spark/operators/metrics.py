@@ -916,19 +916,46 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = tagged.agg(F.min("week")).collect()[0][0] or 0
     a = tagged.filter(F.col("week") == lo)
     b = tagged.filter(F.col("week") == lo + 1)
+    # the 2-row sketch frame serves TWO collects (per-week estimates +
+    # the union merge); without the cache each collect re-ran the whole
+    # canon pass (guide §5 — derived frame inside the timed region)
     sk = (
         a.select(F.lit("a").alias("s"), "user_id")
         .unionByName(b.select(F.lit("b").alias("s"), "user_id"))
         .groupBy("s")
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .cache()
     )
-    ests = {r["s"]: r for r in sk.select("s", F.hll_sketch_estimate("sk").alias("e")).collect()}
-    union_est = sk.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u")
-    ).collect()[0]["u"]
-    ex_a = a.select("user_id").distinct().count()
-    ex_b = b.select("user_id").distinct().count()
-    ex_union = a.select("user_id").unionByName(b.select("user_id")).distinct().count()
+    try:
+        ests = {
+            r["s"]: r
+            for r in sk.select("s", F.hll_sketch_estimate("sk").alias("e")).collect()
+        }
+        union_est = sk.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u")
+        ).collect()[0]["u"]
+    finally:
+        sk.unpersist()
+    # all three exact counts from ONE per-user census pass (guide §1.2
+    # step 1): the old three separate distinct().count() actions each
+    # re-ran the canon pass (and the union side twice). groupBy keeps a
+    # null-user group exactly like distinct().count() did, so the counts
+    # are identical under any data.
+    ex = (
+        tagged.filter(F.col("week").isin(lo, lo + 1))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("week") == lo, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("week") == lo + 1, 1).otherwise(0)).alias("in_b"),
+        )
+        .agg(
+            F.sum("in_a").cast("long").alias("ea"),
+            F.sum("in_b").cast("long").alias("eb"),
+            F.count(F.lit(1)).cast("long").alias("eu"),
+        )
+        .collect()[0]
+    )
+    ex_a, ex_b, ex_union = int(ex["ea"]), int(ex["eb"]), int(ex["eu"])
     rows = [
         ("week_a_users", float(ests["a"]["e"]), float(ex_a)),
         ("week_b_users", float(ests["b"]["e"]), float(ex_b)),

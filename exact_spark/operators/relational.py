@@ -1799,10 +1799,17 @@ def rel_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = io.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     nat = io.load(spark, sf_dir, "nation")
     reg = io.load(spark, sf_dir, "region").filter(F.col("r_name") == _Q2_REGION)
+    # eligible is consumed twice (s_suppkey-only broadcast into the fact
+    # join, full (key, name) final attach); without the cache Catalyst
+    # re-expands the supplier⨝nation⨝region lineage per consumer — two
+    # scans of each dimension. The frame is one narrow row per
+    # region-filtered supplier (a derived frame inside the timed region,
+    # not a base-table cache).
     eligible = (
         supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .select("s_suppkey", "s_name")
+        .cache()
     )
     part = (
         io.load(spark, sf_dir, "part")

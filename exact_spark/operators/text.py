@@ -1302,9 +1302,23 @@ def text_idf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    n_docs = tf.select("doc_id").distinct().count()
-    scored = tf.join(df, "token").withColumn(
-        "score", (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+    # n_docs rides as a lazy broadcast single-row aggregate (the accepted
+    # 1x1 combine) instead of an EAGER distinct().count() — the old form
+    # ran a whole blocking driver job at build time before the timed
+    # action (guide §5; the §19/§26 sweep). Same distinct-doc value
+    # (count over the distinct doc set, nulls counted identically), same
+    # integer tf*n_docs arithmetic.
+    nd = (
+        tf.select("doc_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
     return (

@@ -728,3 +728,19 @@ def test_r11c_single_pass_rewrites(spark, sf_dir):
         assert "InMemoryTableScan" in _plan(df)
     finally:
         spark.catalog.clearCache()
+
+
+def test_r11d_min_cost_supplier_single_dim_pass(spark, sf_dir):
+    """Q2 shape: the region-filtered eligible-supplier frame is cached, so
+    its supplier/nation/region lineage is not re-expanded for the final
+    name attach — each dimension scanned once, both consumers read the
+    InMemoryTableScan."""
+    from exact_spark.operators.relational import rel_min_cost_supplier
+
+    try:
+        df = rel_min_cost_supplier(spark, sf_dir)
+        for t in ("supplier.parquet", "nation.parquet", "region.parquet"):
+            assert _scan_locations(df, t) == 1, t
+        assert _plan(df).count("InMemoryTableScan") >= 2
+    finally:
+        spark.catalog.clearCache()
