@@ -34,6 +34,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    # Streaming-demo checkpoints are EPHEMERAL per-run scratch (each demo
+    # creates a fresh dir and deletes it in its finally — a reused
+    # checkpoint would silently no-op the replay), so fsyncing their
+    # offset/commit/state files to disk buys zero durability and costs
+    # ~1-3 s of commit latency per demo (VERDICT r11 item 5). Point the
+    # scratch at tmpfs when available; callers override via the env, and
+    # production deployments (durable checkpoints are the contract there)
+    # simply never set it.
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_GRAFT_CKPT_DIR", "/dev/shm/exact_spark_ckpt")
+
     # --wait-idle (VERDICT r10 item 8): block until the 1-min load average
     # drains below a threshold before doing ANY work, bounded by a timeout —
     # replaces the manual "sleep until the 15-min load from the previous
@@ -145,6 +156,16 @@ def main() -> None:
     # attributed to the registered builders (corpus_release_manifest /
     # corpus_release_dataset) via these warms. Manifest BEFORE dataset: the
     # dataset artifact build consumes the manifest artifact
+    # and the composed curation manifest (r12): corpus_release_manifest —
+    # and through it the whole release layer — serves the quality x mix x
+    # decontamination decision from this artifact; the trio's build cost
+    # (two tokenization passes + the mix window) is attributed to the
+    # builder query (text_curation_manifest) via this warm. Curation
+    # BEFORE the release manifests: their builders consume it
+    from exact_spark.operators.dedup import curation_manifest_path
+
+    curation_manifest_path(spark, sf_dir)
+
     from exact_spark.operators.dedup import (
         release_dataset_path,
         release_manifest_path,
@@ -278,6 +299,21 @@ def main() -> None:
     # committed BASELINE envelope so the perf gate is machine-readable even
     # when everything before it is truncated.
     print(json.dumps(out))
+    # Sidecar full record (VERDICT r11 item 2): the driver captures only the
+    # final ~4 KB of stdout, so the full per-query map printed above is
+    # truncated away every round and PERF_r*.json has per_query: {} — no
+    # per-query deltas, no geomean. Write the SAME record to a durable file
+    # ($SPARK_GRAFT_BENCH_OUT, default BENCH_LAST_FULL.json next to this
+    # script) so per-query numbers survive the capture. Additions-only: the
+    # stdout contract (full line first, compact line last) is unchanged.
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        str(Path(__file__).resolve().parent / "BENCH_LAST_FULL.json"),
+    )
+    try:
+        Path(sidecar).write_text(json.dumps(out, sort_keys=True) + "\n")
+    except OSError as exc:  # a read-only checkout must not lose the run
+        print(f"# sidecar write failed: {exc}", file=sys.stderr)
     compact = {
         "metric": "suite_total_wall_clock",
         "value": round(total, 3),
@@ -287,6 +323,13 @@ def main() -> None:
         "n_failures": len(failures),
         "load_start": load_start,
         "load_end": [round(v, 2) for v in os.getloadavg()],
+        # the 20 slowest queries fit the ~4 KB tail (the full 266-entry map
+        # is ~7 KB and would push its own head out of the capture window) —
+        # enough for the driver to see where the time goes round-over-round
+        "top20_slowest": {
+            n: timings[n]
+            for n in sorted(timings, key=timings.get, reverse=True)[:20]
+        },
     }
     if retried:
         compact["n_retried"] = len(retried)

@@ -1103,6 +1103,40 @@ def text_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_manifest_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the composed curation manifest ONCE per corpus
+    (VERDICT r11 item 1). text_curation_manifest composes the full trio
+    fresh — a quality tokenization pass, the language-mix window, and the
+    decontamination gram pass — and corpus_release_manifest (plus the
+    whole release layer derived from it) used to re-expand that lineage
+    per run: the single most expensive honest multi-scan left in the
+    registry (documents x5 in its r11 plan). Same artifacts.materialize
+    discipline as the kNN graph / components / pair tables: the
+    registered text_curation_manifest query remains the honest fresh
+    builder, consumers serve from the artifact, and the transitive
+    builder salt re-fingerprints on any change to the trio's code or
+    composed SQL so a stale manifest can never be served."""
+    import pathlib
+
+    from exact_spark.artifacts import builder_salt, materialize
+
+    return materialize(
+        pathlib.Path(sf_dir).resolve() / "documents.parquet",
+        "curman_" + builder_salt("text_curation_manifest"),
+        lambda staging: text_curation_manifest(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(staging),
+    )
+
+
+def curation_manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation manifest served from the per-corpus artifact (content
+    identical to text_curation_manifest — the builder — so every composed
+    oracle stays valid; pinned in tests/test_r12_ops.py)."""
+    tune_session(spark)
+    return io.read_parquet_memo(spark, curation_manifest_path(spark, sf_dir))
+
+
 @register(
     "dedup_lsh_recall",
     sql=f"""
@@ -3601,7 +3635,12 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_chars"))
     )
-    man = text_curation_manifest(spark, sf_dir).select(
+    # served from the per-corpus artifact (VERDICT r11 item 1): the fresh
+    # trio re-tokenized documents three ways INSIDE this query's plan —
+    # the curation decision is a per-corpus derived structure, built once
+    # (attributed to text_curation_manifest, the honest fresh builder)
+    # and consumed as narrow parquet here
+    man = curation_manifest_table(spark, sf_dir).select(
         "doc_id", "quality_keep", "mix_keep", "decon_keep"
     )
     j = (

